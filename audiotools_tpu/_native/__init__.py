@@ -1,0 +1,241 @@
+"""Native host kernels: build-on-first-import C++ library via ctypes.
+
+Compiles hostkernels.cpp with g++ -O3 into a cached shared object and
+exposes the entry points (atpu_pack_frames, atpu_flac_decode, CRCs).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import sys
+
+_SRC = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                    "hostkernels.cpp")
+
+_lib = None
+_build_error = None
+
+
+def _build_and_load():
+    global _lib, _build_error
+    if _lib is not None:
+        return _lib
+    if _build_error is not None:
+        raise ImportError(_build_error)
+
+    with open(_SRC, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    cache_dir = os.environ.get(
+        "ATPU_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "atpu"))
+    os.makedirs(cache_dir, exist_ok=True)
+    so_path = os.path.join(cache_dir, "hostkernels-%s.so" % (digest,))
+
+    if not os.path.exists(so_path):
+        tmp_path = so_path + ".%d.tmp" % (os.getpid(),)
+        cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+               "-fno-exceptions", "-o", tmp_path, _SRC]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True)
+            os.replace(tmp_path, so_path)
+        except (subprocess.CalledProcessError, OSError) as err:
+            stderr = getattr(err, "stderr", b"")
+            _build_error = "failed to build hostkernels: %s %s" % (
+                err, stderr.decode("utf-8", "replace")
+                if isinstance(stderr, bytes) else stderr)
+            print(_build_error, file=sys.stderr)
+            raise ImportError(_build_error)
+
+    lib = ctypes.CDLL(so_path)
+
+    lib.atpu_pack_frames.restype = ctypes.c_int64
+    lib.atpu_pack_frames.argtypes = [
+        ctypes.POINTER(ctypes.c_int64),   # vals
+        ctypes.POINTER(ctypes.c_int32),   # nbits
+        ctypes.POINTER(ctypes.c_int64),   # token_counts
+        ctypes.POINTER(ctypes.c_int64),   # header_token_counts
+        ctypes.c_int64,                   # n_frames
+        ctypes.POINTER(ctypes.c_uint8),   # out
+        ctypes.POINTER(ctypes.c_int64),   # out_lens
+    ]
+
+    lib.atpu_flac_decode.restype = ctypes.c_int64
+    lib.atpu_flac_decode.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8),   # data
+        ctypes.c_int64,                   # data_len
+        ctypes.c_int32,                   # stream_bps
+        ctypes.c_int32,                   # stream_channels
+        ctypes.c_int64,                   # max_samples
+        ctypes.POINTER(ctypes.c_int32),   # out_samples
+        ctypes.POINTER(ctypes.c_int64),   # consumed_bytes
+        ctypes.c_int32,                   # verify_crc
+    ]
+
+    lib.atpu_flac_emit_frames.restype = ctypes.c_int64
+    lib.atpu_flac_emit_frames.argtypes = [
+        ctypes.POINTER(ctypes.c_int64),   # frame_numbers
+        ctypes.POINTER(ctypes.c_int32),   # block_sizes
+        ctypes.POINTER(ctypes.c_int32),   # assignments
+        ctypes.POINTER(ctypes.c_int32),   # choices
+        ctypes.POINTER(ctypes.c_int32),   # orders
+        ctypes.POINTER(ctypes.c_int32),   # wasteds
+        ctypes.POINTER(ctypes.c_int32),   # porders
+        ctypes.POINTER(ctypes.c_int32),   # shifts
+        ctypes.POINTER(ctypes.c_int32),   # precisions
+        ctypes.POINTER(ctypes.c_int32),   # qlp_coeffs
+        ctypes.POINTER(ctypes.c_int32),   # rice_params
+        ctypes.POINTER(ctypes.c_int32),   # samples
+        ctypes.POINTER(ctypes.c_int32),   # residuals
+        ctypes.c_int64,                   # n_frames
+        ctypes.c_int32,                   # max_subframes
+        ctypes.c_int32,                   # max_order
+        ctypes.c_int32,                   # max_partitions
+        ctypes.c_int32,                   # max_block
+        ctypes.c_int32,                   # sample_rate
+        ctypes.c_int32,                   # stream_bps
+        ctypes.c_int32,                   # stream_channels
+        ctypes.POINTER(ctypes.c_uint8),   # out
+        ctypes.POINTER(ctypes.c_int64),   # out_lens (cumulative ends)
+    ]
+
+    lib.atpu_crc16.restype = ctypes.c_uint16
+    lib.atpu_crc16.argtypes = [ctypes.POINTER(ctypes.c_uint8),
+                               ctypes.c_int64, ctypes.c_uint16]
+    lib.atpu_crc8.restype = ctypes.c_uint8
+    lib.atpu_crc8.argtypes = [ctypes.POINTER(ctypes.c_uint8),
+                              ctypes.c_int64, ctypes.c_uint8]
+
+    _lib = lib
+    return lib
+
+
+def get_lib():
+    """returns the loaded native library, building it if necessary"""
+    return _build_and_load()
+
+
+def _as_ptr(array, ctype):
+    return array.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def pack_frames(vals, nbits, token_counts, header_token_counts):
+    """packs token arrays into FLAC frame bytes with CRCs
+
+    vals: int64 array of token payloads
+    nbits: int32 array of token bit counts
+    token_counts / header_token_counts: int64 arrays, one per frame
+    returns (bytes, per-frame lengths int64 array)
+    """
+    import numpy as np
+
+    lib = get_lib()
+    vals = np.ascontiguousarray(vals, dtype=np.int64)
+    nbits_arr = np.ascontiguousarray(nbits, dtype=np.int32)
+    token_counts = np.ascontiguousarray(token_counts, dtype=np.int64)
+    header_counts = np.ascontiguousarray(header_token_counts,
+                                         dtype=np.int64)
+    n_frames = len(token_counts)
+    # worst case: all payload bits plus per-frame CRC/padding overhead
+    worst = int(nbits_arr.astype(np.int64).sum() // 8) + 16 * n_frames + 64
+    out = np.empty(worst, dtype=np.uint8)
+    out_lens = np.empty(n_frames, dtype=np.int64)
+
+    total = lib.atpu_pack_frames(
+        _as_ptr(vals, ctypes.c_int64),
+        _as_ptr(nbits_arr, ctypes.c_int32),
+        _as_ptr(token_counts, ctypes.c_int64),
+        _as_ptr(header_counts, ctypes.c_int64),
+        n_frames,
+        _as_ptr(out, ctypes.c_uint8),
+        _as_ptr(out_lens, ctypes.c_int64))
+    if total < 0:
+        raise ValueError("malformed token stream (code %d)" % (total,))
+    return (out[:total].tobytes(), out_lens)
+
+
+def flac_emit_frames(frame_numbers, block_sizes, assignments,
+                     choices, orders, wasteds, porders, shifts,
+                     precisions, qlp_coeffs, rice_params,
+                     samples, residuals,
+                     max_subframes, max_order, max_partitions, max_block,
+                     sample_rate, stream_bps, stream_channels):
+    """emits complete FLAC frames from per-subframe decision arrays
+
+    returns (frame bytes, per-frame byte lengths int64 array)"""
+    import numpy as np
+
+    lib = get_lib()
+
+    def a(x, dt):
+        return np.ascontiguousarray(x, dtype=dt)
+
+    frame_numbers = a(frame_numbers, np.int64)
+    n_frames = len(frame_numbers)
+    block_sizes = a(block_sizes, np.int32)
+    assignments = a(assignments, np.int32)
+    choices = a(choices, np.int32)
+    orders = a(orders, np.int32)
+    wasteds = a(wasteds, np.int32)
+    porders = a(porders, np.int32)
+    shifts = a(shifts, np.int32)
+    precisions = a(precisions, np.int32)
+    qlp_coeffs = a(qlp_coeffs, np.int32)
+    rice_params = a(rice_params, np.int32)
+    samples = a(samples, np.int32)
+    residuals = a(residuals, np.int32)
+
+    worst = int(n_frames) * (max_block * max_subframes * 5 + 1024)
+    out = np.empty(worst, dtype=np.uint8)
+    out_ends = np.empty(n_frames, dtype=np.int64)
+
+    total = lib.atpu_flac_emit_frames(
+        _as_ptr(frame_numbers, ctypes.c_int64),
+        _as_ptr(block_sizes, ctypes.c_int32),
+        _as_ptr(assignments, ctypes.c_int32),
+        _as_ptr(choices, ctypes.c_int32),
+        _as_ptr(orders, ctypes.c_int32),
+        _as_ptr(wasteds, ctypes.c_int32),
+        _as_ptr(porders, ctypes.c_int32),
+        _as_ptr(shifts, ctypes.c_int32),
+        _as_ptr(precisions, ctypes.c_int32),
+        _as_ptr(qlp_coeffs, ctypes.c_int32),
+        _as_ptr(rice_params, ctypes.c_int32),
+        _as_ptr(samples, ctypes.c_int32),
+        _as_ptr(residuals, ctypes.c_int32),
+        n_frames, max_subframes, max_order, max_partitions, max_block,
+        sample_rate, stream_bps, stream_channels,
+        _as_ptr(out, ctypes.c_uint8),
+        _as_ptr(out_ends, ctypes.c_int64))
+    if total < 0:
+        raise ValueError("frame emit error (code %d)" % (total,))
+    lens = np.diff(np.concatenate([[0], out_ends]))
+    return (out[:total].tobytes(), lens)
+
+
+def flac_decode(data, stream_bps, stream_channels, max_samples,
+                verify_crc=True):
+    """decodes FLAC frame data
+
+    returns (samples int32 [frames, channels], consumed_bytes)"""
+    import numpy as np
+
+    lib = get_lib()
+    buf = np.frombuffer(data, dtype=np.uint8)
+    out = np.empty(max_samples * stream_channels, dtype=np.int32)
+    consumed = ctypes.c_int64(0)
+    decoded = lib.atpu_flac_decode(
+        _as_ptr(buf, ctypes.c_uint8),
+        len(buf),
+        stream_bps,
+        stream_channels,
+        max_samples,
+        _as_ptr(out, ctypes.c_int32),
+        ctypes.byref(consumed),
+        1 if verify_crc else 0)
+    if decoded < 0:
+        raise ValueError("FLAC decode error (code %d)" % (decoded,))
+    return (out[:decoded * stream_channels].reshape(-1, stream_channels),
+            consumed.value)

@@ -1,0 +1,778 @@
+// Host-side serial kernels for the TPU audio framework.
+//
+// The device (JAX/XLA) computes all codec *decisions* and residual
+// arrays in batch; this library handles the inherently byte-serial
+// tail work, replacing the reference's C extensions where the work is
+// genuinely host-bound:
+//   * atpu_pack_frames: variable-length bit packing of token streams
+//     into FLAC frames, with inline CRC-8 (frame header) and CRC-16
+//     (whole frame) insertion (role of reference src/bitstream.c
+//     write-side + src/common/flac_crc.c, redesigned around token
+//     arrays instead of per-call bit writes)
+//   * atpu_flac_decode_*: a complete FLAC frame decoder (bit reader,
+//     Rice decoding incl. escape partitions, FIXED/LPC synthesis,
+//     stereo decorrelation, CRC checks) — role of reference
+//     src/decoders/flac.c, re-implemented from the public format
+//   * atpu_crc16 / atpu_crc8: standalone CRC helpers
+//
+// Build: g++ -O3 -shared -fPIC (see _native/build.py); loaded via
+// ctypes — no Python headers required.
+
+#include <cstdint>
+#include <cstring>
+
+namespace {
+
+// ---------------------------------------------------------------- CRC --
+struct CrcTables {
+    uint8_t crc8[256];
+    uint16_t crc16[256];
+    CrcTables() {
+        for (int b = 0; b < 256; b++) {
+            uint32_t c8 = b;
+            for (int i = 0; i < 8; i++)
+                c8 = (c8 & 0x80) ? ((c8 << 1) ^ 0x07) : (c8 << 1);
+            crc8[b] = (uint8_t)c8;
+            uint32_t c16 = (uint32_t)b << 8;
+            for (int i = 0; i < 8; i++)
+                c16 = (c16 & 0x8000) ? ((c16 << 1) ^ 0x8005) : (c16 << 1);
+            crc16[b] = (uint16_t)c16;
+        }
+    }
+};
+static const CrcTables tables;
+
+static inline uint8_t crc8_buf(const uint8_t* p, int64_t n, uint8_t crc) {
+    for (int64_t i = 0; i < n; i++) crc = tables.crc8[crc ^ p[i]];
+    return crc;
+}
+
+static inline uint16_t crc16_buf(const uint8_t* p, int64_t n,
+                                 uint16_t crc) {
+    for (int64_t i = 0; i < n; i++)
+        crc = (uint16_t)(tables.crc16[(crc >> 8) ^ p[i]] ^ (crc << 8));
+    return crc;
+}
+
+// ---------------------------------------------------------- bit writer --
+struct BitWriter {
+    uint8_t* out;
+    int64_t pos;        // byte position
+    uint64_t acc;       // bit accumulator, MSB-first
+    int bits;           // bits currently in acc
+
+    explicit BitWriter(uint8_t* buffer, int64_t start)
+        : out(buffer), pos(start), acc(0), bits(0) {}
+
+    inline void flush_bytes() {
+        while (bits >= 8) {
+            bits -= 8;
+            out[pos++] = (uint8_t)(acc >> bits);
+        }
+        acc &= (bits ? ((1ULL << bits) - 1) : 0);
+    }
+
+    // writes a token: nbits total, low bits of val are the payload,
+    // leading bits are zero (val's significant bits <= 57 guaranteed)
+    inline void put(uint64_t val, int64_t nbits) {
+        // emit implicit leading zeros beyond 57 payload bits
+        while (nbits > 57) {
+            int64_t zeros = nbits - 57;
+            int64_t take = zeros > 32 ? 32 : zeros;
+            acc <<= take;        // append 'take' zero bits
+            bits += (int)take;
+            flush_bytes();
+            nbits -= take;
+        }
+        acc = (acc << nbits) | val;
+        bits += (int)nbits;
+        flush_bytes();
+    }
+
+    inline void byte_align() {
+        if (bits) {
+            acc <<= (8 - bits);
+            bits = 8;
+            flush_bytes();
+        }
+    }
+};
+
+// ---------------------------------------------------------- bit reader --
+struct BitReader {
+    const uint8_t* data;
+    int64_t len;
+    int64_t pos;       // byte position
+    uint64_t acc;
+    int bits;
+    bool error;
+
+    BitReader(const uint8_t* d, int64_t n)
+        : data(d), len(n), pos(0), acc(0), bits(0), error(false) {}
+
+    inline bool refill(int need) {
+        while (bits < need) {
+            if (pos >= len) { error = true; return false; }
+            acc = (acc << 8) | data[pos++];
+            bits += 8;
+        }
+        return true;
+    }
+
+    inline uint64_t get(int n) {
+        if (n == 0) return 0;
+        uint64_t value = 0;
+        while (n > 56) {
+            if (!refill(8)) return 0;
+            value = (value << 8) | ((acc >> (bits - 8)) & 0xFF);
+            bits -= 8;
+            n -= 8;
+        }
+        if (!refill(n)) return 0;
+        value = (value << n) | ((acc >> (bits - n)) & ((1ULL << n) - 1));
+        bits -= n;
+        return value;
+    }
+
+    inline int64_t get_signed(int n) {
+        uint64_t v = get(n);
+        if (n && (v & (1ULL << (n - 1)))) {
+            return (int64_t)v - (1LL << n);
+        }
+        return (int64_t)v;
+    }
+
+    // counts zero bits before the next 1 bit
+    inline int64_t unary() {
+        int64_t count = 0;
+        for (;;) {
+            if (bits == 0) {
+                if (pos >= len) { error = true; return 0; }
+                acc = data[pos++];
+                bits = 8;
+            }
+            uint64_t window = acc & ((1ULL << bits) - 1);
+            if (window == 0) {
+                count += bits;
+                bits = 0;
+                continue;
+            }
+            // index of highest set bit within window
+            int high = 63 - __builtin_clzll(window);
+            count += bits - 1 - high;
+            bits = high;        // consume through the 1 bit
+            return count;
+        }
+    }
+
+    inline void byte_align() { bits -= bits % 8; }
+
+    inline int64_t byte_pos() const { return pos - bits / 8; }
+};
+
+}  // namespace
+
+extern "C" {
+
+// ------------------------------------------------------------- packing --
+// Packs token streams into FLAC frames with CRC insertion.
+//
+// vals[i]/nbits[i]: token payloads (value in low bits; implicit
+//   leading zeros when nbits exceeds the payload width)
+// token_counts[f]: number of tokens in frame f (excluding CRCs)
+// header_token_counts[f]: tokens forming the frame header; the packer
+//   verifies byte alignment there and inserts the CRC-8 byte
+// out: caller-allocated output buffer; out_lens[f]: bytes per frame
+// returns total bytes written, or -1 on malformed input
+int64_t atpu_pack_frames(const int64_t* vals,
+                         const int32_t* nbits,
+                         const int64_t* token_counts,
+                         const int64_t* header_token_counts,
+                         int64_t n_frames,
+                         uint8_t* out,
+                         int64_t* out_lens) {
+    int64_t token_idx = 0;
+    int64_t out_pos = 0;
+
+    for (int64_t f = 0; f < n_frames; f++) {
+        const int64_t frame_start = out_pos;
+        BitWriter w(out, out_pos);
+
+        const int64_t n_header = header_token_counts[f];
+        const int64_t n_total = token_counts[f];
+        if (n_header > n_total) return -1;
+
+        for (int64_t t = 0; t < n_header; t++, token_idx++)
+            w.put((uint64_t)vals[token_idx], nbits[token_idx]);
+        if (w.bits != 0) return -1;  // header must be byte-aligned
+        out_pos = w.pos;
+        out[out_pos] = crc8_buf(out + frame_start,
+                                out_pos - frame_start, 0);
+        out_pos += 1;
+
+        BitWriter w2(out, out_pos);
+        for (int64_t t = n_header; t < n_total; t++, token_idx++)
+            w2.put((uint64_t)vals[token_idx], nbits[token_idx]);
+        w2.byte_align();
+        out_pos = w2.pos;
+
+        const uint16_t crc = crc16_buf(out + frame_start,
+                                       out_pos - frame_start, 0);
+        out[out_pos++] = (uint8_t)(crc >> 8);
+        out[out_pos++] = (uint8_t)(crc & 0xFF);
+        out_lens[f] = out_pos - frame_start;
+    }
+    return out_pos;
+}
+
+// ---------------------------------------------------- FLAC frame emit --
+namespace {
+
+inline void put_signed(BitWriter& w, int64_t value, int nbits) {
+    w.put((uint64_t)(value & ((1LL << nbits) - 1)), nbits);
+}
+
+inline void put_wasted(BitWriter& w, int wasted) {
+    if (wasted > 0) {
+        w.put(1, 1);
+        w.put(1, wasted);       // (wasted-1) implicit zeros then a 1
+    } else {
+        w.put(0, 1);
+    }
+}
+
+inline void put_utf8(BitWriter& w, uint64_t value) {
+    if (value <= 127) {
+        w.put(value, 8);
+        return;
+    }
+    int total_bytes;
+    if (value <= 2047) total_bytes = 2;
+    else if (value <= 65535) total_bytes = 3;
+    else if (value <= 2097151) total_bytes = 4;
+    else if (value <= 67108863) total_bytes = 5;
+    else total_bytes = 6;
+
+    int shift = (total_bytes - 1) * 6;
+    w.put(((1ULL << total_bytes) - 1) << 1, total_bytes + 1);
+    w.put(value >> shift, 7 - total_bytes);
+    shift -= 6;
+    while (shift >= 0) {
+        w.put(2, 2);
+        w.put((value >> shift) & 0x3F, 6);
+        shift -= 6;
+    }
+}
+
+}  // namespace
+
+// Emits complete FLAC frames from per-subframe decision arrays.
+//
+// Per-frame arrays [n_frames]:
+//   frame_numbers, block_sizes, assignments (FLAC channel assignment)
+// Per-subframe arrays [n_frames * max_subframes] (row-major; only the
+// first `subframes(assignment)` entries of each row are used):
+//   choices: 0 CONSTANT, 1 VERBATIM, 2 FIXED, 3 LPC
+//   orders, wasteds, porders, shifts, precisions
+// qlp_coeffs [.. * max_order], rice_params [.. * max_partitions]
+// samples / residuals [.. * max_block]: samples are post-wasted-shift
+//   (except CONSTANT rows, which carry the original value in [0]);
+//   residuals are aligned at absolute sample positions (entries below
+//   the predictor order are ignored)
+// returns total bytes written, or a negative error code
+int64_t atpu_flac_emit_frames(const int64_t* frame_numbers,
+                              const int32_t* block_sizes,
+                              const int32_t* assignments,
+                              const int32_t* choices,
+                              const int32_t* orders,
+                              const int32_t* wasteds,
+                              const int32_t* porders,
+                              const int32_t* shifts,
+                              const int32_t* precisions,
+                              const int32_t* qlp_coeffs,
+                              const int32_t* rice_params,
+                              const int32_t* samples,
+                              const int32_t* residuals,
+                              int64_t n_frames,
+                              int32_t max_subframes,
+                              int32_t max_order,
+                              int32_t max_partitions,
+                              int32_t max_block,
+                              int32_t sample_rate,
+                              int32_t stream_bps,
+                              int32_t stream_channels,
+                              uint8_t* out,
+                              int64_t* out_lens) {
+    for (int64_t f = 0; f < n_frames; f++) {
+        const int64_t frame_start = (f == 0) ? 0 : out_lens[f - 1];
+        BitWriter w(out, frame_start);
+        const int block_size = block_sizes[f];
+        const int assignment = assignments[f];
+
+        // ---- frame header ----
+        w.put(0x3FFE, 14);
+        w.put(0, 1);
+        w.put(0, 1);
+
+        int bs_code;
+        switch (block_size) {
+        case 192: bs_code = 1; break;
+        case 256: bs_code = 8; break;
+        case 512: bs_code = 9; break;
+        case 576: bs_code = 2; break;
+        case 1024: bs_code = 10; break;
+        case 1152: bs_code = 3; break;
+        case 2048: bs_code = 11; break;
+        case 2304: bs_code = 4; break;
+        case 4096: bs_code = 12; break;
+        case 4608: bs_code = 5; break;
+        case 8192: bs_code = 13; break;
+        case 16384: bs_code = 14; break;
+        case 32768: bs_code = 15; break;
+        default:
+            bs_code = (block_size <= 256) ? 6 :
+                      (block_size <= 65536) ? 7 : 0;
+        }
+        w.put(bs_code, 4);
+
+        int sr_code;
+        switch (sample_rate) {
+        case 8000: sr_code = 4; break;
+        case 16000: sr_code = 5; break;
+        case 22050: sr_code = 6; break;
+        case 24000: sr_code = 7; break;
+        case 32000: sr_code = 8; break;
+        case 44100: sr_code = 9; break;
+        case 48000: sr_code = 10; break;
+        case 88200: sr_code = 1; break;
+        case 96000: sr_code = 11; break;
+        case 176400: sr_code = 2; break;
+        case 192000: sr_code = 3; break;
+        default:
+            if ((sample_rate % 1000 == 0) && sample_rate <= 255000)
+                sr_code = 12;
+            else if ((sample_rate % 10 == 0) && sample_rate <= 655350)
+                sr_code = 14;
+            else if (sample_rate <= 65535)
+                sr_code = 13;
+            else
+                sr_code = 0;
+        }
+        w.put(sr_code, 4);
+        w.put(assignment, 4);
+
+        int bps_code;
+        switch (stream_bps) {
+        case 8: bps_code = 1; break;
+        case 12: bps_code = 2; break;
+        case 16: bps_code = 4; break;
+        case 20: bps_code = 5; break;
+        case 24: bps_code = 6; break;
+        default: bps_code = 0;
+        }
+        w.put(bps_code, 3);
+        w.put(0, 1);
+
+        put_utf8(w, (uint64_t)frame_numbers[f]);
+
+        if (bs_code == 6) w.put(block_size - 1, 8);
+        else if (bs_code == 7) w.put(block_size - 1, 16);
+
+        if (sr_code == 12) w.put(sample_rate % 1000, 8);
+        else if (sr_code == 13) w.put(sample_rate, 16);
+        else if (sr_code == 14) w.put(sample_rate % 10, 16);
+
+        if (w.bits != 0) return -20;  // header must be byte-aligned
+        int64_t pos = w.pos;
+        out[pos] = crc8_buf(out + frame_start, pos - frame_start, 0);
+        pos += 1;
+
+        // ---- subframes ----
+        int n_subframes;
+        if (assignment <= 7) n_subframes = assignment + 1;
+        else n_subframes = 2;
+
+        BitWriter w2(out, pos);
+        for (int s = 0; s < n_subframes; s++) {
+            const int64_t row = f * max_subframes + s;
+            int sub_bps = stream_bps;
+            if ((assignment == 8 && s == 1) ||
+                (assignment == 9 && s == 0) ||
+                (assignment == 10 && s == 1))
+                sub_bps += 1;
+
+            const int choice = choices[row];
+            const int wasted = wasteds[row];
+            const int ebps = sub_bps - wasted;
+            const int32_t* samp = samples + row * max_block;
+            const int32_t* res = residuals + row * max_block;
+
+            if (choice == 0) {                    // CONSTANT
+                w2.put(0, 1); w2.put(0, 6); w2.put(0, 1);
+                put_signed(w2, samp[0], sub_bps);
+                continue;
+            } else if (choice == 1) {             // VERBATIM
+                w2.put(0, 1); w2.put(1, 6);
+                put_wasted(w2, wasted);
+                for (int i = 0; i < block_size; i++)
+                    put_signed(w2, samp[i], ebps);
+                continue;
+            }
+
+            const int order = orders[row];
+            if (choice == 2) {                    // FIXED
+                w2.put(0, 1); w2.put(1, 3); w2.put(order, 3);
+                put_wasted(w2, wasted);
+                for (int i = 0; i < order; i++)
+                    put_signed(w2, samp[i], ebps);
+            } else {                              // LPC
+                const int precision = precisions[row];
+                w2.put(0, 1); w2.put(1, 1); w2.put(order - 1, 5);
+                put_wasted(w2, wasted);
+                for (int i = 0; i < order; i++)
+                    put_signed(w2, samp[i], ebps);
+                w2.put(precision - 1, 4);
+                put_signed(w2, shifts[row], 5);
+                const int32_t* coeffs = qlp_coeffs + row * max_order;
+                for (int i = 0; i < order; i++)
+                    put_signed(w2, coeffs[i], precision);
+            }
+
+            // residual block
+            const int porder = porders[row];
+            const int32_t* params = rice_params + row * max_partitions;
+            const int n_partitions = 1 << porder;
+            int coding_method = 0;
+            for (int p = 0; p < n_partitions; p++)
+                if (params[p] > 14) coding_method = 1;
+            w2.put(coding_method, 2);
+            w2.put(porder, 4);
+
+            const int psize = block_size >> porder;
+            for (int p = 0; p < n_partitions; p++) {
+                const int param = params[p];
+                w2.put(param, coding_method ? 5 : 4);
+                const int start = (p == 0) ? order : p * psize;
+                const int end = (p + 1) * psize;
+                const uint64_t lsb_mask = (1ULL << param) - 1;
+                for (int i = start; i < end; i++) {
+                    const int64_t r = res[i];
+                    const uint64_t u = (r >= 0)
+                        ? ((uint64_t)r << 1)
+                        : ((((uint64_t)(-r - 1)) << 1) | 1);
+                    const uint64_t msb = u >> param;
+                    // msb zeros, 1 stop bit, param LSBs as one token
+                    w2.put((1ULL << param) | (u & lsb_mask),
+                           (int64_t)msb + 1 + param);
+                }
+            }
+        }
+
+        w2.byte_align();
+        pos = w2.pos;
+        const uint16_t crc = crc16_buf(out + frame_start,
+                                       pos - frame_start, 0);
+        out[pos++] = (uint8_t)(crc >> 8);
+        out[pos++] = (uint8_t)(crc & 0xFF);
+        out_lens[f] = pos;      // cumulative end offsets
+    }
+    return (n_frames > 0) ? out_lens[n_frames - 1] : 0;
+}
+
+uint16_t atpu_crc16(const uint8_t* data, int64_t n, uint16_t initial) {
+    return crc16_buf(data, n, initial);
+}
+
+uint8_t atpu_crc8(const uint8_t* data, int64_t n, uint8_t initial) {
+    return crc8_buf(data, n, initial);
+}
+
+// ------------------------------------------------------------ decoding --
+
+namespace {
+
+// decodes one subframe into samples[0..block_size), stride 1
+// returns 0 on success, negative error code otherwise
+int decode_subframe(BitReader& r, int block_size, int bps,
+                    int64_t* samples) {
+    if (r.get(1) != 0) return -2;            // reserved pad bit
+    const int type = (int)r.get(6);
+    int wasted = 0;
+    if (r.get(1)) wasted = (int)r.unary() + 1;
+    const int ebps = bps - wasted;
+
+    int order;
+    bool lpc;
+    if (type == 0) {                          // CONSTANT
+        const int64_t v = r.get_signed(ebps);
+        for (int i = 0; i < block_size; i++) samples[i] = v;
+        if (wasted) for (int i = 0; i < block_size; i++)
+            samples[i] <<= wasted;
+        return r.error ? -1 : 0;
+    } else if (type == 1) {                   // VERBATIM
+        for (int i = 0; i < block_size; i++)
+            samples[i] = r.get_signed(ebps);
+        if (wasted) for (int i = 0; i < block_size; i++)
+            samples[i] <<= wasted;
+        return r.error ? -1 : 0;
+    } else if (type >= 8 && type <= 12) {     // FIXED
+        order = type - 8;
+        lpc = false;
+    } else if (type >= 32) {                  // LPC
+        order = type - 31;
+        lpc = true;
+    } else {
+        return -3;
+    }
+
+    for (int i = 0; i < order; i++) samples[i] = r.get_signed(ebps);
+
+    int precision = 0, shift = 0;
+    int64_t coeff[32];
+    if (lpc) {
+        precision = (int)r.get(4) + 1;
+        shift = (int)r.get_signed(5);
+        if (shift < 0) shift = 0;
+        for (int i = 0; i < order; i++)
+            coeff[i] = r.get_signed(precision);
+    }
+
+    // residuals
+    const int coding_method = (int)r.get(2);
+    if (coding_method > 1) return -4;
+    const int porder = (int)r.get(4);
+    const int param_bits = coding_method ? 5 : 4;
+    const int escape = coding_method ? 31 : 15;
+    int64_t* res = samples + order;
+    int64_t produced = 0;
+    const int64_t partitions = 1LL << porder;
+    for (int64_t p = 0; p < partitions; p++) {
+        int64_t psize = (block_size >> porder) - (p == 0 ? order : 0);
+        if (psize < 0) return -5;
+        const int param = (int)r.get(param_bits);
+        if (param == escape) {
+            const int raw = (int)r.get(5);
+            if (raw == 0) {
+                for (int64_t i = 0; i < psize; i++) res[produced++] = 0;
+            } else {
+                for (int64_t i = 0; i < psize; i++)
+                    res[produced++] = r.get_signed(raw);
+            }
+        } else {
+            for (int64_t i = 0; i < psize; i++) {
+                const uint64_t msb = (uint64_t)r.unary();
+                const uint64_t u = (msb << param) | r.get(param);
+                res[produced++] = (u & 1) ? -((int64_t)(u >> 1)) - 1
+                                          : (int64_t)(u >> 1);
+            }
+        }
+        if (r.error) return -1;
+    }
+
+    // synthesis
+    if (lpc) {
+        for (int i = order; i < block_size; i++) {
+            int64_t pred = 0;
+            for (int j = 0; j < order; j++)
+                pred += coeff[j] * samples[i - 1 - j];
+            samples[i] += (pred >> shift);
+        }
+    } else {
+        switch (order) {
+        case 0: break;
+        case 1:
+            for (int i = 1; i < block_size; i++)
+                samples[i] += samples[i - 1];
+            break;
+        case 2:
+            for (int i = 2; i < block_size; i++)
+                samples[i] += 2 * samples[i - 1] - samples[i - 2];
+            break;
+        case 3:
+            for (int i = 3; i < block_size; i++)
+                samples[i] += 3 * samples[i - 1] - 3 * samples[i - 2] +
+                              samples[i - 3];
+            break;
+        case 4:
+            for (int i = 4; i < block_size; i++)
+                samples[i] += 4 * samples[i - 1] - 6 * samples[i - 2] +
+                              4 * samples[i - 3] - samples[i - 4];
+            break;
+        }
+    }
+
+    if (wasted)
+        for (int i = 0; i < block_size; i++) samples[i] <<= wasted;
+    return r.error ? -1 : 0;
+}
+
+}  // namespace
+
+// Decodes FLAC frames from a buffer of frame data.
+//
+// data/data_len: raw frame bytes (past all metadata blocks); the call
+//   decodes frames until max_samples would be exceeded, the buffer is
+//   exhausted, or an error occurs.
+// stream_bps / stream_channels: STREAMINFO values (frame headers with
+//   code 0 inherit them)
+// out_samples: int32 interleaved output [max_samples * channels]
+// consumed_bytes (out): bytes consumed from data
+// verify_crc: when nonzero, CRC-8/CRC-16 are checked
+// returns the number of PCM frames decoded, or a negative error code
+int64_t atpu_flac_decode(const uint8_t* data,
+                         int64_t data_len,
+                         int32_t stream_bps,
+                         int32_t stream_channels,
+                         int64_t max_samples,
+                         int32_t* out_samples,
+                         int64_t* consumed_bytes,
+                         int32_t verify_crc) {
+    static thread_local int64_t* chan_buf = nullptr;
+    static thread_local int64_t chan_buf_size = 0;
+
+    int64_t total_frames = 0;
+    int64_t consumed = 0;
+
+    while (consumed < data_len) {
+        BitReader r(data + consumed, data_len - consumed);
+
+        // frame header
+        if (r.get(14) != 0x3FFE) break;
+        r.get(2);                               // reserved + blocking
+        const int bs_code = (int)r.get(4);
+        const int sr_code = (int)r.get(4);
+        const int assignment = (int)r.get(4);
+        const int bps_code = (int)r.get(3);
+        r.get(1);
+        if (r.error) break;
+
+        // UTF-8 frame number
+        {
+            uint64_t first = r.get(8);
+            int extra = 0;
+            if (first >= 0xC0) {
+                uint64_t mask = 0x20;
+                extra = 1;
+                while (first & mask) { extra++; mask >>= 1; }
+            }
+            for (int i = 0; i < extra; i++) r.get(8);
+        }
+
+        int block_size;
+        switch (bs_code) {
+        case 1: block_size = 192; break;
+        case 2: block_size = 576; break;
+        case 3: block_size = 1152; break;
+        case 4: block_size = 2304; break;
+        case 5: block_size = 4608; break;
+        case 6: block_size = (int)r.get(8) + 1; break;
+        case 7: block_size = (int)r.get(16) + 1; break;
+        default:
+            if (bs_code >= 8) block_size = 256 << (bs_code - 8);
+            else return -10;
+        }
+
+        if (sr_code == 12) r.get(8);
+        else if (sr_code == 13 || sr_code == 14) r.get(16);
+        else if (sr_code == 15) return -11;
+
+        int bps;
+        switch (bps_code) {
+        case 0: bps = stream_bps; break;
+        case 1: bps = 8; break;
+        case 2: bps = 12; break;
+        case 4: bps = 16; break;
+        case 5: bps = 20; break;
+        case 6: bps = 24; break;
+        default: return -12;
+        }
+
+        if (verify_crc) {
+            const int64_t header_len = r.byte_pos();
+            const uint8_t expected = crc8_buf(data + consumed,
+                                              header_len, 0);
+            if ((uint8_t)r.get(8) != expected) return -13;
+        } else {
+            r.get(8);
+        }
+        if (r.error) break;
+
+        int channels;
+        if (assignment <= 7) channels = assignment + 1;
+        else if (assignment <= 10) channels = 2;
+        else return -14;
+        if (channels != stream_channels) return -15;
+
+        if (total_frames + block_size > max_samples) break;
+
+        // ensure scratch
+        const int64_t needed = (int64_t)block_size * channels;
+        if (needed > chan_buf_size) {
+            delete[] chan_buf;
+            chan_buf = new int64_t[needed * 2];
+            chan_buf_size = needed;
+        }
+
+        // decode subframes
+        if (assignment <= 7) {
+            for (int c = 0; c < channels; c++) {
+                const int rc = decode_subframe(
+                    r, block_size, bps, chan_buf + (int64_t)c * block_size);
+                if (rc) return rc;
+            }
+        } else {
+            const int bps0 = bps + (assignment == 9 ? 1 : 0);
+            const int bps1 = bps + (assignment != 9 ? 1 : 0);
+            int rc = decode_subframe(r, block_size, bps0, chan_buf);
+            if (rc) return rc;
+            rc = decode_subframe(r, block_size, bps1,
+                                 chan_buf + block_size);
+            if (rc) return rc;
+
+            int64_t* c0 = chan_buf;
+            int64_t* c1 = chan_buf + block_size;
+            if (assignment == 8) {            // left-side
+                for (int i = 0; i < block_size; i++)
+                    c1[i] = c0[i] - c1[i];
+            } else if (assignment == 9) {     // side-right
+                for (int i = 0; i < block_size; i++)
+                    c0[i] = c0[i] + c1[i];
+            } else {                          // mid-side
+                for (int i = 0; i < block_size; i++) {
+                    const int64_t mid = c0[i];
+                    const int64_t side = c1[i];
+                    const int64_t sum = (mid << 1) | (side & 1);
+                    c0[i] = (sum + side) >> 1;
+                    c1[i] = (sum - side) >> 1;
+                }
+            }
+        }
+
+        r.byte_align();
+        if (verify_crc) {
+            const int64_t body_len = r.byte_pos();
+            const uint16_t expected = crc16_buf(data + consumed,
+                                                body_len, 0);
+            if ((uint16_t)r.get(16) != expected) return -16;
+        } else {
+            r.get(16);
+        }
+        if (r.error) break;
+
+        // interleave into output
+        int32_t* out = out_samples + total_frames * channels;
+        for (int c = 0; c < channels; c++) {
+            const int64_t* src = chan_buf + (int64_t)c * block_size;
+            for (int i = 0; i < block_size; i++)
+                out[(int64_t)i * channels + c] = (int32_t)src[i];
+        }
+
+        consumed += r.byte_pos();
+        total_frames += block_size;
+    }
+
+    *consumed_bytes = consumed;
+    return total_frames;
+}
+
+}  // extern "C"

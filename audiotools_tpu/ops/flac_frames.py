@@ -1,0 +1,361 @@
+"""Batched FLAC subframe analysis and decision kernels.
+
+The TPU-native re-expression of the reference encoder's per-sample trial
+loops (``/root/reference/src/encoders/flac.c:79-120`` and its spec
+``audiotools/py_encoders/flac.py:166-563``): subframe trials, LPC order
+sweeps and Rice partition searches become *vectorized argmins over
+candidate axes* on ``[subframes, block_size]`` tensors.
+
+``analyze_subframes(xp, ...)`` is backend-generic: ``xp`` may be numpy
+(host path / oracle cross-check) or jax.numpy inside ``jit`` (device
+path).  All float analysis flows through the deterministic primitives in
+``ops.lpc``, and every decision is exact integer arithmetic, so both
+backends produce byte-identical streams.
+
+TPU dtype discipline: the kernels use only int32 and float64 — all
+integer quantities that may exceed 32 bits (partition sums, bit totals,
+shifted predictions) are carried in float64, where integers below 2^53
+are exact and order-independent to sum, so no s64 ops reach XLA's x64
+rewriter (which cannot lower several of them on TPU).
+
+Decision semantics replicated exactly:
+* wasted bits = trailing zeros of the OR over all samples
+* FIXED order selection from abs-error sums over diff orders 0-4
+* LPC exhaustive search: first-minimum over orders (strict <)
+* Rice search: partition orders 0..max (block_size divisible by
+  2^porder, contiguous ascending), parameter from the abs-sum
+  threshold loop, size = sum(4 + sum(u>>r) + count*(1+r)),
+  first-minimum over porder; subframe-level comparisons add the
+  coding-method-1 5-bit parameter correction
+* verbatim-vs-fixed-vs-LPC comparison incl. the bps*n verbatim quirk
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import lpc as lpc_ops
+
+(CHOICE_CONSTANT, CHOICE_VERBATIM, CHOICE_FIXED, CHOICE_LPC) = range(4)
+
+
+def valid_partition_orders(block_size, max_porder, max_pred_order):
+    """the contiguous list of partition orders the search visits
+
+    stops at the first porder where block_size stops dividing evenly
+    (reference src/encoders/flac.c:1389-1393) or where the first
+    partition would go non-positive"""
+    porders = []
+    for porder in range(0, max_porder + 1):
+        if block_size % (1 << porder):
+            break
+        if (porder > 0) and ((block_size >> porder) <= max_pred_order):
+            break
+        porders.append(porder)
+    return porders
+
+
+def popcount32(xp, v):
+    """population count of uint32 values, backend-generic"""
+    if xp is np:
+        return np.bitwise_count(v.astype(np.uint32)).astype(np.int32)
+    else:
+        import jax.lax
+        return jax.lax.population_count(
+            v.astype(xp.uint32)).astype(xp.int32)
+
+
+def _exp2i(xp, e):
+    """exact 2^e for (possibly negative) integer arrays, as float64"""
+    return xp.exp2(e.astype(xp.float64))
+
+
+def _floor_div_pow2(xp, values, shift):
+    """exact floor(values / 2^shift) for integer-valued float64 arrays
+
+    equivalent to an arithmetic right shift; exact because scaling by a
+    power of two only changes the exponent"""
+    return xp.floor(values * _exp2i(xp, -shift))
+
+
+def analyze_subframes(xp, X, bps, n, max_lpc_order, qlp_precision,
+                      porders, max_rice, exhaustive, window):
+    """runs all subframe trials for a batch of channels
+
+    X:   int32 [S, n] decorrelated channel data
+    bps: int32 [S] bits per sample of each subframe (side = bps+1)
+    n, max_lpc_order, qlp_precision, porders (list of valid partition
+    orders), max_rice, exhaustive: static Python values
+    window: f64 [n] analysis window (host constant)
+
+    returns a dict of [S]-leading arrays describing the chosen
+    subframe encodings plus their exact bit sizes (float64 integers)
+    """
+    S = X.shape[0]
+    K = max_lpc_order
+    X = X.astype(xp.int32)
+    bps = xp.asarray(bps, dtype=xp.int32)
+    bps_f = bps.astype(xp.float64)
+
+    # ---- constant detection -------------------------------------------
+    const_flag = xp.all(X == X[:, :1], axis=1)
+    const_val = X[:, 0]
+
+    # ---- wasted bits ---------------------------------------------------
+    # min trailing zeros over samples == trailing zeros of the OR of
+    # all samples; OR-reduce via power-of-two padded folding
+    acc = X
+    p2 = 1
+    while p2 < acc.shape[1]:
+        p2 <<= 1
+    if p2 != acc.shape[1]:
+        acc = xp.pad(acc, [(0, 0), (0, p2 - acc.shape[1])])
+    while acc.shape[1] > 1:
+        half = acc.shape[1] // 2
+        acc = acc[:, :half] | acc[:, half:]
+    or_all = acc[:, 0]
+    low_bit = or_all & (-or_all)
+    wasted = xp.where(or_all == 0, 0, popcount32(xp, low_bit - 1))
+    wasted = xp.where(const_flag, 0, wasted)        # constants skip it
+    Xs = X >> wasted[:, None]
+
+    # ---- FIXED order selection ----------------------------------------
+    diffs = [Xs]
+    for _ in range(4):
+        diffs.append(diffs[-1][:, 1:] - diffs[-1][:, :-1])
+    abs_f64 = [xp.abs(d.astype(xp.float64)) for d in diffs]
+    total_error = xp.stack(
+        [xp.sum(abs_f64[o][:, 4 - o:], axis=1)
+         for o in range(5)], axis=1)                       # [S, 5] f64
+    # first order o in 0..3 with err[o] < min(err[o+1:]), else 4
+    suffix_min = total_error[:, 4]
+    conds = []
+    for o in range(3, -1, -1):
+        conds.append(total_error[:, o] < suffix_min)
+        suffix_min = xp.minimum(suffix_min, total_error[:, o])
+    conds = xp.stack(conds[::-1], axis=1)                  # [S, 4]
+    any_cond = xp.any(conds, axis=1)
+    fixed_order = xp.where(any_cond,
+                           xp.argmax(conds, axis=1).astype(xp.int32),
+                           xp.int32(4))
+    if n <= 4:
+        fixed_order = xp.zeros(S, dtype=xp.int32)
+
+    # aligned fixed residuals [S, 5, n] (position i holds diff_o[i-o])
+    fixed_res_all = xp.stack(
+        [xp.pad(diffs[o], [(0, 0), (o, 0)]) for o in range(5)], axis=1)
+    fixed_res = xp.take_along_axis(
+        fixed_res_all, fixed_order[:, None, None].astype(xp.int32),
+        axis=1)[:, 0]                                      # [S, n] i32
+
+    # ---- LPC analysis --------------------------------------------------
+    use_lpc = K > 0 and n > K + 1
+    Xf = Xs.astype(xp.float64)
+    if use_lpc:
+        windowed = Xf * window[None, :]
+        autocorr = lpc_ops.autocorrelation(xp, windowed, K)  # [S, K+1]
+        degenerate = xp.all(autocorr == 0.0, axis=1)
+        (coeffs, errors) = lpc_ops.levinson(xp, autocorr, K)
+        (qlp, shifts) = lpc_ops.quantize_all_orders(
+            xp, coeffs, qlp_precision)                     # [S,K,K],[S,K]
+        # degenerate rows -> order 1, coeff 0, shift 0
+        qlp = xp.where(degenerate[:, None, None], 0, qlp)
+        shifts = xp.where(degenerate[:, None], 0, shifts)
+
+        # residuals for every order: [S, K, n] (f64-exact integers)
+        Xpad = xp.pad(Xf, [(0, 0), (K, 0)])
+        pred = xp.zeros((S, K, n), dtype=xp.float64)
+        for j in range(K):
+            # prediction for position i uses sample i-1-j
+            window_j = Xpad[:, K - 1 - j:K - 1 - j + n]
+            pred = pred + qlp[:, :, j].astype(xp.float64)[:, :, None] * \
+                window_j[:, None, :]
+        pred_shifted = _floor_div_pow2(xp, pred, shifts[:, :, None])
+        lpc_res = Xf[:, None, :] - pred_shifted            # [S, K, n]
+        # zero out warm-up positions (position < order)
+        pos = xp.arange(n, dtype=xp.int32)[None, None, :]
+        order_arr = xp.arange(1, K + 1, dtype=xp.int32)[None, :, None]
+        lpc_res = xp.where(pos < order_arr, 0.0, lpc_res)
+        lpc_res = lpc_res.astype(xp.int32)
+    else:
+        degenerate = xp.ones(S, dtype=bool)
+        errors = xp.zeros((S, max(K, 1)), dtype=xp.float64)
+        qlp = xp.zeros((S, max(K, 1), max(K, 1)), dtype=xp.int32)
+        shifts = xp.zeros((S, max(K, 1)), dtype=xp.int32)
+        lpc_res = xp.zeros((S, 0, n), dtype=xp.int32)
+
+    # ---- candidate stack: fixed + K LPC orders ------------------------
+    if use_lpc:
+        cand_res = xp.concatenate([fixed_res[:, None, :], lpc_res],
+                                  axis=1)                  # [S, C, n]
+        cand_orders = xp.concatenate(
+            [fixed_order[:, None],
+             xp.broadcast_to(xp.arange(1, K + 1, dtype=xp.int32),
+                             (S, K))], axis=1)             # [S, C]
+        C = K + 1
+    else:
+        cand_res = fixed_res[:, None, :]
+        cand_orders = fixed_order[:, None]
+        C = 1
+
+    # ---- Rice partition search ----------------------------------------
+    # integer work stays in int32; sums accumulate in float64 (exact
+    # and order-independent for integers below 2^53)
+    abs_res = xp.abs(cand_res)                             # [S, C, n] i32
+    u = xp.where(cand_res >= 0,
+                 cand_res << 1,
+                 ((-cand_res - 1) << 1) | 1)               # [S, C, n] i32
+
+    orders_f = cand_orders.astype(xp.float64)
+    rice_totals = []        # per porder: [S, C] f64
+    rice_params_by_p = []   # per porder: [S, C, parts] int32
+    for porder in porders:
+        parts = 1 << porder
+        psize = n >> porder
+        abs_seg = abs_res.reshape(S, C, parts, psize)
+        seg_abs = xp.sum(abs_seg, axis=3, dtype=xp.float64)
+        counts = xp.full((S, C, parts), float(psize), dtype=xp.float64)
+        counts = _set_first_part(xp, counts, psize - orders_f)
+        # r = min(smallest r with count*2^r >= sum, max_rice)
+        r = xp.zeros((S, C, parts), dtype=xp.int32)
+        for rr in range(max_rice):
+            r = r + ((counts * float(1 << rr)) < seg_abs).astype(
+                xp.int32)
+        # sum(u >> r) per partition (int32 shifts, f64 accumulation)
+        msb = u.reshape(S, C, parts, psize) >> r[:, :, :, None]
+        msb_sum = xp.sum(msb, axis=3, dtype=xp.float64)
+        part_bits = 4.0 + msb_sum + counts * (1.0 + r.astype(
+            xp.float64))
+        rice_totals.append(xp.sum(part_bits, axis=2))
+        rice_params_by_p.append(r)
+    rice_totals = xp.stack(rice_totals, axis=2)            # [S, C, P]
+    best_porder_idx = xp.argmin(rice_totals, axis=2).astype(
+        xp.int32)                                          # first min
+    rice_bits = xp.min(rice_totals, axis=2)                # [S, C]
+
+    # gather chosen rice params (pad each porder's params to max parts)
+    max_parts = 1 << porders[-1]
+    padded_params = xp.stack(
+        [xp.pad(p, [(0, 0), (0, 0), (0, max_parts - p.shape[2])])
+         for p in rice_params_by_p], axis=2)               # [S,C,P,maxp]
+    chosen_params = xp.take_along_axis(
+        padded_params, best_porder_idx[:, :, None, None],
+        axis=2)[:, :, 0]                                   # [S, C, maxp]
+    porder_values = xp.asarray(porders, dtype=xp.int32)
+    chosen_porder = porder_values[best_porder_idx]         # [S, C]
+
+    # the search sizes partitions at 4 header bits, but streams whose
+    # parameters exceed 14 are written with coding method 1 (5-bit
+    # parameters); subframe-level comparisons use actual bits
+    method1 = xp.any(chosen_params > 14, axis=2)           # [S, C]
+    rice_bits = rice_bits + xp.where(
+        method1, _exp2i(xp, chosen_porder), 0.0)
+
+    # ---- candidate subframe sizes -------------------------------------
+    wasted_f = wasted.astype(xp.float64)
+    wb = 1.0 + xp.where(wasted > 0, wasted_f, 0.0)         # [S]
+    ebps = bps_f - wasted_f
+    fixed_bits = (1 + 3 + 3 + wb + orders_f[:, 0] * ebps +
+                  rice_bits[:, 0] + 2 + 4)
+    if use_lpc:
+        lpc_orders = orders_f[:, 1:]                       # [S, K]
+        lpc_bits = (1 + 1 + 5 + wb[:, None] +
+                    lpc_orders * ebps[:, None] +
+                    4 + 5 + lpc_orders * qlp_precision +
+                    rice_bits[:, 1:] + 2 + 4)              # [S, K]
+        if exhaustive:
+            lpc_choice = xp.argmin(lpc_bits, axis=1).astype(
+                xp.int32)                                  # first min
+        else:
+            est = lpc_ops.estimate_best_lpc_order(
+                xp, errors, n, bps_f, qlp_precision, K)
+            est = xp.maximum(est, 1)
+            lpc_choice = (est - 1).astype(xp.int32)
+        lpc_choice = xp.where(degenerate, 0, lpc_choice)
+        lpc_best_bits = xp.take_along_axis(
+            lpc_bits, lpc_choice[:, None], axis=1)[:, 0]
+        lpc_order_sel = lpc_choice + 1                     # [S] int32
+    else:
+        lpc_best_bits = xp.full(S, 1e30, dtype=xp.float64)
+        lpc_choice = xp.zeros(S, dtype=xp.int32)
+        lpc_order_sel = xp.ones(S, dtype=xp.int32)
+
+    verbatim_estimate = bps_f * n
+    verbatim_actual = 1 + 6 + wb + ebps * n
+    min_coded = xp.minimum(fixed_bits, lpc_best_bits)
+
+    choice = xp.where(
+        const_flag, CHOICE_CONSTANT,
+        xp.where(verbatim_estimate < min_coded, CHOICE_VERBATIM,
+                 xp.where(fixed_bits < lpc_best_bits,
+                          CHOICE_FIXED, CHOICE_LPC))).astype(xp.int32)
+
+    sub_bits = xp.where(
+        choice == CHOICE_CONSTANT,
+        8.0 + bps_f,
+        xp.where(choice == CHOICE_VERBATIM, verbatim_actual,
+                 xp.where(choice == CHOICE_FIXED, fixed_bits,
+                          lpc_best_bits)))
+
+    # ---- gather chosen candidate data ---------------------------------
+    cand_idx = xp.where(choice == CHOICE_LPC,
+                        1 + lpc_choice, 0).astype(xp.int32)  # [S]
+    chosen_res = xp.take_along_axis(
+        cand_res, cand_idx[:, None, None], axis=1)[:, 0]
+    chosen_order = xp.where(
+        choice == CHOICE_LPC, lpc_order_sel,
+        cand_orders[:, 0]).astype(xp.int32)
+    chosen_rice = xp.take_along_axis(
+        chosen_params, cand_idx[:, None, None], axis=1)[:, 0]
+    chosen_porder2 = xp.take_along_axis(
+        chosen_porder, cand_idx[:, None], axis=1)[:, 0]
+    if use_lpc:
+        qlp_row = xp.maximum(lpc_order_sel - 1, 0).astype(xp.int32)
+        chosen_qlp = xp.take_along_axis(
+            qlp, qlp_row[:, None, None], axis=1)[:, 0]
+        chosen_shift = xp.take_along_axis(
+            shifts, qlp_row[:, None], axis=1)[:, 0]
+    else:
+        chosen_qlp = qlp[:, 0]
+        chosen_shift = shifts[:, 0]
+
+    return {
+        "choice": choice,
+        "wasted": wasted.astype(xp.int32),
+        "const_val": const_val.astype(xp.int32),
+        "order": chosen_order,
+        "porder": chosen_porder2.astype(xp.int32),
+        "rice_params": chosen_rice.astype(xp.int32),
+        "residual": chosen_res.astype(xp.int32),
+        "qlp": chosen_qlp.astype(xp.int32),
+        "shift": chosen_shift.astype(xp.int32),
+        "samples": Xs.astype(xp.int32),
+        "sub_bits": sub_bits,
+    }
+
+
+def _set_first_part(xp, counts, first_values):
+    """sets counts[:, :, 0] = first_values"""
+    if xp is np:
+        counts[:, :, 0] = first_values
+        return counts
+    else:
+        return counts.at[:, :, 0].set(first_values)
+
+
+def choose_assignment(lb, rb, ab, db, mid_side):
+    """the reference's stereo assignment chain
+    (py_encoders/flac.py:196-226); inputs are per-frame bit totals
+
+    returns assignment codes [B]: 1 (L/R), 8 (L/S), 9 (S/R), 10 (M/S)
+    """
+    lr = lb + rb
+    if mid_side:
+        take_lr = lr < np.minimum(np.minimum(lb + db, db + rb), ab + db)
+        take_ls = lb < np.minimum(rb, db)
+        take_sr = rb < ab
+        return np.where(take_lr, 1,
+                        np.where(take_ls, 8,
+                                 np.where(take_sr, 9, 10)))
+    else:
+        return np.where(lr < (ab + db), 1, 10)

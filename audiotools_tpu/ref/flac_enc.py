@@ -593,62 +593,54 @@ def encode_residuals(t, options, order, block_size, residuals):
 
 
 def tukey_window(n, alpha=0.5):
-    """the tukey window exactly as the reference computes it
-    (py_encoders/flac.py:565-582)"""
-    window1 = (alpha * (n - 1)) / 2
-    window2 = (n - 1) * (1 - (alpha / 2))
-    out = np.empty(n, dtype=np.float64)
-    for i in range(n):
-        if i <= window1:
-            out[i] = 0.5 * (1 + np.cos(
-                np.pi * (((2 * i) / (alpha * (n - 1))) - 1)))
-        elif i <= window2:
-            out[i] = 1.0
-        else:
-            out[i] = 0.5 * (1 + np.cos(
-                np.pi * (((2 * i) / (alpha * (n - 1))) -
-                         (2 / alpha) + 1)))
-    return out
-
-
-_window_cache = {}
+    """the tukey window (shared spec: ops/lpc.py)"""
+    from ..ops import lpc as lpc_ops
+    return lpc_ops.tukey_window(n, alpha)
 
 
 def cached_tukey_window(n):
-    if n not in _window_cache:
-        _window_cache[n] = tukey_window(n, 0.5)
-    return _window_cache[n]
+    return tukey_window(n, 0.5)
 
 
 def compute_lpc_coefficients(options, wasted_bps, bits_per_sample,
                              samples):
-    """returns an (order, qlp_coeffs, qlp_shift) triple"""
-    if len(samples) <= options.max_lpc_order + 1:
+    """returns an (order, qlp_coeffs, qlp_shift) triple
+
+    analysis numerics are delegated to the shared deterministic
+    primitives in ops/lpc.py so the batched device path produces
+    byte-identical output"""
+    from ..ops import lpc as lpc_ops
+
+    K = options.max_lpc_order
+    if len(samples) <= K + 1:
         return (1, [0], 0)
 
-    windowed = samples.astype(np.float64) * cached_tukey_window(
-        len(samples))
-    autocorrelation = np.array(
-        [np.dot(windowed[:len(windowed) - lag], windowed[lag:])
-         for lag in range(options.max_lpc_order + 1)])
+    windowed = samples.astype(np.float64) * tukey_window(len(samples))
+    autocorrelation = lpc_ops.autocorrelation(np, windowed[None], K)[0]
 
     if (len(autocorrelation) <= 1) or np.all(autocorrelation == 0.0):
         return (1, [0], 0)
 
-    (lp_coefficients, error) = compute_lp_coefficients(autocorrelation)
+    (coeffs, errors) = lpc_ops.levinson(np, autocorrelation[None], K)
+    (qlp_all, shifts_all) = lpc_ops.quantize_all_orders(
+        np, coeffs, options.qlp_precision)
+
+    def order_candidate(order):
+        return ([int(v) for v in qlp_all[0, order - 1, :order]],
+                int(shifts_all[0, order - 1]))
 
     if not options.exhaustive_model_search:
-        order = estimate_best_lpc_order(options, len(samples),
-                                        bits_per_sample, error)
-        (qlp_coeffs, qlp_shift) = quantize_coefficients(
-            options.qlp_precision, lp_coefficients, order)
+        order = int(lpc_ops.estimate_best_lpc_order(
+            np, errors, len(samples), bits_per_sample,
+            options.qlp_precision, K)[0])
+        order = max(order, 1)
+        (qlp_coeffs, qlp_shift) = order_candidate(order)
         return (order, qlp_coeffs, qlp_shift)
     else:
         best_subframe_size = 2 ** 32
         best = None
-        for order in range(1, options.max_lpc_order + 1):
-            (qlp_coeffs, qlp_shift) = quantize_coefficients(
-                options.qlp_precision, lp_coefficients, order)
+        for order in range(1, K + 1):
+            (qlp_coeffs, qlp_shift) = order_candidate(order)
             size = lpc_subframe(options, wasted_bps, bits_per_sample,
                                 order, options.qlp_precision,
                                 qlp_shift, qlp_coeffs, samples).bits()
@@ -656,95 +648,6 @@ def compute_lpc_coefficients(options, wasted_bps, bits_per_sample,
                 best_subframe_size = size
                 best = (order, qlp_coeffs, qlp_shift)
         return best
-
-
-def compute_lp_coefficients(autocorrelation):
-    """Levinson-Durbin recursion over the autocorrelation values
-
-    returns (lp_coefficients, error) where lp_coefficients[i] is the
-    float coefficient list for order i+1"""
-    maximum_lpc_order = len(autocorrelation) - 1
-
-    k0 = autocorrelation[1] / autocorrelation[0]
-    lp_coefficients = [[k0]]
-    error = [autocorrelation[0] * (1 - k0 ** 2)]
-
-    for i in range(1, maximum_lpc_order):
-        # scalar sum ordering kept deterministic:
-        # sum(lp_coeff[j] * autocorrelation[i - j] for j in 0..i-1)
-        acc = 0.0
-        for (j, c) in enumerate(lp_coefficients[i - 1]):
-            acc += c * autocorrelation[i - j]
-        ki = (autocorrelation[i + 1] - acc) / error[i - 1]
-
-        lp_coefficients.append(
-            [c1 - (ki * c2) for (c1, c2) in
-             zip(lp_coefficients[i - 1],
-                 reversed(lp_coefficients[i - 1]))] + [ki])
-        error.append(error[i - 1] * (1 - ki ** 2))
-
-    return (lp_coefficients, error)
-
-
-def estimate_best_lpc_order(options, block_size, bits_per_sample, error):
-    """log-domain subframe size estimate (py_encoders/flac.py:676)"""
-    from math import log
-
-    error_scale = log(2) ** 2
-    best_order = 0
-    best_subframe_bits = 1e32
-    for i in range(options.max_lpc_order):
-        order = i + 1
-        if error[i] > 0.0:
-            header_bits = order * (bits_per_sample +
-                                   options.qlp_precision)
-            bits_per_residual = max(
-                log(error[i] * error_scale) / (log(2) * 2), 0.0)
-            estimated = (header_bits +
-                         bits_per_residual * (block_size - order))
-            if estimated < best_subframe_bits:
-                best_order = order
-                best_subframe_bits = estimated
-        elif error[i] == 0.0:
-            return order
-    return best_order
-
-
-def quantize_coefficients(qlp_precision, lp_coefficients, order):
-    """error-feedback coefficient quantization
-    (py_encoders/flac.py:702-737)"""
-    from math import log
-
-    coeffs = lp_coefficients[order - 1]
-    l = max(abs(c) for c in coeffs)
-    if l > 0:
-        qlp_shift = min((qlp_precision - 1) -
-                        (int(log(l) / log(2)) - 1) - 1,
-                        (2 ** 4) - 1)
-    else:
-        qlp_shift = 0
-    if qlp_shift < -(2 ** 4):
-        raise ValueError("too much negative shift needed")
-
-    qlp_max = 2 ** (qlp_precision - 1) - 1
-    qlp_min = -(2 ** (qlp_precision - 1))
-    error = 0.0
-    qlp_coeffs = []
-
-    if qlp_shift >= 0:
-        for lp_coeff in coeffs:
-            error += lp_coeff * (2 ** qlp_shift)
-            qlp_coeffs.append(
-                min(max(int(round(error)), qlp_min), qlp_max))
-            error -= qlp_coeffs[-1]
-        return (qlp_coeffs, qlp_shift)
-    else:
-        for lp_coeff in coeffs:
-            error += lp_coeff / (2 ** -qlp_shift)
-            qlp_coeffs.append(
-                min(max(int(round(error)), qlp_min), qlp_max))
-            error -= qlp_coeffs[-1]
-        return (qlp_coeffs, 0)
 
 
 def lpc_residuals(samples, qlp_coeffs, qlp_shift):
