@@ -1,0 +1,154 @@
+#!/usr/bin/env python
+"""Benchmark: FLAC -8 encode throughput on the available accelerator.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+metric: PCM Msamples/sec for bit-exact FLAC -8 encode of 44.1 kHz
+stereo (the BASELINE.md north-star config).  vs_baseline is the ratio
+of achieved realtime-multiple to the >500x/chip target.
+
+The bench encodes synthetic stereo program material with the batched
+encoder (JAX backend on the default device; falls back to the NumPy
+host path if device compilation is unavailable), then decode-verifies
+the output bit-exactly before reporting.
+"""
+
+import io
+import json
+import os
+import signal
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+from audiotools_tpu import pcm
+from audiotools_tpu.pcmstream import PCMReader
+from audiotools_tpu.codecs.flac_enc_fast import encode_flac_fast
+from audiotools_tpu import _native
+
+SAMPLE_RATE = 44100
+BLOCK = 4096
+BATCH = int(os.environ.get("ATPU_BENCH_BATCH", "64"))
+OPTS = dict(block_size=BLOCK, max_lpc_order=12, mid_side=True,
+            exhaustive_model_search=True,
+            max_residual_partition_order=6,
+            batch_frames=BATCH)
+
+
+def make_signal(n_frames, seed=7):
+    """synthetic stereo program material (tonal + noise mix)"""
+    rng = np.random.default_rng(seed)
+    t = np.arange(n_frames)
+    left = (9000 * np.sin(2 * np.pi * 441 * t / SAMPLE_RATE) +
+            4000 * np.sin(2 * np.pi * 881 * t / SAMPLE_RATE) +
+            2000 * np.sin(2 * np.pi * 0.25 * t / SAMPLE_RATE) *
+            np.sin(2 * np.pi * 1327 * t / SAMPLE_RATE))
+    right = (8000 * np.sin(2 * np.pi * 599 * t / SAMPLE_RATE + 0.4) +
+             3000 * np.sin(2 * np.pi * 1201 * t / SAMPLE_RATE))
+    noise = rng.normal(0, 600, (n_frames, 2))
+    out = np.stack([left, right], axis=1) + noise
+    return np.clip(out, -32768, 32767).astype(np.int32)
+
+
+def reader_for(arr):
+    fl = pcm.FrameList._wrap(arr, 16)
+    return PCMReader(io.BytesIO(fl.to_bytes(False, True)),
+                     SAMPLE_RATE, 2, 3, 16)
+
+
+class Timeout(Exception):
+    pass
+
+
+def _alarm(signum, frame):
+    raise Timeout()
+
+
+def run_encode(arr, backend):
+    buf = io.BytesIO()
+    t0 = time.time()
+    encode_flac_fast(buf, reader_for(arr), backend=backend, **OPTS)
+    dt = time.time() - t0
+    return (buf.getvalue(), dt)
+
+
+def verify(data, arr):
+    """decode-verify the encoded stream bit-exactly"""
+    from audiotools_tpu.bitstream import BitstreamReader
+    r = BitstreamReader(data, False)
+    r.skip_bytes(4)
+    last = 0
+    while last != 1:
+        (last, _btype, blen) = r.parse("1u 7u 24u")
+        r.skip_bytes(blen)
+    offset = r.source.tell()
+    (samples, _consumed) = _native.flac_decode(
+        data[offset:], 16, 2, len(arr))
+    return np.array_equal(samples, arr)
+
+
+def main():
+    warm = make_signal(BLOCK * BATCH)           # one full batch
+    bench_batches = int(os.environ.get("ATPU_BENCH_BATCHES", "8"))
+    arr = make_signal(BLOCK * BATCH * bench_batches)
+
+    backend = os.environ.get("ATPU_FLAC_BACKEND")
+    chosen = None
+    results = {}
+
+    candidates = [backend] if backend else ["jax", "numpy"]
+    for cand in candidates:
+        try:
+            if cand == "jax":
+                timeout = int(os.environ.get("ATPU_BENCH_TIMEOUT",
+                                             "1500"))
+                signal.signal(signal.SIGALRM, _alarm)
+                signal.alarm(timeout)
+            # warm-up (jit compile + caches)
+            run_encode(warm, cand)
+            if cand == "jax":
+                signal.alarm(0)
+            (data, dt) = run_encode(arr, cand)
+            results[cand] = (data, dt)
+            chosen = cand
+            break
+        except (Timeout, Exception) as err:  # noqa: B902
+            signal.alarm(0)
+            print("backend %s failed: %r" % (cand, err),
+                  file=sys.stderr)
+            continue
+
+    if chosen is None:
+        print(json.dumps({"metric": "flac8_encode_Msamples_per_sec",
+                          "value": 0.0, "unit": "Msamples/s",
+                          "vs_baseline": 0.0}))
+        return 1
+
+    (data, dt) = results[chosen]
+    n_frames = arr.shape[0]
+    bit_exact = verify(data, arr)
+    msamples = (n_frames * 2) / dt / 1e6        # samples incl. channels
+    realtime = (n_frames / SAMPLE_RATE) / dt
+    ratio = len(data) / (arr.size * 2)
+
+    print("backend=%s %.1fs audio in %.2fs | %.1f Msamples/s | "
+          "%.0fx realtime | ratio %.3f | bit_exact=%s" %
+          (chosen, n_frames / SAMPLE_RATE, dt, msamples, realtime,
+           ratio, bit_exact), file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "flac8_encode_Msamples_per_sec",
+        "value": round(msamples if bit_exact else 0.0, 3),
+        "unit": "Msamples/s",
+        "vs_baseline": round((realtime / 500.0) if bit_exact else 0.0,
+                             4),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
