@@ -185,7 +185,8 @@ def flac_emit_frames(frame_numbers, block_sizes, assignments,
     qlp_coeffs = a(qlp_coeffs, np.int32)
     rice_params = a(rice_params, np.int32)
     samples = a(samples, np.int32)
-    residuals = a(residuals, np.int32)
+    if residuals is not None:
+        residuals = a(residuals, np.int32)
 
     worst = int(n_frames) * (max_block * max_subframes * 5 + 1024)
     out = np.empty(worst, dtype=np.uint8)
@@ -204,7 +205,8 @@ def flac_emit_frames(frame_numbers, block_sizes, assignments,
         _as_ptr(qlp_coeffs, ctypes.c_int32),
         _as_ptr(rice_params, ctypes.c_int32),
         _as_ptr(samples, ctypes.c_int32),
-        _as_ptr(residuals, ctypes.c_int32),
+        (_as_ptr(residuals, ctypes.c_int32) if residuals is not None
+         else ctypes.POINTER(ctypes.c_int32)()),
         n_frames, max_subframes, max_order, max_partitions, max_block,
         sample_rate, stream_bps, stream_channels,
         _as_ptr(out, ctypes.c_uint8),

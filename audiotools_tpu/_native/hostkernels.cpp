@@ -278,7 +278,11 @@ inline void put_utf8(BitWriter& w, uint64_t value) {
 // samples / residuals [.. * max_block]: samples are post-wasted-shift
 //   (except CONSTANT rows, which carry the original value in [0]);
 //   residuals are aligned at absolute sample positions (entries below
-//   the predictor order are ignored)
+//   the predictor order are ignored).  When `residuals` is null the
+//   emitter recomputes them exactly from the samples and predictor
+//   parameters (int64 arithmetic) — this makes stream losslessness
+//   independent of the analysis backend's float precision, and avoids
+//   shipping residual tensors from the device entirely.
 // returns total bytes written, or a negative error code
 int64_t atpu_flac_emit_frames(const int64_t* frame_numbers,
                               const int32_t* block_sizes,
@@ -405,7 +409,46 @@ int64_t atpu_flac_emit_frames(const int64_t* frame_numbers,
             const int wasted = wasteds[row];
             const int ebps = sub_bps - wasted;
             const int32_t* samp = samples + row * max_block;
-            const int32_t* res = residuals + row * max_block;
+            static thread_local int32_t* res_buf = nullptr;
+            static thread_local int64_t res_buf_size = 0;
+            const int32_t* res;
+            if (residuals != nullptr) {
+                res = residuals + row * max_block;
+            } else if (choice >= 2) {
+                // recompute residuals exactly from the decisions
+                if (block_size > res_buf_size) {
+                    delete[] res_buf;
+                    res_buf = new int32_t[block_size * 2];
+                    res_buf_size = block_size;
+                }
+                const int order = orders[row];
+                if (choice == 2) {                // FIXED diffs
+                    static const int64_t FC[5][4] = {
+                        {0, 0, 0, 0},
+                        {1, 0, 0, 0},
+                        {2, -1, 0, 0},
+                        {3, -3, 1, 0},
+                        {4, -6, 4, -1}};
+                    for (int i = order; i < block_size; i++) {
+                        int64_t pred = 0;
+                        for (int j = 0; j < order; j++)
+                            pred += FC[order][j] * samp[i - 1 - j];
+                        res_buf[i] = (int32_t)(samp[i] - pred);
+                    }
+                } else {                          // LPC
+                    const int32_t* coeffs = qlp_coeffs + row * max_order;
+                    const int shift = shifts[row];
+                    for (int i = order; i < block_size; i++) {
+                        int64_t pred = 0;
+                        for (int j = 0; j < order; j++)
+                            pred += (int64_t)coeffs[j] * samp[i - 1 - j];
+                        res_buf[i] = (int32_t)(samp[i] - (pred >> shift));
+                    }
+                }
+                res = res_buf;
+            } else {
+                res = nullptr;                    // unused for const/verbatim
+            }
 
             if (choice == 0) {                    // CONSTANT
                 w2.put(0, 1); w2.put(0, 6); w2.put(0, 1);

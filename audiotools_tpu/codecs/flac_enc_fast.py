@@ -42,27 +42,38 @@ def _jax_device():
     return None
 
 
-def _analyze_jax(X, bps, n, K, precision, porders, max_rice, exhaustive,
-                 window):
-    """jitted device analysis; cached per static configuration"""
+def _analyze_jax(blocks, stereo_trial, bps_scalar, n, K, precision,
+                 porders, max_rice, exhaustive, window):
+    """jitted device analysis; cached per static configuration
+
+    blocks: [B, n, ch] int16 (bps <= 16) or int32; the candidate
+    variant stack (L/R/mid/side) is built on device so the host only
+    uploads raw PCM"""
     import jax
     jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
 
-    key = (X.shape, n, K, precision, tuple(porders), max_rice,
-           exhaustive)
+    key = (blocks.shape, blocks.dtype.str, stereo_trial, bps_scalar, n,
+           K, precision, tuple(porders), max_rice, exhaustive)
     if key not in _jax_analyze_cache:
-        def run(X, bps, window):
-            return flac_frames.analyze_subframes(
-                jnp, X, bps, n, K, precision, list(porders), max_rice,
-                exhaustive, window)
+        def run(blocks, window):
+            (X, bps_vec) = flac_frames.build_variants(
+                jnp, blocks.astype(jnp.int32), stereo_trial, bps_scalar)
+            out = flac_frames.analyze_subframes(
+                jnp, X, bps_vec, n, K, precision, list(porders),
+                max_rice, exhaustive, window)
+            # residuals/samples are re-derived host-side; keep the
+            # device->host transfer to the small decision arrays
+            del out["residual"]
+            del out["samples"]
+            del out["const_val"]
+            return out
         _jax_analyze_cache[key] = jax.jit(run)
     device = _jax_device()
     if device is not None:
-        X = jax.device_put(X, device)
-        bps = jax.device_put(bps, device)
+        blocks = jax.device_put(blocks, device)
         window = jax.device_put(window, device)
-    out = _jax_analyze_cache[key](X, bps, window)
+    out = _jax_analyze_cache[key](blocks, window)
     return {k: np.asarray(v) for (k, v) in out.items()}
 
 
@@ -210,30 +221,21 @@ def _encode_batch(blocks, bps, channels, sample_rate, block_size,
     K = max_lpc_order
 
     # ---- variant stack -------------------------------------------------
-    if stereo_trial:
-        left = blocks[:, :, 0].astype(np.int64)
-        right = blocks[:, :, 1].astype(np.int64)
-        average = (left + right) >> 1
-        difference = left - right
-        X = np.stack([left, right, average, difference],
-                     axis=1).astype(np.int32)              # [B, 4, n]
-        bps_vec = np.tile(
-            np.array([bps, bps, bps, bps + 1], dtype=np.int32), B)
-    else:
-        X = np.ascontiguousarray(
-            blocks.transpose(0, 2, 1)).astype(np.int32)    # [B, ch, n]
-        bps_vec = np.full(B * V, bps, dtype=np.int32)
-
+    (X, bps_vec) = flac_frames.build_variants(np, blocks, stereo_trial,
+                                              bps)
     S = B * V
     X_flat = X.reshape(S, n)
 
     if backend == "jax":
-        result = _analyze_jax(X_flat, bps_vec, n, K, precision,
-                              porders, max_rice, exhaustive, window)
+        upload = blocks.astype(np.int16) if bps <= 16 else blocks
+        result = _analyze_jax(upload, stereo_trial, bps, n, K,
+                              precision, porders, max_rice, exhaustive,
+                              window)
     else:
         result = flac_frames.analyze_subframes(
             np, X_flat, bps_vec, n, K, precision, porders, max_rice,
             exhaustive, window)
+        result = {k: np.asarray(v) for (k, v) in result.items()}
 
     sub_bits = result["sub_bits"].reshape(B, V)
 
@@ -262,8 +264,15 @@ def _encode_batch(blocks, bps, channels, sample_rate, block_size,
     shifts = gather("shift", ())
     qlp = gather("qlp", (result["qlp"].shape[-1],))
     rice = gather("rice_params", (result["rice_params"].shape[-1],))
-    samples_sel = gather("samples", (n,))
-    residuals_sel = gather("residual", (n,))
+
+    # shifted samples are recomputed on host (cheap) so the device
+    # needn't ship sample tensors back; the C++ emitter re-derives
+    # residuals exactly from the decisions (int64), which keeps the
+    # stream lossless regardless of the analysis backend's precision
+    X_by_variant = X.reshape(B, V, n)
+    samples_sel = np.take_along_axis(
+        X_by_variant, var_pairs[:, :, None], axis=1)
+    samples_sel = samples_sel >> wasteds[:, :, None]
 
     precisions = np.full((B, max_subframes), precision, dtype=np.int32)
     frame_numbers = np.arange(first_frame_number,
@@ -273,7 +282,7 @@ def _encode_batch(blocks, bps, channels, sample_rate, block_size,
     (frame_bytes, lens) = _native.flac_emit_frames(
         frame_numbers, block_sizes, assignments,
         choices, orders, wasteds, porder_sel, shifts, precisions,
-        qlp, rice, samples_sel, residuals_sel,
+        qlp, rice, samples_sel, None,
         max_subframes, qlp.shape[-1], rice.shape[-1], n,
         sample_rate, bps, channels)
 

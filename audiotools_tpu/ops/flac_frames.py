@@ -39,6 +39,32 @@ from . import lpc as lpc_ops
 (CHOICE_CONSTANT, CHOICE_VERBATIM, CHOICE_FIXED, CHOICE_LPC) = range(4)
 
 
+def build_variants(xp, blocks, stereo_trial, bps):
+    """builds the candidate channel stack from [B, n, ch] blocks
+
+    stereo trials produce the [left, right, mid, side] variants per
+    frame (mid = floor((L+R)/2), side = L-R); otherwise each channel
+    stands alone.  returns (X [B*V, n] int32, bps_vec [B*V] int32)"""
+    B = blocks.shape[0]
+    n = blocks.shape[1]
+    if stereo_trial:
+        left = blocks[:, :, 0].astype(xp.int32)
+        right = blocks[:, :, 1].astype(xp.int32)
+        average = (left + right) >> 1
+        difference = left - right
+        X = xp.stack([left, right, average, difference],
+                     axis=1)                               # [B, 4, n]
+        bps_vec = xp.tile(
+            xp.asarray([bps, bps, bps, bps + 1], dtype=xp.int32), B)
+        V = 4
+    else:
+        ch = blocks.shape[2]
+        X = xp.swapaxes(blocks, 1, 2).astype(xp.int32)     # [B, ch, n]
+        bps_vec = xp.full(B * ch, bps, dtype=xp.int32)
+        V = ch
+    return (xp.reshape(X, (B * V, n)), bps_vec)
+
+
 def valid_partition_orders(block_size, max_porder, max_pred_order):
     """the contiguous list of partition orders the search visits
 
