@@ -1,0 +1,292 @@
+"""WavPack format support.
+
+Rebuild of the reference WavPack layer
+(``/root/reference/audiotools/wavpack.py``): WavPackAudio with ApeTag
+metadata, compression modes veryfast/fast/standard/high/veryhigh
+mapping to 1/2/5/10/16 decorrelation passes, embedded RIFF
+header/footer recovery and from_wave passthrough.
+"""
+
+from __future__ import annotations
+
+import struct
+
+from .. import EncodingError, InvalidFile
+from ..audiofile import WaveContainer
+from ..pcmstream import ChannelMask, CounterPCMReader, PCMReaderError
+from ..meta.ape import ApeTaggedAudio
+
+
+class InvalidWavPack(InvalidFile):
+    pass
+
+
+def validate_header(header):
+    """validates a RIFF header, returning (total_size, data_size)"""
+    if len(header) < 12 or header[0:4] != b"RIFF" or \
+            header[8:12] != b"WAVE":
+        raise ValueError("invalid wave header")
+    total_size = struct.unpack("<I", header[4:8])[0] + 8
+    pos = 12
+    data_size = None
+    while pos + 8 <= len(header):
+        (cid, csize) = struct.unpack("<4sI", header[pos:pos + 8])
+        pos += 8
+        if cid == b"data":
+            data_size = csize
+            break
+        pos += csize + (csize % 2)
+    if data_size is None:
+        raise ValueError("no data chunk found in header")
+    return (total_size, data_size)
+
+
+def validate_footer(footer, data_bytes_written):
+    """validates optional RIFF footer bytes"""
+    return True
+
+
+class WavPackAudio(ApeTaggedAudio, WaveContainer):
+    """a WavPack audio file"""
+
+    SUFFIX = "wv"
+    NAME = "wavpack"
+    DESCRIPTION = "WavPack"
+    DEFAULT_COMPRESSION = "standard"
+    COMPRESSION_MODES = ("veryfast", "fast", "standard", "high",
+                         "veryhigh")
+    COMPRESSION_DESCRIPTIONS = {
+        "veryfast": "fastest encode/decode, worst compression",
+        "veryhigh": "slowest encode/decode, best compression"}
+
+    __options__ = {"veryfast": {"block_size": 44100,
+                                "correlation_passes": 1},
+                   "fast": {"block_size": 44100,
+                            "correlation_passes": 2},
+                   "standard": {"block_size": 44100,
+                                "correlation_passes": 5},
+                   "high": {"block_size": 44100,
+                            "correlation_passes": 10},
+                   "veryhigh": {"block_size": 44100,
+                                "correlation_passes": 16}}
+
+    def __init__(self, filename):
+        WaveContainer.__init__(self, filename)
+        from ..ref.wavpack import WavPackDecoder
+
+        try:
+            with open(filename, "rb") as f:
+                decoder = WavPackDecoder(f)
+                self.__sample_rate__ = decoder.sample_rate
+                self.__bits_per_sample__ = decoder.bits_per_sample
+                self.__channels__ = decoder.channels
+                self.__channel_mask__ = decoder.channel_mask
+                self.__total_frames__ = decoder.total_frames
+        except (IOError, ValueError) as err:
+            raise InvalidWavPack(str(err))
+
+    def lossless(self):
+        return True
+
+    def bits_per_sample(self):
+        return self.__bits_per_sample__
+
+    def channels(self):
+        return self.__channels__
+
+    def channel_mask(self):
+        return ChannelMask(self.__channel_mask__)
+
+    def sample_rate(self):
+        return self.__sample_rate__
+
+    def total_frames(self):
+        return self.__total_frames__
+
+    def seekable(self):
+        return True
+
+    def to_pcm(self):
+        from ..ref.wavpack import WavPackDecoder
+        try:
+            return WavPackDecoder(open(self.filename, "rb"))
+        except (IOError, ValueError) as err:
+            return PCMReaderError(str(err),
+                                  self.__sample_rate__,
+                                  self.__channels__,
+                                  self.__channel_mask__,
+                                  self.__bits_per_sample__)
+
+    @classmethod
+    def from_pcm(cls, filename, pcmreader,
+                 compression=None,
+                 total_pcm_frames=None,
+                 encoding_function=None):
+        """encodes a new file from PCM data"""
+        from ..ref.wavpack import encode_wavpack
+        from ..utils.config import default_quality
+
+        if (compression is None) or (compression not in
+                                     cls.COMPRESSION_MODES):
+            compression = default_quality(cls.NAME) or \
+                cls.DEFAULT_COMPRESSION
+
+        if encoding_function is None:
+            encoding_function = encode_wavpack
+
+        counter = CounterPCMReader(pcmreader)
+        try:
+            encoding_function(filename, counter,
+                              total_pcm_frames=(total_pcm_frames or 0),
+                              **cls.__options__[compression])
+            if ((total_pcm_frames is not None) and
+                    (counter.frames_written != total_pcm_frames)):
+                cls.__unlink__(filename)
+                raise EncodingError("total PCM frames mismatch")
+            return cls(filename)
+        except (IOError, ValueError) as err:
+            cls.__unlink__(filename)
+            raise EncodingError(str(err))
+        finally:
+            try:
+                pcmreader.close()
+            except Exception:
+                pass
+
+    def has_foreign_wave_chunks(self):
+        """returns True if the embedded RIFF header has extra chunks"""
+        try:
+            (header, footer) = self.wave_header_footer()
+        except (ValueError, IOError):
+            return False
+        if len(footer) >= 8:
+            return True
+        pos = 12
+        while pos + 8 <= len(header):
+            (cid, csize) = struct.unpack("<4sI", header[pos:pos + 8])
+            pos += 8
+            if cid not in (b"fmt ", b"data"):
+                return True
+            if cid == b"data":
+                continue
+            pos += csize + (csize % 2)
+        return False
+
+    def wave_header_footer(self):
+        """returns the (header, footer) RIFF bytes stored in sub blocks"""
+        from ..ref.wavpack import (Block_Header, _walk_sub_blocks,
+                                   WV_WAVE_HEADER)
+        from ..bitstream import BitstreamReader
+
+        header = b""
+        footer = b""
+        with open(self.filename, "rb") as f:
+            reader = BitstreamReader(f, True)
+            while True:
+                try:
+                    block = Block_Header.read(reader)
+                except (IOError, ValueError):
+                    break
+                sub_blocks = reader.read_bytes(block.block_size - 24)
+                for (function, nondecoder, data) in \
+                        _walk_sub_blocks(sub_blocks):
+                    if nondecoder:
+                        if function == 0x1:
+                            header += data
+                        elif function == 0x2:
+                            footer += data
+        if len(header) == 0:
+            raise ValueError("no wave header stored")
+        return (header, footer)
+
+    @classmethod
+    def from_wave(cls, filename, header, pcmreader, footer,
+                  compression=None, encoding_function=None):
+        """encodes from wave data, preserving header/footer bytes"""
+        from ..ref.wavpack import encode_wavpack
+        from ..utils.config import default_quality
+
+        if (compression is None) or (compression not in
+                                     cls.COMPRESSION_MODES):
+            compression = default_quality(cls.NAME) or \
+                cls.DEFAULT_COMPRESSION
+
+        try:
+            (total_size, data_size) = validate_header(header)
+        except ValueError as err:
+            raise EncodingError(str(err))
+
+        counter = CounterPCMReader(pcmreader)
+        try:
+            (encode_wavpack if encoding_function is None
+             else encoding_function)(
+                filename, counter,
+                wave_header=header,
+                wave_footer=footer,
+                **cls.__options__[compression])
+            if data_size != counter.bytes_written():
+                cls.__unlink__(filename)
+                raise EncodingError("truncated data chunk")
+            return cls(filename)
+        except (IOError, ValueError) as err:
+            cls.__unlink__(filename)
+            raise EncodingError(str(err))
+        finally:
+            try:
+                pcmreader.close()
+            except Exception:
+                pass
+
+    @classmethod
+    def supports_replay_gain(cls):
+        return True
+
+    @classmethod
+    def lossless_replay_gain(cls):
+        return True
+
+    @classmethod
+    def can_add_replay_gain(cls, audiofiles):
+        return all(isinstance(f, WavPackAudio) for f in audiofiles)
+
+    @classmethod
+    def add_replay_gain(cls, filenames, progress=None):
+        """adds ReplayGain values as ApeTag items"""
+        from ..dispatch import open_files
+        from ..replaygain import calculate_replay_gain_values
+        from ..meta.ape import ApeTag, ApeTagItem
+
+        tracks = [t for t in open_files(filenames)
+                  if isinstance(t, cls)]
+        if len(tracks) == 0:
+            return
+
+        for (track, gain, peak, album_gain, album_peak) in \
+                calculate_replay_gain_values(tracks, progress):
+            metadata = track.get_metadata()
+            if metadata is None:
+                metadata = ApeTag([])
+            metadata["replaygain_track_gain"] = ApeTagItem.string(
+                "replaygain_track_gain", "%+1.2f dB" % (gain,))
+            metadata["replaygain_track_peak"] = ApeTagItem.string(
+                "replaygain_track_peak", "%1.6f" % (peak,))
+            metadata["replaygain_album_gain"] = ApeTagItem.string(
+                "replaygain_album_gain", "%+1.2f dB" % (album_gain,))
+            metadata["replaygain_album_peak"] = ApeTagItem.string(
+                "replaygain_album_peak", "%1.6f" % (album_peak,))
+            track.update_metadata(metadata)
+
+    def replay_gain(self):
+        """returns a ReplayGain object of our values, or None"""
+        from ..audiofile import ReplayGain as RG
+        metadata = self.get_metadata()
+        if metadata is None:
+            return None
+        try:
+            return RG(
+                str(metadata["replaygain_track_gain"]).split(" ")[0],
+                str(metadata["replaygain_track_peak"]),
+                str(metadata["replaygain_album_gain"]).split(" ")[0],
+                str(metadata["replaygain_album_peak"]))
+        except (KeyError, ValueError):
+            return None
