@@ -73,8 +73,9 @@ def _analyze_jax(blocks, stereo_trial, bps_scalar, n, K, precision,
     if device is not None:
         blocks = jax.device_put(blocks, device)
         window = jax.device_put(window, device)
-    out = _jax_analyze_cache[key](blocks, window)
-    return {k: np.asarray(v) for (k, v) in out.items()}
+    # async dispatch: caller converts to numpy when needed, letting the
+    # device overlap with host-side serialization of earlier batches
+    return _jax_analyze_cache[key](blocks, window)
 
 
 # variant index pairs per stereo assignment: (subframe0, subframe1)
@@ -96,7 +97,7 @@ def encode_flac_fast(file_or_path,
                      disable_fixed_subframes=False,
                      disable_lpc_subframes=False,
                      padding_size=4096,
-                     batch_frames=64,
+                     batch_frames=None,
                      backend=None):
     """encodes a FLAC file from a PCMReader (batched fast path)
 
@@ -104,6 +105,10 @@ def encode_flac_fast(file_or_path,
     from ..pcmstream import BufferedPCMReader
 
     backend = _get_backend(backend)
+    if batch_frames is None:
+        # big batches amortize device dispatch latency; the host path
+        # keeps working sets cache-sized
+        batch_frames = 256 if backend == "jax" else 32
     bps = pcmreader.bits_per_sample
     channels = pcmreader.channels
     sample_rate = pcmreader.sample_rate
@@ -156,6 +161,27 @@ def encode_flac_fast(file_or_path,
     current_offset = 0
     frame_offsets = []
 
+    pending = None      # (submitted analysis, blocks, frame_number)
+
+    def flush_pending():
+        nonlocal pending, current_offset, min_frame, max_frame
+        nonlocal frame_number
+        if pending is None:
+            return
+        (submitted, blocks, first_frame) = pending
+        pending = None
+        (frame_bytes, lens) = _finish_batch(
+            submitted, blocks, bps, channels, sample_rate, block_size,
+            stereo_trial, V, max_subframes, precision, mid_side,
+            first_frame)
+        output_file.write(frame_bytes)
+        for length in lens:
+            frame_offsets.append((current_offset, block_size))
+            current_offset += int(length)
+            min_frame = min(min_frame, int(length))
+            max_frame = max(max_frame, int(length))
+            frame_number += 1
+
     while True:
         framelist = reader.read(block_size * batch_frames)
         if framelist.frames == 0:
@@ -170,21 +196,17 @@ def encode_flac_fast(file_or_path,
 
         if n_full:
             blocks = full.reshape(n_full, block_size, channels)
-            (frame_bytes, lens, assignments) = _encode_batch(
-                blocks, bps, channels, sample_rate, block_size,
-                stereo_trial, V, max_subframes, max_lpc_order,
-                precision, porders, max_rice,
-                exhaustive_model_search, mid_side, window,
-                frame_number, backend)
-            output_file.write(frame_bytes)
-            for length in lens:
-                frame_offsets.append((current_offset, block_size))
-                current_offset += int(length)
-                min_frame = min(min_frame, int(length))
-                max_frame = max(max_frame, int(length))
-                frame_number += 1
+            submitted = _submit_batch(
+                blocks, bps, block_size, stereo_trial, V,
+                max_lpc_order, precision, porders, max_rice,
+                exhaustive_model_search, window, backend)
+            batch_first_frame = frame_number +                 (len(pending[1]) if pending is not None else 0)
+            # serialize the previous batch while this one computes
+            flush_pending()
+            pending = (submitted, blocks, frame_number)
 
         if tail.shape[0]:
+            flush_pending()
             # final short block: scalar oracle path (byte-identical)
             frame_bytes = oracle.encode_frame(
                 reader, options, frame_number, tail.astype(np.int64))
@@ -194,6 +216,8 @@ def encode_flac_fast(file_or_path,
             min_frame = min(min_frame, len(frame_bytes))
             max_frame = max(max_frame, len(frame_bytes))
             frame_number += 1
+
+    flush_pending()
 
     if max_frame == 0:
         min_frame = (1 << 24) - 1
@@ -211,31 +235,37 @@ def encode_flac_fast(file_or_path,
     return frame_offsets
 
 
-def _encode_batch(blocks, bps, channels, sample_rate, block_size,
-                  stereo_trial, V, max_subframes, max_lpc_order,
-                  precision, porders, max_rice, exhaustive, mid_side,
-                  window, first_frame_number, backend):
-    """encodes [B, n, ch] full blocks, returning (bytes, lens, assigns)"""
-    B = blocks.shape[0]
+def _submit_batch(blocks, bps, block_size, stereo_trial, V,
+                  max_lpc_order, precision, porders, max_rice,
+                  exhaustive, window, backend):
+    """launches analysis of [B, n, ch] blocks; returns a result handle"""
     n = block_size
     K = max_lpc_order
-
-    # ---- variant stack -------------------------------------------------
-    (X, bps_vec) = flac_frames.build_variants(np, blocks, stereo_trial,
-                                              bps)
-    S = B * V
-    X_flat = X.reshape(S, n)
-
     if backend == "jax":
         upload = blocks.astype(np.int16) if bps <= 16 else blocks
-        result = _analyze_jax(upload, stereo_trial, bps, n, K,
-                              precision, porders, max_rice, exhaustive,
-                              window)
+        return _analyze_jax(upload, stereo_trial, bps, n, K,
+                            precision, porders, max_rice, exhaustive,
+                            window)
     else:
+        B = blocks.shape[0]
+        (X, bps_vec) = flac_frames.build_variants(np, blocks,
+                                                  stereo_trial, bps)
         result = flac_frames.analyze_subframes(
-            np, X_flat, bps_vec, n, K, precision, porders, max_rice,
-            exhaustive, window)
-        result = {k: np.asarray(v) for (k, v) in result.items()}
+            np, X.reshape(B * V, n), bps_vec, n, K, precision,
+            porders, max_rice, exhaustive, window)
+        return {k: np.asarray(v) for (k, v) in result.items()}
+
+
+def _finish_batch(result, blocks, bps, channels, sample_rate,
+                  block_size, stereo_trial, V, max_subframes,
+                  precision, mid_side, first_frame_number):
+    """serializes one analyzed batch, returning (bytes, lens)"""
+    B = blocks.shape[0]
+    n = block_size
+
+    result = {k: np.asarray(v) for (k, v) in result.items()}
+    (X, _bps_vec) = flac_frames.build_variants(np, blocks,
+                                               stereo_trial, bps)
 
     sub_bits = result["sub_bits"].reshape(B, V)
 
@@ -286,4 +316,4 @@ def _encode_batch(blocks, bps, channels, sample_rate, block_size,
         max_subframes, qlp.shape[-1], rice.shape[-1], n,
         sample_rate, bps, channels)
 
-    return (frame_bytes, lens, assignments)
+    return (frame_bytes, lens)
