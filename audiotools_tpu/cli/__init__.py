@@ -1,1 +1,45 @@
-"""CLI tools."""
+"""CLI tools: the track2track / trackinfo / ... utility family.
+
+Rebuild of the reference's 21 executable scripts (repo root of
+``/root/reference``): each tool is a module with a ``main(args)``
+entry point, installed via thin wrappers in the repo's ``tools/``
+directory.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def audiofile_type(messenger, type_name):
+    """resolves a -t/--type argument to an AudioFile class"""
+    from ..dispatch import TYPE_MAP
+    if type_name in TYPE_MAP:
+        return TYPE_MAP[type_name]
+    else:
+        messenger.error("unsupported audio type \"%s\"" % (type_name,))
+        messenger.info("supported types: %s" %
+                       ", ".join(sorted(TYPE_MAP.keys())))
+        return None
+
+
+def default_type():
+    from ..utils.config import DEFAULT_TYPE
+    from ..dispatch import TYPE_MAP
+    return DEFAULT_TYPE if DEFAULT_TYPE in TYPE_MAP else "wav"
+
+
+def add_common_arguments(parser):
+    parser.add_argument("-V", "--verbose", dest="verbosity",
+                        default="normal",
+                        choices=("normal", "quiet", "silent", "debug"),
+                        help="the verbosity level to execute at")
+
+
+def output_filename(track, destination_dir, output_format, suffix,
+                    metadata):
+    """builds an output path for a converted track"""
+    from ..audiofile import AudioFile
+    basename = AudioFile.track_name(track.filename, metadata,
+                                    output_format, suffix=suffix)
+    return os.path.join(destination_dir, basename)

@@ -1,0 +1,67 @@
+"""audiotools-config: display and edit configuration.
+
+Rebuild of the reference ``audiotools-config`` tool: shows the format
+availability table and current defaults from ~/.audiotools.cfg.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from . import add_common_arguments
+from ..utils.messenger import Messenger, output_table
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        prog="audiotools-config",
+        description="manage audiotools configuration")
+    add_common_arguments(parser)
+    parser.add_argument("-t", "--type", dest="default_type",
+                        default=None,
+                        help="set the default audio type")
+
+    options = parser.parse_args(argv)
+    msg = Messenger("audiotools-config", options)
+
+    from ..dispatch import AVAILABLE_TYPES, TYPE_MAP
+    from ..utils import config as cfg
+
+    if options.default_type is not None:
+        if options.default_type not in TYPE_MAP:
+            msg.error("unsupported audio type \"%s\"" %
+                      (options.default_type,))
+            return 1
+        cfg.config.set_default("System", "default_type",
+                               options.default_type)
+        import os
+        with open(os.path.expanduser("~/.audiotools.cfg"), "w") as f:
+            cfg.config.write(f)
+        return 0
+
+    msg.output("System:")
+    msg.output("  default type : %s" % (cfg.DEFAULT_TYPE,))
+    msg.output("  maximum jobs : %d" % (cfg.MAX_JOBS(),))
+    msg.output("")
+    msg.output("Available Formats:")
+
+    table = output_table()
+    row = table.row()
+    for heading in ["type ", "name ", "available ", "description"]:
+        row.add_column(heading)
+    for audio_type in AVAILABLE_TYPES:
+        row = table.row()
+        row.add_column(audio_type.NAME + " ")
+        row.add_column(audio_type.SUFFIX + " ")
+        row.add_column(("yes" if audio_type.available() else "no") +
+                       " ")
+        row.add_column(audio_type.DESCRIPTION)
+    for line in table.format():
+        msg.output(line)
+
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,100 @@
+"""trackinfo: display metadata and technical information.
+
+Rebuild of the reference ``trackinfo`` tool.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from . import add_common_arguments
+from ..utils.messenger import Messenger, output_table
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        prog="trackinfo",
+        description="display information about audio files")
+    add_common_arguments(parser)
+    parser.add_argument("-n", "--no-metadata", action="store_true",
+                        dest="no_metadata",
+                        help="show only technical information")
+    parser.add_argument("-L", "--low-level", action="store_true",
+                        dest="low_level",
+                        help="show low-level metadata")
+    parser.add_argument("-b", "--bitrate", action="store_true",
+                        help="show the average bitrate")
+    parser.add_argument("-%", "--percentage", action="store_true",
+                        dest="percentage",
+                        help="show the percentage ratio vs raw PCM")
+    parser.add_argument("-C", "--channel-assignment",
+                        action="store_true", dest="channel_assignment",
+                        help="show channel assignments")
+    parser.add_argument("filenames", nargs="+")
+
+    options = parser.parse_args(argv)
+    msg = Messenger("trackinfo", options)
+
+    import os
+    from ..dispatch import open as open_track
+    from .. import UnsupportedFile, InvalidFile
+    from ..pcmstream import ChannelMask
+
+    for filename in options.filenames:
+        try:
+            track = open_track(filename)
+        except (UnsupportedFile, InvalidFile, IOError) as err:
+            msg.error("%s: %s" % (filename, err))
+            continue
+
+        seconds = float(track.seconds_length())
+        if options.bitrate:
+            try:
+                bitrate = (os.path.getsize(filename) * 8) / \
+                    (seconds * 1000) if seconds else 0
+                msg.output("%4.4s kbps: %s" % (int(bitrate), filename))
+            except ZeroDivisionError:
+                msg.output("%4.4s kbps: %s" % ("0", filename))
+            continue
+        if options.percentage:
+            raw = (track.total_frames() * track.channels() *
+                   track.bits_per_sample() // 8)
+            pct = (os.path.getsize(filename) * 100 // raw) if raw \
+                else 0
+            msg.output("%3.3s%%: %s" % (pct, filename))
+            continue
+
+        msg.output("%s: %d:%2.2d, %dch, %dHz, %d-bit, %s" %
+                   (filename,
+                    int(seconds) // 60, int(seconds) % 60,
+                    track.channels(),
+                    track.sample_rate(),
+                    track.bits_per_sample(),
+                    track.NAME))
+
+        if not options.no_metadata:
+            metadata = track.get_metadata()
+            if metadata is not None:
+                if options.low_level:
+                    msg.output(metadata.raw_info())
+                else:
+                    msg.output(str(metadata))
+            msg.output("")
+
+        if options.channel_assignment:
+            msg.output("Assigned Channels:")
+            mask = track.channel_mask()
+            if mask.defined():
+                for (i, channel) in enumerate(mask.channels()):
+                    msg.output("channel %d -> %s" %
+                               (i + 1, channel.replace("_", " ")))
+            else:
+                for i in range(track.channels()):
+                    msg.output("channel %d -> undefined" % (i + 1,))
+
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,60 @@
+"""trackrename: rename audio files based on metadata templates.
+
+Rebuild of the reference ``trackrename`` tool.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+from . import add_common_arguments
+from ..utils.messenger import Messenger
+from ..utils.config import FILENAME_FORMAT
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        prog="trackrename",
+        description="rename audio files based on metadata")
+    add_common_arguments(parser)
+    parser.add_argument("--format", dest="format",
+                        default=FILENAME_FORMAT,
+                        help="the format string for new filenames")
+    parser.add_argument("filenames", nargs="+")
+
+    options = parser.parse_args(argv)
+    msg = Messenger("trackrename", options)
+
+    from ..dispatch import open_files
+
+    audiofiles = open_files(options.filenames, sorted=False,
+                            messenger=msg)
+    if len(audiofiles) == 0:
+        msg.error("you must specify at least 1 supported audio file")
+        return 1
+
+    for track in audiofiles:
+        try:
+            metadata = track.get_metadata()
+            new_name = track.track_name(track.filename, metadata,
+                                        options.format)
+            new_path = os.path.join(os.path.dirname(track.filename),
+                                    new_name)
+            if os.path.abspath(new_path) != \
+                    os.path.abspath(track.filename):
+                if os.path.exists(new_path):
+                    msg.error("\"%s\" already exists" % (new_path,))
+                    return 1
+                os.rename(track.filename, new_path)
+                msg.output("%s -> %s" % (track.filename, new_path))
+        except (IOError, ValueError) as err:
+            msg.error("%s: %s" % (track.filename, err))
+            return 1
+
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

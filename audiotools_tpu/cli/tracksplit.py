@@ -1,0 +1,99 @@
+"""tracksplit: split one audio image into tracks by cuesheet.
+
+Rebuild of the reference ``tracksplit`` (tracksplit:246-312:
+pcm_split + Sheet.pcm_lengths).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+from . import audiofile_type, default_type, add_common_arguments
+from ..utils.messenger import Messenger, ProgressDisplay
+from ..utils.config import FILENAME_FORMAT
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        prog="tracksplit",
+        description="split an audio image into tracks by cuesheet")
+    add_common_arguments(parser)
+    parser.add_argument("-t", "--type", dest="type", default=None)
+    parser.add_argument("-q", "--quality", dest="quality", default="")
+    parser.add_argument("-d", "--dir", dest="dir", default=".")
+    parser.add_argument("--format", dest="format",
+                        default=None)
+    parser.add_argument("--cue", dest="cuesheet", default=None,
+                        help="the cuesheet to use for splitting")
+    parser.add_argument("filename", nargs=1)
+
+    options = parser.parse_args(argv)
+    msg = Messenger("tracksplit", options)
+
+    from ..dispatch import open as open_track
+    from ..audiofile import read_sheet, SheetException, MetaData
+    from ..pcmstream import pcm_split
+
+    try:
+        track = open_track(options.filename[0])
+    except Exception as err:
+        msg.error(str(err))
+        return 1
+
+    if options.cuesheet is not None:
+        try:
+            sheet = read_sheet(options.cuesheet)
+        except SheetException as err:
+            msg.error(str(err))
+            return 1
+    else:
+        sheet = track.get_cuesheet()
+        if sheet is None:
+            msg.error("no cuesheet found in input file; use --cue")
+            return 1
+
+    if options.type is None:
+        options.type = default_type()
+    output_class = audiofile_type(msg, options.type)
+    if output_class is None:
+        return 1
+
+    pcm_lengths = list(sheet.pcm_lengths(track.total_frames(),
+                                         track.sample_rate()))
+    base_metadata = track.get_metadata()
+
+    os.makedirs(options.dir, exist_ok=True)
+    output_tracks = []
+    for (i, sub_reader) in enumerate(pcm_split(track.to_pcm(),
+                                               pcm_lengths)):
+        track_number = i + 1
+        metadata = MetaData(track_number=track_number,
+                            track_total=len(pcm_lengths))
+        if base_metadata is not None:
+            metadata.album_name = base_metadata.album_name
+            metadata.artist_name = base_metadata.artist_name
+            metadata.year = base_metadata.year
+
+        filename = output_class.track_name(
+            track.filename, metadata,
+            options.format or FILENAME_FORMAT,
+            suffix=output_class.SUFFIX)
+        destination = os.path.join(options.dir, filename)
+        try:
+            new_track = output_class.from_pcm(
+                destination, sub_reader, options.quality or None,
+                total_pcm_frames=pcm_lengths[i])
+            new_track.set_metadata(metadata)
+            output_tracks.append(destination)
+            msg.output("%s -> %s" % (track.filename, destination))
+        except Exception as err:
+            msg.error(str(err))
+            return 1
+
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

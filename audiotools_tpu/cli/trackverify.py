@@ -1,0 +1,87 @@
+"""trackverify: verify audio files for correctness.
+
+Rebuild of the reference ``trackverify`` (trackverify:104-215):
+full-decode verification with per-file results in a job queue, plus
+AccurateRip checksum computation for CD-format tracks.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from . import add_common_arguments
+from ..utils.messenger import Messenger, ProgressDisplay
+from ..utils.config import MAX_JOBS
+from ..parallel.queue import ExecProgressQueue, ExecQueueError
+
+
+def verify(filename, accuraterip, progress=None):
+    from ..dispatch import open as open_track
+    from .. import InvalidFile, UnsupportedFile
+
+    try:
+        track = open_track(filename)
+    except (IOError, UnsupportedFile, InvalidFile) as err:
+        return (filename, str(err) or type(err).__name__, None)
+    try:
+        track.verify(progress)
+        result = "OK"
+    except InvalidFile as err:
+        result = str(err)
+
+    checksums = None
+    if (accuraterip and result == "OK" and
+            track.sample_rate() == 44100 and
+            track.channels() == 2 and
+            track.bits_per_sample() == 16):
+        from ..accuraterip_checksum import accuraterip_checksums
+        checksums = accuraterip_checksums(track.to_pcm(),
+                                          track.total_frames())
+
+    return (filename, result, checksums)
+
+
+def report(result):
+    (filename, status, checksums) = result
+    if checksums is not None:
+        return "%s : %s (AccurateRip v1=%08X v2=%08X)" % \
+            (filename, status, checksums[0], checksums[1])
+    return "%s : %s" % (filename, status)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        prog="trackverify",
+        description="verify audio files for correctness")
+    add_common_arguments(parser)
+    parser.add_argument("-j", "--joint", dest="max_processes",
+                        type=int, default=None)
+    parser.add_argument("--accuraterip", action="store_true",
+                        default=False,
+                        help="compute AccurateRip checksums")
+    parser.add_argument("filenames", nargs="+")
+
+    options = parser.parse_args(argv)
+    msg = Messenger("trackverify", options)
+
+    progress_display = ProgressDisplay(msg)
+    queue = ExecProgressQueue(progress_display)
+    for filename in options.filenames:
+        queue.execute(verify,
+                      progress_text=filename,
+                      completion_output=report,
+                      filename=filename,
+                      accuraterip=options.accuraterip)
+
+    try:
+        results = queue.run(options.max_processes or MAX_JOBS())
+    except ExecQueueError as err:
+        msg.error(str(err))
+        return 1
+
+    return 0 if all(r[1] == "OK" for r in results) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1354,5 +1354,9 @@ class OggFlacAudio(FlacAudio):
     NAME = "oggflac"
     DESCRIPTION = "Ogg FLAC"
 
+    @classmethod
+    def available(cls, system_binaries=None):
+        return False
+
     def __init__(self, filename):
         raise NotImplementedError("Ogg FLAC support pending")
