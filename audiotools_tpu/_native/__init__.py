@@ -101,6 +101,33 @@ def _build_and_load():
         ctypes.POINTER(ctypes.c_int64),   # out_lens (cumulative ends)
     ]
 
+    lib.atpu_pack_pcm.restype = None
+    lib.atpu_pack_pcm.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_uint8)]
+    lib.atpu_unpack_pcm.restype = None
+    lib.atpu_unpack_pcm.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32)]
+
+    lib.atpu_md5_init.restype = None
+    lib.atpu_md5_init.argtypes = [ctypes.POINTER(ctypes.c_uint8)]
+    lib.atpu_md5_update.restype = None
+    lib.atpu_md5_update.argtypes = [ctypes.POINTER(ctypes.c_uint8),
+                                    ctypes.POINTER(ctypes.c_uint8),
+                                    ctypes.c_int64]
+    lib.atpu_md5_update_pcm.restype = None
+    lib.atpu_md5_update_pcm.argtypes = [ctypes.POINTER(ctypes.c_uint8),
+                                        ctypes.POINTER(ctypes.c_int32),
+                                        ctypes.c_int64,
+                                        ctypes.c_int32,
+                                        ctypes.c_int32]
+    lib.atpu_md5_final.restype = None
+    lib.atpu_md5_final.argtypes = [ctypes.POINTER(ctypes.c_uint8),
+                                   ctypes.POINTER(ctypes.c_uint8)]
+
     lib.atpu_crc16.restype = ctypes.c_uint16
     lib.atpu_crc16.argtypes = [ctypes.POINTER(ctypes.c_uint8),
                                ctypes.c_int64, ctypes.c_uint16]
@@ -241,3 +268,68 @@ def flac_decode(data, stream_bps, stream_channels, max_samples,
         raise ValueError("FLAC decode error (code %d)" % (decoded,))
     return (out[:decoded * stream_channels].reshape(-1, stream_channels),
             consumed.value)
+
+
+def pack_pcm(samples, bits_per_sample, big_endian, is_signed):
+    """int32 [frames, channels] -> packed bytes (native)"""
+    import numpy as np
+    lib = get_lib()
+    samples = np.ascontiguousarray(samples, dtype=np.int32)
+    n = samples.size
+    out = np.empty(n * (bits_per_sample // 8), dtype=np.uint8)
+    lib.atpu_pack_pcm(_as_ptr(samples, ctypes.c_int32), n,
+                      bits_per_sample // 8,
+                      1 if big_endian else 0,
+                      1 if is_signed else 0,
+                      _as_ptr(out, ctypes.c_uint8))
+    return out.tobytes()
+
+
+def unpack_pcm(data, bits_per_sample, big_endian, is_signed):
+    """packed bytes -> int32 samples (native)"""
+    import numpy as np
+    lib = get_lib()
+    buf = np.frombuffer(data, dtype=np.uint8)
+    n = len(buf) // (bits_per_sample // 8)
+    out = np.empty(n, dtype=np.int32)
+    lib.atpu_unpack_pcm(_as_ptr(buf, ctypes.c_uint8), n,
+                        bits_per_sample // 8,
+                        1 if big_endian else 0,
+                        1 if is_signed else 0,
+                        _as_ptr(out, ctypes.c_int32))
+    return out
+
+
+class MD5:
+    """a hashlib-like MD5 which hashes int32 PCM without byte copies"""
+
+    def __init__(self):
+        import numpy as np
+        self._state = np.zeros(128, dtype=np.uint8)
+        self._lib = get_lib()
+        self._lib.atpu_md5_init(_as_ptr(self._state, ctypes.c_uint8))
+
+    def update(self, data):
+        import numpy as np
+        buf = np.frombuffer(data, dtype=np.uint8)
+        self._lib.atpu_md5_update(
+            _as_ptr(self._state, ctypes.c_uint8),
+            _as_ptr(buf, ctypes.c_uint8), len(buf))
+
+    def update_pcm(self, samples, bits_per_sample, is_signed=True):
+        """hashes int32 samples as packed little-endian PCM"""
+        import numpy as np
+        samples = np.ascontiguousarray(samples, dtype=np.int32)
+        self._lib.atpu_md5_update_pcm(
+            _as_ptr(self._state, ctypes.c_uint8),
+            _as_ptr(samples, ctypes.c_int32),
+            samples.size, bits_per_sample // 8,
+            1 if is_signed else 0)
+
+    def digest(self):
+        import numpy as np
+        out = np.zeros(16, dtype=np.uint8)
+        self._lib.atpu_md5_final(
+            _as_ptr(self._state, ctypes.c_uint8),
+            _as_ptr(out, ctypes.c_uint8))
+        return out.tobytes()

@@ -526,6 +526,208 @@ uint16_t atpu_crc16(const uint8_t* data, int64_t n, uint16_t initial) {
     return crc16_buf(data, n, initial);
 }
 
+// ------------------------------------------------------------- MD5 ----
+// Standard MD5 (RFC 1321 algorithm, re-implemented) with a fused
+// "update from int32 PCM samples" entry point so stream hashes never
+// materialize intermediate byte buffers on the (slow) host.
+
+namespace {
+
+struct MD5State {
+    uint32_t a, b, c, d;
+    uint64_t total_len;
+    uint8_t pending[64];
+    uint32_t pending_len;
+};
+
+static inline uint32_t rotl32(uint32_t x, int c) {
+    return (x << c) | (x >> (32 - c));
+}
+
+static const uint32_t MD5_K[64] = {
+    0xd76aa478, 0xe8c7b756, 0x242070db, 0xc1bdceee,
+    0xf57c0faf, 0x4787c62a, 0xa8304613, 0xfd469501,
+    0x698098d8, 0x8b44f7af, 0xffff5bb1, 0x895cd7be,
+    0x6b901122, 0xfd987193, 0xa679438e, 0x49b40821,
+    0xf61e2562, 0xc040b340, 0x265e5a51, 0xe9b6c7aa,
+    0xd62f105d, 0x02441453, 0xd8a1e681, 0xe7d3fbc8,
+    0x21e1cde6, 0xc33707d6, 0xf4d50d87, 0x455a14ed,
+    0xa9e3e905, 0xfcefa3f8, 0x676f02d9, 0x8d2a4c8a,
+    0xfffa3942, 0x8771f681, 0x6d9d6122, 0xfde5380c,
+    0xa4beea44, 0x4bdecfa9, 0xf6bb4b60, 0xbebfbc70,
+    0x289b7ec6, 0xeaa127fa, 0xd4ef3085, 0x04881d05,
+    0xd9d4d039, 0xe6db99e5, 0x1fa27cf8, 0xc4ac5665,
+    0xf4292244, 0x432aff97, 0xab9423a7, 0xfc93a039,
+    0x655b59c3, 0x8f0ccc92, 0xffeff47d, 0x85845dd1,
+    0x6fa87e4f, 0xfe2ce6e0, 0xa3014314, 0x4e0811a1,
+    0xf7537e82, 0xbd3af235, 0x2ad7d2bb, 0xeb86d391};
+
+static const int MD5_S[64] = {
+    7, 12, 17, 22, 7, 12, 17, 22, 7, 12, 17, 22, 7, 12, 17, 22,
+    5, 9, 14, 20, 5, 9, 14, 20, 5, 9, 14, 20, 5, 9, 14, 20,
+    4, 11, 16, 23, 4, 11, 16, 23, 4, 11, 16, 23, 4, 11, 16, 23,
+    6, 10, 15, 21, 6, 10, 15, 21, 6, 10, 15, 21, 6, 10, 15, 21};
+
+static void md5_block(MD5State* st, const uint8_t* p) {
+    uint32_t m[16];
+    for (int i = 0; i < 16; i++)
+        m[i] = (uint32_t)p[i * 4] | ((uint32_t)p[i * 4 + 1] << 8) |
+               ((uint32_t)p[i * 4 + 2] << 16) |
+               ((uint32_t)p[i * 4 + 3] << 24);
+    uint32_t a = st->a, b = st->b, c = st->c, d = st->d;
+    for (int i = 0; i < 64; i++) {
+        uint32_t f;
+        int g;
+        if (i < 16)      { f = (b & c) | (~b & d); g = i; }
+        else if (i < 32) { f = (d & b) | (~d & c); g = (5 * i + 1) % 16; }
+        else if (i < 48) { f = b ^ c ^ d;          g = (3 * i + 5) % 16; }
+        else             { f = c ^ (b | ~d);       g = (7 * i) % 16; }
+        const uint32_t tmp = d;
+        d = c;
+        c = b;
+        b = b + rotl32(a + f + MD5_K[i] + m[g], MD5_S[i]);
+        a = tmp;
+    }
+    st->a += a; st->b += b; st->c += c; st->d += d;
+}
+
+static void md5_update(MD5State* st, const uint8_t* data, int64_t n) {
+    st->total_len += n;
+    if (st->pending_len) {
+        while (n > 0 && st->pending_len < 64) {
+            st->pending[st->pending_len++] = *data++;
+            n--;
+        }
+        if (st->pending_len == 64) {
+            md5_block(st, st->pending);
+            st->pending_len = 0;
+        }
+    }
+    while (n >= 64) {
+        md5_block(st, data);
+        data += 64;
+        n -= 64;
+    }
+    while (n > 0) {
+        st->pending[st->pending_len++] = *data++;
+        n--;
+    }
+}
+
+}  // namespace
+
+void atpu_md5_init(uint8_t* state) {
+    MD5State* st = (MD5State*)state;
+    st->a = 0x67452301; st->b = 0xefcdab89;
+    st->c = 0x98badcfe; st->d = 0x10325476;
+    st->total_len = 0;
+    st->pending_len = 0;
+}
+
+void atpu_md5_update(uint8_t* state, const uint8_t* data, int64_t n) {
+    md5_update((MD5State*)state, data, n);
+}
+
+// fused: pack int32 samples to little-endian signed PCM and hash them
+void atpu_md5_update_pcm(uint8_t* state,
+                         const int32_t* samples,
+                         int64_t n,
+                         int32_t bytes_per_sample,
+                         int32_t is_signed) {
+    MD5State* st = (MD5State*)state;
+    const int32_t offset = is_signed ? 0
+        : (1 << (bytes_per_sample * 8 - 1));
+    uint8_t buf[4096];
+    int64_t i = 0;
+    while (i < n) {
+        int64_t chunk = (4096 / bytes_per_sample);
+        if (chunk > (n - i)) chunk = n - i;
+        uint8_t* out = buf;
+        for (int64_t j = 0; j < chunk; j++) {
+            const uint32_t v = (uint32_t)(samples[i + j] + offset);
+            for (int b = 0; b < bytes_per_sample; b++)
+                *out++ = (uint8_t)(v >> (8 * b));
+        }
+        md5_update(st, buf, chunk * bytes_per_sample);
+        i += chunk;
+    }
+}
+
+void atpu_md5_final(uint8_t* state, uint8_t* digest) {
+    MD5State st = *(MD5State*)state;   // work on a copy
+    const uint64_t bit_len = st.total_len * 8;
+    const uint8_t one = 0x80;
+    md5_update(&st, &one, 1);
+    const uint8_t zero = 0x00;
+    while (st.pending_len != 56)
+        md5_update(&st, &zero, 1);
+    uint8_t len_bytes[8];
+    for (int i = 0; i < 8; i++)
+        len_bytes[i] = (uint8_t)(bit_len >> (8 * i));
+    md5_update(&st, len_bytes, 8);
+    uint32_t out[4] = {st.a, st.b, st.c, st.d};
+    for (int i = 0; i < 4; i++)
+        for (int b = 0; b < 4; b++)
+            digest[i * 4 + b] = (uint8_t)(out[i] >> (8 * b));
+}
+
+// ------------------------------------------------------- PCM packing --
+// Converts int32 samples to packed 8/16/24-bit bytes and back — the
+// data-plane hot path of FrameList.to_bytes()/from-bytes (reference
+// src/pcm.c pack/unpack loops).
+
+void atpu_pack_pcm(const int32_t* samples,
+                   int64_t n,
+                   int32_t bytes_per_sample,
+                   int32_t big_endian,
+                   int32_t is_signed,
+                   uint8_t* out) {
+    const int32_t offset = is_signed ? 0
+        : (1 << (bytes_per_sample * 8 - 1));
+    if (bytes_per_sample == 2 && !big_endian && is_signed) {
+        // common case: memcpy-able on little-endian hosts
+        int16_t* out16 = (int16_t*)out;
+        for (int64_t i = 0; i < n; i++)
+            out16[i] = (int16_t)samples[i];
+        return;
+    }
+    for (int64_t i = 0; i < n; i++) {
+        uint32_t v = (uint32_t)(samples[i] + offset);
+        if (big_endian) {
+            for (int b = bytes_per_sample - 1; b >= 0; b--)
+                *out++ = (uint8_t)(v >> (8 * b));
+        } else {
+            for (int b = 0; b < bytes_per_sample; b++)
+                *out++ = (uint8_t)(v >> (8 * b));
+        }
+    }
+}
+
+void atpu_unpack_pcm(const uint8_t* data,
+                     int64_t n,
+                     int32_t bytes_per_sample,
+                     int32_t big_endian,
+                     int32_t is_signed,
+                     int32_t* out) {
+    const int bits = bytes_per_sample * 8;
+    const int32_t offset = is_signed ? 0 : (1 << (bits - 1));
+    const uint32_t sign_bit = 1u << (bits - 1);
+    const uint32_t sign_extend = ~((1u << bits) - 1);
+    for (int64_t i = 0; i < n; i++) {
+        uint32_t v = 0;
+        if (big_endian) {
+            for (int b = 0; b < bytes_per_sample; b++)
+                v = (v << 8) | *data++;
+        } else {
+            for (int b = 0; b < bytes_per_sample; b++)
+                v |= ((uint32_t)(*data++)) << (8 * b);
+        }
+        if (is_signed && (v & sign_bit))
+            v |= sign_extend;
+        out[i] = (int32_t)v - offset;
+    }
+}
+
 uint8_t atpu_crc8(const uint8_t* data, int64_t n, uint8_t initial) {
     return crc8_buf(data, n, initial);
 }

@@ -1,0 +1,127 @@
+"""Fast FLAC decoder: C++ frame decode behind the PCMReader protocol.
+
+The production decode path (reference counterpart
+``/root/reference/src/decoders/flac.c``): metadata blocks are parsed in
+Python, then the raw frame stream is handed to the native decoder
+(``_native.atpu_flac_decode``) in large chunks — Rice decoding is
+bit-serial host work by nature, and the synthesis recurrences run as
+int64 loops at memory speed.  The stream MD5 is verified at EOF like
+the reference (flac.c:195-207).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .. import pcm
+from .. import _native
+from ..bitstream import BitstreamReader
+
+# read granularity in compressed bytes
+CHUNK_BYTES = 0x200000
+
+
+class FastFlacDecoder:
+    """a PCMReader-compatible FLAC decoder over the native kernels"""
+
+    CHANNEL_COUNT_MASKS = {1: 0x0004, 2: 0x0003, 3: 0x0007, 4: 0x0033,
+                           5: 0x0037, 6: 0x003F, 7: 0x013F, 8: 0x063F}
+
+    def __init__(self, file_or_path, channel_mask=None):
+        if isinstance(file_or_path, str):
+            self.file = open(file_or_path, "rb")
+        else:
+            self.file = file_or_path
+
+        reader = BitstreamReader(self.file, False)
+        if reader.read_bytes(4) != b"fLaC":
+            raise ValueError("invalid FLAC file (no 'fLaC' marker)")
+
+        streaminfo = None
+        last = 0
+        while last != 1:
+            (last, block_type, block_length) = reader.parse("1u 7u 24u")
+            if block_type == 0:
+                (self.minimum_block_size,
+                 self.maximum_block_size,
+                 self.minimum_frame_size,
+                 self.maximum_frame_size,
+                 self.sample_rate,
+                 channels,
+                 bps,
+                 self.total_frames,
+                 self.md5sum) = reader.parse(
+                     "16u 16u 24u 24u 20u 3u 5u 36U 16b")
+                self.channels = channels + 1
+                self.bits_per_sample = bps + 1
+                streaminfo = True
+            else:
+                reader.skip_bytes(block_length)
+        if streaminfo is None:
+            raise ValueError("no STREAMINFO block found")
+
+        if channel_mask:
+            self.channel_mask = channel_mask
+        else:
+            self.channel_mask = self.CHANNEL_COUNT_MASKS.get(
+                self.channels, 0)
+
+        self.buffer = b""
+        self.current_md5 = _native.MD5()
+        self.decoded_frames = 0
+        self.eof = False
+        self.closed = False
+
+    def read(self, pcm_frames):
+        """decodes up to a chunk of FLAC frames"""
+        if self.closed:
+            raise ValueError("stream is closed")
+        if self.eof:
+            return pcm.empty_framelist(self.channels,
+                                       self.bits_per_sample)
+
+        # keep the compressed buffer topped up
+        while len(self.buffer) < CHUNK_BYTES:
+            chunk = self.file.read(CHUNK_BYTES)
+            if not chunk:
+                break
+            self.buffer += chunk
+
+        if not self.buffer:
+            self._finish()
+            return pcm.empty_framelist(self.channels,
+                                       self.bits_per_sample)
+
+        max_samples = max(pcm_frames, self.maximum_block_size or 65536)
+        (samples, consumed) = _native.flac_decode(
+            self.buffer, self.bits_per_sample, self.channels,
+            max_samples)
+
+        if consumed == 0:
+            # no complete frame in buffer: either EOF or bad data
+            self._finish()
+            return pcm.empty_framelist(self.channels,
+                                       self.bits_per_sample)
+
+        self.buffer = self.buffer[consumed:]
+        framelist = pcm.FrameList._wrap(
+            np.ascontiguousarray(samples), self.bits_per_sample)
+        self.decoded_frames += framelist.frames
+        self.current_md5.update_pcm(framelist.samples,
+                                    self.bits_per_sample)
+
+        if (self.total_frames and
+                self.decoded_frames >= self.total_frames):
+            self._finish()
+        return framelist
+
+    def _finish(self):
+        if not self.eof:
+            self.eof = True
+            if ((self.md5sum != b"\x00" * 16) and
+                    (self.current_md5.digest() != self.md5sum)):
+                raise ValueError("MD5 mismatch at end of stream")
+
+    def close(self):
+        self.closed = True
+        self.file.close()

@@ -16,7 +16,6 @@ construction.
 from __future__ import annotations
 
 import os
-from hashlib import md5
 
 import numpy as np
 
@@ -108,7 +107,7 @@ def encode_flac_fast(file_or_path,
     if batch_frames is None:
         # big batches amortize device dispatch latency; the host path
         # keeps working sets cache-sized
-        batch_frames = 256 if backend == "jax" else 32
+        batch_frames = 64 if backend == "jax" else 32
     bps = pcmreader.bits_per_sample
     channels = pcmreader.channels
     sample_rate = pcmreader.sample_rate
@@ -153,7 +152,7 @@ def encode_flac_fast(file_or_path,
         output_file.write(b"\x00" * padding_size)
 
     reader = BufferedPCMReader(pcmreader)
-    stream_md5 = md5()
+    stream_md5 = _native.MD5()
     total_pcm_frames = 0
     min_frame = (1 << 24) - 1
     max_frame = 0
@@ -186,7 +185,7 @@ def encode_flac_fast(file_or_path,
         framelist = reader.read(block_size * batch_frames)
         if framelist.frames == 0:
             break
-        stream_md5.update(framelist.to_bytes(False, True))
+        stream_md5.update_pcm(framelist.samples, bps)
         total_pcm_frames += framelist.frames
 
         samples = framelist.samples  # int32 [frames, channels]

@@ -22,6 +22,12 @@ from __future__ import annotations
 
 import numpy as np
 
+# the C++ data-plane kernels handle bulk byte conversion when available
+try:
+    from . import _native as _native_pcm
+except Exception:          # pragma: no cover - build failure fallback
+    _native_pcm = None
+
 __all__ = [
     "FrameList",
     "FloatFrameList",
@@ -46,6 +52,10 @@ def _unpack_bytes(data, channels, bits_per_sample, is_big_endian, is_signed):
         raise ValueError(
             "number of bytes %d not divisible by frame size %d" %
             (len(data), frame_bytes))
+    if _native_pcm is not None:
+        return _native_pcm.unpack_pcm(
+            data, bits_per_sample, is_big_endian,
+            is_signed).reshape(-1, channels)
     raw = np.frombuffer(data, dtype=np.uint8)
     n_samples = len(data) // bytes_per_sample
     b = raw.reshape(n_samples, bytes_per_sample).astype(np.uint32)
@@ -67,6 +77,9 @@ def _unpack_bytes(data, channels, bits_per_sample, is_big_endian, is_signed):
 
 def _pack_bytes(samples, bits_per_sample, is_big_endian, is_signed):
     """int32[frames, channels] -> bytes."""
+    if _native_pcm is not None:
+        return _native_pcm.pack_pcm(samples, bits_per_sample,
+                                    is_big_endian, is_signed)
     bytes_per_sample = bits_per_sample // 8
     flat = samples.reshape(-1).astype(np.int64)
     if not is_signed:
