@@ -36,10 +36,16 @@ def _build_and_load():
 
     if not os.path.exists(so_path):
         tmp_path = so_path + ".%d.tmp" % (os.getpid(),)
-        cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+        cmd = ["g++", "-O3", "-march=native", "-funroll-loops",
+               "-shared", "-fPIC", "-std=c++17",
                "-fno-exceptions", "-o", tmp_path, _SRC]
         try:
-            subprocess.run(cmd, check=True, capture_output=True)
+            try:
+                subprocess.run(cmd, check=True, capture_output=True)
+            except subprocess.CalledProcessError:
+                # retry without -march=native (unsupported targets)
+                cmd = [c for c in cmd if c != "-march=native"]
+                subprocess.run(cmd, check=True, capture_output=True)
             os.replace(tmp_path, so_path)
         except (subprocess.CalledProcessError, OSError) as err:
             stderr = getattr(err, "stderr", b"")
@@ -97,6 +103,25 @@ def _build_and_load():
         ctypes.c_int32,                   # sample_rate
         ctypes.c_int32,                   # stream_bps
         ctypes.c_int32,                   # stream_channels
+        ctypes.POINTER(ctypes.c_uint8),   # out
+        ctypes.POINTER(ctypes.c_int64),   # out_lens (cumulative ends)
+    ]
+
+    lib.atpu_flac_emit_frames2.restype = ctypes.c_int64
+    lib.atpu_flac_emit_frames2.argtypes = [
+        ctypes.POINTER(ctypes.c_int32),   # blocks [F, max_block, ch]
+        ctypes.POINTER(ctypes.c_int64),   # frame_numbers
+        ctypes.POINTER(ctypes.c_int32),   # block_sizes
+        ctypes.POINTER(ctypes.c_int32),   # packed decisions
+        ctypes.c_int64,                   # n_frames
+        ctypes.c_int32,                   # max_subframes
+        ctypes.c_int32,                   # max_order
+        ctypes.c_int32,                   # max_partitions
+        ctypes.c_int32,                   # max_block
+        ctypes.c_int32,                   # sample_rate
+        ctypes.c_int32,                   # stream_bps
+        ctypes.c_int32,                   # stream_channels
+        ctypes.c_int32,                   # qlp_precision
         ctypes.POINTER(ctypes.c_uint8),   # out
         ctypes.POINTER(ctypes.c_int64),   # out_lens (cumulative ends)
     ]
@@ -236,6 +261,46 @@ def flac_emit_frames(frame_numbers, block_sizes, assignments,
          else ctypes.POINTER(ctypes.c_int32)()),
         n_frames, max_subframes, max_order, max_partitions, max_block,
         sample_rate, stream_bps, stream_channels,
+        _as_ptr(out, ctypes.c_uint8),
+        _as_ptr(out_ends, ctypes.c_int64))
+    if total < 0:
+        raise ValueError("frame emit error (code %d)" % (total,))
+    lens = np.diff(np.concatenate([[0], out_ends]))
+    return (out[:total].tobytes(), lens)
+
+
+def flac_emit_frames2(blocks, frame_numbers, block_sizes, packed,
+                      max_subframes, max_order, max_partitions,
+                      sample_rate, stream_bps, stream_channels,
+                      qlp_precision):
+    """emits FLAC frames from raw PCM blocks + packed decision rows
+
+    blocks: int32 [n_frames, max_block, channels] interleaved PCM
+    packed: int32 [n_frames, 1 + max_subframes * (6 + max_order +
+            max_partitions)] device decision output
+    returns (frame bytes, per-frame byte lengths int64 array)"""
+    import numpy as np
+
+    lib = get_lib()
+
+    blocks = np.ascontiguousarray(blocks, dtype=np.int32)
+    frame_numbers = np.ascontiguousarray(frame_numbers, dtype=np.int64)
+    block_sizes = np.ascontiguousarray(block_sizes, dtype=np.int32)
+    packed = np.ascontiguousarray(packed, dtype=np.int32)
+    n_frames = len(frame_numbers)
+    max_block = blocks.shape[1]
+
+    worst = int(n_frames) * (max_block * max_subframes * 5 + 1024)
+    out = np.empty(worst, dtype=np.uint8)
+    out_ends = np.empty(n_frames, dtype=np.int64)
+
+    total = lib.atpu_flac_emit_frames2(
+        _as_ptr(blocks, ctypes.c_int32),
+        _as_ptr(frame_numbers, ctypes.c_int64),
+        _as_ptr(block_sizes, ctypes.c_int32),
+        _as_ptr(packed, ctypes.c_int32),
+        n_frames, max_subframes, max_order, max_partitions, max_block,
+        sample_rate, stream_bps, stream_channels, qlp_precision,
         _as_ptr(out, ctypes.c_uint8),
         _as_ptr(out_ends, ctypes.c_int64))
     if total < 0:

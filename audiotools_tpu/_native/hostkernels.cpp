@@ -26,7 +26,8 @@ namespace {
 // ---------------------------------------------------------------- CRC --
 struct CrcTables {
     uint8_t crc8[256];
-    uint16_t crc16[256];
+    uint16_t crc16[8][256];   // slice-by-8: crc16[k][x] = CRC of byte
+                              // x followed by k zero bytes
     CrcTables() {
         for (int b = 0; b < 256; b++) {
             uint32_t c8 = b;
@@ -36,8 +37,13 @@ struct CrcTables {
             uint32_t c16 = (uint32_t)b << 8;
             for (int i = 0; i < 8; i++)
                 c16 = (c16 & 0x8000) ? ((c16 << 1) ^ 0x8005) : (c16 << 1);
-            crc16[b] = (uint16_t)c16;
+            crc16[0][b] = (uint16_t)c16;
         }
+        for (int k = 1; k < 8; k++)
+            for (int b = 0; b < 256; b++) {
+                const uint16_t c = crc16[k - 1][b];
+                crc16[k][b] = (uint16_t)(crc16[0][c >> 8] ^ (c << 8));
+            }
     }
 };
 static const CrcTables tables;
@@ -49,8 +55,23 @@ static inline uint8_t crc8_buf(const uint8_t* p, int64_t n, uint8_t crc) {
 
 static inline uint16_t crc16_buf(const uint8_t* p, int64_t n,
                                  uint16_t crc) {
+    // slice-by-8 main loop (the CRC distributes over the high bytes
+    // because the generator acts linearly on each byte lane)
+    while (n >= 8) {
+        crc = (uint16_t)(tables.crc16[7][(crc >> 8) ^ p[0]] ^
+                         tables.crc16[6][(crc & 0xFF) ^ p[1]] ^
+                         tables.crc16[5][p[2]] ^
+                         tables.crc16[4][p[3]] ^
+                         tables.crc16[3][p[4]] ^
+                         tables.crc16[2][p[5]] ^
+                         tables.crc16[1][p[6]] ^
+                         tables.crc16[0][p[7]]);
+        p += 8;
+        n -= 8;
+    }
     for (int64_t i = 0; i < n; i++)
-        crc = (uint16_t)(tables.crc16[(crc >> 8) ^ p[i]] ^ (crc << 8));
+        crc = (uint16_t)(tables.crc16[0][(crc >> 8) ^ p[i]] ^
+                         (crc << 8));
     return crc;
 }
 
@@ -65,6 +86,12 @@ struct BitWriter {
         : out(buffer), pos(start), acc(0), bits(0) {}
 
     inline void flush_bytes() {
+        if (bits >= 32) {
+            bits -= 32;
+            uint32_t v = __builtin_bswap32((uint32_t)(acc >> bits));
+            __builtin_memcpy(out + pos, &v, 4);
+            pos += 4;
+        }
         while (bits >= 8) {
             bits -= 8;
             out[pos++] = (uint8_t)(acc >> bits);
@@ -225,6 +252,8 @@ int64_t atpu_pack_frames(const int64_t* vals,
     return out_pos;
 }
 
+}  // extern "C"
+
 // ---------------------------------------------------- FLAC frame emit --
 namespace {
 
@@ -238,6 +267,50 @@ inline void put_wasted(BitWriter& w, int wasted) {
         w.put(1, wasted);       // (wasted-1) implicit zeros then a 1
     } else {
         w.put(0, 1);
+    }
+}
+
+// order-specialized LPC residual kernels: the fixed trip count lets
+// the compiler fully unroll + vectorize the MAC loop (the emitter's
+// hottest arithmetic)
+template <int ORDER>
+static void lpc_res_t(const int32_t* samp, int64_t n,
+                      const int32_t* q, int shift, int64_t* res) {
+    for (int64_t i = ORDER; i < n; i++) {
+        int64_t pred = 0;
+        for (int j = 0; j < ORDER; j++)
+            pred += (int64_t)q[j] * samp[i - 1 - j];
+        res[i] = samp[i] - (pred >> shift);
+    }
+}
+
+static void lpc_res_generic(const int32_t* samp, int64_t n, int order,
+                            const int32_t* q, int shift, int64_t* res) {
+    for (int64_t i = order; i < n; i++) {
+        int64_t pred = 0;
+        for (int j = 0; j < order; j++)
+            pred += (int64_t)q[j] * samp[i - 1 - j];
+        res[i] = samp[i] - (pred >> shift);
+    }
+}
+
+static void lpc_residuals_dispatch(const int32_t* samp, int64_t n,
+                                   int order, const int32_t* q,
+                                   int shift, int64_t* res) {
+    switch (order) {
+    case 1: lpc_res_t<1>(samp, n, q, shift, res); break;
+    case 2: lpc_res_t<2>(samp, n, q, shift, res); break;
+    case 3: lpc_res_t<3>(samp, n, q, shift, res); break;
+    case 4: lpc_res_t<4>(samp, n, q, shift, res); break;
+    case 5: lpc_res_t<5>(samp, n, q, shift, res); break;
+    case 6: lpc_res_t<6>(samp, n, q, shift, res); break;
+    case 7: lpc_res_t<7>(samp, n, q, shift, res); break;
+    case 8: lpc_res_t<8>(samp, n, q, shift, res); break;
+    case 9: lpc_res_t<9>(samp, n, q, shift, res); break;
+    case 10: lpc_res_t<10>(samp, n, q, shift, res); break;
+    case 11: lpc_res_t<11>(samp, n, q, shift, res); break;
+    case 12: lpc_res_t<12>(samp, n, q, shift, res); break;
+    default: lpc_res_generic(samp, n, order, q, shift, res); break;
     }
 }
 
@@ -265,6 +338,8 @@ inline void put_utf8(BitWriter& w, uint64_t value) {
 }
 
 }  // namespace
+
+extern "C" {
 
 // Emits complete FLAC frames from per-subframe decision arrays.
 //
@@ -522,6 +597,260 @@ int64_t atpu_flac_emit_frames(const int64_t* frame_numbers,
     return (n_frames > 0) ? out_lens[n_frames - 1] : 0;
 }
 
+// Emits complete FLAC frames from raw PCM blocks + packed decisions.
+//
+// The round-2 fast path: the device ships ONE packed int32 decision
+// array per batch ([n_frames, 1 + max_subframes*W] with W =
+// 6 + max_order + max_partitions; per-subframe columns
+// [choice, wasted, order, porder, shift, sub_bits, qlp*K, rice*P]) and
+// the emitter derives everything else — variant samples (L/R/mid/side
+// from the interleaved input blocks), wasted-bit shifts, and exact
+// int64 residuals — so the host Python layer does no per-sample work.
+int64_t atpu_flac_emit_frames2(const int32_t* blocks,    // [F,max_block,ch]
+                               const int64_t* frame_numbers,
+                               const int32_t* block_sizes,
+                               const int32_t* packed,
+                               int64_t n_frames,
+                               int32_t max_subframes,
+                               int32_t max_order,
+                               int32_t max_partitions,
+                               int32_t max_block,
+                               int32_t sample_rate,
+                               int32_t stream_bps,
+                               int32_t stream_channels,
+                               int32_t qlp_precision,
+                               uint8_t* out,
+                               int64_t* out_lens) {
+    const int W = 6 + max_order + max_partitions;
+    const int row_width = 1 + max_subframes * W;
+
+    static thread_local int32_t* samp_buf = nullptr;
+    static thread_local int64_t* res_buf = nullptr;
+    static thread_local int64_t buf_size = 0;
+    if (max_block > buf_size) {
+        delete[] samp_buf;
+        delete[] res_buf;
+        samp_buf = new int32_t[max_block * 2];
+        res_buf = new int64_t[max_block * 2];
+        buf_size = max_block;
+    }
+
+    for (int64_t f = 0; f < n_frames; f++) {
+        const int64_t frame_start = (f == 0) ? 0 : out_lens[f - 1];
+        BitWriter w(out, frame_start);
+        const int block_size = block_sizes[f];
+        const int32_t* prow = packed + f * row_width;
+        const int assignment = prow[0];
+        const int32_t* frame_pcm =
+            blocks + f * (int64_t)max_block * stream_channels;
+
+        // ---- frame header ----
+        w.put(0x3FFE, 14);
+        w.put(0, 1);
+        w.put(0, 1);
+
+        int bs_code;
+        switch (block_size) {
+        case 192: bs_code = 1; break;
+        case 256: bs_code = 8; break;
+        case 512: bs_code = 9; break;
+        case 576: bs_code = 2; break;
+        case 1024: bs_code = 10; break;
+        case 1152: bs_code = 3; break;
+        case 2048: bs_code = 11; break;
+        case 2304: bs_code = 4; break;
+        case 4096: bs_code = 12; break;
+        case 4608: bs_code = 5; break;
+        case 8192: bs_code = 13; break;
+        case 16384: bs_code = 14; break;
+        case 32768: bs_code = 15; break;
+        default:
+            bs_code = (block_size <= 256) ? 6 :
+                      (block_size <= 65536) ? 7 : 0;
+        }
+        w.put(bs_code, 4);
+
+        int sr_code;
+        switch (sample_rate) {
+        case 8000: sr_code = 4; break;
+        case 16000: sr_code = 5; break;
+        case 22050: sr_code = 6; break;
+        case 24000: sr_code = 7; break;
+        case 32000: sr_code = 8; break;
+        case 44100: sr_code = 9; break;
+        case 48000: sr_code = 10; break;
+        case 88200: sr_code = 1; break;
+        case 96000: sr_code = 11; break;
+        case 176400: sr_code = 2; break;
+        case 192000: sr_code = 3; break;
+        default:
+            if ((sample_rate % 1000 == 0) && sample_rate <= 255000)
+                sr_code = 12;
+            else if ((sample_rate % 10 == 0) && sample_rate <= 655350)
+                sr_code = 14;
+            else if (sample_rate <= 65535)
+                sr_code = 13;
+            else
+                sr_code = 0;
+        }
+        w.put(sr_code, 4);
+        w.put(assignment, 4);
+
+        int bps_code;
+        switch (stream_bps) {
+        case 8: bps_code = 1; break;
+        case 12: bps_code = 2; break;
+        case 16: bps_code = 4; break;
+        case 20: bps_code = 5; break;
+        case 24: bps_code = 6; break;
+        default: bps_code = 0;
+        }
+        w.put(bps_code, 3);
+        w.put(0, 1);
+
+        put_utf8(w, (uint64_t)frame_numbers[f]);
+
+        if (bs_code == 6) w.put(block_size - 1, 8);
+        else if (bs_code == 7) w.put(block_size - 1, 16);
+
+        if (sr_code == 12) w.put(sample_rate % 1000, 8);
+        else if (sr_code == 13) w.put(sample_rate, 16);
+        else if (sr_code == 14) w.put(sample_rate % 10, 16);
+
+        if (w.bits != 0) return -20;  // header must be byte-aligned
+        int64_t pos = w.pos;
+        out[pos] = crc8_buf(out + frame_start, pos - frame_start, 0);
+        pos += 1;
+
+        // ---- subframes ----
+        int n_subframes;
+        if (assignment <= 7) n_subframes = assignment + 1;
+        else n_subframes = 2;
+
+        BitWriter w2(out, pos);
+        for (int s = 0; s < n_subframes; s++) {
+            const int32_t* sub = prow + 1 + s * W;
+            const int choice = sub[0];
+            const int wasted = sub[1];
+            const int order = sub[2];
+            const int porder = sub[3];
+            const int shift = sub[4];
+            const int32_t* qlp = sub + 6;
+            const int32_t* params = sub + 6 + max_order;
+
+            int sub_bps = stream_bps;
+            if ((assignment == 8 && s == 1) ||
+                (assignment == 9 && s == 0) ||
+                (assignment == 10 && s == 1))
+                sub_bps += 1;
+            const int ebps = sub_bps - wasted;
+
+            // derive the variant samples (post-wasted-shift)
+            if (assignment <= 7) {
+                const int c = s;
+                for (int i = 0; i < block_size; i++)
+                    samp_buf[i] =
+                        frame_pcm[(int64_t)i * stream_channels + c]
+                        >> wasted;
+            } else {
+                int variant;  // 0 L, 1 R, 2 mid, 3 side
+                if (assignment == 8) variant = (s == 0) ? 0 : 3;
+                else if (assignment == 9) variant = (s == 0) ? 3 : 1;
+                else variant = (s == 0) ? 2 : 3;
+                for (int i = 0; i < block_size; i++) {
+                    const int32_t L = frame_pcm[(int64_t)i * 2];
+                    const int32_t R = frame_pcm[(int64_t)i * 2 + 1];
+                    int32_t v;
+                    switch (variant) {
+                    case 0: v = L; break;
+                    case 1: v = R; break;
+                    case 2: v = (L + R) >> 1; break;
+                    default: v = L - R; break;
+                    }
+                    samp_buf[i] = v >> wasted;
+                }
+            }
+
+            if (choice == 0) {                    // CONSTANT
+                w2.put(0, 1); w2.put(0, 6); w2.put(0, 1);
+                put_signed(w2, samp_buf[0], sub_bps);
+                continue;
+            } else if (choice == 1) {             // VERBATIM
+                w2.put(0, 1); w2.put(1, 6);
+                put_wasted(w2, wasted);
+                for (int i = 0; i < block_size; i++)
+                    put_signed(w2, samp_buf[i], ebps);
+                continue;
+            }
+
+            if (choice == 2) {                    // FIXED
+                w2.put(0, 1); w2.put(1, 3); w2.put(order, 3);
+                put_wasted(w2, wasted);
+                for (int i = 0; i < order; i++)
+                    put_signed(w2, samp_buf[i], ebps);
+                static const int64_t FC[5][4] = {
+                    {0, 0, 0, 0},
+                    {1, 0, 0, 0},
+                    {2, -1, 0, 0},
+                    {3, -3, 1, 0},
+                    {4, -6, 4, -1}};
+                for (int i = order; i < block_size; i++) {
+                    int64_t pred = 0;
+                    for (int j = 0; j < order; j++)
+                        pred += FC[order][j] * samp_buf[i - 1 - j];
+                    res_buf[i] = samp_buf[i] - pred;
+                }
+            } else {                              // LPC
+                w2.put(0, 1); w2.put(1, 1); w2.put(order - 1, 5);
+                put_wasted(w2, wasted);
+                for (int i = 0; i < order; i++)
+                    put_signed(w2, samp_buf[i], ebps);
+                w2.put(qlp_precision - 1, 4);
+                put_signed(w2, shift, 5);
+                for (int i = 0; i < order; i++)
+                    put_signed(w2, qlp[i], qlp_precision);
+                lpc_residuals_dispatch(samp_buf, block_size, order,
+                                       qlp, shift, res_buf);
+            }
+
+            // residual block
+            const int n_partitions = 1 << porder;
+            int coding_method = 0;
+            for (int p = 0; p < n_partitions; p++)
+                if (params[p] > 14) coding_method = 1;
+            w2.put(coding_method, 2);
+            w2.put(porder, 4);
+
+            const int psize = block_size >> porder;
+            for (int p = 0; p < n_partitions; p++) {
+                const int param = params[p];
+                w2.put(param, coding_method ? 5 : 4);
+                const int start = (p == 0) ? order : p * psize;
+                const int end = (p + 1) * psize;
+                const uint64_t lsb_mask = (1ULL << param) - 1;
+                const uint64_t stop = 1ULL << param;
+                for (int i = start; i < end; i++) {
+                    const int64_t r = res_buf[i];
+                    // branchless zigzag: 2r / -2r-1
+                    const uint64_t u = (uint64_t)((r << 1) ^ (r >> 63));
+                    const uint64_t msb = u >> param;
+                    w2.put(stop | (u & lsb_mask),
+                           (int64_t)msb + 1 + param);
+                }
+            }
+        }
+
+        w2.byte_align();
+        pos = w2.pos;
+        const uint16_t crc = crc16_buf(out + frame_start,
+                                       pos - frame_start, 0);
+        out[pos++] = (uint8_t)(crc >> 8);
+        out[pos++] = (uint8_t)(crc & 0xFF);
+        out_lens[f] = pos;      // cumulative end offsets
+    }
+    return (n_frames > 0) ? out_lens[n_frames - 1] : 0;
+}
+
 uint16_t atpu_crc16(const uint8_t* data, int64_t n, uint16_t initial) {
     return crc16_buf(data, n, initial);
 }
@@ -570,22 +899,33 @@ static const int MD5_S[64] = {
 
 static void md5_block(MD5State* st, const uint8_t* p) {
     uint32_t m[16];
-    for (int i = 0; i < 16; i++)
-        m[i] = (uint32_t)p[i * 4] | ((uint32_t)p[i * 4 + 1] << 8) |
-               ((uint32_t)p[i * 4 + 2] << 16) |
-               ((uint32_t)p[i * 4 + 3] << 24);
+    __builtin_memcpy(m, p, 64);   // little-endian host assumed
     uint32_t a = st->a, b = st->b, c = st->c, d = st->d;
-    for (int i = 0; i < 64; i++) {
-        uint32_t f;
-        int g;
-        if (i < 16)      { f = (b & c) | (~b & d); g = i; }
-        else if (i < 32) { f = (d & b) | (~d & c); g = (5 * i + 1) % 16; }
-        else if (i < 48) { f = b ^ c ^ d;          g = (3 * i + 5) % 16; }
-        else             { f = c ^ (b | ~d);       g = (7 * i) % 16; }
-        const uint32_t tmp = d;
-        d = c;
-        c = b;
-        b = b + rotl32(a + f + MD5_K[i] + m[g], MD5_S[i]);
+    // four explicitly-split rounds let the compiler unroll fully
+    for (int i = 0; i < 16; i++) {
+        const uint32_t f = (b & c) | (~b & d);
+        const uint32_t tmp = d; d = c; c = b;
+        b = b + rotl32(a + f + MD5_K[i] + m[i], MD5_S[i]);
+        a = tmp;
+    }
+    for (int i = 16; i < 32; i++) {
+        const uint32_t f = (d & b) | (~d & c);
+        const uint32_t tmp = d; d = c; c = b;
+        b = b + rotl32(a + f + MD5_K[i] + m[(5 * i + 1) % 16],
+                       MD5_S[i]);
+        a = tmp;
+    }
+    for (int i = 32; i < 48; i++) {
+        const uint32_t f = b ^ c ^ d;
+        const uint32_t tmp = d; d = c; c = b;
+        b = b + rotl32(a + f + MD5_K[i] + m[(3 * i + 5) % 16],
+                       MD5_S[i]);
+        a = tmp;
+    }
+    for (int i = 48; i < 64; i++) {
+        const uint32_t f = c ^ (b | ~d);
+        const uint32_t tmp = d; d = c; c = b;
+        b = b + rotl32(a + f + MD5_K[i] + m[(7 * i) % 16], MD5_S[i]);
         a = tmp;
     }
     st->a += a; st->b += b; st->c += c; st->d += d;
@@ -637,16 +977,23 @@ void atpu_md5_update_pcm(uint8_t* state,
     MD5State* st = (MD5State*)state;
     const int32_t offset = is_signed ? 0
         : (1 << (bytes_per_sample * 8 - 1));
-    uint8_t buf[4096];
+    uint8_t buf[65536];
     int64_t i = 0;
+    const int64_t per = 65536 / bytes_per_sample;
     while (i < n) {
-        int64_t chunk = (4096 / bytes_per_sample);
+        int64_t chunk = per;
         if (chunk > (n - i)) chunk = n - i;
-        uint8_t* out = buf;
-        for (int64_t j = 0; j < chunk; j++) {
-            const uint32_t v = (uint32_t)(samples[i + j] + offset);
-            for (int b = 0; b < bytes_per_sample; b++)
-                *out++ = (uint8_t)(v >> (8 * b));
+        if (bytes_per_sample == 2 && is_signed) {
+            int16_t* out16 = (int16_t*)buf;   // LE host
+            for (int64_t j = 0; j < chunk; j++)
+                out16[j] = (int16_t)samples[i + j];
+        } else {
+            uint8_t* out = buf;
+            for (int64_t j = 0; j < chunk; j++) {
+                const uint32_t v = (uint32_t)(samples[i + j] + offset);
+                for (int b = 0; b < bytes_per_sample; b++)
+                    *out++ = (uint8_t)(v >> (8 * b));
+            }
         }
         md5_update(st, buf, chunk * bytes_per_sample);
         i += chunk;

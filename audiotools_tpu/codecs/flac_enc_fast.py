@@ -2,19 +2,23 @@
 
 The production encode path (reference counterpart:
 ``/root/reference/src/encoders/flac.c:43``): PCM is read in multi-frame
-batches, expanded to the ``{L, R, mid, side}`` candidate stack, and all
-subframe trials (wasted bits, FIXED order selection, windowed LPC with
-exhaustive order sweeps, Rice partition searches) run as batched array
-programs in ``ops.flac_frames`` — NumPy on host or jax.numpy under
-``jit`` on TPU, byte-identically.  The chosen decision/residual arrays
-stream to the C++ emitter (``_native.atpu_flac_emit_frames``), which
-serializes frames and CRCs at memory speed.  The final short block goes
-through the scalar oracle encoder, which is byte-identical by shared
-construction.
+batches and analyzed entirely on device by
+``ops.flac_frames.analyze_frames_packed`` — variants, subframe trials,
+LPC order sweeps, Rice partition searches, channel assignment and the
+final decision gather all run as one jitted program whose only output
+is a small packed int32 decision array (one device->host transfer per
+batch).  A ring of in-flight batches keeps the device busy while the
+C++ emitter (``_native.atpu_flac_emit_frames2``) serializes earlier
+batches from the raw PCM + decisions at memory speed, re-deriving
+residuals exactly in int64 (losslessness is independent of analysis
+precision).  The final short block goes through the scalar oracle
+encoder, which shares the same analysis kernel and is byte-identical
+by construction.
 """
 
 from __future__ import annotations
 
+import collections
 import os
 
 import numpy as np
@@ -41,45 +45,65 @@ def _jax_device():
     return None
 
 
-def _analyze_jax(blocks, stereo_trial, bps_scalar, n, K, precision,
-                 porders, max_rice, exhaustive, window):
-    """jitted device analysis; cached per static configuration
+_cache_enabled = False
 
-    blocks: [B, n, ch] int16 (bps <= 16) or int32; the candidate
-    variant stack (L/R/mid/side) is built on device so the host only
-    uploads raw PCM"""
+
+def _enable_compilation_cache(jax):
+    """points JAX at a persistent compilation cache (idempotent)
+
+    CLI jobs run in forked worker processes; without a disk cache each
+    worker pays the full XLA compile (tens of seconds) per process.
+    ATPU_JAX_CACHE_DIR overrides; empty string disables."""
+    global _cache_enabled
+    if _cache_enabled:
+        return
+    cache_dir = os.environ.get(
+        "ATPU_JAX_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "atpu",
+                     "jaxcache"))
+    if cache_dir:
+        try:
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 1.0)
+        except Exception:
+            pass
+    _cache_enabled = True
+
+
+def _analyze_jax(blocks, stereo_trial, bps_scalar, n, K, precision,
+                 porders, max_rice, exhaustive, mid_side, window):
+    """jitted packed device analysis; cached per static configuration
+
+    blocks: [B, n, ch] int16 (bps <= 16) or int32; everything through
+    channel assignment and decision packing runs on device, so the
+    host fetches a single [B, 1 + max_subframes*W] int32 array"""
     import jax
     jax.config.update("jax_enable_x64", True)
-    import jax.numpy as jnp
+    _enable_compilation_cache(jax)
 
     key = (blocks.shape, blocks.dtype.str, stereo_trial, bps_scalar, n,
-           K, precision, tuple(porders), max_rice, exhaustive)
+           K, precision, tuple(porders), max_rice, exhaustive, mid_side)
     if key not in _jax_analyze_cache:
+        import jax.numpy as jnp
+
         def run(blocks, window):
-            (X, bps_vec) = flac_frames.build_variants(
-                jnp, blocks.astype(jnp.int32), stereo_trial, bps_scalar)
-            out = flac_frames.analyze_subframes(
-                jnp, X, bps_vec, n, K, precision, list(porders),
-                max_rice, exhaustive, window)
-            # residuals/samples are re-derived host-side; keep the
-            # device->host transfer to the small decision arrays
-            del out["residual"]
-            del out["samples"]
-            del out["const_val"]
-            return out
+            # flattened output: multi-dim jit outputs hit a slow
+            # per-row device->host conversion path on some backends
+            # (measured 3 orders of magnitude slower on TPU tunnels);
+            # the caller reshapes after the single bulk fetch
+            return flac_frames.analyze_frames_packed(
+                jnp, blocks, stereo_trial, bps_scalar, n, K, precision,
+                list(porders), max_rice, exhaustive, mid_side,
+                window).ravel()
         _jax_analyze_cache[key] = jax.jit(run)
     device = _jax_device()
     if device is not None:
         blocks = jax.device_put(blocks, device)
         window = jax.device_put(window, device)
-    # async dispatch: caller converts to numpy when needed, letting the
-    # device overlap with host-side serialization of earlier batches
+    # async dispatch: the caller fetches the packed array later,
+    # letting the device overlap with host-side serialization
     return _jax_analyze_cache[key](blocks, window)
-
-
-# variant index pairs per stereo assignment: (subframe0, subframe1)
-# variants are ordered [left, right, average, difference]
-_ASSIGNMENT_VARIANTS = {1: (0, 1), 8: (0, 3), 9: (3, 1), 10: (2, 3)}
 
 
 def encode_flac_fast(file_or_path,
@@ -97,7 +121,8 @@ def encode_flac_fast(file_or_path,
                      disable_lpc_subframes=False,
                      padding_size=4096,
                      batch_frames=None,
-                     backend=None):
+                     backend=None,
+                     pipeline_depth=None):
     """encodes a FLAC file from a PCMReader (batched fast path)
 
     returns a list of (byte_offset, pcm_frames) pairs per FLAC frame"""
@@ -107,7 +132,11 @@ def encode_flac_fast(file_or_path,
     if batch_frames is None:
         # big batches amortize device dispatch latency; the host path
         # keeps working sets cache-sized
-        batch_frames = 64 if backend == "jax" else 32
+        batch_frames = int(os.environ.get(
+            "ATPU_FLAC_BATCH", "256" if backend == "jax" else "32"))
+    if pipeline_depth is None:
+        pipeline_depth = int(os.environ.get(
+            "ATPU_FLAC_PIPELINE", "2" if backend == "jax" else "1"))
     bps = pcmreader.bits_per_sample
     channels = pcmreader.channels
     sample_rate = pcmreader.sample_rate
@@ -121,11 +150,12 @@ def encode_flac_fast(file_or_path,
     precision = options.qlp_precision
 
     stereo_trial = (channels == 2) and (mid_side or adaptive_mid_side)
-    V = 4 if stereo_trial else channels
     max_subframes = 2 if stereo_trial else channels
     porders = flac_frames.valid_partition_orders(
         block_size, max_residual_partition_order, max(max_lpc_order, 4))
     window = lpc_ops.tukey_window(block_size)
+    Kp = max(max_lpc_order, 1)
+    P = 1 << porders[-1]
 
     if isinstance(file_or_path, str):
         output_file = open(file_or_path, "wb")
@@ -156,23 +186,51 @@ def encode_flac_fast(file_or_path,
     total_pcm_frames = 0
     min_frame = (1 << 24) - 1
     max_frame = 0
-    frame_number = 0
+    frame_number = 0          # frames emitted so far
+    submitted_frames = 0      # frames submitted to analysis so far
     current_offset = 0
     frame_offsets = []
 
-    pending = None      # (submitted analysis, blocks, frame_number)
+    # ring of in-flight batches: (packed handle, blocks, first_frame)
+    ring = collections.deque()
 
-    def flush_pending():
-        nonlocal pending, current_offset, min_frame, max_frame
-        nonlocal frame_number
-        if pending is None:
-            return
-        (submitted, blocks, first_frame) = pending
-        pending = None
-        (frame_bytes, lens) = _finish_batch(
-            submitted, blocks, bps, channels, sample_rate, block_size,
-            stereo_trial, V, max_subframes, precision, mid_side,
-            first_frame)
+    def submit(blocks):
+        """launches analysis of [B, n, ch] int32 blocks"""
+        if backend == "jax":
+            upload = (blocks.astype(np.int16) if bps <= 16 else blocks)
+            return _analyze_jax(upload, stereo_trial, bps, block_size,
+                                max_lpc_order, precision, porders,
+                                max_rice, exhaustive_model_search,
+                                mid_side, window)
+        else:
+            return flac_frames.analyze_frames_packed(
+                np, blocks, stereo_trial, bps, block_size,
+                max_lpc_order, precision, porders, max_rice,
+                exhaustive_model_search, mid_side, window)
+
+    row_width = 1 + max_subframes * flac_frames.packed_width(
+        max_lpc_order, P)
+
+    def fetch(handle):
+        """single device->host sync of a packed decision array"""
+        if isinstance(handle, np.ndarray):
+            return handle
+        import jax
+        # device_get avoids np.asarray's slow per-chunk conversion
+        # path for jit outputs on TPU tunnel backends
+        return jax.device_get(handle)
+
+    def finish_oldest():
+        nonlocal current_offset, min_frame, max_frame, frame_number
+        (handle, blocks, first_frame) = ring.popleft()
+        packed = fetch(handle).reshape(-1, row_width)       # one sync
+        B = blocks.shape[0]
+        (frame_bytes, lens) = _native.flac_emit_frames2(
+            blocks,
+            np.arange(first_frame, first_frame + B, dtype=np.int64),
+            np.full(B, block_size, dtype=np.int32),
+            packed, max_subframes, Kp, P,
+            sample_rate, bps, channels, precision)
         output_file.write(frame_bytes)
         for length in lens:
             frame_offsets.append((current_offset, block_size))
@@ -185,7 +243,6 @@ def encode_flac_fast(file_or_path,
         framelist = reader.read(block_size * batch_frames)
         if framelist.frames == 0:
             break
-        stream_md5.update_pcm(framelist.samples, bps)
         total_pcm_frames += framelist.frames
 
         samples = framelist.samples  # int32 [frames, channels]
@@ -194,19 +251,30 @@ def encode_flac_fast(file_or_path,
         tail = samples[n_full * block_size:]
 
         if n_full:
-            blocks = full.reshape(n_full, block_size, channels)
-            submitted = _submit_batch(
-                blocks, bps, block_size, stereo_trial, V,
-                max_lpc_order, precision, porders, max_rice,
-                exhaustive_model_search, window, backend)
-            batch_first_frame = frame_number +                 (len(pending[1]) if pending is not None else 0)
-            # serialize the previous batch while this one computes
-            flush_pending()
-            pending = (submitted, blocks, frame_number)
+            blocks = np.ascontiguousarray(
+                full.reshape(n_full, block_size, channels))
+            # submit before any host work so the device runs ahead
+            handle = submit(blocks)
+            if backend == "jax":
+                # queue the device->host copy behind the compute so
+                # the transfer overlaps host-side serialization
+                try:
+                    handle.copy_to_host_async()
+                except AttributeError:
+                    pass
+            ring.append((handle, blocks, submitted_frames))
+            submitted_frames += n_full
+        stream_md5.update_pcm(samples, bps)
+        if n_full:
+            # serialize older batches while this one computes
+            while len(ring) > pipeline_depth:
+                finish_oldest()
 
         if tail.shape[0]:
-            flush_pending()
-            # final short block: scalar oracle path (byte-identical)
+            while ring:
+                finish_oldest()
+            # final short block: scalar oracle path (shared analysis
+            # kernel; byte-identical by construction)
             frame_bytes = oracle.encode_frame(
                 reader, options, frame_number, tail.astype(np.int64))
             output_file.write(frame_bytes)
@@ -215,8 +283,10 @@ def encode_flac_fast(file_or_path,
             min_frame = min(min_frame, len(frame_bytes))
             max_frame = max(max_frame, len(frame_bytes))
             frame_number += 1
+            submitted_frames += 1
 
-    flush_pending()
+    while ring:
+        finish_oldest()
 
     if max_frame == 0:
         min_frame = (1 << 24) - 1
@@ -232,87 +302,3 @@ def encode_flac_fast(file_or_path,
         output_file.seek(0, 2)
 
     return frame_offsets
-
-
-def _submit_batch(blocks, bps, block_size, stereo_trial, V,
-                  max_lpc_order, precision, porders, max_rice,
-                  exhaustive, window, backend):
-    """launches analysis of [B, n, ch] blocks; returns a result handle"""
-    n = block_size
-    K = max_lpc_order
-    if backend == "jax":
-        upload = blocks.astype(np.int16) if bps <= 16 else blocks
-        return _analyze_jax(upload, stereo_trial, bps, n, K,
-                            precision, porders, max_rice, exhaustive,
-                            window)
-    else:
-        B = blocks.shape[0]
-        (X, bps_vec) = flac_frames.build_variants(np, blocks,
-                                                  stereo_trial, bps)
-        result = flac_frames.analyze_subframes(
-            np, X.reshape(B * V, n), bps_vec, n, K, precision,
-            porders, max_rice, exhaustive, window)
-        return {k: np.asarray(v) for (k, v) in result.items()}
-
-
-def _finish_batch(result, blocks, bps, channels, sample_rate,
-                  block_size, stereo_trial, V, max_subframes,
-                  precision, mid_side, first_frame_number):
-    """serializes one analyzed batch, returning (bytes, lens)"""
-    B = blocks.shape[0]
-    n = block_size
-
-    result = {k: np.asarray(v) for (k, v) in result.items()}
-    (X, _bps_vec) = flac_frames.build_variants(np, blocks,
-                                               stereo_trial, bps)
-
-    sub_bits = result["sub_bits"].reshape(B, V)
-
-    # ---- channel assignment -------------------------------------------
-    if stereo_trial:
-        assignments = flac_frames.choose_assignment(
-            sub_bits[:, 0], sub_bits[:, 1],
-            sub_bits[:, 2], sub_bits[:, 3], mid_side).astype(np.int32)
-        var_pairs = np.array([_ASSIGNMENT_VARIANTS[a]
-                              for a in assignments.tolist()],
-                             dtype=np.int64)               # [B, 2]
-    else:
-        assignments = np.full(B, channels - 1, dtype=np.int32)
-        var_pairs = np.tile(np.arange(V, dtype=np.int64), (B, 1))
-
-    def gather(name, extra_shape):
-        arr = result[name].reshape((B, V) + extra_shape)
-        idx = var_pairs.reshape(
-            (B, max_subframes) + (1,) * len(extra_shape))
-        return np.take_along_axis(arr, idx, axis=1)
-
-    choices = gather("choice", ())
-    orders = gather("order", ())
-    wasteds = gather("wasted", ())
-    porder_sel = gather("porder", ())
-    shifts = gather("shift", ())
-    qlp = gather("qlp", (result["qlp"].shape[-1],))
-    rice = gather("rice_params", (result["rice_params"].shape[-1],))
-
-    # shifted samples are recomputed on host (cheap) so the device
-    # needn't ship sample tensors back; the C++ emitter re-derives
-    # residuals exactly from the decisions (int64), which keeps the
-    # stream lossless regardless of the analysis backend's precision
-    X_by_variant = X.reshape(B, V, n)
-    samples_sel = np.take_along_axis(
-        X_by_variant, var_pairs[:, :, None], axis=1)
-    samples_sel = samples_sel >> wasteds[:, :, None]
-
-    precisions = np.full((B, max_subframes), precision, dtype=np.int32)
-    frame_numbers = np.arange(first_frame_number,
-                              first_frame_number + B, dtype=np.int64)
-    block_sizes = np.full(B, n, dtype=np.int32)
-
-    (frame_bytes, lens) = _native.flac_emit_frames(
-        frame_numbers, block_sizes, assignments,
-        choices, orders, wasteds, porder_sel, shifts, precisions,
-        qlp, rice, samples_sel, None,
-        max_subframes, qlp.shape[-1], rice.shape[-1], n,
-        sample_rate, bps, channels)
-
-    return (frame_bytes, lens)

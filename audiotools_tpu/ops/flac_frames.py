@@ -8,17 +8,24 @@ candidate axes* on ``[subframes, block_size]`` tensors.
 
 ``analyze_subframes(xp, ...)`` is backend-generic: ``xp`` may be numpy
 (host path / oracle cross-check) or jax.numpy inside ``jit`` (device
-path).  All float analysis flows through the deterministic primitives in
-``ops.lpc``, and every decision is exact integer arithmetic, so both
-backends produce byte-identical streams.
+path).  Both backends produce byte-identical streams.
 
-TPU dtype discipline: the kernels use only int32 and float64 — all
-integer quantities that may exceed 32 bits (partition sums, bit totals,
-shifted predictions) are carried in float64, where integers below 2^53
-are exact and order-independent to sum, so no s64 ops reach XLA's x64
-rewriter (which cannot lower several of them on TPU).
+TPU dtype discipline (the round-2 redesign — TPUs have no native f64,
+so the round-1 f64-everywhere kernel ran emulated):
 
-Decision semantics replicated exactly:
+* all big ``[.., n]`` tensors are **int32** (residual stacks, zigzag
+  values, diffs) or **float32** (the windowed autocorrelation inputs)
+* integer reductions that may exceed 32 bits run *two-stage*: int32
+  partial sums over 64-element chunks (exact — bounded by 64*max|x|),
+  promoted to f64 and combined (f64 adds of integers < 2^53 are exact
+  and order-independent), so results equal the mathematically exact
+  sums on both backends
+* LPC prediction uses the hi/lo-split int32 scheme in
+  ``ops.lpc.lpc_residuals_i32``
+* only tiny ``[S, K]``-shaped tensors (Levinson, quantization, order
+  estimates, subframe bit totals) stay in f64
+
+Decision semantics replicated from the reference:
 * wasted bits = trailing zeros of the OR over all samples
 * FIXED order selection from abs-error sums over diff orders 0-4
 * LPC exhaustive search: first-minimum over orders (strict <)
@@ -37,6 +44,16 @@ import numpy as np
 from . import lpc as lpc_ops
 
 (CHOICE_CONSTANT, CHOICE_VERBATIM, CHOICE_FIXED, CHOICE_LPC) = range(4)
+
+# packed decision row layout (int32), per subframe:
+#   [choice, wasted, order, porder, shift, sub_bits, qlp*K, rice*P]
+# full row: [assignment] + max_subframes * W where W = 6 + K + P
+PACKED_SCALARS = 6
+
+
+def packed_width(max_lpc_order, max_parts):
+    """per-subframe width of the packed decision layout"""
+    return PACKED_SCALARS + max(max_lpc_order, 1) + max_parts
 
 
 def build_variants(xp, blocks, stereo_trial, bps):
@@ -96,12 +113,25 @@ def _exp2i(xp, e):
     return xp.exp2(e.astype(xp.float64))
 
 
-def _floor_div_pow2(xp, values, shift):
-    """exact floor(values / 2^shift) for integer-valued float64 arrays
+_CHUNK = 64
 
-    equivalent to an arithmetic right shift; exact because scaling by a
-    power of two only changes the exponent"""
-    return xp.floor(values * _exp2i(xp, -shift))
+
+def exact_i32_sum(xp, x, axis=-1):
+    """exact f64 sum of int32 values along the last axis
+
+    two-stage: int32 partial sums over 64-element chunks (exact while
+    partials fit int32; wraps deterministically on both backends
+    otherwise), then f64 combination (exact for integers < 2^53 in any
+    order).  the input is zero-padded to a chunk multiple."""
+    assert axis in (-1, x.ndim - 1)
+    n = x.shape[-1]
+    pad = (-n) % _CHUNK
+    if pad:
+        padding = [(0, 0)] * (x.ndim - 1) + [(0, pad)]
+        x = xp.pad(x, padding)
+    chunked = xp.reshape(x, x.shape[:-1] + ((n + pad) // _CHUNK, _CHUNK))
+    partial = xp.sum(chunked, axis=-1, dtype=xp.int32)
+    return xp.sum(partial.astype(xp.float64), axis=-1)
 
 
 def analyze_subframes(xp, X, bps, n, max_lpc_order, qlp_precision,
@@ -112,7 +142,7 @@ def analyze_subframes(xp, X, bps, n, max_lpc_order, qlp_precision,
     bps: int32 [S] bits per sample of each subframe (side = bps+1)
     n, max_lpc_order, qlp_precision, porders (list of valid partition
     orders), max_rice, exhaustive: static Python values
-    window: f64 [n] analysis window (host constant)
+    window: [n] analysis window (host constant; cast to f32)
 
     returns a dict of [S]-leading arrays describing the chosen
     subframe encodings plus their exact bit sizes (float64 integers)
@@ -149,10 +179,13 @@ def analyze_subframes(xp, X, bps, n, max_lpc_order, qlp_precision,
     diffs = [Xs]
     for _ in range(4):
         diffs.append(diffs[-1][:, 1:] - diffs[-1][:, :-1])
-    abs_f64 = [xp.abs(d.astype(xp.float64)) for d in diffs]
-    total_error = xp.stack(
-        [xp.sum(abs_f64[o][:, 4 - o:], axis=1)
-         for o in range(5)], axis=1)                       # [S, 5] f64
+    # aligned fixed residuals [S, 5, n] (position i holds diff_o[i-o])
+    fixed_res_all = xp.stack(
+        [xp.pad(diffs[o], [(0, 0), (o, 0)]) for o in range(5)], axis=1)
+    # error sums skip the first 4 positions, so every order competes
+    # over the same n-4 values (reference py_encoders/flac.py:449-469)
+    total_error = exact_i32_sum(
+        xp, xp.abs(fixed_res_all[:, :, 4:]))               # [S, 5] f64
     # first order o in 0..3 with err[o] < min(err[o+1:]), else 4
     suffix_min = total_error[:, 4]
     conds = []
@@ -167,19 +200,15 @@ def analyze_subframes(xp, X, bps, n, max_lpc_order, qlp_precision,
     if n <= 4:
         fixed_order = xp.zeros(S, dtype=xp.int32)
 
-    # aligned fixed residuals [S, 5, n] (position i holds diff_o[i-o])
-    fixed_res_all = xp.stack(
-        [xp.pad(diffs[o], [(0, 0), (o, 0)]) for o in range(5)], axis=1)
     fixed_res = xp.take_along_axis(
         fixed_res_all, fixed_order[:, None, None].astype(xp.int32),
         axis=1)[:, 0]                                      # [S, n] i32
 
     # ---- LPC analysis --------------------------------------------------
     use_lpc = K > 0 and n > K + 1
-    Xf = Xs.astype(xp.float64)
     if use_lpc:
-        windowed = Xf * window[None, :]
-        autocorr = lpc_ops.autocorrelation(xp, windowed, K)  # [S, K+1]
+        autocorr = lpc_ops.windowed_autocorr(
+            xp, Xs, window, K)                             # [S, K+1] f64
         degenerate = xp.all(autocorr == 0.0, axis=1)
         (coeffs, errors) = lpc_ops.levinson(xp, autocorr, K)
         (qlp, shifts) = lpc_ops.quantize_all_orders(
@@ -187,22 +216,8 @@ def analyze_subframes(xp, X, bps, n, max_lpc_order, qlp_precision,
         # degenerate rows -> order 1, coeff 0, shift 0
         qlp = xp.where(degenerate[:, None, None], 0, qlp)
         shifts = xp.where(degenerate[:, None], 0, shifts)
-
-        # residuals for every order: [S, K, n] (f64-exact integers)
-        Xpad = xp.pad(Xf, [(0, 0), (K, 0)])
-        pred = xp.zeros((S, K, n), dtype=xp.float64)
-        for j in range(K):
-            # prediction for position i uses sample i-1-j
-            window_j = Xpad[:, K - 1 - j:K - 1 - j + n]
-            pred = pred + qlp[:, :, j].astype(xp.float64)[:, :, None] * \
-                window_j[:, None, :]
-        pred_shifted = _floor_div_pow2(xp, pred, shifts[:, :, None])
-        lpc_res = Xf[:, None, :] - pred_shifted            # [S, K, n]
-        # zero out warm-up positions (position < order)
-        pos = xp.arange(n, dtype=xp.int32)[None, None, :]
-        order_arr = xp.arange(1, K + 1, dtype=xp.int32)[None, :, None]
-        lpc_res = xp.where(pos < order_arr, 0.0, lpc_res)
-        lpc_res = lpc_res.astype(xp.int32)
+        lpc_res = lpc_ops.lpc_residuals_i32(xp, Xs, qlp,
+                                            shifts)        # [S, K, n]
     else:
         degenerate = xp.ones(S, dtype=bool)
         errors = xp.zeros((S, max(K, 1)), dtype=xp.float64)
@@ -225,21 +240,30 @@ def analyze_subframes(xp, X, bps, n, max_lpc_order, qlp_precision,
         C = 1
 
     # ---- Rice partition search ----------------------------------------
-    # integer work stays in int32; sums accumulate in float64 (exact
-    # and order-independent for integers below 2^53)
     abs_res = xp.abs(cand_res)                             # [S, C, n] i32
     u = xp.where(cand_res >= 0,
                  cand_res << 1,
                  ((-cand_res - 1) << 1) | 1)               # [S, C, n] i32
 
     orders_f = cand_orders.astype(xp.float64)
+    pmax = porders[-1]
+    parts_max = 1 << pmax
+
+    # per-partition |residual| sums: computed exactly once at the
+    # finest partition level, coarser levels by (exact f64) pairing
+    seg_abs_by_p = [None] * (pmax + 1)
+    seg_abs_by_p[pmax] = exact_i32_sum(
+        xp, xp.reshape(abs_res, (S, C, parts_max, n >> pmax)))
+    for p in range(pmax - 1, -1, -1):
+        fine = seg_abs_by_p[p + 1]
+        seg_abs_by_p[p] = fine[:, :, 0::2] + fine[:, :, 1::2]
+
     rice_totals = []        # per porder: [S, C] f64
     rice_params_by_p = []   # per porder: [S, C, parts] int32
     for porder in porders:
         parts = 1 << porder
         psize = n >> porder
-        abs_seg = abs_res.reshape(S, C, parts, psize)
-        seg_abs = xp.sum(abs_seg, axis=3, dtype=xp.float64)
+        seg_abs = seg_abs_by_p[porder]                     # [S,C,parts]
         counts = xp.full((S, C, parts), float(psize), dtype=xp.float64)
         counts = _set_first_part(xp, counts, psize - orders_f)
         # r = min(smallest r with count*2^r >= sum, max_rice)
@@ -247,9 +271,9 @@ def analyze_subframes(xp, X, bps, n, max_lpc_order, qlp_precision,
         for rr in range(max_rice):
             r = r + ((counts * float(1 << rr)) < seg_abs).astype(
                 xp.int32)
-        # sum(u >> r) per partition (int32 shifts, f64 accumulation)
-        msb = u.reshape(S, C, parts, psize) >> r[:, :, :, None]
-        msb_sum = xp.sum(msb, axis=3, dtype=xp.float64)
+        # sum(u >> r) per partition (int32 shifts, exact f64 totals)
+        msb = xp.reshape(u, (S, C, parts, psize)) >> r[:, :, :, None]
+        msb_sum = exact_i32_sum(xp, msb)
         part_bits = 4.0 + msb_sum + counts * (1.0 + r.astype(
             xp.float64))
         rice_totals.append(xp.sum(part_bits, axis=2))
@@ -260,9 +284,8 @@ def analyze_subframes(xp, X, bps, n, max_lpc_order, qlp_precision,
     rice_bits = xp.min(rice_totals, axis=2)                # [S, C]
 
     # gather chosen rice params (pad each porder's params to max parts)
-    max_parts = 1 << porders[-1]
     padded_params = xp.stack(
-        [xp.pad(p, [(0, 0), (0, 0), (0, max_parts - p.shape[2])])
+        [xp.pad(p, [(0, 0), (0, 0), (0, parts_max - p.shape[2])])
          for p in rice_params_by_p], axis=2)               # [S,C,P,maxp]
     chosen_params = xp.take_along_axis(
         padded_params, best_porder_idx[:, :, None, None],
@@ -369,19 +392,89 @@ def _set_first_part(xp, counts, first_values):
         return counts.at[:, :, 0].set(first_values)
 
 
-def choose_assignment(lb, rb, ab, db, mid_side):
+def choose_assignment(xp, lb, rb, ab, db, mid_side):
     """the reference's stereo assignment chain
     (py_encoders/flac.py:196-226); inputs are per-frame bit totals
 
-    returns assignment codes [B]: 1 (L/R), 8 (L/S), 9 (S/R), 10 (M/S)
+    returns assignment codes [B] int32: 1 (L/R), 8 (L/S), 9 (S/R),
+    10 (M/S)
     """
     lr = lb + rb
     if mid_side:
-        take_lr = lr < np.minimum(np.minimum(lb + db, db + rb), ab + db)
-        take_ls = lb < np.minimum(rb, db)
+        take_lr = lr < xp.minimum(xp.minimum(lb + db, db + rb), ab + db)
+        take_ls = lb < xp.minimum(rb, db)
         take_sr = rb < ab
-        return np.where(take_lr, 1,
-                        np.where(take_ls, 8,
-                                 np.where(take_sr, 9, 10)))
+        out = xp.where(take_lr, 1,
+                       xp.where(take_ls, 8,
+                                xp.where(take_sr, 9, 10)))
     else:
-        return np.where(lr < (ab + db), 1, 10)
+        out = xp.where(lr < (ab + db), 1, 10)
+    return out.astype(xp.int32)
+
+
+# variant index pairs per stereo assignment: (subframe0, subframe1)
+# variants are ordered [left, right, average, difference]
+ASSIGNMENT_VARIANTS = {1: (0, 1), 8: (0, 3), 9: (3, 1), 10: (2, 3)}
+
+
+def analyze_frames_packed(xp, blocks, stereo_trial, bps, n,
+                          max_lpc_order, qlp_precision, porders,
+                          max_rice, exhaustive, mid_side, window):
+    """full per-frame analysis: variants, subframe trials, channel
+    assignment, and decision packing — one device round trip per batch
+
+    blocks: int [B, n, ch]; returns packed int32
+    [B, 1 + max_subframes * W]: column 0 is the FLAC channel
+    assignment, then per chosen subframe the layout documented at the
+    top of this module (W = packed_width(K, 1 << porders[-1]))."""
+    B = blocks.shape[0]
+    ch = blocks.shape[2]
+    K = max_lpc_order
+    P = 1 << porders[-1]
+
+    (X, bps_vec) = build_variants(xp, blocks, stereo_trial, bps)
+    out = analyze_subframes(xp, X, bps_vec, n, K, qlp_precision,
+                            list(porders), max_rice, exhaustive, window)
+
+    V = 4 if stereo_trial else ch
+    sub_bits = xp.reshape(out["sub_bits"], (B, V))
+    if stereo_trial:
+        a = choose_assignment(xp, sub_bits[:, 0], sub_bits[:, 1],
+                              sub_bits[:, 2], sub_bits[:, 3], mid_side)
+        # variant pair per assignment code (see ASSIGNMENT_VARIANTS)
+        var0 = xp.where(a == 9, 3, xp.where(a == 10, 2, 0))
+        var1 = xp.where(a == 1, 1, xp.where(a == 9, 1, 3))
+        pairs = xp.stack([var0, var1], axis=1)             # [B, 2]
+        max_subframes = 2
+    else:
+        a = xp.full((B,), ch - 1, dtype=xp.int32)
+        pairs = xp.broadcast_to(xp.arange(V, dtype=xp.int32), (B, V))
+        max_subframes = V
+
+    def gather(name, extra):
+        arr = xp.reshape(out[name], (B, V) + extra)
+        idx = xp.reshape(pairs, (B, max_subframes) + (1,) * len(extra))
+        idx = idx.astype(xp.int32)
+        return xp.take_along_axis(arr, idx, axis=1)
+
+    scalars = xp.stack([
+        gather("choice", ()),
+        gather("wasted", ()),
+        gather("order", ()),
+        gather("porder", ()),
+        gather("shift", ()),
+        xp.take_along_axis(sub_bits, pairs.astype(xp.int32),
+                           axis=1).astype(xp.int32),
+    ], axis=2)                                  # [B, max_subframes, 6]
+    qlp = gather("qlp", (out["qlp"].shape[-1],))
+    Kp = max(K, 1)
+    if qlp.shape[-1] != Kp:                     # normalize to K wide
+        qlp = xp.pad(qlp, [(0, 0), (0, 0), (0, Kp - qlp.shape[-1])])
+    rice = gather("rice_params", (out["rice_params"].shape[-1],))
+    if rice.shape[-1] != P:
+        rice = xp.pad(rice, [(0, 0), (0, 0), (0, P - rice.shape[-1])])
+
+    per_sub = xp.concatenate([scalars, qlp, rice],
+                             axis=2)            # [B, max_subframes, W]
+    flat = xp.reshape(per_sub, (B, max_subframes * per_sub.shape[2]))
+    return xp.concatenate([a[:, None], flat], axis=1).astype(xp.int32)

@@ -4,15 +4,28 @@ These functions define the framework's *numerical spec* for FLAC/ALAC
 LPC analysis (window -> autocorrelation -> Levinson-Durbin ->
 error-feedback quantization), re-deriving the reference algorithms
 (``/root/reference/audiotools/py_encoders/flac.py:565-737``) as batched
-array programs with bit-deterministic float64 semantics:
+array programs with bit-deterministic semantics.
 
-* summations use an explicit pairwise (binary-tree) reduction, so the
-  result is identical regardless of batch shape or backend (NumPy vs
-  XLA) — every f64 add/mul is IEEE correctly-rounded in both
-* the coefficient-magnitude log2 used by quantization is computed
-  exactly via frexp instead of libm log(), removing the one
-  platform-dependent operation in the decision path
-* rounding is IEEE round-half-even everywhere (np.round == jnp.round)
+**Contraction immunity.**  XLA may fuse a multiply feeding an add into
+a fused multiply-add (one rounding instead of two) or evaluate fused
+regions at excess precision — observed under SPMD partitioning on CPU
+— so "IEEE mul then IEEE add" is NOT a portable spec, and
+optimization barriers do not reliably survive partitioning.  Instead
+the pipeline is built so no optimization can change any value:
+
+* every float *product* is EXACT: operands are kept at <= 26
+  significant bits (f32-valued, or small integers), so the f64
+  product has <= 52 mantissa bits and rounds to itself — an FMA
+  contraction of ``a*b + c`` then rounds identically to the separate
+  ops
+* values re-enter the <= 26-bit domain via explicit precision
+  reduction (``lax.reduce_precision`` / f32 casts), an HLO with
+  defined semantics the compiler must honor
+* additions are plain f64 adds in a fixed binary-tree order (adds
+  cannot contract with adds), and integer-valued f64 sums below 2^53
+  are exact in any order
+* transcendental outputs (log) are immediately rounded to f32
+  precision, collapsing sub-ulp libm/XLA differences
 
 All functions take an ``xp`` module (numpy or jax.numpy) and operate on
 arrays whose leading dimensions are batch dims.
@@ -23,6 +36,26 @@ from __future__ import annotations
 import numpy as np
 
 _window_cache = {}
+
+
+def f32round(xp, x):
+    """explicitly rounds f64 values to f32 precision (keeping f64 type)
+
+    This is the spec's precision-reduction primitive: products of two
+    f32-valued f64 numbers are exact in f64, which makes every
+    multiply-add chain immune to FMA contraction and excess-precision
+    evaluation (see module docstring).
+
+    Implemented as convert-to-f32 / convert-back (lowerable on every
+    backend — TPU's x64 rewriter cannot lower f64 reduce_precision)
+    with an optimization barrier between the converts so
+    allow-excess-precision cannot elide the downcast/upcast pair."""
+    if xp is np:
+        return x.astype(np.float32).astype(np.float64)
+    import jax.lax
+    y = x.astype(xp.float32)
+    y = jax.lax.optimization_barrier(y)
+    return y.astype(xp.float64)
 
 
 def tukey_window(n, alpha=0.5):
@@ -81,6 +114,73 @@ def autocorrelation(xp, windowed, max_order):
     return xp.stack(lags, axis=-1)
 
 
+def windowed_autocorr(xp, samples, window, max_order):
+    """the framework's TPU-native windowing+autocorrelation spec
+
+    samples: int [..., n] (post-wasted-shift, |x| < 2^26);
+    window: f64 [n] (rounded to f32 precision inside).
+
+    Contraction-immune by construction: the windowing product
+    (int26 * f32-valued) is exact in f64 and then explicitly rounded
+    to f32 precision; each lag product of two f32-valued numbers is
+    again exact in f64; the pairwise tree sums are plain f64 adds.
+    Analysis precision only steers *which* predictor is chosen (the
+    emitters re-derive residuals exactly), so f32-precision windowed
+    samples cost ~nothing in ratio.
+
+    returns f64 [..., max_order+1]"""
+    w = f32round(xp, xp.asarray(window, dtype=xp.float64))
+    windowed = f32round(xp, samples.astype(xp.float64) * w)
+    n = windowed.shape[-1]
+    lags = []
+    for lag in range(max_order + 1):
+        products = windowed[..., :n - lag] * windowed[..., lag:]
+        lags.append(pairwise_sum(xp, products))
+    return xp.stack(lags, axis=-1)
+
+
+def lpc_residuals_i32(xp, samples, qlp, shifts):
+    """batched integer LPC residuals for every order row, int32-exact
+
+    samples: int32 [S, n] (post-wasted-shift)
+    qlp:     int32 [S, K, K] quantized coefficients (row o-1 = order o)
+    shifts:  int32 [S, K]
+    returns res int32 [S, K, n] with warm-up positions (< order) zeroed
+
+    The prediction accumulator can exceed int32 (|q|<2^13, |x|<2^25),
+    so samples split into hi/lo halves (x = hi*2^11 + lo, 0 <= lo <
+    2^11) and accumulate separately in int32; the shifted prediction
+    recombines exactly via arithmetic-shift identities:
+      s >= 11: floor(C/2^s) = (A + (B>>11)) >> (s-11)
+      s <  11: floor(C/2^s) = (A << (11-s)) + (B >> s)
+    (C = A*2^11 + B).  Exact whenever intermediates fit int32 (all
+    non-pathological audio); wraps deterministically otherwise — and
+    the emitters re-derive written residuals in int64 regardless, so
+    streams stay lossless."""
+    S = samples.shape[0]
+    n = samples.shape[1]
+    K = qlp.shape[1]
+    xhi = samples >> 11
+    xlo = samples & 2047
+    hi_pad = xp.pad(xhi, [(0, 0), (K, 0)])
+    lo_pad = xp.pad(xlo, [(0, 0), (K, 0)])
+    A = xp.zeros((S, K, n), dtype=xp.int32)
+    Bv = xp.zeros((S, K, n), dtype=xp.int32)
+    for j in range(K):
+        # prediction for position i uses sample i-1-j
+        q = qlp[:, :, j][:, :, None]
+        A = A + q * hi_pad[:, None, K - 1 - j:K - 1 - j + n]
+        Bv = Bv + q * lo_pad[:, None, K - 1 - j:K - 1 - j + n]
+    s = shifts[:, :, None]
+    pred_hi = (A + (Bv >> 11)) >> xp.clip(s - 11, 0, 31)
+    pred_lo = (A << xp.clip(11 - s, 0, 31)) + (Bv >> xp.minimum(s, 11))
+    pred = xp.where(s >= 11, pred_hi, pred_lo)
+    res = samples[:, None, :] - pred
+    pos = xp.arange(n, dtype=xp.int32)[None, None, :]
+    order_arr = xp.arange(1, K + 1, dtype=xp.int32)[None, :, None]
+    return xp.where(pos < order_arr, 0, res).astype(xp.int32)
+
+
 def levinson(xp, autocorr, max_order):
     """batched Levinson-Durbin recursion
 
@@ -92,11 +192,18 @@ def levinson(xp, autocorr, max_order):
     rows whose autocorrelation is degenerate (zero lag-0 or a zero
     intermediate error) produce ki = 0 continuations rather than the
     reference's div-by-zero crash; callers mask those rows separately.
+
+    Contraction-immune: the autocorrelation and every coefficient row
+    are kept f32-valued (explicit precision reduction), so all
+    products in the recursion are exact in f64 — no FMA contraction or
+    excess-precision evaluation can change a value.  Divisions round
+    once and are immediately reduced.
     """
     batch = autocorr.shape[:-1]
+    autocorr = f32round(xp, autocorr)
     r0 = autocorr[..., 0]
     safe_r0 = xp.where(r0 == 0.0, 1.0, r0)
-    k0 = autocorr[..., 1] / safe_r0
+    k0 = f32round(xp, autocorr[..., 1] / safe_r0)
     k0 = xp.where(r0 == 0.0, 0.0, k0)
 
     # coeff rows built incrementally; store as list of per-order arrays
@@ -104,28 +211,29 @@ def levinson(xp, autocorr, max_order):
     first = xp.zeros(batch + (max_order,), dtype=xp.float64)
     first = _set_col(xp, first, 0, k0)
     coeff_rows[0] = first
-    errors = [autocorr[..., 0] * (1 - k0 * k0)]
+    errors = [f32round(xp, autocorr[..., 0] * (1 - k0 * k0))]
 
     for i in range(1, max_order):
         prev = coeff_rows[i - 1]
-        # acc = sum_j prev[j] * autocorr[i - j], sequential like the
-        # reference's zip(reversed(...)) scalar loop
+        # acc = sum_j prev[j] * autocorr[i - j]; every product is
+        # exact (f32-valued operands), adds are plain f64
         acc = xp.zeros(batch, dtype=xp.float64)
         for j in range(i):
             acc = acc + prev[..., j] * autocorr[..., i - j]
         err_prev = errors[i - 1]
         safe_err = xp.where(err_prev == 0.0, 1.0, err_prev)
-        ki = (autocorr[..., i + 1] - acc) / safe_err
+        ki = f32round(xp, (autocorr[..., i + 1] - acc) / safe_err)
         ki = xp.where(err_prev == 0.0, 0.0, ki)
 
         # new row: prev[j] - ki * prev[i-1-j] for j < i, then ki
         row = xp.zeros(batch + (max_order,), dtype=xp.float64)
         for j in range(i):
             row = _set_col(xp, row, j,
-                           prev[..., j] - ki * prev[..., i - 1 - j])
+                           f32round(xp, prev[..., j] -
+                                    ki * prev[..., i - 1 - j]))
         row = _set_col(xp, row, i, ki)
         coeff_rows.append(row)
-        errors.append(err_prev * (1 - ki * ki))
+        errors.append(f32round(xp, err_prev * (1 - ki * ki)))
 
     return (xp.stack(coeff_rows, axis=-2), xp.stack(errors, axis=-1))
 
@@ -197,6 +305,8 @@ def quantize_all_orders(xp, coeffs, precision):
     error = xp.zeros(l.shape, dtype=xp.float64)
     cols = []
     for j in range(K):
+        # scale is an exact power of two, so the product is exact
+        # (contraction-immune)
         contribution = coeffs[..., j] * scale                # [..., K]
         active = valid[:, j]                                 # [K]
         error_candidate = error + contribution
@@ -220,7 +330,9 @@ def estimate_best_lpc_order(xp, errors, block_size, bits_per_sample,
     estimated bits (strict <, earliest wins); the first order with
     error == 0.0 exactly wins immediately.
     """
-    error_scale = np.log(2) ** 2
+    # spec constant defined at f32 precision so err * error_scale is
+    # an exact product (26-bit * 24-bit operands)
+    error_scale = float(np.float32(np.log(2) ** 2))
     K = max_lpc_order
 
     bps = xp.asarray(bits_per_sample)
@@ -232,9 +344,14 @@ def estimate_best_lpc_order(xp, errors, block_size, bits_per_sample,
         order = i + 1
         err = errors[..., i]
         header_bits = order * (bps + qlp_precision)
+        # log output rounds to f32 precision: collapses sub-ulp
+        # libm/XLA differences, and makes the bits*(n-order) product
+        # exact (26-bit value * 16-bit integer), contraction-immune
         log_err = xp.log(xp.where(err > 0.0, err * error_scale, 1.0))
-        bits_per_residual = xp.maximum(log_err / (np.log(2) * 2), 0.0)
-        estimated = header_bits + bits_per_residual * (block_size - order)
+        bits_per_residual = f32round(
+            xp, xp.maximum(log_err / (np.log(2) * 2), 0.0))
+        estimated = header_bits + bits_per_residual * (block_size -
+                                                       order)
 
         improves = (err > 0.0) & (estimated < best_bits) & ~found_zero
         best_order = xp.where(improves, order, best_order)

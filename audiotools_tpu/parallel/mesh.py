@@ -79,6 +79,47 @@ def sharded_analyze(mesh, n, max_lpc_order, qlp_precision, porders,
         out_shardings=data_sharding)
 
 
+def sharded_packed_encode_step(mesh, n, max_lpc_order, qlp_precision,
+                               porders, max_rice, exhaustive, bps=16,
+                               mid_side=True, stereo_trial=True,
+                               axis_name="blocks"):
+    """the production multi-chip encode step over packed decisions
+
+    takes (blocks [B, n, ch] int, window [n]) with B divisible by the
+    mesh size; the frame axis is sharded, the window replicated, and
+    the packed decision output is sharded the same way — frames never
+    communicate (the codec's blockwise independence).  The replicated
+    total-bits statistic is the one cross-shard reduction (XLA inserts
+    the psum over ICI)."""
+    import jax
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..ops import flac_frames
+
+    data_sharding = NamedSharding(mesh, P(axis_name))
+    replicated = NamedSharding(mesh, P())
+    W = flac_frames.packed_width(max_lpc_order, 1 << porders[-1])
+
+    def run(blocks, window):
+        packed = flac_frames.analyze_frames_packed(
+            jnp, blocks, stereo_trial, bps, n, max_lpc_order,
+            qlp_precision, list(porders), max_rice, exhaustive,
+            mid_side, window)
+        max_subframes = 2 if stereo_trial else blocks.shape[2]
+        sub_bits_cols = [packed[:, 1 + s * W + 5]
+                         for s in range(max_subframes)]
+        total_bits = sum(jnp.sum(c.astype(jnp.float64))
+                         for c in sub_bits_cols)
+        return (packed, total_bits)
+
+    return jax.jit(
+        run,
+        in_shardings=(data_sharding, replicated),
+        out_shardings=(data_sharding, replicated))
+
+
 def sharded_encode_step(mesh, n, max_lpc_order, qlp_precision, porders,
                         max_rice, exhaustive, axis_name="blocks"):
     """the full multi-chip encode step: sharded analysis plus the

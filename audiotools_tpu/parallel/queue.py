@@ -78,7 +78,10 @@ class ExecProgressQueue:
                 target=_run_job,
                 args=(child_conn, progress_array, function, args,
                       kwargs))
-            process.daemon = True
+            # NOT daemonic: daemonic children cannot spawn their own
+            # helpers, which breaks accelerator runtimes (the JAX TPU
+            # plugin forks a tunnel/compile helper at init); the
+            # parent joins every child, so nothing leaks
             process.start()
             active[job_index] = (process, parent_conn)
             progress_arrays[job_index] = progress_array

@@ -280,60 +280,6 @@ def build_streaminfo(minimum_block_size, maximum_block_size,
     return data + md5sum
 
 
-def encode_frame(pcmreader, options, frame_number, samples):
-    """encodes one FLAC frame, returning its bytes
-
-    samples is an int64 [frames, channels] array"""
-    bps = pcmreader.bits_per_sample
-
-    if (samples.shape[1] == 2) and (options.adaptive_mid_side or
-                                    options.mid_side):
-        left = samples[:, 0]
-        right = samples[:, 1]
-        average = (left + right) >> 1    # floor division == Py2 int "/2"
-        difference = left - right
-
-        left_sub = encode_subframe(options, bps, left)
-        right_sub = encode_subframe(options, bps, right)
-        average_sub = encode_subframe(options, bps, average)
-        difference_sub = encode_subframe(options, bps + 1, difference)
-
-        lb, rb = left_sub.bits(), right_sub.bits()
-        ab, db = average_sub.bits(), difference_sub.bits()
-
-        if options.mid_side:
-            if (lb + rb) < min(lb + db, db + rb, ab + db):
-                assignment, subframes = 0x1, [left_sub, right_sub]
-            elif lb < min(rb, db):
-                assignment, subframes = 0x8, [left_sub, difference_sub]
-            elif rb < ab:
-                assignment, subframes = 0x9, [difference_sub, right_sub]
-            else:
-                assignment, subframes = 0xA, [average_sub, difference_sub]
-        else:
-            if (lb + rb) < (ab + db):
-                assignment, subframes = 0x1, [left_sub, right_sub]
-            else:
-                assignment, subframes = 0xA, [average_sub, difference_sub]
-    else:
-        assignment = samples.shape[1] - 1
-        subframes = [encode_subframe(options, bps, samples[:, i])
-                     for i in range(samples.shape[1])]
-
-    header = frame_header_tokens(pcmreader, frame_number,
-                                 samples.shape[0], assignment)
-    header_bytes = header.to_bytes()
-    header_bytes += bytes([crc8(header_bytes)])
-
-    body = TokenStream()
-    for sub in subframes:
-        body.extend(sub)
-    body_bytes = body.to_bytes()
-
-    frame = header_bytes + body_bytes
-    return frame + crc16(frame).to_bytes(2, "big")
-
-
 def frame_header_tokens(pcmreader, frame_number, block_size, assignment):
     """builds the frame header token stream (minus CRC-8)"""
     t = TokenStream()
@@ -423,55 +369,6 @@ def write_utf8(t, value):
             shift -= 6
 
 
-def encode_subframe(options, bits_per_sample, samples):
-    """encodes one subframe, returning a TokenStream
-
-    samples is an int64 1-D array (already decorrelated)"""
-    if np.all(samples == samples[0]):
-        return constant_subframe(bits_per_sample, int(samples[0]))
-
-    # wasted bits: min trailing zero count over nonzero samples
-    nonzero = samples[samples != 0]
-    if len(nonzero) == 0:
-        wasted_bps = 0
-    else:
-        # trailing zeros of |x|: x & -x isolates lowest set bit
-        low_bit = (nonzero & -nonzero).astype(np.uint64)
-        wasted_bps = int(np.log2(low_bit.min()))
-    if wasted_bps > 0:
-        samples = samples >> wasted_bps
-
-    fixed = fixed_subframe(options, wasted_bps, bits_per_sample, samples)
-
-    if options.max_lpc_order > 0:
-        (lpc_order, qlp_coeffs, qlp_shift) = compute_lpc_coefficients(
-            options, wasted_bps, bits_per_sample, samples)
-        lpc = lpc_subframe(options, wasted_bps, bits_per_sample,
-                           lpc_order, options.qlp_precision,
-                           qlp_shift, qlp_coeffs, samples)
-        if ((bits_per_sample * len(samples)) <
-                min(fixed.bits(), lpc.bits())):
-            return verbatim_subframe(wasted_bps, bits_per_sample, samples)
-        elif fixed.bits() < lpc.bits():
-            return fixed
-        else:
-            return lpc
-    else:
-        if (bits_per_sample * len(samples)) < fixed.bits():
-            return verbatim_subframe(wasted_bps, bits_per_sample, samples)
-        else:
-            return fixed
-
-
-def constant_subframe(bits_per_sample, sample):
-    t = TokenStream()
-    t.write(1, 0)
-    t.write(6, 0)
-    t.write(1, 0)
-    t.write_signed(bits_per_sample, sample)
-    return t
-
-
 def write_wasted(t, wasted_bps):
     if wasted_bps > 0:
         t.write(1, 1)
@@ -481,209 +378,193 @@ def write_wasted(t, wasted_bps):
         t.write(1, 0)
 
 
-def verbatim_subframe(wasted_bps, bits_per_sample, samples):
-    t = TokenStream()
-    t.write(1, 0)
-    t.write(6, 1)
-    write_wasted(t, wasted_bps)
-    nbits = bits_per_sample - wasted_bps
-    vals = np.where(samples < 0, samples + (1 << nbits), samples)
-    t.extend_arrays(vals.astype(np.int64),
-                    np.full(len(samples), nbits, dtype=np.int64))
-    return t
+FC_TABLE = {0: [], 1: [1], 2: [2, -1], 3: [3, -3, 1], 4: [4, -6, 4, -1]}
 
 
-def fixed_subframe(options, wasted_bps, bits_per_sample, samples):
-    """encodes a FIXED subframe at the best difference order"""
-    # successive differences; error sums skip the first (4 - order)
-    # entries so every candidate sums over n - 4 values
-    # (reference py_encoders/flac.py:449-469)
-    residuals = [samples]
-    total_error = [int(np.abs(residuals[-1][4:]).sum())]
-    if len(samples) > 4:
-        for order in range(1, 5):
-            residuals.append(np.diff(residuals[-1]))
-            total_error.append(
-                int(np.abs(residuals[-1][4 - order:]).sum()))
-        for order in range(4):
-            if total_error[order] < min(total_error[order + 1:]):
-                break
-        else:
-            order = 4
-    else:
-        order = 0
+def exact_residuals(samples, coeffs, shift):
+    """exact int64 residuals for a FIXED/LPC predictor
 
-    t = TokenStream()
-    t.write(1, 0)
-    t.write(3, 1)
-    t.write(3, order)
-    write_wasted(t, wasted_bps)
-    nbits = bits_per_sample - wasted_bps
-    for sample in samples[:order]:
-        t.write_signed(nbits, int(sample))
-    encode_residuals(t, options, order, len(samples), residuals[order])
-    return t
-
-
-def encode_residuals(t, options, order, block_size, residuals):
-    """performs the Rice partition search and writes the residual block
-
-    exact reference semantics (py_encoders/flac.py:489-535):
-    partition sizes are block_size/2^porder (first partition minus
-    order), parameter from the abs-sum threshold loop, total size
-    counted as sum(4 + partition_bits), best strictly smaller
-    """
-    abs_res = np.abs(residuals)
-    # zigzag: non-negative -> 2r, negative -> 2|r|-1
-    unsigned = np.where(residuals >= 0,
-                        residuals << 1,
-                        ((-residuals - 1) << 1) | 1).astype(np.int64)
-
-    best_porder = None
-    best_size = 2 ** 63
-    best_params = None
-
-    # stop at the first partition order which doesn't evenly divide
-    # block_size (reference src/encoders/flac.c:1389-1393); the
-    # partition count must also leave the first partition non-negative
-    for porder in range(0, options.max_residual_partition_order + 1):
-        if block_size % (1 << porder):
-            break
-        psize = block_size >> porder
-        if psize <= order and porder > 0:
-            break
-        boundaries = [0] + [psize * (p + 1) - order
-                            for p in range(1 << porder)]
-        params = []
-        total = 0
-        for p in range(1 << porder):
-            n = boundaries[p + 1] - boundaries[p]
-            psum = int(abs_res[boundaries[p]:boundaries[p + 1]].sum()) \
-                if n else 0
-            r = 0
-            while (n << r) < psum:
-                if r < options.max_rice_parameter:
-                    r += 1
-                else:
-                    break
-            params.append(r)
-            seg = unsigned[boundaries[p]:boundaries[p + 1]]
-            total += 4 + int((seg >> r).sum()) + n * (1 + r)
-        if total < best_size:
-            best_porder = porder
-            best_size = total
-            best_params = params
-
-    coding_method = 1 if max(best_params) > 14 else 0
-    t.write(2, coding_method)
-    t.write(4, best_porder)
-
-    psize = block_size >> best_porder
-    boundaries = [0] + [psize * (p + 1) - order
-                        for p in range(1 << best_porder)]
-    for p in range(1 << best_porder):
-        r = best_params[p]
-        t.write(5 if coding_method else 4, r)
-        seg = unsigned[boundaries[p]:boundaries[p + 1]]
-        # each rice code: (u >> r) zeros, a 1 bit, then r LSBs
-        msb = seg >> r
-        payload = (1 << r) | (seg & ((1 << r) - 1))
-        t.extend_arrays(payload, msb + (1 + r))
-    return t
-
-
-def tukey_window(n, alpha=0.5):
-    """the tukey window (shared spec: ops/lpc.py)"""
-    from ..ops import lpc as lpc_ops
-    return lpc_ops.tukey_window(n, alpha)
-
-
-def cached_tukey_window(n):
-    return tukey_window(n, 0.5)
-
-
-def compute_lpc_coefficients(options, wasted_bps, bits_per_sample,
-                             samples):
-    """returns an (order, qlp_coeffs, qlp_shift) triple
-
-    analysis numerics are delegated to the shared deterministic
-    primitives in ops/lpc.py so the batched device path produces
-    byte-identical output"""
-    from ..ops import lpc as lpc_ops
-
-    K = options.max_lpc_order
-    if len(samples) <= K + 1:
-        return (1, [0], 0)
-
-    windowed = samples.astype(np.float64) * tukey_window(len(samples))
-    autocorrelation = lpc_ops.autocorrelation(np, windowed[None], K)[0]
-
-    if (len(autocorrelation) <= 1) or np.all(autocorrelation == 0.0):
-        return (1, [0], 0)
-
-    (coeffs, errors) = lpc_ops.levinson(np, autocorrelation[None], K)
-    (qlp_all, shifts_all) = lpc_ops.quantize_all_orders(
-        np, coeffs, options.qlp_precision)
-
-    def order_candidate(order):
-        return ([int(v) for v in qlp_all[0, order - 1, :order]],
-                int(shifts_all[0, order - 1]))
-
-    if not options.exhaustive_model_search:
-        order = int(lpc_ops.estimate_best_lpc_order(
-            np, errors, len(samples), bits_per_sample,
-            options.qlp_precision, K)[0])
-        order = max(order, 1)
-        (qlp_coeffs, qlp_shift) = order_candidate(order)
-        return (order, qlp_coeffs, qlp_shift)
-    else:
-        best_subframe_size = 2 ** 32
-        best = None
-        for order in range(1, K + 1):
-            (qlp_coeffs, qlp_shift) = order_candidate(order)
-            size = lpc_subframe(options, wasted_bps, bits_per_sample,
-                                order, options.qlp_precision,
-                                qlp_shift, qlp_coeffs, samples).bits()
-            if size < best_subframe_size:
-                best_subframe_size = size
-                best = (order, qlp_coeffs, qlp_shift)
-        return best
+    r[i] = s[i] - (sum_j coeffs[j] * s[i-1-j] >> shift), aligned at
+    absolute positions (entries below the order are zero).  This is
+    the *written* residual path — identical to the C++ emitter's int64
+    recompute (_native/hostkernels.cpp) — and is exact regardless of
+    the analysis backend's precision, keeping streams lossless."""
+    order = len(coeffs)
+    n = len(samples)
+    out = np.zeros(n, dtype=np.int64)
+    if order == 0:
+        return samples.astype(np.int64)
+    pred = np.zeros(n - order, dtype=np.int64)
+    s = samples.astype(np.int64)
+    for (j, c) in enumerate(coeffs):
+        pred += int(c) * s[order - 1 - j:n - 1 - j]
+    out[order:] = s[order:] - (pred >> shift)
+    return out
 
 
 def lpc_residuals(samples, qlp_coeffs, qlp_shift):
-    """exact integer LPC residuals, vectorized
-
-    r[i] = s[order+i] - (sum_j qlp[j] * s[order+i-1-j] >> shift)"""
+    """exact integer LPC residuals r[i] = s[order+i] - pred (legacy
+    helper; see exact_residuals for the aligned form)"""
     order = len(qlp_coeffs)
+    return exact_residuals(np.asarray(samples), qlp_coeffs,
+                           qlp_shift)[order:]
+
+
+def write_residual_block(t, block_size, order, porder, params,
+                         res_aligned):
+    """writes a residual partition block from chosen parameters
+
+    res_aligned: int64 [block_size] residuals at absolute positions"""
+    n_partitions = 1 << porder
+    coding_method = 1 if max(params[:n_partitions]) > 14 else 0
+    t.write(2, coding_method)
+    t.write(4, porder)
+    psize = block_size >> porder
+    u = np.where(res_aligned >= 0,
+                 res_aligned << 1,
+                 ((-res_aligned - 1) << 1) | 1).astype(np.int64)
+    for p in range(n_partitions):
+        r = int(params[p])
+        t.write(5 if coding_method else 4, r)
+        start = order if p == 0 else p * psize
+        seg = u[start:(p + 1) * psize]
+        msb = seg >> r
+        payload = (1 << r) | (seg & ((1 << r) - 1))
+        t.extend_arrays(payload, msb + (1 + r))
+
+
+def serialize_subframe(t, sub_bps, samples, choice, wasted, order,
+                       porder, shift, precision, qlp, rice):
+    """serializes one subframe from its decision row
+
+    samples: int64 [n] variant samples (pre-wasted-shift)"""
+    from ..ops.flac_frames import (CHOICE_CONSTANT, CHOICE_VERBATIM,
+                                   CHOICE_FIXED)
     n = len(samples)
-    # prediction via sliding dot product (float64 is exact here:
-    # |sum| < 2^(bps+1 + precision + log2(order)) << 2^53)
-    coeffs = np.array(qlp_coeffs, dtype=np.float64)
-    s = samples.astype(np.float64)
-    pred = np.zeros(n - order, dtype=np.float64)
-    for (j, c) in enumerate(coeffs):
-        # prediction for sample i uses samples[i-1-j]
-        pred += c * s[order - 1 - j:n - 1 - j]
-    # arithmetic right shift on the exact integer value
-    shifted = pred.astype(np.int64) >> qlp_shift
-    return samples[order:] - shifted
+    if choice == CHOICE_CONSTANT:
+        t.write(1, 0)
+        t.write(6, 0)
+        t.write(1, 0)
+        t.write_signed(sub_bps, int(samples[0]))
+        return
+    samp = samples >> wasted
+    ebps = sub_bps - wasted
+    if choice == CHOICE_VERBATIM:
+        t.write(1, 0)
+        t.write(6, 1)
+        write_wasted(t, wasted)
+        vals = np.where(samp < 0, samp + (1 << ebps), samp)
+        t.extend_arrays(vals.astype(np.int64),
+                        np.full(n, ebps, dtype=np.int64))
+        return
+    if choice == CHOICE_FIXED:
+        t.write(1, 0)
+        t.write(3, 1)
+        t.write(3, order)
+        write_wasted(t, wasted)
+        for s in samp[:order]:
+            t.write_signed(ebps, int(s))
+        res = exact_residuals(samp, FC_TABLE[order], 0)
+    else:                                       # LPC
+        t.write(1, 0)
+        t.write(1, 1)
+        t.write(5, order - 1)
+        write_wasted(t, wasted)
+        for s in samp[:order]:
+            t.write_signed(ebps, int(s))
+        t.write(4, precision - 1)
+        t.write_signed(5, shift)
+        for c in qlp[:order]:
+            t.write_signed(precision, int(c))
+        res = exact_residuals(samp, [int(c) for c in qlp[:order]],
+                              shift)
+    write_residual_block(t, n, order, porder, rice, res)
 
 
-def lpc_subframe(options, wasted_bps, bits_per_sample,
-                 order, qlp_precision, qlp_shift, qlp_coeffs, samples):
-    """encodes an LPC subframe, returning a TokenStream"""
-    t = TokenStream()
-    t.write(1, 0)
-    t.write(1, 1)
-    t.write(5, order - 1)
-    write_wasted(t, wasted_bps)
-    nbits = bits_per_sample - wasted_bps
-    for sample in samples[:order]:
-        t.write_signed(nbits, int(sample))
-    t.write(4, qlp_precision - 1)
-    t.write_signed(5, qlp_shift)
-    for c in qlp_coeffs:
-        t.write_signed(qlp_precision, c)
-    residuals = lpc_residuals(samples, qlp_coeffs, qlp_shift)
-    encode_residuals(t, options, order, len(samples), residuals)
-    return t
+def encode_frame(pcmreader, options, frame_number, samples):
+    """encodes one FLAC frame, returning its bytes
+
+    samples is an int64 [frames, channels] array.  Analysis runs
+    through the shared batched kernel (ops/flac_frames.py) on a
+    single-frame batch — the kernels are row-local, so decisions are
+    byte-identical to the batched device path — while serialization
+    stays an independent Python implementation (TokenStream) that
+    differentially tests the C++ emitter."""
+    from ..ops import flac_frames, lpc as lpc_ops
+
+    bps = pcmreader.bits_per_sample
+    n = samples.shape[0]
+    ch = samples.shape[1]
+    stereo_trial = (ch == 2) and (options.mid_side or
+                                  options.adaptive_mid_side)
+
+    body = TokenStream()
+
+    if n <= 4:
+        # degenerate tail blocks: constant or verbatim (always valid)
+        assignment = ch - 1
+        for c in range(ch):
+            col = samples[:, c]
+            if np.all(col == col[0]):
+                body.write(1, 0)
+                body.write(6, 0)
+                body.write(1, 0)
+                body.write_signed(bps, int(col[0]))
+            else:
+                body.write(1, 0)
+                body.write(6, 1)
+                body.write(1, 0)
+                vals = np.where(col < 0, col + (1 << bps), col)
+                body.extend_arrays(vals.astype(np.int64),
+                                   np.full(n, bps, dtype=np.int64))
+    else:
+        K = options.max_lpc_order
+        P_orders = flac_frames.valid_partition_orders(
+            n, options.max_residual_partition_order, max(K, 4))
+        window = lpc_ops.tukey_window(n)
+        packed = np.asarray(flac_frames.analyze_frames_packed(
+            np, samples[None].astype(np.int32), stereo_trial, bps, n,
+            K, options.qlp_precision, P_orders,
+            options.max_rice_parameter,
+            options.exhaustive_model_search, options.mid_side,
+            window))[0]
+
+        Kp = max(K, 1)
+        P = 1 << P_orders[-1]
+        W = flac_frames.packed_width(K, P)
+        assignment = int(packed[0])
+
+        if assignment <= 7:
+            n_subframes = ch
+            variants = [samples[:, c].astype(np.int64)
+                        for c in range(ch)]
+        else:
+            n_subframes = 2
+            left = samples[:, 0].astype(np.int64)
+            right = samples[:, 1].astype(np.int64)
+            average = (left + right) >> 1
+            difference = left - right
+            stack = [left, right, average, difference]
+            (v0, v1) = flac_frames.ASSIGNMENT_VARIANTS[assignment]
+            variants = [stack[v0], stack[v1]]
+
+        for s in range(n_subframes):
+            row = packed[1 + s * W:1 + (s + 1) * W]
+            sub_bps = bps
+            if ((assignment == 8 and s == 1) or
+                    (assignment == 9 and s == 0) or
+                    (assignment == 10 and s == 1)):
+                sub_bps += 1
+            serialize_subframe(
+                body, sub_bps, variants[s],
+                choice=int(row[0]), wasted=int(row[1]),
+                order=int(row[2]), porder=int(row[3]),
+                shift=int(row[4]),
+                precision=options.qlp_precision,
+                qlp=row[6:6 + Kp], rice=row[6 + Kp:6 + Kp + P])
+
+    header = frame_header_tokens(pcmreader, frame_number, n, assignment)
+    header_bytes = header.to_bytes()
+    header_bytes += bytes([crc8(header_bytes)])
+    frame = header_bytes + body.to_bytes()
+    return frame + crc16(frame).to_bytes(2, "big")
