@@ -126,6 +126,44 @@ def _build_and_load():
         ctypes.POINTER(ctypes.c_int64),   # out_lens (cumulative ends)
     ]
 
+    lib.atpu_alac_emit_framesets.restype = ctypes.c_int64
+    lib.atpu_alac_emit_framesets.argtypes = [
+        ctypes.POINTER(ctypes.c_int32),   # blocks [B, max_n, ch]
+        ctypes.POINTER(ctypes.c_int32),   # ns [B]
+        ctypes.c_int64,                   # n_blocks
+        ctypes.POINTER(ctypes.c_int32),   # layout_off [G]
+        ctypes.POINTER(ctypes.c_int32),   # layout_w [G]
+        ctypes.c_int32,                   # n_groups
+        ctypes.POINTER(ctypes.c_int32),   # packed [B,G,5,2,13]
+        ctypes.c_int32,                   # ch_total
+        ctypes.c_int32,                   # max_n
+        ctypes.c_int32,                   # block_size
+        ctypes.c_int32,                   # initial_history
+        ctypes.c_int32,                   # history_multiplier
+        ctypes.c_int32,                   # maximum_k
+        ctypes.c_int32,                   # interlacing_shift
+        ctypes.c_int32,                   # min_lw
+        ctypes.c_int32,                   # max_lw
+        ctypes.c_int32,                   # bps
+        ctypes.POINTER(ctypes.c_uint8),   # out
+        ctypes.POINTER(ctypes.c_int64),   # out_ends
+    ]
+
+    lib.atpu_alac_decode.restype = ctypes.c_int64
+    lib.atpu_alac_decode.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8),   # data
+        ctypes.c_int64,                   # len
+        ctypes.c_int32,                   # bps
+        ctypes.c_int32,                   # channels
+        ctypes.c_int32,                   # samples_per_frame
+        ctypes.c_int32,                   # initial_history
+        ctypes.c_int32,                   # history_multiplier
+        ctypes.c_int32,                   # maximum_k
+        ctypes.c_int64,                   # max_frames
+        ctypes.POINTER(ctypes.c_int32),   # out
+        ctypes.POINTER(ctypes.c_int64),   # consumed
+    ]
+
     lib.atpu_pack_pcm.restype = None
     lib.atpu_pack_pcm.argtypes = [
         ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
@@ -307,6 +345,73 @@ def flac_emit_frames2(blocks, frame_numbers, block_sizes, packed,
         raise ValueError("frame emit error (code %d)" % (total,))
     lens = np.diff(np.concatenate([[0], out_ends]))
     return (out[:total].tobytes(), lens)
+
+
+def alac_emit_framesets(blocks, ns, layout, packed,
+                        block_size, initial_history,
+                        history_multiplier, maximum_k,
+                        interlacing_shift, min_lw, max_lw, bps):
+    """emits ALAC framesets from raw PCM + packed LPC candidates
+
+    blocks: int32 [B, max_n, ch] wave-order PCM
+    packed: int32 [B, G, 5, 2, 13] LPC candidate rows (device output)
+    returns (frameset bytes, per-frameset byte sizes int64 array)"""
+    import numpy as np
+
+    lib = get_lib()
+    blocks = np.ascontiguousarray(blocks, dtype=np.int32)
+    ns = np.ascontiguousarray(ns, dtype=np.int32)
+    packed = np.ascontiguousarray(packed, dtype=np.int32)
+    (B, max_n, ch) = blocks.shape
+    layout_off = np.asarray([off for (off, _w) in layout],
+                            dtype=np.int32)
+    layout_w = np.asarray([w for (_off, w) in layout], dtype=np.int32)
+
+    worst = int(B) * (max_n * ch * ((bps // 8) + 2) + 256)
+    out = np.empty(worst, dtype=np.uint8)
+    out_ends = np.empty(B, dtype=np.int64)
+
+    total = lib.atpu_alac_emit_framesets(
+        _as_ptr(blocks, ctypes.c_int32),
+        _as_ptr(ns, ctypes.c_int32),
+        B,
+        _as_ptr(layout_off, ctypes.c_int32),
+        _as_ptr(layout_w, ctypes.c_int32),
+        len(layout),
+        _as_ptr(packed, ctypes.c_int32),
+        ch, max_n, block_size, initial_history, history_multiplier,
+        maximum_k, interlacing_shift, min_lw, max_lw, bps,
+        _as_ptr(out, ctypes.c_uint8),
+        _as_ptr(out_ends, ctypes.c_int64))
+    if total < 0:
+        raise ValueError("ALAC emit error (code %d)" % (total,))
+    lens = np.diff(np.concatenate([[0], out_ends]))
+    return (out[:total].tobytes(), lens)
+
+
+def alac_decode(data, bps, channels, samples_per_frame,
+                initial_history, history_multiplier, maximum_k,
+                max_frames):
+    """decodes ALAC framesets into int32 [frames, channels] wave order
+
+    returns (samples, consumed_bytes)"""
+    import numpy as np
+
+    lib = get_lib()
+    buf = np.frombuffer(data, dtype=np.uint8)
+    out = np.empty(max_frames * channels, dtype=np.int32)
+    consumed = ctypes.c_int64(0)
+    decoded = lib.atpu_alac_decode(
+        _as_ptr(buf, ctypes.c_uint8), len(buf),
+        bps, channels, samples_per_frame,
+        initial_history, history_multiplier, maximum_k,
+        max_frames,
+        _as_ptr(out, ctypes.c_int32),
+        ctypes.byref(consumed))
+    if decoded < 0:
+        raise ValueError("ALAC decode error (code %d)" % (decoded,))
+    return (out[:decoded * channels].reshape(-1, channels),
+            consumed.value)
 
 
 def flac_decode(data, stream_bps, stream_channels, max_samples,

@@ -1368,3 +1368,820 @@ int64_t atpu_flac_decode(const uint8_t* data,
 }
 
 }  // extern "C"
+
+// ======================================================================
+// ALAC (Apple Lossless) — host-side adaptive encode/decode kernels.
+//
+// Role of reference src/encoders/alac.c / src/decoders/alac.c
+// (behavioral spec: audiotools/py_encoders/alac.py, py_decoders/alac.py,
+// mirrored by audiotools_tpu/ref/alac.py).  ALAC's residual filter
+// adapts its coefficients per sample and its Rice variant carries a
+// running history — true recurrences, so they run here on the host;
+// the batched device kernel (ops/alac_frames.py) supplies the LPC
+// coefficient candidates (qlp4/qlp8 per block, group, leftweight,
+// channel), computed with the shared contraction-immune numerics, and
+// this emitter makes all size decisions from exact candidate bits.
+
+namespace alac {
+
+constexpr int QLP_SHIFT = 9;
+constexpr int PACKED_COLS = 13;   // qlp4[4] + qlp8[8] + degenerate
+constexpr int N_LW = 5;
+
+struct Opts {
+    int block_size;
+    int initial_history;
+    int history_multiplier;
+    int maximum_k;
+    int interlacing_shift;
+    int min_lw, max_lw;
+    int bps;
+};
+
+static inline int ilog2_floor(uint32_t v) {
+    return (v == 0) ? -1 : (31 - __builtin_clz(v));
+}
+
+static inline int32_t trunc_bits(int64_t v, int bits) {
+    const int64_t mask = (1LL << bits) - 1;
+    int64_t t = v & mask;
+    if (t & (1LL << (bits - 1))) t -= (1LL << bits);
+    return (int32_t)t;
+}
+
+static inline int sign_only(int64_t v) { return (v > 0) - (v < 0); }
+
+// sign-adaptive LPC residual producer (py_encoders/alac.py:349-397).
+// Generates residuals on demand so the Rice coder consumes them in
+// the same pass — no intermediate buffer, one traversal per
+// candidate.  Templated on ORDER (4 or 8 in practice) so the MAC and
+// adaptation loops fully unroll.  The coefficient state adapts per
+// sample (mutating a local copy).
+template <int ORDER>
+struct AdaptiveProducer {
+    const int32_t* ch;
+    int64_t n;
+    int sample_size;
+    int32_t qlp[ORDER];
+    int64_t i;
+
+    AdaptiveProducer(const int32_t* channel, int64_t count, int ss,
+                     const int32_t* coeffs)
+        : ch(channel), n(count), sample_size(ss), i(0) {
+        for (int j = 0; j < ORDER; j++) qlp[j] = coeffs[j];
+    }
+
+    inline int32_t next() {
+        const int64_t pos = i++;
+        if (pos == 0) return ch[0];
+        if (pos <= ORDER)
+            return trunc_bits((int64_t)ch[pos] - ch[pos - 1],
+                              sample_size);
+        const int64_t base = ch[pos - ORDER - 1];
+        int64_t lpc_sum = 0;
+        for (int j = 0; j < ORDER; j++)
+            lpc_sum += (int64_t)qlp[j] * (ch[pos - 1 - j] - base);
+        int64_t residual = trunc_bits(
+            ch[pos] - base -
+            ((lpc_sum + (1LL << (QLP_SHIFT - 1))) >> QLP_SHIFT),
+            sample_size);
+        const int32_t out = (int32_t)residual;
+        if (residual > 0) {
+            for (int j = 0; j < ORDER && residual > 0; j++) {
+                const int64_t diff = base - ch[pos - ORDER + j];
+                const int sign = sign_only(diff);
+                qlp[ORDER - j - 1] -= sign;
+                residual -= (((diff * sign) >> QLP_SHIFT) * (j + 1));
+            }
+        } else if (residual < 0) {
+            for (int j = 0; j < ORDER && residual < 0; j++) {
+                const int64_t diff = base - ch[pos - ORDER + j];
+                const int sign = sign_only(diff);
+                qlp[ORDER - j - 1] += sign;
+                residual -= (((diff * -sign) >> QLP_SHIFT) * (j + 1));
+            }
+        }
+        return out;
+    }
+};
+
+struct BitCounter {
+    int64_t total = 0;
+    inline void put(uint64_t, int64_t nbits) { total += nbits; }
+};
+
+// reciprocal table for division by (2^k - 1), k = 1..14:
+// q = (u * RECIP[k]) >> 47 is exact for u < 2^33 (verified vs plain
+// division at table build)
+struct RiceRecip {
+    uint64_t m[15];
+    RiceRecip() {
+        for (int k = 1; k <= 14; k++) {
+            const uint64_t d = (1ULL << k) - 1;
+            m[k] = ((1ULL << 47) + d - 1) / d;   // ceil(2^47 / d)
+        }
+    }
+};
+static const RiceRecip rice_recip;
+
+template <typename Sink>
+static inline void put_residual(Sink& w, uint32_t unsigned_v, int k,
+                                int sample_size) {
+    const uint32_t div = (1u << k) - 1;
+    const uint32_t MSB = (uint32_t)(((unsigned __int128)unsigned_v *
+                                     rice_recip.m[k]) >> 47);
+    const uint32_t LSB = unsigned_v - MSB * div;
+    if (MSB > 8) {
+        w.put(0x1FF, 9);
+        w.put(unsigned_v, sample_size);
+    } else {
+        // MSB one-bits then a zero stop bit
+        w.put(((1ULL << MSB) - 1) << 1, MSB + 1);
+        if (k > 1) {
+            if (LSB > 0) w.put(LSB + 1, k);
+            else w.put(0, k - 1);
+        }
+    }
+}
+
+// history-adaptive residual block (py_encoders/alac.py:400-435),
+// pulling residuals from an AdaptiveProducer in the same pass;
+// returns false on residual overflow (caller falls back uncompressed)
+template <typename Sink, typename Prod>
+static bool put_residual_block(Sink& w, const Opts& o,
+                               int sample_size, Prod& p, int64_t n) {
+    int64_t history = o.initial_history;
+    int sign_modifier = 0;
+    int64_t i = 0;
+    int32_t pending = 0;
+    bool has_pending = false;
+    while (i < n) {
+        const int64_t r = has_pending ? pending : p.next();
+        has_pending = false;
+        const uint64_t unsigned_v = (r >= 0) ? (uint64_t)(r * 2)
+                                             : (uint64_t)(-r * 2 - 1);
+        if (unsigned_v >= (1ULL << sample_size)) return false;
+        int k = ilog2_floor((uint32_t)((history >> 9) + 3));
+        if (k > o.maximum_k) k = o.maximum_k;
+        put_residual(w, (uint32_t)(unsigned_v - sign_modifier), k,
+                     sample_size);
+        sign_modifier = 0;
+        if (unsigned_v <= 0xFFFF) {
+            history += (int64_t)(unsigned_v * o.history_multiplier) -
+                       ((history * o.history_multiplier) >> 9);
+            i += 1;
+            if (history < 128 && i < n) {
+                int zk = 7 - ilog2_floor((uint32_t)history) +
+                         (int)((history + 16) >> 6);
+                if (zk > o.maximum_k) zk = o.maximum_k;
+                uint32_t zeroes = 0;
+                while (i < n) {
+                    const int32_t z = p.next();
+                    if (z == 0) {
+                        zeroes++;
+                        i++;
+                    } else {
+                        pending = z;
+                        has_pending = true;
+                        break;
+                    }
+                }
+                put_residual(w, zeroes, zk, 16);
+                if (zeroes < 65535) sign_modifier = 1;
+                history = 0;
+            }
+        } else {
+            i += 1;
+            history = 0xFFFF;
+        }
+    }
+    return true;
+}
+
+template <typename Sink>
+static void put_subframe_header(Sink& w, const int32_t* qlp,
+                                int order) {
+    w.put(0, 4);
+    w.put(QLP_SHIFT, 4);
+    w.put(4, 3);
+    w.put(order, 5);
+    for (int i = 0; i < order; i++)
+        w.put((uint64_t)(qlp[i] & 0xFFFF), 16);
+}
+
+// runs one (channel, order) candidate through producer + rice sink
+template <typename Sink>
+static bool run_candidate(Sink& w, const Opts& o, int sample_size,
+                          const int32_t* channel, int64_t n,
+                          const int32_t* qlp, int order) {
+    if (order == 4) {
+        AdaptiveProducer<4> p(channel, n, sample_size, qlp);
+        return put_residual_block(w, o, sample_size, p, n);
+    } else {
+        AdaptiveProducer<8> p(channel, n, sample_size, qlp);
+        return put_residual_block(w, o, sample_size, p, n);
+    }
+}
+
+// per-(leftweight, channel) candidate state for one frame group
+struct Candidate {
+    int order;                 // chosen order (4 or 8)
+    int64_t res_bits;          // residual block bits of chosen order
+    bool overflow;
+    const int32_t* qlp;        // chosen coefficients (packed row)
+};
+
+struct Scratch {
+    int32_t* ch[2];            // shifted channels
+};
+
+static const int32_t ZERO_QLP[8] = {0, 0, 0, 0, 0, 0, 0, 0};
+
+// evaluates one channel's order-4 vs order-8 candidate
+// (py_encoders/alac.py calculate_lpc_coefficients tail)
+static Candidate eval_channel(const Opts& o, int sample_size,
+                              const int32_t* channel, int64_t n,
+                              const int32_t* packed_row) {
+    Candidate c{4, 0, false, packed_row};
+    const bool degenerate = packed_row[12] != 0;
+    if (degenerate) {
+        BitCounter bc;
+        c.overflow = !run_candidate(bc, o, sample_size, channel, n,
+                                    ZERO_QLP, 4);
+        c.order = 4;
+        c.res_bits = bc.total;
+        c.qlp = ZERO_QLP;
+        return c;
+    }
+    int64_t bits[2];
+    bool ovf[2];
+    for (int oi = 0; oi < 2; oi++) {
+        const int order = oi ? 8 : 4;
+        const int32_t* q = packed_row + (oi ? 4 : 0);
+        BitCounter bc;
+        ovf[oi] = !run_candidate(bc, o, sample_size, channel, n, q,
+                                 order);
+        bits[oi] = bc.total;
+    }
+    if (bits[0] < bits[1]) {
+        c.order = 4;
+        c.res_bits = bits[0];
+        c.qlp = packed_row;
+    } else {
+        c.order = 8;
+        c.res_bits = bits[1];
+        c.qlp = packed_row + 4;
+    }
+    c.overflow = ovf[0] || ovf[1];
+    return c;
+}
+
+// writes the residual block for a decided candidate
+template <typename Sink>
+static void write_candidate_residuals(Sink& w, const Opts& o,
+                                      int sample_size,
+                                      const int32_t* channel,
+                                      int64_t n, const Candidate& c,
+                                      Scratch& s) {
+    (void)s;
+    run_candidate(w, o, sample_size, channel, n, c.qlp, c.order);
+}
+
+}  // namespace alac
+
+extern "C" {
+
+// Emits ALAC framesets (one per block) from raw PCM + LPC candidates.
+//
+// blocks: int32 [n_blocks, max_n, ch_total] interleaved, WAVE order
+// ns: per-block sample counts
+// layout_off/layout_w: [n_groups] channel group offsets/widths
+// packed: int32 [n_blocks, n_groups, 5, 2, 13] per-(leftweight,
+//   channel) qlp4[4] + qlp8[8] + degenerate flag (device output)
+// out/out_ends: frameset bytes and cumulative end offsets
+// returns total bytes or negative error code
+int64_t atpu_alac_emit_framesets(const int32_t* blocks,
+                                 const int32_t* ns,
+                                 int64_t n_blocks,
+                                 const int32_t* layout_off,
+                                 const int32_t* layout_w,
+                                 int32_t n_groups,
+                                 const int32_t* packed,
+                                 int32_t ch_total,
+                                 int32_t max_n,
+                                 int32_t block_size,
+                                 int32_t initial_history,
+                                 int32_t history_multiplier,
+                                 int32_t maximum_k,
+                                 int32_t interlacing_shift,
+                                 int32_t min_lw,
+                                 int32_t max_lw,
+                                 int32_t bps,
+                                 uint8_t* out,
+                                 int64_t* out_ends) {
+    using namespace alac;
+    Opts o{block_size, initial_history, history_multiplier, maximum_k,
+           interlacing_shift, min_lw, max_lw, bps};
+
+    static thread_local int32_t* buf = nullptr;
+    static thread_local int64_t buf_n = 0;
+    if (max_n > buf_n) {
+        delete[] buf;
+        buf = new int32_t[(int64_t)max_n * 8];
+        buf_n = max_n;
+    }
+    Scratch s;
+    s.ch[0] = buf;
+    s.ch[1] = buf + max_n;
+    int32_t* raw0 = buf + 2 * (int64_t)max_n;  // unshifted channels
+    int32_t* raw1 = buf + 3 * (int64_t)max_n;
+    int32_t* cor0 = buf + 4 * (int64_t)max_n;  // correlated pair
+    int32_t* cor1 = buf + 5 * (int64_t)max_n;
+
+    const int lsb_bytes = (bps > 16) ? (bps - 16) / 8 : 0;
+    const int lsb_shift = lsb_bytes * 8;
+
+    for (int64_t b = 0; b < n_blocks; b++) {
+        const int64_t n = ns[b];
+        const int32_t* pcm = blocks + b * (int64_t)max_n * ch_total;
+        BitWriter w(out, (b == 0) ? 0 : out_ends[b - 1]);
+
+        for (int g = 0; g < n_groups; g++) {
+            const int off = layout_off[g];
+            const int width = layout_w[g];
+            const int32_t* prow_base =
+                packed + ((b * n_groups + g) * N_LW) * 2 * PACKED_COLS;
+
+            w.put(width - 1, 3);
+
+            // gather raw + shifted channels
+            for (int64_t i = 0; i < n; i++)
+                raw0[i] = pcm[i * ch_total + off];
+            if (width == 2)
+                for (int64_t i = 0; i < n; i++)
+                    raw1[i] = pcm[i * ch_total + off + 1];
+            for (int64_t i = 0; i < n; i++)
+                s.ch[0][i] = raw0[i] >> lsb_shift;
+            if (width == 2)
+                for (int64_t i = 0; i < n; i++)
+                    s.ch[1][i] = raw1[i] >> lsb_shift;
+
+            // uncompressed frame size (always a candidate)
+            const bool partial = (n != block_size);
+            const int64_t unc_bits = 16 + 1 + 2 + 1 +
+                (partial ? 32 : 0) + n * width * bps;
+
+            bool write_uncompressed = (n < 10);
+            int chosen_lw = 0;
+            Candidate chosen[2];
+
+            if (!write_uncompressed && width == 1) {
+                const int sample_size = bps - lsb_shift;
+                Candidate c = eval_channel(
+                    o, sample_size, s.ch[0], n, prow_base);
+                if (c.overflow) {
+                    write_uncompressed = true;
+                } else {
+                    const int64_t comp_bits = 16 + 1 + 2 + 1 +
+                        (partial ? 32 : 0) + 8 + 8 +
+                        (4 + 4 + 3 + 5 + 16 * c.order) +
+                        n * width * lsb_shift + c.res_bits;
+                    if (comp_bits < unc_bits) {
+                        chosen[0] = c;
+                    } else {
+                        write_uncompressed = true;
+                    }
+                }
+            } else if (!write_uncompressed) {
+                const int sample_size = bps - lsb_shift + 1;
+                int64_t lw_bits[N_LW];
+                Candidate cands[N_LW][2];
+                bool any_overflow = false;
+                const int n_cand = max_lw - min_lw + 1;
+                for (int li = 0; li < n_cand; li++) {
+                    const int lw = min_lw + li;
+                    const int32_t* c0;
+                    const int32_t* c1;
+                    if (lw == 0) {
+                        c0 = s.ch[0];
+                        c1 = s.ch[1];
+                    } else {
+                        for (int64_t i = 0; i < n; i++) {
+                            const int64_t a = s.ch[0][i];
+                            const int64_t bb = s.ch[1][i];
+                            cor0[i] = (int32_t)(bb +
+                                (((a - bb) * lw) >> interlacing_shift));
+                            cor1[i] = (int32_t)(a - bb);
+                        }
+                        c0 = cor0;
+                        c1 = cor1;
+                    }
+                    const int32_t* prow0 = prow_base +
+                        (lw * 2 + 0) * PACKED_COLS;
+                    const int32_t* prow1 = prow_base +
+                        (lw * 2 + 1) * PACKED_COLS;
+                    cands[li][0] = eval_channel(o, sample_size, c0,
+                                                n, prow0);
+                    cands[li][1] = eval_channel(o, sample_size, c1,
+                                                n, prow1);
+                    any_overflow |= cands[li][0].overflow ||
+                                    cands[li][1].overflow;
+                    lw_bits[li] = 16 + 1 + 2 + 1 + (partial ? 32 : 0) +
+                        8 + 8 +
+                        (4 + 4 + 3 + 5 + 16 * cands[li][0].order) +
+                        (4 + 4 + 3 + 5 + 16 * cands[li][1].order) +
+                        n * width * lsb_shift +
+                        cands[li][0].res_bits + cands[li][1].res_bits;
+                }
+                if (any_overflow) {
+                    write_uncompressed = true;
+                } else {
+                    // the oracle's first-strict-minimum selection
+                    // (py_encoders/alac.py:204-210)
+                    int pick = 0;
+                    bool found = false;
+                    for (int i = 0; i + 1 < n_cand && !found; i++) {
+                        int64_t later = lw_bits[i + 1];
+                        for (int j = i + 2; j < n_cand; j++)
+                            if (lw_bits[j] < later) later = lw_bits[j];
+                        if (lw_bits[i] < later) {
+                            pick = i;
+                            found = true;
+                        }
+                    }
+                    if (lw_bits[pick] < unc_bits) {
+                        chosen_lw = min_lw + pick;
+                        chosen[0] = cands[pick][0];
+                        chosen[1] = cands[pick][1];
+                    } else {
+                        write_uncompressed = true;
+                    }
+                }
+            }
+
+            if (write_uncompressed) {
+                w.put(0, 16);
+                w.put(partial ? 1 : 0, 1);
+                w.put(0, 2);
+                w.put(1, 1);
+                if (partial) w.put((uint64_t)n, 32);
+                const uint64_t mask = (1ULL << bps) - 1;
+                for (int64_t i = 0; i < n; i++) {
+                    w.put((uint64_t)raw0[i] & mask, bps);
+                    if (width == 2)
+                        w.put((uint64_t)raw1[i] & mask, bps);
+                }
+                continue;
+            }
+
+            // compressed frame
+            w.put(0, 16);
+            w.put(partial ? 1 : 0, 1);
+            w.put(lsb_bytes, 2);
+            w.put(0, 1);
+            if (partial) w.put((uint64_t)n, 32);
+            if (width == 1) {
+                const int sample_size = bps - lsb_shift;
+                w.put(0, 8);
+                w.put(0, 8);
+                put_subframe_header(w, chosen[0].qlp, chosen[0].order);
+                if (lsb_bytes > 0) {
+                    const uint32_t lmask = (1u << lsb_shift) - 1;
+                    for (int64_t i = 0; i < n; i++)
+                        w.put((uint32_t)raw0[i] & lmask, lsb_shift);
+                }
+                write_candidate_residuals(w, o, sample_size, s.ch[0],
+                                          n, chosen[0], s);
+            } else {
+                const int sample_size = bps - lsb_shift + 1;
+                w.put(interlacing_shift, 8);
+                w.put(chosen_lw, 8);
+                put_subframe_header(w, chosen[0].qlp, chosen[0].order);
+                put_subframe_header(w, chosen[1].qlp, chosen[1].order);
+                if (lsb_bytes > 0) {
+                    const uint32_t lmask = (1u << lsb_shift) - 1;
+                    for (int64_t i = 0; i < n; i++) {
+                        w.put((uint32_t)raw0[i] & lmask, lsb_shift);
+                        w.put((uint32_t)raw1[i] & lmask, lsb_shift);
+                    }
+                }
+                const int32_t* c0;
+                const int32_t* c1;
+                if (chosen_lw == 0) {
+                    c0 = s.ch[0];
+                    c1 = s.ch[1];
+                } else {
+                    for (int64_t i = 0; i < n; i++) {
+                        const int64_t a = s.ch[0][i];
+                        const int64_t bb = s.ch[1][i];
+                        cor0[i] = (int32_t)(bb +
+                            (((a - bb) * chosen_lw) >>
+                             interlacing_shift));
+                        cor1[i] = (int32_t)(a - bb);
+                    }
+                    c0 = cor0;
+                    c1 = cor1;
+                }
+                write_candidate_residuals(w, o, sample_size, c0, n,
+                                          chosen[0], s);
+                write_candidate_residuals(w, o, sample_size, c1, n,
+                                          chosen[1], s);
+            }
+        }
+
+        w.put(7, 3);          // end-of-frameset
+        w.byte_align();
+        out_ends[b] = w.pos;
+    }
+    return (n_blocks > 0) ? out_ends[n_blocks - 1] : 0;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------
+// ALAC decoder (role of reference src/decoders/alac.c): framesets ->
+// interleaved wave-order PCM.  Mirrors ref/alac.py ALACDecoder.
+
+namespace alac {
+
+// ALAC frameset channel order -> wave order (ref/alac.py WAVE_ORDER)
+static const int WAVE_ORDER_TBL[9][8] = {
+    {},
+    {0},
+    {0, 1},
+    {1, 2, 0},
+    {1, 2, 0, 3},
+    {1, 2, 0, 3, 4},
+    {1, 2, 0, 5, 3, 4},
+    {1, 2, 0, 6, 3, 4, 5},
+    {3, 4, 0, 7, 5, 6, 1, 2},
+};
+
+// reads one adaptive residual (ref/alac.py:666-679)
+static inline int64_t read_residual(BitReader& r, int k,
+                                    int sample_size) {
+    // limited unary: up to 8 one-bits then a zero; 9 ones = escape
+    int msb = 0;
+    while (msb < 9 && r.get(1) == 1) msb++;
+    if (r.error) return 0;
+    if (msb == 9) return (int64_t)r.get(sample_size);
+    if (k == 0) return msb;
+    const int64_t hi = (k > 1) ? (int64_t)r.get(k - 1) : 0;
+    if (hi != 0) {
+        const int64_t lsb = (hi << 1) | r.get(1);
+        return (int64_t)msb * ((1LL << k) - 1) + (lsb - 1);
+    }
+    return (int64_t)msb * ((1LL << k) - 1);
+}
+
+struct DecOpts {
+    int initial_history, history_multiplier, maximum_k;
+};
+
+// ref/alac.py:627-664
+static bool read_residuals(BitReader& r, const DecOpts& o,
+                           int sample_size, int64_t count,
+                           int32_t* out) {
+    int64_t history = o.initial_history;
+    int sign_modifier = 0;
+    int64_t i = 0;
+    while (i < count) {
+        int k = ilog2_floor((uint32_t)((history >> 9) + 3));
+        if (k > o.maximum_k) k = o.maximum_k;
+        const int64_t unsigned_v = read_residual(r, k, sample_size) +
+                                   sign_modifier;
+        sign_modifier = 0;
+        out[i] = (unsigned_v & 1)
+            ? (int32_t)(-((unsigned_v + 1) >> 1))
+            : (int32_t)(unsigned_v >> 1);
+        if (unsigned_v <= 0xFFFF)
+            history += (unsigned_v * o.history_multiplier) -
+                       ((history * o.history_multiplier) >> 9);
+        else
+            history = 0xFFFF;
+        if (history < 128 && (i + 1) < count) {
+            int zk = 7 - ilog2_floor((uint32_t)history) +
+                     (int)((history + 16) >> 6);
+            if (zk > o.maximum_k) zk = o.maximum_k;
+            const int64_t zeroes = read_residual(r, zk, 16);
+            if (zeroes > 0) {
+                for (int64_t z = 0; z < zeroes && (i + 1) < count;
+                     z++) {
+                    i += 1;
+                    out[i] = 0;
+                }
+                // the spec extends exactly `zeroes` zeros; bail on
+                // malformed streams that would overrun
+            }
+            history = 0;
+            if (zeroes <= 0xFFFF) sign_modifier = 1;
+        }
+        i += 1;
+        if (r.error) return false;
+    }
+    return true;
+}
+
+// ref/alac.py:681-730 — in-place residual -> sample synthesis with
+// sign-adaptive coefficient updates
+static void decode_subframe(int32_t* qlp, int order, int shift,
+                            int sample_size, int32_t* data,
+                            int64_t count) {
+    if (order >= 31) {
+        for (int64_t i = 1; i < count; i++)
+            data[i] = trunc_bits((int64_t)data[i - 1] + data[i],
+                                 sample_size);
+        return;
+    }
+    for (int i = 1; i <= order && i < count; i++)
+        data[i] = trunc_bits((int64_t)data[i - 1] + data[i],
+                             sample_size);
+    for (int64_t i = order + 1; i < count; i++) {
+        int64_t residual = data[i];
+        const int64_t base = data[i - order - 1];
+        int64_t lpc_sum = 0;
+        for (int j = 0; j < order; j++)
+            lpc_sum += ((int64_t)data[i - 1 - j] - base) * qlp[j];
+        int64_t outval = ((1LL << (shift - 1)) + lpc_sum) >> shift;
+        data[i] = trunc_bits(outval + residual + base, sample_size);
+
+        // buf = samples[-order-2 : -1] relative to position i
+        const int32_t* buf = data + (i - order - 1);
+        if (residual > 0) {
+            for (int pn = order - 1; pn >= 0 && residual > 0; pn--) {
+                const int64_t val = (int64_t)buf[0] -
+                                    buf[order - pn];
+                const int sign = sign_only(val);
+                qlp[pn] -= sign;
+                residual -= (((val * sign) >> shift) * (order - pn));
+            }
+        } else if (residual < 0) {
+            for (int pn = order - 1; pn >= 0 && residual < 0; pn--) {
+                const int64_t val = (int64_t)buf[0] -
+                                    buf[order - pn];
+                const int sign = -sign_only(val);
+                qlp[pn] -= sign;
+                // val * sign == -|val|; the shifted negative value
+                // walks the residual back toward zero
+                residual -= (((val * sign) >> shift) * (order - pn));
+            }
+        }
+    }
+}
+
+}  // namespace alac
+
+extern "C" {
+
+// Decodes ALAC framesets into interleaved wave-order int32 PCM.
+//
+// data/len: mdat payload positioned at the first frameset
+// returns PCM frames decoded, or negative error; consumed_bytes
+// reports how much of data was read
+int64_t atpu_alac_decode(const uint8_t* data,
+                         int64_t len,
+                         int32_t bps,
+                         int32_t channels,
+                         int32_t samples_per_frame,
+                         int32_t initial_history,
+                         int32_t history_multiplier,
+                         int32_t maximum_k,
+                         int64_t max_frames,
+                         int32_t* out,
+                         int64_t* consumed_bytes) {
+    using namespace alac;
+    if (channels < 1 || channels > 8) return -30;
+    DecOpts o{initial_history, history_multiplier, maximum_k};
+
+    static thread_local int32_t* chan_buf = nullptr;
+    static thread_local int64_t chan_cap = 0;
+    const int64_t needed = (int64_t)samples_per_frame * (channels + 2);
+    if (needed > chan_cap) {
+        delete[] chan_buf;
+        chan_buf = new int32_t[needed * 2];
+        chan_cap = needed;
+    }
+    static thread_local uint32_t* lsb_buf = nullptr;
+    static thread_local int64_t lsb_cap = 0;
+    const int64_t lsb_needed = (int64_t)samples_per_frame * channels;
+    if (lsb_needed > lsb_cap) {
+        delete[] lsb_buf;
+        lsb_buf = new uint32_t[lsb_needed * 2];
+        lsb_cap = lsb_needed;
+    }
+
+    BitReader r(data, len);
+    int64_t total = 0;
+    *consumed_bytes = 0;
+
+    while (total < max_frames && r.byte_pos() < len) {
+        // one frameset
+        int32_t* frameset[8];
+        int fs_channels = 0;
+        int64_t fs_count = -1;
+
+        int frame_channels = (int)r.get(3) + 1;
+        if (r.error) break;
+        while (frame_channels != 8) {
+            const int width = frame_channels;
+            if (fs_channels + width > channels)
+                return (total > 0) ? total : -31;
+            int32_t* ch0 = chan_buf +
+                (int64_t)fs_channels * samples_per_frame;
+            int32_t* ch1 = ch0 + samples_per_frame;
+
+            r.get(16);
+            const int has_count = (int)r.get(1);
+            const int lsb_bytes = (int)r.get(2);
+            const int uncompressed = (int)r.get(1);
+            const int64_t count = has_count ? (int64_t)r.get(32)
+                                            : samples_per_frame;
+            if (count > samples_per_frame)
+                return (total > 0) ? total : -32;
+
+            if (uncompressed) {
+                for (int64_t i = 0; i < count; i++)
+                    for (int c = 0; c < width; c++)
+                        (c == 0 ? ch0 : ch1)[i] =
+                            (int32_t)r.get_signed(bps);
+            } else {
+                const int ishift = (int)r.get(8);
+                const int lweight = (int)r.get(8);
+                int32_t qlp[2][32];
+                int order[2];
+                int shift[2];
+                for (int c = 0; c < width; c++) {
+                    r.get(4);
+                    shift[c] = (int)r.get(4);
+                    r.get(3);
+                    order[c] = (int)r.get(5);
+                    if (order[c] > 32)
+                        return (total > 0) ? total : -33;
+                    for (int j = 0; j < order[c]; j++)
+                        qlp[c][j] = (int32_t)r.get_signed(16);
+                }
+                if (lsb_bytes > 0)
+                    for (int64_t i = 0; i < count * width; i++)
+                        lsb_buf[i] = (uint32_t)r.get(lsb_bytes * 8);
+                const int sample_size = bps - lsb_bytes * 8 +
+                                        width - 1;
+                for (int c = 0; c < width; c++) {
+                    int32_t* dst = (c == 0) ? ch0 : ch1;
+                    if (!read_residuals(r, o, sample_size, count,
+                                        dst))
+                        return (total > 0) ? total : -34;
+                    decode_subframe(qlp[c], order[c], shift[c],
+                                    sample_size, dst, count);
+                }
+                if (width == 2 && lweight != 0) {
+                    for (int64_t i = 0; i < count; i++) {
+                        const int64_t right = ch0[i] -
+                            (((int64_t)ch1[i] * lweight) >> ishift);
+                        ch0[i] = (int32_t)(ch1[i] + right);
+                        ch1[i] = (int32_t)right;
+                    }
+                }
+                if (lsb_bytes > 0) {
+                    const int ls = lsb_bytes * 8;
+                    for (int c = 0; c < width; c++) {
+                        int32_t* dst = (c == 0) ? ch0 : ch1;
+                        for (int64_t i = 0; i < count; i++)
+                            dst[i] = (int32_t)(((int64_t)dst[i] << ls) |
+                                               lsb_buf[i * width + c]);
+                    }
+                }
+            }
+
+            for (int c = 0; c < width; c++)
+                frameset[fs_channels + c] =
+                    (c == 0 ? ch0 : ch1);
+            fs_channels += width;
+            if (fs_count < 0) fs_count = count;
+            else if (fs_count != count)
+                return (total > 0) ? total : -35;
+
+            frame_channels = (int)r.get(3) + 1;
+            if (r.error) return total;   // truncated buffer
+        }
+        r.byte_align();
+        if (fs_channels != channels)
+            return (total > 0) ? total : -37;
+        if (fs_count < 0) break;
+        if (total + fs_count > max_frames) break;
+
+        // reorder ALAC frameset channels into wave order
+        const int* order_tbl = WAVE_ORDER_TBL[channels];
+        int32_t* dst = out + total * channels;
+        for (int c = 0; c < channels; c++) {
+            const int32_t* src = frameset[order_tbl[c]];
+            for (int64_t i = 0; i < fs_count; i++)
+                dst[i * channels + c] = src[i];
+        }
+        if (r.error) return total;       // truncated buffer
+        total += fs_count;
+        *consumed_bytes = r.byte_pos();
+    }
+    return total;
+}
+
+}  // extern "C"

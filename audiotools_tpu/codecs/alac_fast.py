@@ -1,0 +1,211 @@
+"""Fast ALAC codec: batched device LPC analysis + C++ adaptive emit.
+
+The production ALAC path (reference counterpart
+``/root/reference/src/encoders/alac.c`` / ``src/decoders/alac.c``).
+ALAC's residual filter and Rice variant are adaptive recurrences
+(host work by nature — see ``_native/hostkernels.cpp``); the batchable
+front half (windowing, autocorrelation, Levinson-Durbin, coefficient
+quantization for every block x group x leftweight x channel candidate)
+runs through the shared contraction-immune kernels in
+``ops/alac_frames.py`` — NumPy on host or jax.numpy on TPU,
+byte-identically.  The scalar oracle (``ref/alac.py``) shares the same
+analysis kernel, so fast and oracle outputs are byte-identical.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from .. import _native, pcm
+from ..ops import alac_frames, lpc as lpc_ops
+from ..ref import alac as oracle
+
+_jax_alac_cache = {}
+
+
+def _get_backend(backend):
+    if backend is None:
+        backend = os.environ.get("ATPU_ALAC_BACKEND",
+                                 os.environ.get("ATPU_FLAC_BACKEND",
+                                                "numpy"))
+    return backend
+
+
+def _analyze(blocks, layout, bps, lsb_shift, interlacing_shift,
+             min_lw, max_lw, window, backend):
+    """packed LPC candidates [B, G, 5, 2, 13] for a uniform batch"""
+    if backend == "jax":
+        import jax
+        jax.config.update("jax_enable_x64", True)
+        from .flac_enc_fast import _enable_compilation_cache
+        _enable_compilation_cache(jax)
+        key = (blocks.shape, blocks.dtype.str, tuple(layout), bps,
+               lsb_shift, interlacing_shift, min_lw, max_lw)
+        if key not in _jax_alac_cache:
+            import jax.numpy as jnp
+
+            def run(blocks, window):
+                return alac_frames.analyze_framesets_packed(
+                    jnp, blocks, list(layout), bps, lsb_shift,
+                    interlacing_shift, min_lw, max_lw, window).ravel()
+            _jax_alac_cache[key] = jax.jit(run)
+        handle = _jax_alac_cache[key](blocks, window)
+        try:
+            handle.copy_to_host_async()
+        except AttributeError:
+            pass
+        return handle
+    else:
+        return np.asarray(alac_frames.analyze_framesets_packed(
+            np, blocks, list(layout), bps, lsb_shift,
+            interlacing_shift, min_lw, max_lw, window))
+
+
+def _fetch(handle, B, G):
+    """materializes a packed analysis handle on host"""
+    if isinstance(handle, np.ndarray):
+        return handle
+    import jax
+    return np.asarray(jax.device_get(handle)).reshape(
+        (B, G, alac_frames.N_LEFTWEIGHTS, 2, alac_frames.PACKED_COLS))
+
+
+def encode_mdat_fast(file, pcmreader,
+                     block_size=4096,
+                     initial_history=10,
+                     history_multiplier=40,
+                     maximum_k=14,
+                     interlacing_shift=2,
+                     min_interlacing_leftweight=0,
+                     max_interlacing_leftweight=4,
+                     batch_frames=None,
+                     backend=None):
+    """writes an mdat atom from the PCMReader's data (fast path)
+
+    returns (frame_byte_sizes, total_pcm_frames); byte-identical to
+    ref.alac.encode_mdat by shared-kernel construction"""
+    from ..pcmstream import BufferedPCMReader
+
+    backend = _get_backend(backend)
+    if batch_frames is None:
+        batch_frames = int(os.environ.get(
+            "ATPU_ALAC_BATCH", "64" if backend == "jax" else "16"))
+
+    channels = pcmreader.channels
+    bps = pcmreader.bits_per_sample
+    layout = oracle.FRAMESET_LAYOUT.get(channels)
+    if layout is None:
+        raise ValueError("unsupported channel count")
+    lsb_shift = (bps - 16) if bps > 16 else 0
+    window = lpc_ops.tukey_window(block_size)
+
+    reader = BufferedPCMReader(pcmreader)
+    total_pcm_frames = 0
+    frame_byte_sizes = []
+
+    mdat_start = file.tell()
+    file.write(b"\x00" * 4 + b"mdat")
+
+    pending = None     # (handle, blocks, ns) — one batch in flight
+
+    def submit(blocks, ns):
+        handle = _analyze(blocks, layout, bps, lsb_shift,
+                          interlacing_shift,
+                          min_interlacing_leftweight,
+                          max_interlacing_leftweight,
+                          lpc_ops.tukey_window(blocks.shape[1]),
+                          backend)
+        return (handle, blocks, ns)
+
+    def finish(entry):
+        (handle, blocks, ns) = entry
+        packed = _fetch(handle, blocks.shape[0], len(layout))
+        (data, lens) = _native.alac_emit_framesets(
+            blocks, ns, layout, packed,
+            block_size, initial_history, history_multiplier,
+            maximum_k, interlacing_shift,
+            min_interlacing_leftweight, max_interlacing_leftweight,
+            bps)
+        file.write(data)
+        frame_byte_sizes.extend(int(v) for v in lens)
+
+    while True:
+        framelist = reader.read(block_size * batch_frames)
+        if framelist.frames == 0:
+            break
+        total_pcm_frames += framelist.frames
+        samples = framelist.samples
+        n_full = samples.shape[0] // block_size
+        if n_full:
+            blocks = np.ascontiguousarray(
+                samples[:n_full * block_size].reshape(
+                    n_full, block_size, channels))
+            entry = submit(blocks,
+                           np.full(n_full, block_size, dtype=np.int32))
+            # serialize the previous batch while this one analyzes
+            if pending is not None:
+                finish(pending)
+            pending = entry
+        tail = samples[n_full * block_size:]
+        if tail.shape[0]:
+            if pending is not None:
+                finish(pending)
+                pending = None
+            finish(submit(np.ascontiguousarray(tail[None]),
+                          np.asarray([tail.shape[0]],
+                                     dtype=np.int32)))
+    if pending is not None:
+        finish(pending)
+
+    end = file.tell()
+    file.seek(mdat_start)
+    file.write((sum(frame_byte_sizes) + 8).to_bytes(4, "big"))
+    file.seek(end)
+
+    return (frame_byte_sizes, total_pcm_frames)
+
+
+class FastALACDecoder(oracle.ALACDecoder):
+    """PCMReader-compatible ALAC decoder over the native kernels
+
+    atom parsing stays in Python (inherited); frameset decode runs in
+    C++ (``_native.atpu_alac_decode``) over buffered mdat bytes."""
+
+    CHUNK_BYTES = 0x200000
+
+    def __init__(self, file_or_path):
+        oracle.ALACDecoder.__init__(self, file_or_path)
+        self._buffer = b""
+        self._remaining = self.total_pcm_frames
+        self._eof = False
+
+    def read(self, pcm_frames):
+        if self._remaining <= 0:
+            return pcm.empty_framelist(self.channels,
+                                       self.bits_per_sample)
+
+        while len(self._buffer) < self.CHUNK_BYTES and not self._eof:
+            # read the byte-aligned source directly: read_bytes raises
+            # (and discards the partial tail) on short reads
+            chunk = self.reader.source.read(
+                self.CHUNK_BYTES - len(self._buffer))
+            if not chunk:
+                self._eof = True
+                break
+            self._buffer += chunk
+
+        want = min(max(pcm_frames, self.samples_per_frame),
+                   self._remaining)
+        (samples, consumed) = _native.alac_decode(
+            self._buffer, self.bits_per_sample, self.channels,
+            self.samples_per_frame, self.initial_history,
+            self.history_multiplier, self.maximum_k, want)
+        if samples.shape[0] == 0 and self._remaining > 0:
+            if self._eof and consumed == 0:
+                raise IOError("truncated ALAC stream")
+        self._buffer = self._buffer[consumed:]
+        self._remaining -= samples.shape[0]
+        return pcm.FrameList._wrap(np.ascontiguousarray(samples),
+                                   self.bits_per_sample)

@@ -128,9 +128,9 @@ class ALACAudio(AudioFile):
         return True
 
     def to_pcm(self):
-        from ..ref.alac import ALACDecoder
+        from ..codecs.alac import decoder_for_file
         try:
-            return ALACDecoder(open(self.filename, "rb"))
+            return decoder_for_file(open(self.filename, "rb"))
         except (IOError, ValueError, KeyError) as err:
             return PCMReaderError(str(err),
                                   self.__sample_rate__,
@@ -143,7 +143,7 @@ class ALACAudio(AudioFile):
                  compression=None, total_pcm_frames=None,
                  block_size=4096, encoding_function=None):
         """encodes a new file from PCM data"""
-        from ..ref.alac import encode_mdat
+        from ..codecs.alac import encode_mdat
 
         if pcmreader.bits_per_sample not in (16, 24):
             raise UnsupportedBitsPerSample(filename,

@@ -280,19 +280,25 @@ def correlate_channels(channel0, channel1, interlacing_shift,
         return (list(channel0), list(channel1))
 
 
+def lpc_coefficient_candidates(channel):
+    """returns (qlp4, qlp8, degenerate) for one channel via the shared
+    batched analysis kernel (ops/alac_frames.py) — the fast C++ path
+    consumes the same tables, so encodings are byte-identical"""
+    from ..ops import alac_frames
+    window = tukey_window(len(channel), 0.5)
+    X = np.asarray(channel, dtype=np.int32)[None, :]
+    row = np.asarray(alac_frames.lpc_candidates(np, X, window))[0]
+    return ([int(v) for v in row[0:4]],
+            [int(v) for v in row[4:12]],
+            bool(row[12]))
+
+
 def calculate_lpc_coefficients(pcmreader, options, sample_size,
                                channel):
     """returns (qlp_coefficients, residual_block) for one channel"""
-    window = tukey_window(len(channel), 0.5)
-    windowed = np.asarray(channel, dtype=np.float64) * window
-    autocorrelated = [float(np.dot(windowed[:len(windowed) - lag],
-                                   windowed[lag:]))
-                      for lag in range(9)]
+    (qlp4, qlp8, degenerate) = lpc_coefficient_candidates(channel)
 
-    if autocorrelated[0] != 0.0:
-        lp_coefficients = compute_lp_coefficients(autocorrelated)
-        qlp4 = quantize_coefficients(lp_coefficients, 4)
-        qlp8 = quantize_coefficients(lp_coefficients, 8)
+    if not degenerate:
         residuals4 = compute_residuals(sample_size, qlp4[:], channel)
         residuals8 = compute_residuals(sample_size, qlp8[:], channel)
 
@@ -311,39 +317,6 @@ def calculate_lpc_coefficients(pcmreader, options, sample_size,
         block = BitstreamRecorder(False)
         encode_residuals(block, options, sample_size, residuals)
         return (qlp, block)
-
-
-def compute_lp_coefficients(autocorrelation):
-    maximum_lpc_order = len(autocorrelation) - 1
-    k0 = autocorrelation[1] / autocorrelation[0]
-    lp_coefficients = [[k0]]
-    error = [autocorrelation[0] * (1 - k0 ** 2)]
-
-    for i in range(1, maximum_lpc_order):
-        acc = 0.0
-        for (j, c) in enumerate(lp_coefficients[i - 1]):
-            acc += c * autocorrelation[i - j]
-        ki = (autocorrelation[i + 1] - acc) / error[i - 1]
-        lp_coefficients.append(
-            [c1 - (ki * c2) for (c1, c2) in
-             zip(lp_coefficients[i - 1],
-                 reversed(lp_coefficients[i - 1]))] + [ki])
-        error.append(error[i - 1] * (1 - ki * ki))
-
-    return lp_coefficients
-
-
-def quantize_coefficients(lp_coefficients, order):
-    qlp_max = (1 << 15) - 1
-    qlp_min = -(1 << 15)
-    error = 0.0
-    qlp_coeffs = []
-    for lp_coeff in lp_coefficients[order - 1]:
-        error += lp_coeff * (1 << QLP_SHIFT_NEEDED)
-        qlp_coeffs.append(
-            int(min(max(round(error), qlp_min), qlp_max)))
-        error -= qlp_coeffs[-1]
-    return qlp_coeffs
 
 
 def compute_residuals(sample_size, qlp_coefficients, channel):
