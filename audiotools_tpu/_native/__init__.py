@@ -194,6 +194,15 @@ def _build_and_load():
     lib.atpu_crc16.restype = ctypes.c_uint16
     lib.atpu_crc16.argtypes = [ctypes.POINTER(ctypes.c_uint8),
                                ctypes.c_int64, ctypes.c_uint16]
+    lib.atpu_verify_mpeg.restype = ctypes.c_int64
+    lib.atpu_verify_mpeg.argtypes = [ctypes.POINTER(ctypes.c_uint8),
+                                     ctypes.c_int64,
+                                     ctypes.POINTER(ctypes.c_int64)]
+
+    lib.atpu_ogg_crc.restype = ctypes.c_uint32
+    lib.atpu_ogg_crc.argtypes = [ctypes.POINTER(ctypes.c_uint8),
+                                 ctypes.c_int64, ctypes.c_uint32]
+
     lib.atpu_crc8.restype = ctypes.c_uint8
     lib.atpu_crc8.argtypes = [ctypes.POINTER(ctypes.c_uint8),
                               ctypes.c_int64, ctypes.c_uint8]
@@ -468,6 +477,33 @@ def unpack_pcm(data, bits_per_sample, big_endian, is_signed):
                         1 if is_signed else 0,
                         _as_ptr(out, ctypes.c_int32))
     return out
+
+
+def verify_mpeg(data):
+    """frame-walks an MPEG audio stream, validating headers
+
+    returns (frames, total_samples, sample_rate, channels, layer);
+    raises ValueError on corruption"""
+    import numpy as np
+    lib = get_lib()
+    buf = np.frombuffer(bytes(data), dtype=np.uint8)
+    info = np.zeros(4, dtype=np.int64)
+    frames = lib.atpu_verify_mpeg(
+        _as_ptr(buf, ctypes.c_uint8), len(buf),
+        _as_ptr(info, ctypes.c_int64))
+    if frames < 0:
+        raise ValueError("MPEG stream error (code %d)" % (frames,))
+    return (int(frames), int(info[0]), int(info[1]), int(info[2]),
+            int(info[3]))
+
+
+def ogg_crc(data, initial=0):
+    """Ogg page CRC-32 (poly 0x04C11DB7, init 0, no final xor)"""
+    import numpy as np
+    lib = get_lib()
+    buf = np.frombuffer(bytes(data), dtype=np.uint8)
+    return int(lib.atpu_ogg_crc(_as_ptr(buf, ctypes.c_uint8),
+                                len(buf), initial))
 
 
 class MD5:

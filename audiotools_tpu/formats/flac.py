@@ -858,6 +858,43 @@ class FlacAudio(AudioFile):
                                 "8": "most amount of compression"}
     DEFAULT_COMPRESSION = "8"
 
+    # the reference's exact per-mode options (flac.py:1718-1764)
+    COMPRESSION_OPTIONS = {
+        "0": {"block_size": 1152, "max_lpc_order": 0,
+              "min_residual_partition_order": 0,
+              "max_residual_partition_order": 3},
+        "1": {"block_size": 1152, "max_lpc_order": 0,
+              "adaptive_mid_side": True,
+              "min_residual_partition_order": 0,
+              "max_residual_partition_order": 3},
+        "2": {"block_size": 1152, "max_lpc_order": 0,
+              "exhaustive_model_search": True,
+              "min_residual_partition_order": 0,
+              "max_residual_partition_order": 3},
+        "3": {"block_size": 4096, "max_lpc_order": 6,
+              "min_residual_partition_order": 0,
+              "max_residual_partition_order": 4},
+        "4": {"block_size": 4096, "max_lpc_order": 8,
+              "adaptive_mid_side": True,
+              "min_residual_partition_order": 0,
+              "max_residual_partition_order": 4},
+        "5": {"block_size": 4096, "max_lpc_order": 8,
+              "mid_side": True,
+              "min_residual_partition_order": 0,
+              "max_residual_partition_order": 5},
+        "6": {"block_size": 4096, "max_lpc_order": 8,
+              "mid_side": True,
+              "min_residual_partition_order": 0,
+              "max_residual_partition_order": 6},
+        "7": {"block_size": 4096, "max_lpc_order": 8,
+              "mid_side": True, "exhaustive_model_search": True,
+              "min_residual_partition_order": 0,
+              "max_residual_partition_order": 6},
+        "8": {"block_size": 4096, "max_lpc_order": 12,
+              "mid_side": True, "exhaustive_model_search": True,
+              "min_residual_partition_order": 0,
+              "max_residual_partition_order": 6}}
+
     METADATA_CLASS = FlacMetaData
 
     def __init__(self, filename):
@@ -1095,42 +1132,7 @@ class FlacAudio(AudioFile):
             compression = default_quality(cls.NAME) or \
                 cls.DEFAULT_COMPRESSION
 
-        # the reference's exact per-mode options (flac.py:1718-1764)
-        encoding_options = {
-            "0": {"block_size": 1152, "max_lpc_order": 0,
-                  "min_residual_partition_order": 0,
-                  "max_residual_partition_order": 3},
-            "1": {"block_size": 1152, "max_lpc_order": 0,
-                  "adaptive_mid_side": True,
-                  "min_residual_partition_order": 0,
-                  "max_residual_partition_order": 3},
-            "2": {"block_size": 1152, "max_lpc_order": 0,
-                  "exhaustive_model_search": True,
-                  "min_residual_partition_order": 0,
-                  "max_residual_partition_order": 3},
-            "3": {"block_size": 4096, "max_lpc_order": 6,
-                  "min_residual_partition_order": 0,
-                  "max_residual_partition_order": 4},
-            "4": {"block_size": 4096, "max_lpc_order": 8,
-                  "adaptive_mid_side": True,
-                  "min_residual_partition_order": 0,
-                  "max_residual_partition_order": 4},
-            "5": {"block_size": 4096, "max_lpc_order": 8,
-                  "mid_side": True,
-                  "min_residual_partition_order": 0,
-                  "max_residual_partition_order": 5},
-            "6": {"block_size": 4096, "max_lpc_order": 8,
-                  "mid_side": True,
-                  "min_residual_partition_order": 0,
-                  "max_residual_partition_order": 6},
-            "7": {"block_size": 4096, "max_lpc_order": 8,
-                  "mid_side": True, "exhaustive_model_search": True,
-                  "min_residual_partition_order": 0,
-                  "max_residual_partition_order": 6},
-            "8": {"block_size": 4096, "max_lpc_order": 12,
-                  "mid_side": True, "exhaustive_model_search": True,
-                  "min_residual_partition_order": 0,
-                  "max_residual_partition_order": 6}}[compression]
+        encoding_options = cls.COMPRESSION_OPTIONS[compression]
 
         if pcmreader.channels > 8:
             raise UnsupportedChannelCount(filename, pcmreader.channels)
@@ -1345,10 +1347,71 @@ def seektable_from_offsets(offsets, seekpoint_interval):
     return Flac_SEEKTABLE(seekpoints)
 
 
+class OggFlacDecoder:
+    """a PCMReader decoding FLAC frames from Ogg packets"""
+
+    def __init__(self, filename):
+        from ..ogg import PageReader, PacketReader
+        from .. import _native
+
+        self.file = open(filename, "rb")
+        self.packets = PacketReader(PageReader(self.file))
+        header = self.packets.read_packet()
+        if (len(header) < 51 or header[0] != 0x7F or
+                header[1:5] != b"FLAC"):
+            raise ValueError("invalid Ogg FLAC header packet")
+        self.__header_packets__ = (header[7] << 8) | header[8]
+        reader = BitstreamReader(header[13:], False)
+        reader.parse("1u 7u 24u")
+        streaminfo = Flac_STREAMINFO.parse(reader)
+        for _ in range(self.__header_packets__):
+            self.packets.read_packet()
+
+        self.sample_rate = streaminfo.sample_rate
+        self.channels = streaminfo.channels
+        self.bits_per_sample = streaminfo.bits_per_sample
+        self.channel_mask = int(ChannelMask(
+            {1: 0x0004, 2: 0x0003, 3: 0x0007, 4: 0x0033,
+             5: 0x0037, 6: 0x003F}.get(streaminfo.channels, 0)))
+        self.__remaining__ = streaminfo.total_samples
+        self.__native__ = _native
+        self.__buffer__ = b""
+        self.__eos__ = False
+
+    def read(self, pcm_frames):
+        from .. import pcm as pcm_mod
+        if self.__remaining__ <= 0:
+            return pcm_mod.empty_framelist(self.channels,
+                                           self.bits_per_sample)
+        want = max(pcm_frames, 4096)
+        # top up the raw frame buffer from Ogg packets
+        while not self.__eos__ and len(self.__buffer__) < (1 << 20):
+            try:
+                self.__buffer__ += self.packets.read_packet()
+            except (IOError, ValueError):
+                self.__eos__ = True
+        (samples, consumed) = self.__native__.flac_decode(
+            self.__buffer__, self.bits_per_sample, self.channels,
+            min(want, self.__remaining__))
+        self.__buffer__ = self.__buffer__[consumed:]
+        if samples.shape[0] == 0 and self.__remaining__ > 0:
+            if self.__eos__:
+                raise IOError("truncated Ogg FLAC stream")
+        self.__remaining__ -= samples.shape[0]
+        import numpy as np
+        return pcm_mod.FrameList._wrap(np.ascontiguousarray(samples),
+                                       self.bits_per_sample)
+
+    def close(self):
+        self.file.close()
+
+
 class OggFlacAudio(FlacAudio):
     """a Free Lossless Audio Codec file inside an Ogg container
-
-    (decode/encode support arrives with the Ogg container layer)"""
+    (reference flac.py:3038; mapping per the Ogg FLAC spec: first
+    packet 0x7F "FLAC" 1.0 + header count + STREAMINFO, further
+    header packets carry metadata blocks, audio packets carry one
+    FLAC frame each with cumulative granule positions)"""
 
     SUFFIX = "oga"
     NAME = "oggflac"
@@ -1356,7 +1419,266 @@ class OggFlacAudio(FlacAudio):
 
     @classmethod
     def available(cls, system_binaries=None):
-        return False
+        return True
+
+    @classmethod
+    def supports_cuesheet(cls):
+        return True
 
     def __init__(self, filename):
-        raise NotImplementedError("Ogg FLAC support pending")
+        from ..ogg import PageReader, PacketReader
+        AudioFile.__init__(self, filename)
+        try:
+            with open(filename, "rb") as f:
+                packets = PacketReader(PageReader(f))
+                header = packets.read_packet()
+                if (len(header) < 51 or header[0] != 0x7F or
+                        header[1:5] != b"FLAC"):
+                    raise InvalidFLAC("invalid Ogg FLAC header")
+                self.__header_packets__ = ((header[7] << 8) |
+                                           header[8])
+                reader = BitstreamReader(header[13:], False)
+                reader.parse("1u 7u 24u")
+                self.__streaminfo__ = Flac_STREAMINFO.parse(reader)
+                self.__stream_offset__ = 0
+        except (IOError, ValueError) as err:
+            raise InvalidFLAC(str(err))
+
+    def get_metadata(self):
+        """returns a FlacMetaData object of all header blocks"""
+        from ..ogg import PageReader, PacketReader
+        with open(self.filename, "rb") as f:
+            packets = PacketReader(PageReader(f))
+            header = packets.read_packet()
+            blocks = [self.__streaminfo__]
+            for _ in range(self.__header_packets__):
+                packet = packets.read_packet()
+                reader = BitstreamReader(packet, False)
+                (_last, block_type, block_length) = \
+                    reader.parse("1u 7u 24u")
+                blocks.append(_parse_block(reader, block_type,
+                                           block_length))
+            return FlacMetaData(blocks)
+
+    def update_metadata(self, metadata):
+        """writes the FlacMetaData to this file, rewriting it"""
+        from ..ogg import (PageReader, PageWriter, PacketReader,
+                           packet_to_pages)
+        from ..utils.files import TemporaryFile
+        from ..bitstream import BitstreamRecorder
+
+        if not isinstance(metadata, FlacMetaData):
+            raise ValueError("metadata must be FlacMetaData")
+
+        # collect the audio pages from the current file
+        with open(self.filename, "rb") as f:
+            reader = PageReader(f)
+            pages = []
+            while True:
+                try:
+                    pages.append(reader.read())
+                except (IOError, ValueError):
+                    break
+        serial = pages[0].bitstream_serial_number if pages else 0
+        # count pages holding header packets: walk packets again
+        with open(self.filename, "rb") as f:
+            packets = PacketReader(PageReader(f))
+            packets.read_packet()
+            for _ in range(self.__header_packets__):
+                packets.read_packet()
+            # audio packets start on the page after the last header
+            # packet's page (header packets are page-aligned in every
+            # stream this class writes)
+            last_header_page = packets.page.sequence_number
+            first_audio_index = [p.sequence_number
+                                 for p in pages].index(
+                                     last_header_page) + 1
+
+        new_file = TemporaryFile(self.filename)
+        writer = PageWriter(new_file)
+        seq = _write_oggflac_headers(writer, metadata, serial)
+        for page in pages[first_audio_index:]:
+            page.sequence_number = seq
+            seq += 1
+            writer.write(page)
+        new_file.close()
+        self.__header_packets__ = 1 + len(
+            [b for b in metadata.blocks()
+             if b.BLOCK_ID != Flac_STREAMINFO.BLOCK_ID])
+
+    def set_metadata(self, metadata):
+        """takes a MetaData object and sets this track's metadata"""
+        metadata = FlacMetaData.converted(metadata)
+        if metadata is None:
+            return
+        old_metadata = self.get_metadata()
+        # preserve STREAMINFO
+        metadata.replace_blocks(
+            Flac_STREAMINFO.BLOCK_ID,
+            old_metadata.get_blocks(Flac_STREAMINFO.BLOCK_ID))
+        self.update_metadata(metadata)
+
+    def delete_metadata(self):
+        self.set_metadata(MetaData())
+
+    def to_pcm(self):
+        try:
+            return OggFlacDecoder(self.filename)
+        except (IOError, ValueError) as err:
+            from ..pcmstream import PCMReaderError
+            return PCMReaderError(
+                str(err), self.sample_rate(), self.channels(),
+                int(self.channel_mask()), self.bits_per_sample())
+
+    @classmethod
+    def from_pcm(cls, filename, pcmreader, compression=None,
+                 total_pcm_frames=None, encoding_function=None):
+        """encodes a new file from PCM data"""
+        import io as io_mod
+        from ..ogg import PageWriter, packet_to_pages
+        from ..codecs.flac import encode_flac
+
+        if ((compression is None) or
+                (compression not in cls.COMPRESSION_MODES)):
+            compression = cls.DEFAULT_COMPRESSION
+
+        # encode a raw FLAC stream in memory, tracking frame offsets
+        raw = io_mod.BytesIO()
+        try:
+            offsets = (encoding_function or encode_flac)(
+                raw, pcmreader, padding_size=None,
+                **FlacAudio.COMPRESSION_OPTIONS[compression])
+        except (IOError, ValueError) as err:
+            raise EncodingError(str(err))
+        raw.seek(0, 0)
+
+        # split metadata from frames
+        flac_data = raw.getvalue()
+        reader = BitstreamReader(io_mod.BytesIO(flac_data), False)
+        if reader.read_bytes(4) != b"fLaC":
+            raise EncodingError("no FLAC stream generated")
+        metadata = FlacMetaData.parse(reader)
+        frames_offset = 4
+        r2 = BitstreamReader(io_mod.BytesIO(flac_data[4:]), False)
+        last = 0
+        while last != 1:
+            (last, _btype, blen) = r2.parse("1u 7u 24u")
+            r2.skip_bytes(blen)
+            frames_offset += 4 + blen
+
+        serial = 0x464C4143
+        try:
+            output = open(filename, "wb")
+        except IOError as err:
+            raise EncodingError(str(err))
+        try:
+            writer = PageWriter(output)
+            seq = _write_oggflac_headers(writer, metadata, serial)
+
+            # audio packets: one FLAC frame per packet
+            granule = 0
+            pending_pages = []
+            for (i, (byte_offset, pcm_frames)) in enumerate(offsets):
+                start = frames_offset + byte_offset
+                if i + 1 < len(offsets):
+                    end = frames_offset + offsets[i + 1][0]
+                else:
+                    end = len(flac_data)
+                granule += pcm_frames
+                for page in packet_to_pages(
+                        flac_data[start:end], serial, seq):
+                    page.granule_position = granule
+                    pending_pages.append(page)
+                    seq += 1
+            if pending_pages:
+                pending_pages[-1].stream_end = True
+            else:
+                # zero-length stream: single empty end page
+                from ..ogg import Page
+                pending_pages = [Page(False, False, True, 0, serial,
+                                      seq, [])]
+            for page in pending_pages:
+                writer.write(page)
+        finally:
+            output.close()
+        return cls(filename)
+
+    def verify(self, progress=None):
+        """decode-verifies the stream, returning True on success"""
+        from ..pcmstream import to_pcm_progress
+        decoder = self.to_pcm()
+        try:
+            framelist = decoder.read(65536)
+            while framelist.frames > 0:
+                framelist = decoder.read(65536)
+        except (IOError, ValueError) as err:
+            raise InvalidFLAC(str(err))
+        finally:
+            decoder.close()
+        return True
+
+    def seekable(self):
+        return False
+
+
+def _parse_block(reader, block_type, block_length):
+    """parses one FLAC metadata block body by type"""
+    if block_type == 0:
+        return Flac_STREAMINFO.parse(reader)
+    elif block_type == 1:
+        return Flac_PADDING.parse(reader, block_length)
+    elif block_type == 2:
+        return Flac_APPLICATION.parse(reader, block_length)
+    elif block_type == 3:
+        return Flac_SEEKTABLE.parse(reader, block_length // 18)
+    elif block_type == 4:
+        return Flac_VORBISCOMMENT.parse(reader)
+    elif block_type == 5:
+        return Flac_CUESHEET.parse(reader)
+    elif block_type == 6:
+        return Flac_PICTURE.parse(reader)
+    else:
+        raise InvalidFLAC("unsupported metadata block type")
+
+
+def _write_oggflac_headers(writer, metadata, serial):
+    """writes the Ogg FLAC header packets; returns next sequence no.
+
+    first packet: 0x7F "FLAC" 1.0 + header packet count + "fLaC" +
+    STREAMINFO block (reference flac.py:2974-3035)"""
+    from ..ogg import packet_to_pages
+    from ..bitstream import BitstreamRecorder
+
+    streaminfo = metadata.get_block(Flac_STREAMINFO.BLOCK_ID)
+    valid_blocks = [b for b in metadata.blocks()
+                    if ((b.BLOCK_ID != Flac_STREAMINFO.BLOCK_ID) and
+                        (b.size() < (1 << 24)))]
+
+    rec = BitstreamRecorder(False)
+    rec.write(8, 0x7F)
+    rec.write_bytes(b"FLAC")
+    rec.write(8, 1)
+    rec.write(8, 0)
+    rec.write(16, len(valid_blocks))
+    rec.write_bytes(b"fLaC")
+    rec.write(1, 0)
+    rec.write(7, 0)
+    rec.write(24, streaminfo.size())
+    streaminfo.build(rec)
+
+    pages = list(packet_to_pages(rec.data(), serial, 0))
+    pages[0].stream_beginning = True
+    for page in pages:
+        writer.write(page)
+    seq = len(pages)
+
+    for (i, block) in enumerate(valid_blocks, 1):
+        rec = BitstreamRecorder(False)
+        rec.write(1, 0 if i != len(valid_blocks) else 1)
+        rec.write(7, block.BLOCK_ID)
+        rec.write(24, block.size())
+        block.build(rec)
+        for page in packet_to_pages(rec.data(), serial, seq):
+            writer.write(page)
+            seq += 1
+    return seq
