@@ -72,6 +72,9 @@ def main(argv=None):
     parser.add_argument("--replay-gain", action="store_true",
                         dest="add_replay_gain", default=False,
                         help="add ReplayGain metadata to output files")
+    parser.add_argument("--devices", type=int, default=None,
+                        help="shard encode batches over N accelerator "
+                             "devices (data-parallel frames on a Mesh)")
     parser.add_argument("--sample-rate", type=int, default=None)
     parser.add_argument("--channels", type=int, default=None)
     parser.add_argument("--bits-per-sample", type=int, default=None)
@@ -156,6 +159,11 @@ def main(argv=None):
             bits_per_sample=options.bits_per_sample)
 
     try:
+        if options.devices:
+            # the device mesh replaces process parallelism: frames
+            # shard over the accelerators inside each encode
+            import os as os_mod
+            os_mod.environ["ATPU_DEVICES"] = str(options.devices)
         queue.run(options.max_processes or MAX_JOBS())
     except ExecQueueError as err:
         msg.error(str(err))

@@ -180,6 +180,52 @@ class FastALACDecoder(oracle.ALACDecoder):
         self._buffer = b""
         self._remaining = self.total_pcm_frames
         self._eof = False
+        # byte offset of the first frameset (reader sits there after
+        # the parent's atom walk) for stsz-table seeking
+        self._mdat_offset = self.reader.source.tell()
+        self._frame_sizes = None
+
+    def _read_frame_sizes(self):
+        """parses the stsz sample-size table (frameset byte sizes)"""
+        if self._frame_sizes is not None:
+            return self._frame_sizes
+        pos = self.reader.source.tell()
+        try:
+            self.reader.source.seek(0)
+            stsz = self._find_sub_atom(b"moov", b"trak", b"mdia",
+                                       b"minf", b"stbl", b"stsz")
+            (_version_flags, fixed_size,
+             count) = stsz.parse("32u 32u 32u")
+            if fixed_size:
+                self._frame_sizes = [fixed_size] * count
+            else:
+                self._frame_sizes = [stsz.read(32)
+                                     for _ in range(count)]
+        except (IOError, KeyError, ValueError):
+            self._frame_sizes = []
+        finally:
+            self.reader.source.seek(pos)
+            self.reader.byte_align()
+        return self._frame_sizes
+
+    def seek(self, pcm_frame):
+        """seeks to the given PCM frame position
+
+        returns the frameset-aligned position actually seeked to
+        (at or before the requested frame), using the M4A stsz table
+        (role of reference src/decoders/alac.c seeking)"""
+        sizes = self._read_frame_sizes()
+        target = max(min(int(pcm_frame), self.total_pcm_frames), 0)
+        index = min(target // self.samples_per_frame,
+                    max(len(sizes) - 1, 0)) if sizes else 0
+        offset = sum(sizes[:index])
+        self.reader.source.seek(self._mdat_offset + offset)
+        self.reader.byte_align()
+        self._buffer = b""
+        self._eof = False
+        position = index * self.samples_per_frame
+        self._remaining = self.total_pcm_frames - position
+        return position
 
     def read(self, pcm_frames):
         if self._remaining <= 0:

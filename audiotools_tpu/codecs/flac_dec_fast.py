@@ -38,6 +38,7 @@ class FastFlacDecoder:
             raise ValueError("invalid FLAC file (no 'fLaC' marker)")
 
         streaminfo = None
+        self.seektable = []
         last = 0
         while last != 1:
             (last, block_type, block_length) = reader.parse("1u 7u 24u")
@@ -55,10 +56,15 @@ class FastFlacDecoder:
                 self.channels = channels + 1
                 self.bits_per_sample = bps + 1
                 streaminfo = True
+            elif block_type == 3:
+                self.seektable = [
+                    reader.parse("64U 64U 16u")
+                    for _ in range(block_length // 18)]
             else:
                 reader.skip_bytes(block_length)
         if streaminfo is None:
             raise ValueError("no STREAMINFO block found")
+        self.frames_offset = self.file.tell()
 
         if channel_mask:
             self.channel_mask = channel_mask
@@ -121,6 +127,46 @@ class FastFlacDecoder:
             if ((self.md5sum != b"\x00" * 16) and
                     (self.current_md5.digest() != self.md5sum)):
                 raise ValueError("MD5 mismatch at end of stream")
+
+    def seek(self, pcm_frame):
+        """seeks to the given PCM frame position in the stream
+
+        returns the position actually seeked to, which is at or
+        before the requested one (the nearest prior seekpoint, or the
+        stream start).  Seeking disables the end-of-stream MD5 check
+        (the hash no longer covers every sample), matching the
+        reference decoder (src/decoders/flac.c seek path)."""
+        if self.closed:
+            raise ValueError("stream is closed")
+        pcm_frame = max(int(pcm_frame), 0)
+
+        # nearest seekpoint at or before the target
+        best = (0, 0)       # (sample_number, byte_offset)
+        for (sample_number, byte_offset, _frame_count) in \
+                self.seektable:
+            if sample_number <= pcm_frame and \
+                    sample_number >= best[0]:
+                best = (sample_number, byte_offset)
+
+        self.file.seek(self.frames_offset + best[1], 0)
+        self.buffer = b""
+        self.eof = False
+        self.decoded_frames = best[0]
+        # the stream MD5 covers the whole file; after a partial
+        # decode it can no longer be verified
+        self.md5sum = b"\x00" * 16
+
+        # decode-and-discard whole frames while they fit before the
+        # target (flac_decode never splits frames, so read(block)
+        # cannot overshoot)
+        remaining = pcm_frame - best[0]
+        block = self.maximum_block_size or 4096
+        while remaining >= block:
+            framelist = self.read(block)
+            if framelist.frames == 0:
+                break
+            remaining -= framelist.frames
+        return self.decoded_frames
 
     def close(self):
         self.closed = True

@@ -71,19 +71,32 @@ def _enable_compilation_cache(jax):
     _cache_enabled = True
 
 
+def _n_devices():
+    """devices to shard encode batches over (ATPU_DEVICES, default 1)"""
+    return max(int(os.environ.get("ATPU_DEVICES", "1")), 1)
+
+
 def _analyze_jax(blocks, stereo_trial, bps_scalar, n, K, precision,
-                 porders, max_rice, exhaustive, mid_side, window):
+                 porders, max_rice, exhaustive, mid_side, window,
+                 n_devices=1):
     """jitted packed device analysis; cached per static configuration
 
     blocks: [B, n, ch] int16 (bps <= 16) or int32; everything through
     channel assignment and decision packing runs on device, so the
-    host fetches a single [B, 1 + max_subframes*W] int32 array"""
+    host fetches a single [B, 1 + max_subframes*W] int32 array.
+
+    With n_devices > 1 the batch axis is sharded over a 1-D Mesh —
+    frames never communicate (the codec's blockwise independence, the
+    TPU-native replacement for the reference's fork-per-track queue) —
+    and the contraction-immune numeric spec guarantees the sharded
+    decisions equal the host backend's bit for bit."""
     import jax
     jax.config.update("jax_enable_x64", True)
     _enable_compilation_cache(jax)
 
     key = (blocks.shape, blocks.dtype.str, stereo_trial, bps_scalar, n,
-           K, precision, tuple(porders), max_rice, exhaustive, mid_side)
+           K, precision, tuple(porders), max_rice, exhaustive,
+           mid_side, n_devices)
     if key not in _jax_analyze_cache:
         import jax.numpy as jnp
 
@@ -96,9 +109,20 @@ def _analyze_jax(blocks, stereo_trial, bps_scalar, n, K, precision,
                 jnp, blocks, stereo_trial, bps_scalar, n, K, precision,
                 list(porders), max_rice, exhaustive, mid_side,
                 window).ravel()
-        _jax_analyze_cache[key] = jax.jit(run)
+
+        if n_devices > 1:
+            from ..parallel.mesh import make_mesh
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            mesh = make_mesh(n_devices)
+            data = NamedSharding(mesh, P("blocks"))
+            replicated = NamedSharding(mesh, P())
+            _jax_analyze_cache[key] = jax.jit(
+                run, in_shardings=(data, replicated),
+                out_shardings=replicated)
+        else:
+            _jax_analyze_cache[key] = jax.jit(run)
     device = _jax_device()
-    if device is not None:
+    if device is not None and n_devices == 1:
         blocks = jax.device_put(blocks, device)
         window = jax.device_put(window, device)
     # async dispatch: the caller fetches the packed array later,
@@ -194,14 +218,23 @@ def encode_flac_fast(file_or_path,
     # ring of in-flight batches: (packed handle, blocks, first_frame)
     ring = collections.deque()
 
+    n_devices = _n_devices()
+
     def submit(blocks):
         """launches analysis of [B, n, ch] int32 blocks"""
         if backend == "jax":
             upload = (blocks.astype(np.int16) if bps <= 16 else blocks)
+            if n_devices > 1 and upload.shape[0] % n_devices:
+                # pad to a shardable batch; extra rows are dropped
+                # after the fetch
+                pad = n_devices - (upload.shape[0] % n_devices)
+                upload = np.concatenate(
+                    [upload, np.zeros((pad,) + upload.shape[1:],
+                                      dtype=upload.dtype)])
             return _analyze_jax(upload, stereo_trial, bps, block_size,
                                 max_lpc_order, precision, porders,
                                 max_rice, exhaustive_model_search,
-                                mid_side, window)
+                                mid_side, window, n_devices)
         else:
             return flac_frames.analyze_frames_packed(
                 np, blocks, stereo_trial, bps, block_size,
@@ -225,6 +258,7 @@ def encode_flac_fast(file_or_path,
         (handle, blocks, first_frame) = ring.popleft()
         packed = fetch(handle).reshape(-1, row_width)       # one sync
         B = blocks.shape[0]
+        packed = packed[:B]        # drop any shard-padding rows
         (frame_bytes, lens) = _native.flac_emit_frames2(
             blocks,
             np.arange(first_frame, first_frame + B, dtype=np.int64),

@@ -1209,22 +1209,46 @@ class FlacAudio(AudioFile):
                 pass
 
     def seektable(self, offsets=None, seekpoint_interval=None):
-        """returns a new Flac_SEEKTABLE parsed from the file itself"""
+        """returns a new Flac_SEEKTABLE computed from the file itself
+
+        walks the frame stream with the native decoder, recording the
+        true (byte offset, PCM frames) pair of every frame (reference
+        flac.py's from_pcm path computes the same offsets at encode
+        time)"""
         if seekpoint_interval is None:
             seekpoint_interval = self.sample_rate() * 10
         if offsets is None:
-            offsets = []
-            from ..ref.flac_dec import FlacDecoder
-            with open(self.filename, "rb") as f:
-                f.seek(self.__stream_offset__ - 4)
-                decoder = FlacDecoder(f)
-                # walking the whole file is expensive; approximate from
-                # existing SEEKTABLE when present
-                metadata = self.get_metadata()
-                if metadata.has_block(Flac_SEEKTABLE.BLOCK_ID):
-                    return metadata.get_block(Flac_SEEKTABLE.BLOCK_ID)
-            return Flac_SEEKTABLE([])
+            offsets = self.__walk_frame_offsets__()
         return seektable_from_offsets(offsets, seekpoint_interval)
+
+    def __walk_frame_offsets__(self):
+        """returns (byte_offset, pcm_frames) per frame by walking the
+        stream frame-by-frame with the native decoder"""
+        from .. import _native
+        offsets = []
+        # decoding with max_samples = one maximum block yields exactly
+        # one frame per call (a second frame would exceed the cap)
+        max_block = self.__streaminfo__.maximum_block_size or 65536
+        with open(self.filename, "rb") as f:
+            f.seek(self.__stream_offset__, 0)
+            reader = BitstreamReader(f, False)
+            last = 0
+            while last != 1:
+                (last, _btype, blen) = reader.parse("1u 7u 24u")
+                reader.skip_bytes(blen)
+            data = f.read()
+        pos = 0
+        while pos < len(data):
+            # decode exactly one frame to learn its byte length
+            (samples, consumed) = _native.flac_decode(
+                data[pos:], self.__streaminfo__.bits_per_sample,
+                self.__streaminfo__.channels, max_block,
+                verify_crc=False)
+            if consumed == 0 or samples.shape[0] == 0:
+                break
+            offsets.append((pos, samples.shape[0]))
+            pos += consumed
+        return offsets
 
     def get_cuesheet(self):
         """returns the embedded Flac_CUESHEET, or None"""

@@ -95,7 +95,8 @@ class TrueAudio(AudioFile):
         return self.__total_pcm_frames__
 
     def seekable(self):
-        return True
+        # the scalar TTA decoder has no seek() yet
+        return False
 
     def data_size(self):
         """returns the size of the file's data from header+seektable"""

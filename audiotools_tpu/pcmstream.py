@@ -169,6 +169,20 @@ class PCMReader:
         else:
             return framelist
 
+    def seek(self, pcm_frame):
+        """seeks to the given PCM frame in the raw stream
+
+        returns the position actually seeked to; requires a seekable
+        source file (raw PCM containers: byte offset = frame index *
+        bytes per frame)"""
+        pcm_frame = max(int(pcm_frame), 0)
+        try:
+            byte_offset = self.file.seek(pcm_frame *
+                                         self.bytes_per_frame)
+        except (IOError, OSError, AttributeError):
+            raise IOError("stream is not seekable")
+        return byte_offset // self.bytes_per_frame
+
     def close(self):
         self.file.close()
 
@@ -396,6 +410,23 @@ class LimitedFileReader:
     def __init__(self, file, total_bytes):
         self.__file__ = file
         self.__total_bytes__ = total_bytes
+        try:
+            self.__start__ = file.tell()
+        except (IOError, OSError, AttributeError):
+            self.__start__ = None
+        self.__length__ = total_bytes
+
+    def seek(self, byte_offset):
+        """seeks to an absolute offset within the limited window
+
+        returns the offset actually seeked to; only available when
+        the underlying file is seekable"""
+        if self.__start__ is None:
+            raise IOError("stream is not seekable")
+        byte_offset = max(min(byte_offset, self.__length__), 0)
+        self.__file__.seek(self.__start__ + byte_offset, 0)
+        self.__total_bytes__ = self.__length__ - byte_offset
+        return byte_offset
 
     def read(self, x):
         if self.__total_bytes__ > 0:
