@@ -1,0 +1,137 @@
+"""CD image (cue/bin) stack tests: CDImage sector API, CDTrackReader,
+disc IDs, and the cd2track/cdinfo CLI tools (the image backend is how
+the reference tests CD logic without hardware, test_core.py:462)."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from audiotools_tpu.cdio import (CDImage, CDDA, CDTrackReader,
+                                 SECTOR_FRAMES)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SR = 44100
+
+
+def make_image(tmp_path, seconds=8):
+    n = seconds * SR        # whole seconds are sector-aligned
+    t = np.arange(n)
+    arr = np.clip(np.stack([8000 * np.sin(2 * np.pi * 440 * t / SR),
+                            7000 * np.sin(2 * np.pi * 550 * t / SR)],
+                           axis=1), -32768, 32767).astype(np.int16)
+    bin_path = str(tmp_path / "disc.bin")
+    open(bin_path, "wb").write(arr.astype("<i2").tobytes())
+    cue_path = str(tmp_path / "disc.cue")
+    open(cue_path, "w").write(
+        'FILE "disc.bin" BINARY\n'
+        '  TRACK 01 AUDIO\n    INDEX 01 00:00:00\n'
+        '  TRACK 02 AUDIO\n    INDEX 01 00:05:00\n')
+    return (cue_path, arr.astype(np.int32))
+
+
+def test_cdimage_sector_api(tmp_path):
+    (cue, arr) = make_image(tmp_path)
+    image = CDImage(cue)
+    assert image.total_tracks() == 2
+    assert image.track_offsets(1) == 0
+    assert image.track_offsets(2) == 5 * 75
+    assert image.track_lengths(1) == 5 * 75
+    assert image.first_sector() == 0
+    image.seek(1)
+    sector = image.read_sector()
+    assert len(sector) == 2352
+    got = np.frombuffer(sector, dtype="<i2").reshape(-1, 2)
+    assert np.array_equal(got, arr[SECTOR_FRAMES:2 * SECTOR_FRAMES])
+    image.close()
+
+
+def test_cdtrackreader_matches_source(tmp_path):
+    (cue, arr) = make_image(tmp_path)
+    cdda = CDDA(cue)
+    assert len(cdda) == 2
+    for (number, start, length) in ((1, 0, 5 * SR), (2, 5 * SR, 3 * SR)):
+        reader = cdda[number]
+        out = []
+        fl = reader.read(65536)
+        while fl.frames:
+            out.append(fl.samples)
+            fl = reader.read(65536)
+        got = np.concatenate(out)
+        assert got.shape[0] == length
+        assert np.array_equal(got, arr[start:start + length]), number
+    cdda.close()
+
+
+def test_cdtrackreader_sample_offset(tmp_path):
+    (cue, arr) = make_image(tmp_path)
+    cdda = CDDA(cue)
+    reader = CDTrackReader(cdda.cdda, 2, sample_offset=10)
+    fl = reader.read(100)
+    assert np.array_equal(fl.samples,
+                          arr[5 * SR + 10:5 * SR + 110])
+    # negative offset pads with silence before the disc start
+    reader2 = CDTrackReader(cdda.cdda, 1, sample_offset=-5)
+    fl2 = reader2.read(10)
+    assert np.array_equal(fl2.samples[:5], np.zeros((5, 2), np.int32))
+    assert np.array_equal(fl2.samples[5:], arr[0:5])
+    cdda.close()
+
+
+def test_disc_ids(tmp_path):
+    (cue, _arr) = make_image(tmp_path)
+    cdda = CDDA(cue)
+    freedb = cdda.freedb_disc_id()
+    assert str(freedb) == "%8.8X" % (int(freedb),)
+    assert int(freedb) & 0xFF == 2          # track count
+    ar = cdda.accuraterip_disc_id()
+    name = str(ar)
+    assert name.startswith("dBAR-002-")
+    assert name.endswith(".bin")
+    mb = str(cdda.musicbrainz_disc_id())
+    assert len(mb) == 28
+    assert "=" not in mb
+    cdda.close()
+
+
+def run_tool(name, *args):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    return subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", name)] +
+        list(args), capture_output=True, text=True, env=env,
+        timeout=600)
+
+
+def test_cdinfo_cli(tmp_path):
+    (cue, _arr) = make_image(tmp_path)
+    r = run_tool("cdinfo", "-c", cue)
+    assert r.returncode == 0, r.stderr
+    assert "Tracks : 2" in r.stdout
+    assert "dBAR-002-" in r.stdout
+
+
+def test_cd2track_cli(tmp_path):
+    from audiotools_tpu.formats.flac import FlacAudio
+    (cue, arr) = make_image(tmp_path)
+    outdir = str(tmp_path / "rip")
+    r = run_tool("cd2track", "-c", cue, "-t", "flac", "-q", "5",
+                 "-d", outdir)
+    assert r.returncode == 0, r.stderr
+    files = sorted(os.listdir(outdir))
+    assert len(files) == 2
+    # rip must be bit-exact against the image
+    track1 = FlacAudio(os.path.join(outdir, files[0]))
+    dec = track1.to_pcm()
+    out = []
+    fl = dec.read(65536)
+    while fl.frames:
+        out.append(fl.samples)
+        fl = dec.read(65536)
+    dec.close()
+    assert np.array_equal(np.concatenate(out), arr[:5 * SR])
+    # bad image path errors
+    assert run_tool("cd2track", "-c",
+                    str(tmp_path / "none.cue")).returncode != 0
