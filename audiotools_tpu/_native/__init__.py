@@ -194,6 +194,28 @@ def _build_and_load():
     lib.atpu_crc16.restype = ctypes.c_uint16
     lib.atpu_crc16.argtypes = [ctypes.POINTER(ctypes.c_uint8),
                                ctypes.c_int64, ctypes.c_uint16]
+    lib.atpu_tta_encode_frames.restype = ctypes.c_int64
+    lib.atpu_tta_encode_frames.argtypes = [
+        ctypes.POINTER(ctypes.c_int32),   # samples [total, ch]
+        ctypes.POINTER(ctypes.c_int32),   # frame_sizes
+        ctypes.c_int64,                   # n_tta_frames
+        ctypes.c_int32,                   # channels
+        ctypes.c_int32,                   # bps
+        ctypes.POINTER(ctypes.c_uint8),   # out
+        ctypes.POINTER(ctypes.c_int64),   # out_ends
+    ]
+
+    lib.atpu_tta_decode_frame.restype = ctypes.c_int64
+    lib.atpu_tta_decode_frame.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8),   # data
+        ctypes.c_int64,                   # len
+        ctypes.c_int64,                   # n
+        ctypes.c_int32,                   # channels
+        ctypes.c_int32,                   # bps
+        ctypes.POINTER(ctypes.c_int32),   # out
+        ctypes.c_int32,                   # verify_crc
+    ]
+
     lib.atpu_verify_mpeg.restype = ctypes.c_int64
     lib.atpu_verify_mpeg.argtypes = [ctypes.POINTER(ctypes.c_uint8),
                                      ctypes.c_int64,
@@ -477,6 +499,46 @@ def unpack_pcm(data, bits_per_sample, big_endian, is_signed):
                         1 if is_signed else 0,
                         _as_ptr(out, ctypes.c_int32))
     return out
+
+
+def tta_encode_frames(samples, frame_sizes, channels, bps):
+    """encodes TTA frames from int32 [total, ch] PCM
+
+    returns (bytes, per-frame byte sizes int64 array)"""
+    import numpy as np
+    lib = get_lib()
+    samples = np.ascontiguousarray(samples, dtype=np.int32)
+    frame_sizes = np.ascontiguousarray(frame_sizes, dtype=np.int32)
+    F = len(frame_sizes)
+    worst = samples.size * ((bps // 8) + 2) + 64 * F + 1024
+    out = np.empty(worst, dtype=np.uint8)
+    out_ends = np.empty(F, dtype=np.int64)
+    total = lib.atpu_tta_encode_frames(
+        _as_ptr(samples, ctypes.c_int32),
+        _as_ptr(frame_sizes, ctypes.c_int32),
+        F, channels, bps,
+        _as_ptr(out, ctypes.c_uint8),
+        _as_ptr(out_ends, ctypes.c_int64))
+    if total < 0:
+        raise ValueError("TTA encode error (code %d)" % (total,))
+    lens = np.diff(np.concatenate([[0], out_ends]))
+    return (out[:total].tobytes(), lens)
+
+
+def tta_decode_frame(data, n, channels, bps, verify_crc=True):
+    """decodes one TTA frame of n PCM frames
+
+    returns (samples int32 [n, ch], consumed_bytes)"""
+    import numpy as np
+    lib = get_lib()
+    buf = np.frombuffer(bytes(data), dtype=np.uint8)
+    out = np.empty(n * channels, dtype=np.int32)
+    consumed = lib.atpu_tta_decode_frame(
+        _as_ptr(buf, ctypes.c_uint8), len(buf), n, channels, bps,
+        _as_ptr(out, ctypes.c_int32), 1 if verify_crc else 0)
+    if consumed < 0:
+        raise ValueError("TTA decode error (code %d)" % (consumed,))
+    return (out.reshape(n, channels), consumed)
 
 
 def verify_mpeg(data):

@@ -2364,3 +2364,401 @@ int64_t atpu_verify_mpeg(const uint8_t* data, int64_t len,
 }
 
 }  // extern "C"
+
+// ======================================================================
+// TTA (True Audio) — host codec kernels.
+//
+// Role of reference src/encoders/tta.c / src/decoders/tta.c (spec:
+// audiotools/py_encoders/tta.py, py_decoders/tta.py, mirrored by
+// audiotools_tpu/ref/tta.py).  The hybrid filter, fixed predictor and
+// two-level adaptive Rice coder are all per-sample recurrences with
+// 32-bit wraparound — host-serial by nature.  TTA bitstreams are
+// little-endian (LSB-first).
+
+namespace tta {
+
+struct LEWriter {
+    uint8_t* out;
+    int64_t pos;
+    uint64_t acc = 0;
+    int bits = 0;
+    explicit LEWriter(uint8_t* buffer, int64_t start)
+        : out(buffer), pos(start) {}
+    inline void put(uint64_t value, int nbits) {
+        acc |= (value & ((nbits >= 64) ? ~0ULL
+                                       : ((1ULL << nbits) - 1)))
+               << bits;
+        bits += nbits;
+        while (bits >= 8) {
+            out[pos++] = (uint8_t)acc;
+            acc >>= 8;
+            bits -= 8;
+        }
+    }
+    inline void put_unary1(uint32_t value) {
+        // value one-bits then a zero bit
+        while (value >= 32) {
+            put(0xFFFFFFFFu, 32);
+            value -= 32;
+        }
+        put((1ULL << value) - 1, value + 1);
+    }
+    inline void byte_align() {
+        if (bits) {
+            out[pos++] = (uint8_t)acc;
+            acc = 0;
+            bits = 0;
+        }
+    }
+};
+
+struct LEReader {
+    const uint8_t* data;
+    int64_t len;
+    int64_t pos = 0;
+    uint64_t acc = 0;
+    int bits = 0;
+    bool error = false;
+    LEReader(const uint8_t* d, int64_t n) : data(d), len(n) {}
+    inline uint64_t get(int nbits) {
+        while (bits < nbits) {
+            if (pos >= len) { error = true; return 0; }
+            acc |= ((uint64_t)data[pos++]) << bits;
+            bits += 8;
+        }
+        const uint64_t v = acc & ((nbits >= 64) ? ~0ULL
+                                                : ((1ULL << nbits) - 1));
+        acc >>= nbits;
+        bits -= nbits;
+        return v;
+    }
+    inline uint32_t unary1() {
+        // counts one-bits before the next zero bit
+        uint32_t count = 0;
+        for (;;) {
+            if (bits == 0) {
+                if (pos >= len) { error = true; return count; }
+                acc = data[pos++];
+                bits = 8;
+            }
+            if ((acc & 1) == 0) {
+                acc >>= 1;
+                bits -= 1;
+                return count;
+            }
+            // count trailing ones
+            int tz = __builtin_ctzll(~acc | (1ULL << bits));
+            if (tz >= bits) {
+                count += bits;
+                acc = 0;
+                bits = 0;
+            } else {
+                count += tz;
+                acc >>= (tz + 1);
+                bits -= (tz + 1);
+                return count;
+            }
+        }
+    }
+    inline void byte_align() {
+        acc = 0;
+        bits = 0;
+    }
+    inline int64_t byte_pos() const { return pos - bits / 8; }
+};
+
+static const uint32_t* crc32_table() {
+    static uint32_t table[256];
+    static bool done = false;
+    if (!done) {
+        for (uint32_t b = 0; b < 256; b++) {
+            uint32_t c = b;
+            for (int i = 0; i < 8; i++)
+                c = (c & 1) ? (0xEDB88320u ^ (c >> 1)) : (c >> 1);
+            table[b] = c;
+        }
+        done = true;
+    }
+    return table;
+}
+
+static uint32_t crc32_buf(const uint8_t* p, int64_t n) {
+    const uint32_t* table = crc32_table();
+    uint32_t crc = 0xFFFFFFFFu;
+    for (int64_t i = 0; i < n; i++)
+        crc = table[(crc ^ p[i]) & 0xFF] ^ (crc >> 8);
+    return crc ^ 0xFFFFFFFFu;
+}
+
+static inline int shift_for(int bps) { return (bps == 8) ? 4 : 5; }
+static inline int fshift_for(int bps) { return (bps == 16) ? 9 : 10; }
+
+struct Filter {
+    int32_t qm[8] = {0};
+    int32_t dx[8] = {0};
+    int32_t dl[8] = {0};
+    int32_t prev_res = 0;
+
+    // shared state stepping for encode (residual from p) and decode
+    // (p from residual); ref/tta.py tta_filter/tta_unfilter
+    inline void adapt() {
+        if (prev_res < 0)
+            for (int j = 0; j < 8; j++) qm[j] -= dx[j];
+        else if (prev_res > 0)
+            for (int j = 0; j < 8; j++) qm[j] += dx[j];
+    }
+    inline int32_t dot(int round_v) const {
+        int64_t sum = round_v;
+        for (int j = 0; j < 8; j++)
+            sum += (int64_t)dl[j] * qm[j];
+        return (int32_t)(uint32_t)sum;     // 32-bit wraparound
+    }
+    inline void shift_state(int32_t p) {
+        dx[0] = dx[1]; dx[1] = dx[2]; dx[2] = dx[3]; dx[3] = dx[4];
+        dx[4] = (dl[4] >= 0) ? 1 : -1;
+        dx[5] = (dl[5] >= 0) ? 2 : -2;
+        dx[6] = (dl[6] >= 0) ? 2 : -2;
+        dx[7] = (dl[7] >= 0) ? 4 : -4;
+        const int32_t d7 = p - dl[7];
+        const int32_t d6 = -dl[6] + d7;
+        const int32_t d5 = -dl[5] + d6;
+        dl[0] = dl[1]; dl[1] = dl[2]; dl[2] = dl[3]; dl[3] = dl[4];
+        dl[4] = d5; dl[5] = d6; dl[6] = d7; dl[7] = p;
+    }
+};
+
+struct Rice {
+    int k0 = 10, k1 = 10;
+    int64_t sum0 = 1 << 14, sum1 = 1 << 14;
+};
+
+}  // namespace tta
+
+extern "C" {
+
+// Encodes TTA frames from interleaved PCM.
+//
+// samples: int32 [total_frames, channels]; frame_sizes: PCM frames
+// per TTA frame.  Writes each frame's payload + little-endian CRC-32
+// to out; out_ends holds cumulative byte offsets.
+int64_t atpu_tta_encode_frames(const int32_t* samples,
+                               const int32_t* frame_sizes,
+                               int64_t n_tta_frames,
+                               int32_t channels,
+                               int32_t bps,
+                               uint8_t* out,
+                               int64_t* out_ends) {
+    using namespace tta;
+    const int shift = shift_for(bps);
+    const int fshift = fshift_for(bps);
+    const int32_t round_v = 1 << (fshift - 1);
+
+    static thread_local int32_t* cor = nullptr;
+    static thread_local int64_t cor_cap = 0;
+
+    int64_t sample_pos = 0;
+    int64_t out_pos = 0;
+    for (int64_t f = 0; f < n_tta_frames; f++) {
+        const int64_t n = frame_sizes[f];
+        if (n * channels > cor_cap) {
+            delete[] cor;
+            cor = new int32_t[n * channels * 2];
+            cor_cap = n * channels;
+        }
+        const int32_t* pcm = samples + sample_pos * channels;
+
+        // channel decorrelation (ref/tta.py correlate_channels)
+        if (channels == 1) {
+            for (int64_t i = 0; i < n; i++) cor[i] = pcm[i];
+        } else {
+            for (int64_t i = 0; i < n; i++) {
+                const int32_t* row = pcm + i * channels;
+                int32_t* crow = cor + i * channels;
+                for (int c = 0; c < channels - 1; c++)
+                    crow[c] = row[c + 1] - row[c];
+                const int32_t prev = crow[channels - 2];
+                const int32_t half = (prev >= 0) ? (prev / 2)
+                                                 : -((-prev) / 2);
+                crow[channels - 1] = row[channels - 1] - half;
+            }
+        }
+
+        LEWriter w(out, out_pos);
+        Filter filt[8];
+        Rice rice[8];
+        int32_t prev_cor[8] = {0};   // for the fixed predictor
+
+        for (int64_t i = 0; i < n; i++) {
+            for (int c = 0; c < channels; c++) {
+                const int32_t x = cor[i * channels + c];
+                // fixed predictor
+                int32_t predicted;
+                if (i == 0) {
+                    predicted = x;
+                } else {
+                    const int32_t prev = prev_cor[c];
+                    predicted = x -
+                        (int32_t)((((int64_t)prev << shift) - prev) >>
+                                  shift);
+                }
+                prev_cor[c] = x;
+
+                // hybrid adaptive filter
+                Filter& ft = filt[c];
+                int32_t residual;
+                if (i == 0) {
+                    residual = predicted + (round_v >> fshift);
+                } else {
+                    ft.adapt();
+                    residual = predicted - (ft.dot(round_v) >> fshift);
+                }
+                ft.prev_res = residual;
+                ft.shift_state(predicted);
+
+                // two-level adaptive Rice
+                Rice& rc = rice[c];
+                const uint32_t unsigned_v = (residual > 0)
+                    ? (uint32_t)(residual * 2 - 1)
+                    : (uint32_t)(-residual) * 2;
+                if (unsigned_v < (1u << rc.k0)) {
+                    w.put(0, 1);
+                    w.put(unsigned_v, rc.k0);
+                } else {
+                    const uint32_t shifted = unsigned_v -
+                        (1u << rc.k0);
+                    const uint32_t msb = 1 + (shifted >> rc.k1);
+                    const uint32_t lsb = shifted -
+                        ((msb - 1) << rc.k1);
+                    w.put_unary1(msb);
+                    w.put(lsb, rc.k1);
+                    rc.sum1 += shifted - (rc.sum1 >> 4);
+                    if (rc.sum1 < (1LL << (rc.k1 + 4))) {
+                        if (rc.k1 > 0) rc.k1 -= 1;
+                    } else if (rc.sum1 > (1LL << (rc.k1 + 5))) {
+                        rc.k1 += 1;
+                    }
+                }
+                rc.sum0 += unsigned_v - (rc.sum0 >> 4);
+                if (rc.sum0 < (1LL << (rc.k0 + 4))) {
+                    if (rc.k0 > 0) rc.k0 -= 1;
+                } else if (rc.sum0 > (1LL << (rc.k0 + 5))) {
+                    rc.k0 += 1;
+                }
+            }
+        }
+        w.byte_align();
+        const uint32_t crc = crc32_buf(out + out_pos, w.pos - out_pos);
+        out[w.pos] = (uint8_t)crc;
+        out[w.pos + 1] = (uint8_t)(crc >> 8);
+        out[w.pos + 2] = (uint8_t)(crc >> 16);
+        out[w.pos + 3] = (uint8_t)(crc >> 24);
+        out_pos = w.pos + 4;
+        out_ends[f] = out_pos;
+        sample_pos += n;
+    }
+    return out_pos;
+}
+
+// Decodes one TTA frame of n PCM frames; returns bytes consumed or a
+// negative error code.
+int64_t atpu_tta_decode_frame(const uint8_t* data,
+                              int64_t len,
+                              int64_t n,
+                              int32_t channels,
+                              int32_t bps,
+                              int32_t* out,
+                              int32_t verify_crc) {
+    using namespace tta;
+    if (channels > 8) return -50;
+    const int shift = shift_for(bps);
+    const int fshift = fshift_for(bps);
+    const int32_t round_v = 1 << (fshift - 1);
+
+    LEReader r(data, len);
+    Filter filt[8];
+    Rice rice[8];
+    int32_t prev_out[8] = {0};
+
+    for (int64_t i = 0; i < n; i++) {
+        for (int c = 0; c < channels; c++) {
+            Rice& rc = rice[c];
+            const uint32_t msb = r.unary1();
+            uint32_t unsigned_v;
+            if (msb == 0) {
+                unsigned_v = (uint32_t)r.get(rc.k0);
+            } else {
+                const uint32_t lsb = (uint32_t)r.get(rc.k1);
+                const uint32_t shifted = ((msb - 1) << rc.k1) | lsb;
+                unsigned_v = shifted + (1u << rc.k0);
+                rc.sum1 += shifted - (rc.sum1 >> 4);
+                if (rc.sum1 < (1LL << (rc.k1 + 4))) {
+                    if (rc.k1 > 0) rc.k1 -= 1;
+                } else if (rc.sum1 > (1LL << (rc.k1 + 5))) {
+                    rc.k1 += 1;
+                }
+            }
+            const int32_t residual = (unsigned_v & 1)
+                ? (int32_t)((unsigned_v + 1) >> 1)
+                : -(int32_t)(unsigned_v >> 1);
+            rc.sum0 += unsigned_v - (rc.sum0 >> 4);
+            if (rc.sum0 < (1LL << (rc.k0 + 4))) {
+                if (rc.k0 > 0) rc.k0 -= 1;
+            } else if (rc.sum0 > (1LL << (rc.k0 + 5))) {
+                rc.k0 += 1;
+            }
+            if (r.error) return -51;
+
+            // inverse hybrid filter
+            Filter& ft = filt[c];
+            int32_t predicted;
+            if (i == 0) {
+                predicted = residual - (round_v >> fshift);
+            } else {
+                ft.adapt();
+                predicted = residual + (ft.dot(round_v) >> fshift);
+            }
+            ft.prev_res = residual;
+            ft.shift_state(predicted);
+
+            // inverse fixed predictor
+            int32_t x;
+            if (i == 0) {
+                x = predicted;
+            } else {
+                const int32_t prev = prev_out[c];
+                x = predicted +
+                    (int32_t)((((int64_t)prev << shift) - prev) >>
+                              shift);
+            }
+            prev_out[c] = x;
+            out[i * channels + c] = x;
+        }
+    }
+    r.byte_align();
+    const int64_t payload = r.byte_pos();
+    if (payload + 4 > len) return -52;
+    if (verify_crc) {
+        const uint32_t expected = crc32_buf(data, payload);
+        const uint32_t stored = (uint32_t)data[payload] |
+            ((uint32_t)data[payload + 1] << 8) |
+            ((uint32_t)data[payload + 2] << 16) |
+            ((uint32_t)data[payload + 3] << 24);
+        if (expected != stored) return -53;
+    }
+
+    // inverse channel decorrelation
+    if (channels > 1) {
+        for (int64_t i = 0; i < n; i++) {
+            int32_t* row = out + i * channels;
+            const int32_t prev = row[channels - 2];
+            const int32_t half = (prev >= 0) ? (prev / 2)
+                                             : -((-prev) / 2);
+            row[channels - 1] += half;
+            for (int c = channels - 2; c >= 0; c--)
+                row[c] = row[c + 1] - row[c];
+        }
+    }
+    return payload + 4;
+}
+
+}  // extern "C"

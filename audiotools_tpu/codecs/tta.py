@@ -1,0 +1,106 @@
+"""Production TTA codec entry points: C++ frame kernels behind the
+oracle-compatible API.
+
+TTA's hybrid filter, fixed predictor and two-level adaptive Rice coder
+are per-sample recurrences with 32-bit wraparound (host work; see
+``_native/hostkernels.cpp``), byte-identical to the scalar oracle
+``ref/tta.py``.  ``ATPU_TTA_ORACLE=1`` falls back to the oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from .. import _native, pcm
+from ..ref import tta as oracle
+
+
+def _use_oracle():
+    return os.environ.get("ATPU_TTA_ORACLE", "0") == "1"
+
+
+def encode_tta(file, pcmreader):
+    """writes TTA frames from a PCMReader to a file object
+
+    returns a list of frame lengths in bytes (oracle-compatible)"""
+    if _use_oracle():
+        return oracle.encode_tta(file, pcmreader)
+
+    block_size = oracle.block_size_for(pcmreader.sample_rate)
+    bps = pcmreader.bits_per_sample
+    channels = pcmreader.channels
+    frame_sizes = []
+
+    framelist = pcmreader.read(block_size * 16)
+    pending = None
+    all_sizes = []
+    while len(framelist) > 0:
+        samples = framelist.samples
+        if pending is not None:
+            samples = np.concatenate([pending, samples])
+            pending = None
+        n_full = samples.shape[0] // block_size
+        tail = samples[n_full * block_size:]
+        if n_full:
+            sizes = np.full(n_full, block_size, dtype=np.int32)
+            (data, lens) = _native.tta_encode_frames(
+                samples[:n_full * block_size], sizes, channels, bps)
+            file.write(data)
+            all_sizes.extend(int(v) for v in lens)
+        if tail.shape[0]:
+            pending = tail
+        framelist = pcmreader.read(block_size * 16)
+    if pending is not None and pending.shape[0]:
+        (data, lens) = _native.tta_encode_frames(
+            pending, np.asarray([pending.shape[0]], dtype=np.int32),
+            channels, bps)
+        file.write(data)
+        all_sizes.extend(int(v) for v in lens)
+    del frame_sizes
+    return all_sizes
+
+
+class FastTTADecoder(oracle.TTADecoder):
+    """TTADecoder with the native per-frame kernel"""
+
+    def decode_frame(self, n):
+        """decodes one TTA frame of n PCM frames via the C++ kernel"""
+        if _use_oracle():
+            return oracle.TTADecoder.decode_frame(self, n)
+        frame_index = self.total_tta_frames - oracle.div_ceil(
+            self.remaining, self.block_size)
+        # read this frame's bytes using the seektable lengths
+        length = self.frame_lengths[frame_index]
+        data = self.reader.read_bytes(length)
+        (samples, _consumed) = _native.tta_decode_frame(
+            data, n, self.channels, self.bits_per_sample)
+        return samples.astype(np.int64)
+
+    def seekable(self):
+        return True
+
+    def seek(self, pcm_frame):
+        """seeks to the nearest prior TTA frame boundary using the
+        stream's seektable (role of reference src/decoders/tta.c)"""
+        target = max(min(int(pcm_frame), self.total_pcm_frames), 0)
+        index = min(target // self.block_size,
+                    self.total_tta_frames - 1) \
+            if self.total_tta_frames else 0
+        offset = self.__frames_start__ + sum(
+            self.frame_lengths[:index])
+        self.reader.source.seek(offset)
+        self.reader.byte_align()
+        position = index * self.block_size
+        self.remaining = self.total_pcm_frames - position
+        return position
+
+
+def decoder_for_file(file):
+    """returns a PCMReader decoding the given TTA stream"""
+    if _use_oracle():
+        return oracle.TTADecoder(file)
+    dec = FastTTADecoder(file)
+    dec.__frames_start__ = dec.reader.source.tell()
+    return dec

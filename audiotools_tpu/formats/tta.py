@@ -95,8 +95,7 @@ class TrueAudio(AudioFile):
         return self.__total_pcm_frames__
 
     def seekable(self):
-        # the scalar TTA decoder has no seek() yet
-        return False
+        return True
 
     def data_size(self):
         """returns the size of the file's data from header+seektable"""
@@ -104,12 +103,12 @@ class TrueAudio(AudioFile):
                 sum(self.__frame_lengths__))
 
     def to_pcm(self):
-        from ..ref.tta import TTADecoder
+        from ..codecs.tta import decoder_for_file
         try:
             f = open(self.filename, "rb")
             if self.__stream_offset__ > 0:
                 f.seek(self.__stream_offset__)
-            return TTADecoder(f)
+            return decoder_for_file(f)
         except (IOError, ValueError) as err:
             return PCMReaderError(str(err),
                                   self.sample_rate(),
@@ -123,7 +122,7 @@ class TrueAudio(AudioFile):
                  total_pcm_frames=None,
                  encoding_function=None):
         """encodes a new file from PCM data"""
-        from ..ref.tta import encode_tta
+        from ..codecs.tta import encode_tta
 
         if encoding_function is None:
             encoding_function = encode_tta

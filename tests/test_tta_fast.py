@@ -1,0 +1,107 @@
+"""Differential tests: native TTA codec vs the scalar oracle."""
+
+import io
+import os
+
+import numpy as np
+import pytest
+
+from audiotools_tpu import pcm, _native
+from audiotools_tpu.pcmstream import PCMReader
+from audiotools_tpu.ref import tta as oracle
+
+SR = 44100
+
+
+def signal(n, ch, bps, seed=4):
+    rng = np.random.default_rng(seed)
+    t = np.arange(n)
+    lim = (1 << (bps - 1)) - 1
+    scale = lim // 4
+    cols = [scale * np.sin(2 * np.pi * (300 + 80 * c) * t / SR) +
+            rng.normal(0, scale * 0.03, n) for c in range(ch)]
+    return np.clip(np.stack(cols, axis=1), -lim - 1, lim).astype(
+        np.int32)
+
+
+@pytest.mark.parametrize("ch,bps", [(1, 16), (2, 16), (2, 24),
+                                    (6, 16)])
+def test_tta_encode_matches_oracle(ch, bps):
+    bs = oracle.block_size_for(SR)
+    n = bs * 2 + 777
+    arr = signal(n, ch, bps)
+    parts = []
+    sizes = []
+    pos = 0
+    while pos < n:
+        m = min(bs, n - pos)
+        parts.append(oracle.encode_tta_frame(
+            bps, ch, arr[pos:pos + m].astype(np.int64)))
+        sizes.append(m)
+        pos += m
+    (fast, lens) = _native.tta_encode_frames(
+        arr, np.asarray(sizes, dtype=np.int32), ch, bps)
+    assert b"".join(parts) == fast
+
+    # native decode round trip
+    got = []
+    off = 0
+    for (m, length) in zip(sizes, lens):
+        (s, _c) = _native.tta_decode_frame(fast[off:off + length],
+                                           m, ch, bps)
+        got.append(s)
+        off += length
+    assert np.array_equal(np.concatenate(got), arr)
+
+
+def test_tta_format_roundtrip_and_seek(tmp_path):
+    from audiotools_tpu.formats.tta import TrueAudio
+    n = SR * 8 + 999
+    arr = signal(n, 2, 16)
+    fl = pcm.FrameList._wrap(arr, 16)
+    reader = PCMReader(io.BytesIO(fl.to_bytes(False, True)),
+                       SR, 2, 3, 16)
+    path = str(tmp_path / "t.tta")
+    af = TrueAudio.from_pcm(path, reader)
+    assert af.seekable()
+    assert af.verify()
+
+    dec = af.to_pcm()
+    out = []
+    x = dec.read(65536)
+    while x.frames:
+        out.append(x.samples)
+        x = dec.read(65536)
+    dec.close()
+    assert np.array_equal(np.concatenate(out), arr)
+
+    # seek lands on a frame boundary at or before the target
+    dec = af.to_pcm()
+    target = SR * 5 + 17
+    pos = dec.seek(target)
+    assert pos <= target
+    first = dec.read(4096).samples     # may exceed the request
+    dec.close()
+    assert np.array_equal(first, arr[pos:pos + first.shape[0]])
+
+
+def test_tta_fast_equals_oracle_file(tmp_path):
+    from audiotools_tpu.formats.tta import TrueAudio
+    n = SR * 3
+    arr = signal(n, 2, 16)
+
+    def mkreader():
+        fl = pcm.FrameList._wrap(arr, 16)
+        return PCMReader(io.BytesIO(fl.to_bytes(False, True)),
+                         SR, 2, 3, 16)
+
+    fast_path = str(tmp_path / "fast.tta")
+    TrueAudio.from_pcm(fast_path, mkreader())
+    os.environ["ATPU_TTA_ORACLE"] = "1"
+    try:
+        oracle_path = str(tmp_path / "oracle.tta")
+        TrueAudio.from_pcm(oracle_path, mkreader())
+    finally:
+        del os.environ["ATPU_TTA_ORACLE"]
+    assert open(fast_path, "rb").read() == \
+        open(oracle_path, "rb").read()
