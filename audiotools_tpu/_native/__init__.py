@@ -194,6 +194,31 @@ def _build_and_load():
     lib.atpu_crc16.restype = ctypes.c_uint16
     lib.atpu_crc16.argtypes = [ctypes.POINTER(ctypes.c_uint8),
                                ctypes.c_int64, ctypes.c_uint16]
+    lib.atpu_shn_encode.restype = ctypes.c_int64
+    lib.atpu_shn_encode.argtypes = [
+        ctypes.POINTER(ctypes.c_int32),   # samples [n, ch]
+        ctypes.c_int64,                   # n
+        ctypes.c_int32,                   # channels
+        ctypes.c_int32,                   # bps
+        ctypes.c_int32,                   # signed
+        ctypes.c_int32,                   # big endian
+        ctypes.POINTER(ctypes.c_uint8),   # header
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint8),   # footer
+        ctypes.c_int64,
+        ctypes.c_int32,                   # block size
+        ctypes.POINTER(ctypes.c_uint8),   # out
+    ]
+
+    lib.atpu_shn_decode.restype = ctypes.c_int64
+    lib.atpu_shn_decode.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8),   # data
+        ctypes.c_int64,                   # len
+        ctypes.c_int64,                   # max_frames
+        ctypes.POINTER(ctypes.c_int32),   # out
+        ctypes.POINTER(ctypes.c_int64),   # info
+    ]
+
     lib.atpu_tta_encode_frames.restype = ctypes.c_int64
     lib.atpu_tta_encode_frames.argtypes = [
         ctypes.POINTER(ctypes.c_int32),   # samples [total, ch]
@@ -499,6 +524,51 @@ def unpack_pcm(data, bits_per_sample, big_endian, is_signed):
                         1 if is_signed else 0,
                         _as_ptr(out, ctypes.c_int32))
     return out
+
+
+def shn_encode(samples, bps, signed_samples, is_big_endian,
+               header_data, footer_data=b"", block_size=256):
+    """encodes a complete Shorten stream from int32 [n, ch] PCM"""
+    import numpy as np
+    lib = get_lib()
+    samples = np.ascontiguousarray(samples, dtype=np.int32)
+    (n, ch) = samples.shape
+    header = np.frombuffer(bytes(header_data), dtype=np.uint8)
+    footer = np.frombuffer(bytes(footer_data), dtype=np.uint8)
+    worst = (samples.size * ((bps // 8) + 2) +
+             8 * (len(header) + len(footer)) + 4096)
+    out = np.empty(worst, dtype=np.uint8)
+    total = lib.atpu_shn_encode(
+        _as_ptr(samples, ctypes.c_int32), n, ch, bps,
+        1 if signed_samples else 0,
+        1 if is_big_endian else 0,
+        _as_ptr(header, ctypes.c_uint8), len(header),
+        _as_ptr(footer, ctypes.c_uint8), len(footer),
+        block_size,
+        _as_ptr(out, ctypes.c_uint8))
+    if total < 0:
+        raise ValueError("Shorten encode error (code %d)" % (total,))
+    return out[:total].tobytes()
+
+
+def shn_decode(data, max_frames, channels):
+    """decodes a complete Shorten stream
+
+    returns (samples int32 [frames, channels], file_type, bps)"""
+    import numpy as np
+    lib = get_lib()
+    buf = np.frombuffer(bytes(data), dtype=np.uint8)
+    info = np.zeros(4, dtype=np.int64)
+    out = np.empty(max_frames * channels, dtype=np.int32)
+    frames = lib.atpu_shn_decode(
+        _as_ptr(buf, ctypes.c_uint8), len(buf), max_frames,
+        _as_ptr(out, ctypes.c_int32),
+        _as_ptr(info, ctypes.c_int64))
+    if frames < 0:
+        raise ValueError("Shorten decode error (code %d)" % (frames,))
+    channels = int(info[0])
+    return (out[:frames * channels].reshape(-1, channels),
+            int(info[1]), int(info[3]))
 
 
 def tta_encode_frames(samples, frame_sizes, channels, bps):

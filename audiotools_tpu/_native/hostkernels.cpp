@@ -2762,3 +2762,442 @@ int64_t atpu_tta_decode_frame(const uint8_t* data,
 }
 
 }  // extern "C"
+
+// ======================================================================
+// Shorten (SHN v2) — host codec kernels.
+//
+// Role of reference src/encoders/shn.c / src/decoders/shn.c (spec:
+// audiotools/py_encoders/shn.py, py_decoders/shn.py, mirrored by
+// audiotools_tpu/ref/shn.py): diff1-3 predictors chosen by absolute
+// delta sums, unary/Rice "energy" coding, VERBATIM container chunks,
+// ZERO blocks, BITSHIFT commands, MSB-first bitstream.
+
+namespace shn {
+
+enum {
+    FN_DIFF0 = 0, FN_DIFF1, FN_DIFF2, FN_DIFF3, FN_QUIT,
+    FN_BLOCKSIZE, FN_BITSHIFT, FN_QLPC, FN_ZERO, FN_VERBATIM
+};
+
+static inline void put_unsigned(BitWriter& w, int size,
+                                uint64_t value) {
+    const uint64_t msb = value >> size;
+    const uint64_t lsb = value - (msb << size);
+    // msb zero bits, a one bit, then size LSBs
+    w.put((1ULL << size) | lsb, (int64_t)msb + 1 + size);
+}
+
+static inline void put_signed(BitWriter& w, int size, int64_t value) {
+    if (value >= 0)
+        put_unsigned(w, size + 1, (uint64_t)(value * 2));
+    else
+        put_unsigned(w, size + 1, (uint64_t)((-value - 1) * 2 + 1));
+}
+
+static inline void put_long(BitWriter& w, uint64_t value) {
+    if (value == 0) {
+        put_unsigned(w, 2, 0);
+        put_unsigned(w, 0, 0);
+    } else {
+        int bits = 64 - __builtin_clzll(value);
+        put_unsigned(w, 2, bits);
+        put_unsigned(w, bits, value);
+    }
+}
+
+static inline uint64_t get_unsigned(BitReader& r, int size) {
+    uint64_t msb = 0;
+    while (!r.error && r.get(1) == 0) msb++;
+    return (msb << size) | r.get(size);
+}
+
+static inline int64_t get_signed(BitReader& r, int size) {
+    const uint64_t u = get_unsigned(r, size + 1);
+    return (u & 1) ? -((int64_t)(u >> 1)) - 1 : (int64_t)(u >> 1);
+}
+
+static inline uint64_t get_long(BitReader& r) {
+    const int bits = (int)get_unsigned(r, 2);
+    return get_unsigned(r, bits);
+}
+
+}  // namespace shn
+
+extern "C" {
+
+// Encodes a complete Shorten stream from interleaved PCM.
+// samples: int32 [n, ch]; returns total bytes or negative error.
+int64_t atpu_shn_encode(const int32_t* samples,
+                        int64_t n,
+                        int32_t channels,
+                        int32_t bps,
+                        int32_t signed_samples,
+                        int32_t is_big_endian,
+                        const uint8_t* header_data,
+                        int64_t header_len,
+                        const uint8_t* footer_data,
+                        int64_t footer_len,
+                        int32_t block_size,
+                        uint8_t* out) {
+    using namespace shn;
+    if (channels > 64) return -60;
+
+    BitWriter w(out, 0);
+    w.put(0x616A6B67, 32);       // "ajkg"
+    w.put(2, 8);
+    const int64_t magic_bytes = 5;
+
+    int file_type;
+    int32_t sign_adjustment = 0;
+    if (bps == 8) {
+        file_type = signed_samples ? 1 : 2;
+        if (!signed_samples) sign_adjustment = 1 << 7;
+    } else if (bps == 16) {
+        if (signed_samples) file_type = is_big_endian ? 3 : 5;
+        else file_type = is_big_endian ? 4 : 6;
+        if (!signed_samples) sign_adjustment = 1 << 15;
+    } else {
+        return -61;
+    }
+    put_long(w, file_type);
+    put_long(w, channels);
+    put_long(w, block_size);
+    put_long(w, 0);              // max LPC
+    put_long(w, 0);              // mean count
+    put_long(w, 0);              // bytes to skip
+
+    put_unsigned(w, 2, FN_VERBATIM);
+    put_unsigned(w, 5, (uint64_t)header_len);
+    for (int64_t i = 0; i < header_len; i++)
+        put_unsigned(w, 8, header_data[i]);
+
+    // per-channel warm-up history (last 3 shifted samples)
+    static thread_local int64_t* hist = nullptr;
+    static thread_local int64_t hist_cap = 0;
+    if (channels * 3 > hist_cap) {
+        delete[] hist;
+        hist = new int64_t[channels * 3 * 2];
+        hist_cap = channels * 3;
+    }
+    for (int i = 0; i < channels * 3; i++) hist[i] = 0;
+    bool has_hist = false;
+
+    int left_shift = 0;
+    int64_t pos = 0;
+    int64_t current_block = block_size;
+    while (pos < n) {
+        const int64_t m = (n - pos < current_block) ? (n - pos)
+                                                    : current_block;
+        if (m != current_block) {
+            current_block = m;
+            put_unsigned(w, 2, FN_BLOCKSIZE);
+            put_long(w, (uint64_t)m);
+        }
+        for (int c = 0; c < channels; c++) {
+            // gather channel block (sign-adjusted)
+            bool all_zero = true;
+            int32_t or_all = 0;
+            for (int64_t i = 0; i < m; i++) {
+                const int32_t v = samples[(pos + i) * channels + c] +
+                                  sign_adjustment;
+                if (v != 0) all_zero = false;
+                or_all |= v;
+            }
+            int64_t* h = hist + c * 3;
+            if (all_zero) {
+                put_unsigned(w, 2, FN_ZERO);
+                h[0] = h[1] = h[2] = 0;
+                continue;
+            }
+            // wasted bits
+            int wasted = 0;
+            if (or_all != 0)
+                wasted = __builtin_ctz((uint32_t)or_all);
+            if (wasted != left_shift) {
+                put_unsigned(w, 2, FN_BITSHIFT);
+                put_unsigned(w, 2, (uint64_t)wasted);
+                left_shift = wasted;
+            }
+
+            // best diff order by absolute delta sums (full includes
+            // the previous 3 shifted samples, or zeros at start)
+            int64_t prev3[3] = {h[0], h[1], h[2]};
+            if (!has_hist && pos == 0) {
+                prev3[0] = prev3[1] = prev3[2] = 0;
+            }
+            // sums over the block-length suffix of each delta level
+            int64_t s1 = 0, s2 = 0, s3 = 0;
+            {
+                int64_t p0 = prev3[0], p1 = prev3[1], p2 = prev3[2];
+                // carry deltas across the boundary
+                int64_t d1a = p1 - p0, d1b = p2 - p1;
+                int64_t d2a = d1b - d1a;
+                int64_t prev = p2, prevd1 = d1b, prevd2 = d2a;
+                for (int64_t i = 0; i < m; i++) {
+                    const int64_t x =
+                        (int64_t)(samples[(pos + i) * channels + c] +
+                                  sign_adjustment) >> left_shift;
+                    const int64_t d1 = x - prev;
+                    const int64_t d2 = d1 - prevd1;
+                    const int64_t d3 = d2 - prevd2;
+                    s1 += (d1 < 0) ? -d1 : d1;
+                    s2 += (d2 < 0) ? -d2 : d2;
+                    s3 += (d3 < 0) ? -d3 : d3;
+                    prev = x;
+                    prevd1 = d1;
+                    prevd2 = d2;
+                }
+            }
+            int diff;
+            if (s1 < s2 && s1 < s3) diff = 1;
+            else if (s2 < s3) diff = 2;
+            else diff = 3;
+
+            // energy: smallest e with (m << e) >= sum(|residuals|)
+            const int64_t abs_sum = (diff == 1) ? s1 :
+                                    (diff == 2) ? s2 : s3;
+            int energy = 0;
+            while ((m << energy) < abs_sum) energy++;
+
+            put_unsigned(w, 2, (uint64_t)(FN_DIFF0 + diff));
+            put_unsigned(w, 3, (uint64_t)energy);
+
+            // emit residuals of the chosen order
+            {
+                int64_t p0 = prev3[0], p1 = prev3[1], p2 = prev3[2];
+                int64_t d1a = p1 - p0, d1b = p2 - p1;
+                int64_t d2a = d1b - d1a;
+                int64_t prev = p2, prevd1 = d1b, prevd2 = d2a;
+                for (int64_t i = 0; i < m; i++) {
+                    const int64_t x =
+                        (int64_t)(samples[(pos + i) * channels + c] +
+                                  sign_adjustment) >> left_shift;
+                    const int64_t d1 = x - prev;
+                    const int64_t d2 = d1 - prevd1;
+                    const int64_t d3 = d2 - prevd2;
+                    put_signed(w, energy,
+                               (diff == 1) ? d1 :
+                               (diff == 2) ? d2 : d3);
+                    prev = x;
+                    prevd1 = d1;
+                    prevd2 = d2;
+                }
+            }
+            // update history: last 3 shifted samples of THIS
+            // block, front-padded with zeros when the block is short
+            // (the oracle re-derives history from the current block
+            // only)
+            for (int j = 0; j < 3; j++) {
+                const int64_t idx = m - 3 + j;
+                h[j] = (idx >= 0)
+                    ? ((int64_t)(samples[(pos + idx) * channels + c] +
+                                 sign_adjustment) >> left_shift)
+                    : 0;
+            }
+        }
+        has_hist = true;
+        pos += m;
+    }
+
+    if (footer_len > 0) {
+        put_unsigned(w, 2, FN_VERBATIM);
+        put_unsigned(w, 5, (uint64_t)footer_len);
+        for (int64_t i = 0; i < footer_len; i++)
+            put_unsigned(w, 8, footer_data[i]);
+    }
+    put_unsigned(w, 2, FN_QUIT);
+    w.byte_align();
+    // pad the post-magic section to a 4-byte multiple
+    int64_t payload = w.pos - magic_bytes;
+    while (payload % 4) {
+        out[w.pos++] = 0;
+        payload++;
+    }
+    return w.pos;
+}
+
+// Decodes a complete Shorten stream into interleaved int32 samples.
+// Fills info[0..3] = (channels, file_type, block_size, left-over) and
+// returns PCM frames decoded or a negative error code.
+int64_t atpu_shn_decode(const uint8_t* data,
+                        int64_t len,
+                        int64_t max_frames,
+                        int32_t* out,
+                        int64_t* info) {
+    using namespace shn;
+    BitReader r(data, len);
+    if (r.get(32) != 0x616A6B67 || r.get(8) != 2) return -62;
+    const int file_type = (int)get_long(r);
+    const int channels = (int)get_long(r);
+    int64_t block_size = (int64_t)get_long(r);
+    const int max_lpc = (int)get_long(r);
+    const int n_means = (int)get_long(r);
+    const int64_t skip = (int64_t)get_long(r);
+    if (channels < 1 || channels > 64) return -63;
+    if (r.error) return -64;
+    for (int64_t i = 0; i < skip; i++) get_unsigned(r, 8);
+
+    int bps;
+    int32_t sign_adjustment = 0;
+    switch (file_type) {
+    case 1: bps = 8; break;
+    case 2: bps = 8; sign_adjustment = 1 << 7; break;
+    case 3: case 5: bps = 16; break;
+    case 4: case 6: bps = 16; sign_adjustment = 1 << 15; break;
+    default: return -65;
+    }
+
+    const int wrap = (max_lpc > 3) ? max_lpc : 3;
+    static thread_local int64_t* state = nullptr;
+    static thread_local int64_t state_cap = 0;
+    const int64_t need = (int64_t)channels * (wrap + 32);
+    if (need > state_cap) {
+        delete[] state;
+        state = new int64_t[need * 2];
+        state_cap = need;
+    }
+    for (int64_t i = 0; i < need; i++) state[i] = 0;
+    // per channel: wrap history ring [wrap] + means [n_means]
+    static thread_local int64_t* blockbuf = nullptr;
+    static thread_local int64_t block_cap = 0;
+
+    int left_shift = 0;
+    int64_t frames = 0;
+    int chan = 0;
+
+    while (!r.error) {
+        const int command = (int)get_unsigned(r, 2);
+        if (r.error) return -66;
+        if (command == FN_QUIT) break;
+        switch (command) {
+        case FN_BLOCKSIZE:
+            block_size = (int64_t)get_long(r);
+            if (block_size < 0) return -67;
+            break;
+        case FN_BITSHIFT:
+            left_shift = (int)get_unsigned(r, 2);
+            break;
+        case FN_VERBATIM: {
+            const int64_t count = (int64_t)get_unsigned(r, 5);
+            for (int64_t i = 0; i < count; i++) get_unsigned(r, 8);
+            break;
+        }
+        case FN_DIFF0: case FN_DIFF1: case FN_DIFF2: case FN_DIFF3:
+        case FN_QLPC: case FN_ZERO: {
+            if (frames + block_size > max_frames) return -68;
+            if (block_size + wrap > block_cap) {
+                delete[] blockbuf;
+                blockbuf = new int64_t[(block_size + wrap) * 2];
+                block_cap = block_size + wrap;
+            }
+            int64_t* hist = state + (int64_t)chan * (wrap + 32);
+            int64_t* means = hist + wrap;
+            int64_t* buf = blockbuf;
+            for (int j = 0; j < wrap; j++) buf[j] = hist[j];
+            int64_t* s = buf + wrap;
+
+            // shnmean: floor((len/2 + sum) / len)
+            auto floor_div = [](int64_t a, int64_t b) {
+                return (a >= 0) ? a / b : -((-a + b - 1) / b);
+            };
+            if (command == FN_ZERO) {
+                for (int64_t i = 0; i < block_size; i++) s[i] = 0;
+            } else if (command == FN_DIFF0) {
+                int64_t offset = 0;
+                if (n_means > 0) {
+                    int64_t sum = n_means / 2;
+                    for (int j = 0; j < n_means; j++)
+                        sum += means[j];
+                    offset = floor_div(sum, n_means);
+                }
+                const int energy = (int)get_unsigned(r, 3);
+                for (int64_t i = 0; i < block_size; i++)
+                    s[i] = get_signed(r, energy) + offset;
+            } else if (command == FN_QLPC) {
+                // means offset (floor)
+                int64_t offset = 0;
+                if (n_means > 0) {
+                    int64_t sum = n_means / 2;
+                    for (int j = 0; j < n_means; j++)
+                        sum += means[j];
+                    offset = floor_div(sum, n_means);
+                }
+                const int energy = (int)get_unsigned(r, 3);
+                const int lpc_count = (int)get_unsigned(r, 2);
+                int64_t coeff[32];
+                for (int j = 0; j < lpc_count && j < 32; j++)
+                    coeff[j] = get_signed(r, 5);
+                for (int64_t i = 0; i < block_size; i++) {
+                    const int64_t residual = get_signed(r, energy);
+                    int64_t lpc_sum = 1 << 5;
+                    for (int j = 0; j < lpc_count; j++) {
+                        if (i - j - 1 < 0)
+                            lpc_sum += coeff[j] *
+                                (buf[wrap + (i - j - 1)] - offset);
+                        else
+                            lpc_sum += coeff[j] * (s[i - j - 1] -
+                                                   offset);
+                    }
+                    s[i] = (lpc_sum >> 5) + residual + offset;
+                }
+                // QLPC: unoffset values feed the recurrence; the
+                // stored samples are offset-added (handled above by
+                // keeping s[] offset-added and subtracting in loop)
+            } else {
+                const int order = command;   // DIFF1/2/3
+                const int energy = (int)get_unsigned(r, 3);
+                for (int64_t i = 0; i < block_size; i++) {
+                    const int64_t res = get_signed(r, energy);
+                    int64_t pred;
+                    const int64_t* p = s + i;
+                    if (order == 1) pred = p[-1];
+                    else if (order == 2) pred = 2 * p[-1] - p[-2];
+                    else pred = 3 * (p[-1] - p[-2]) + p[-3];
+                    s[i] = pred + res;
+                }
+            }
+            if (r.error) return -69;
+
+            // update means (shnmean uses floor semantics via the
+            // (len/2 + sum) / len formula)
+            if (n_means > 0) {
+                int64_t sum = block_size / 2;
+                for (int64_t i = 0; i < block_size; i++) sum += s[i];
+                const int64_t mean = floor_div(sum, block_size);
+                for (int j = 0; j < n_means - 1; j++)
+                    means[j] = means[j + 1];
+                means[n_means - 1] = mean;
+            }
+            // wrap history
+            for (int j = 0; j < wrap; j++) {
+                const int64_t idx = block_size - wrap + j;
+                hist[j] = (idx >= 0) ? s[idx] : buf[wrap + idx];
+            }
+            // emit
+            for (int64_t i = 0; i < block_size; i++) {
+                int64_t v = s[i];
+                if (left_shift > 0) v <<= left_shift;
+                v -= sign_adjustment;
+                out[(frames + i) * channels + chan] = (int32_t)v;
+            }
+            chan += 1;
+            if (chan == channels) {
+                chan = 0;
+                frames += block_size;
+            }
+            break;
+        }
+        default:
+            return -70;
+        }
+    }
+    if (info != nullptr) {
+        info[0] = channels;
+        info[1] = file_type;
+        info[2] = block_size;
+        info[3] = bps;
+    }
+    return frames;
+}
+
+}  // extern "C"

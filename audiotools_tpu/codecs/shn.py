@@ -1,0 +1,97 @@
+"""Production Shorten codec entry points: C++ kernels behind the
+oracle-compatible API (``ATPU_SHN_ORACLE=1`` falls back)."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from .. import _native, pcm
+from ..ref import shn as oracle
+
+
+def _use_oracle():
+    return os.environ.get("ATPU_SHN_ORACLE", "0") == "1"
+
+
+def encode_shn(file_or_path, pcmreader, is_big_endian,
+               signed_samples, header_data, footer_data=b"",
+               block_size=256):
+    """encodes a Shorten file from a PCMReader (oracle-compatible)"""
+    if _use_oracle():
+        return oracle.encode_shn(file_or_path, pcmreader,
+                                 is_big_endian, signed_samples,
+                                 header_data, footer_data, block_size)
+    from ..pcmstream import BufferedPCMReader
+
+    reader = BufferedPCMReader(pcmreader)
+    chunks = []
+    framelist = reader.read(65536)
+    while len(framelist) > 0:
+        chunks.append(framelist.samples)
+        framelist = reader.read(65536)
+    samples = (np.concatenate(chunks) if chunks else
+               np.zeros((0, pcmreader.channels), dtype=np.int32))
+    data = _native.shn_encode(samples, pcmreader.bits_per_sample,
+                              signed_samples, is_big_endian,
+                              header_data, footer_data, block_size)
+    if isinstance(file_or_path, str):
+        with open(file_or_path, "wb") as f:
+            f.write(data)
+    else:
+        file_or_path.write(data)
+
+
+class FastSHNDecoder(oracle.SHNDecoder):
+    """SHNDecoder decoding the whole stream via the native kernel
+
+    metadata/header parsing (pcm_split, wave/aiff recovery) stays in
+    the Python base class; bulk sample decode runs in C++."""
+
+    def __init__(self, file_or_path):
+        oracle.SHNDecoder.__init__(self, file_or_path)
+        self.__decoded__ = None
+        self.__offset__ = 0
+        self.__path__ = file_or_path
+
+    def read(self, pcm_frames):
+        if self.__decoded__ is None:
+            if isinstance(self.__path__, str):
+                with open(self.__path__, "rb") as f:
+                    data = f.read()
+            else:
+                pos = self.__path__.tell()
+                self.__path__.seek(0, 0)
+                data = self.__path__.read()
+                self.__path__.seek(pos, 0)
+            # residuals cost >= ~2 bits each, so the frame count
+            # is bounded by the stream size
+            max_frames = ((len(data) * 4) // self.channels) + 1024
+            (samples, _ftype, _bps) = _native.shn_decode(
+                data, max_frames, self.channels)
+            if not self.signed_samples:
+                samples = samples  # kernel already sign-adjusts
+            self.__decoded__ = samples
+        want = max(pcm_frames, 1)
+        chunk = self.__decoded__[self.__offset__:
+                                 self.__offset__ + want]
+        self.__offset__ += chunk.shape[0]
+        return pcm.FrameList._wrap(
+            np.ascontiguousarray(chunk.astype(np.int32)),
+            self.bits_per_sample)
+
+    def seek(self, pcm_frame):
+        """seeks within the fully-decoded stream"""
+        if self.__decoded__ is None:
+            self.read(0)
+        self.__offset__ = max(
+            min(int(pcm_frame), self.__decoded__.shape[0]), 0)
+        return self.__offset__
+
+
+def decoder_for_file(file_or_path):
+    """returns a PCMReader decoding the given Shorten file"""
+    if _use_oracle():
+        return oracle.SHNDecoder(file_or_path)
+    return FastSHNDecoder(file_or_path)

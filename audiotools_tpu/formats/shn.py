@@ -95,9 +95,9 @@ class ShortenAudio(WaveContainer, AiffContainer):
         return self.__total_frames__
 
     def to_pcm(self):
-        from ..ref.shn import SHNDecoder
+        from ..codecs.shn import decoder_for_file
         try:
-            return SHNDecoder(open(self.filename, "rb"))
+            return decoder_for_file(self.filename)
         except (IOError, ValueError) as err:
             return PCMReaderError(str(err),
                                   self.__sample_rate__,
@@ -113,7 +113,7 @@ class ShortenAudio(WaveContainer, AiffContainer):
 
         synthesizes a minimal wave header for the VERBATIM chunk,
         as the reference does (shn.py:212-272)"""
-        from ..ref.shn import encode_shn
+        from ..codecs.shn import encode_shn
         from .wav import build_fmt
 
         if pcmreader.bits_per_sample not in (8, 16):
@@ -236,7 +236,7 @@ class ShortenAudio(WaveContainer, AiffContainer):
     def from_wave(cls, filename, header, pcmreader, footer,
                   compression=None, block_size=256):
         """encodes from wave data, preserving header/footer bytes"""
-        from ..ref.shn import encode_shn
+        from ..codecs.shn import encode_shn
         try:
             encode_shn(filename, pcmreader,
                        is_big_endian=False,
@@ -258,7 +258,7 @@ class ShortenAudio(WaveContainer, AiffContainer):
     def from_aiff(cls, filename, header, pcmreader, footer,
                   compression=None, block_size=256):
         """encodes from AIFF data, preserving header/footer bytes"""
-        from ..ref.shn import encode_shn
+        from ..codecs.shn import encode_shn
         try:
             encode_shn(filename, pcmreader,
                        is_big_endian=True,

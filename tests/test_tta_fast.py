@@ -105,3 +105,28 @@ def test_tta_fast_equals_oracle_file(tmp_path):
         del os.environ["ATPU_TTA_ORACLE"]
     assert open(fast_path, "rb").read() == \
         open(oracle_path, "rb").read()
+
+
+def test_shn_fast_matches_oracle():
+    """native Shorten encode == oracle, and decodes losslessly"""
+    from audiotools_tpu.ref.shn import encode_shn as oracle_shn
+    n = 256 * 9 + 123
+    for (ch, bps, signed_s, be) in [(2, 16, True, False),
+                                    (1, 16, True, False),
+                                    (2, 8, False, False)]:
+        arr = signal(n, ch, bps, seed=8)
+        header = b"RIFFfakeheader" * 2
+
+        def mkreader():
+            fl = pcm.FrameList._wrap(arr, bps)
+            return PCMReader(
+                io.BytesIO(fl.to_bytes(False, True)),
+                SR, ch, 3 if ch == 2 else 4, bps)
+
+        b1 = io.BytesIO()
+        oracle_shn(b1, mkreader(), be, signed_s, header, b"", 256)
+        fast = _native.shn_encode(arr, bps, signed_s, be, header,
+                                  b"", 256)
+        assert b1.getvalue() == fast, (ch, bps)
+        (dec, _ft, _bps) = _native.shn_decode(fast, n + 1024, ch)
+        assert np.array_equal(dec, arr), (ch, bps)
