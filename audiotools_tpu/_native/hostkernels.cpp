@@ -3201,3 +3201,583 @@ int64_t atpu_shn_decode(const uint8_t* data,
 }
 
 }  // extern "C"
+
+// ======================================================================
+// WavPack — hot host kernels behind the Python block assembler.
+//
+// Role of reference src/encoders/wavpack.c / src/decoders/wavpack.c
+// (spec: audiotools/py_encoders/wavpack.py, py_decoders/wavpack.py,
+// mirrored by audiotools_tpu/ref/wavpack.py).  Block/sub-block
+// assembly stays in Python (small per block); the per-sample work —
+// decorrelation passes, the adaptive-medians residual coder, and the
+// sample CRC — runs here.  WavPack bitstreams are LSB-first.
+
+namespace wv {
+
+using tta::LEWriter;
+using tta::LEReader;
+
+static inline int64_t apply_weight(int64_t weight, int64_t sample) {
+    return ((weight * sample) + 512) >> 10;
+}
+
+static inline int64_t update_weight(int64_t source, int64_t result,
+                                    int64_t delta) {
+    if (source == 0 || result == 0) return 0;
+    return ((source ^ result) >= 0) ? delta : -delta;
+}
+
+static inline void put_egc(LEWriter& w, uint32_t value) {
+    if (value > 1) {
+        const int t = 32 - __builtin_clz(value);
+        // unary(0, t): t one-bits then a zero
+        w.put(((1ULL << t) - 1), t + 1);
+        w.put(value % (1u << (t - 1)), t - 1);
+    } else {
+        w.put(((1ULL << value) - 1), value + 1);
+    }
+}
+
+static inline uint32_t get_egc(LEReader& r) {
+    const uint32_t t = r.unary1();
+    if (t > 1)
+        return (1u << (t - 1)) | (uint32_t)r.get(t - 1);
+    return t;
+}
+
+struct Residual {
+    bool has_zeroes = false;
+    uint32_t zeroes = 0;
+    bool has_m = false;
+    int64_t m = 0;
+    int64_t offset = 0;
+    int64_t add = 0;
+    int sign = 0;
+};
+
+// encodes one residual against the channel's entropy state
+// (ref/wavpack.py _Residual.encode)
+static Residual encode_residual(int64_t residual, int64_t* entropy) {
+    Residual out;
+    out.has_m = true;
+    int64_t unsigned_v;
+    if (residual >= 0) {
+        unsigned_v = residual;
+        out.sign = 0;
+    } else {
+        unsigned_v = -residual - 1;
+        out.sign = 1;
+    }
+    const int64_t med0 = (entropy[0] >> 4) + 1;
+    const int64_t med1 = (entropy[1] >> 4) + 1;
+    const int64_t med2 = (entropy[2] >> 4) + 1;
+
+    if (unsigned_v < med0) {
+        out.m = 0;
+        out.offset = unsigned_v;
+        out.add = med0 - 1;
+        entropy[0] -= ((entropy[0] + 126) >> 7) * 2;
+    } else if (unsigned_v - med0 < med1) {
+        out.m = 1;
+        out.offset = unsigned_v - med0;
+        out.add = med1 - 1;
+        entropy[0] += ((entropy[0] + 128) >> 7) * 5;
+        entropy[1] -= ((entropy[1] + 62) >> 6) * 2;
+    } else if (unsigned_v - (med0 + med1) < med2) {
+        out.m = 2;
+        out.offset = unsigned_v - (med0 + med1);
+        out.add = med2 - 1;
+        entropy[0] += ((entropy[0] + 128) >> 7) * 5;
+        entropy[1] += ((entropy[1] + 64) >> 6) * 5;
+        entropy[2] -= ((entropy[2] + 30) >> 5) * 2;
+    } else {
+        out.m = ((unsigned_v - (med0 + med1)) / med2) + 2;
+        out.offset = unsigned_v -
+            (med0 + med1 + (out.m - 2) * med2);
+        out.add = med2 - 1;
+        entropy[0] += ((entropy[0] + 128) >> 7) * 5;
+        entropy[1] += ((entropy[1] + 64) >> 6) * 5;
+        entropy[2] += ((entropy[2] + 32) >> 5) * 5;
+    }
+    return out;
+}
+
+// flushes residual_{i-1}; returns the new u_{i-1} state
+// (-1 encodes "None"); ref/wavpack.py _Residual.flush
+static int64_t flush_residual(const Residual& r, LEWriter& w,
+                              int64_t u_i_2, int64_t m_i) {
+    if (r.has_zeroes)
+        put_egc(w, r.zeroes);
+    if (!r.has_m)
+        return -1;
+
+    int64_t u_i_1;
+    bool has_u = true;
+    if (r.m > 0 && m_i > 0) {
+        if (u_i_2 < 0 || (u_i_2 % 2) == 0) u_i_1 = r.m * 2 + 1;
+        else u_i_1 = r.m * 2 - 1;
+    } else if (r.m == 0 && m_i > 0) {
+        if (u_i_2 < 0 || (u_i_2 % 2) == 1) u_i_1 = 1;
+        else { u_i_1 = -1; has_u = false; }
+    } else if (r.m > 0 && m_i == 0) {
+        if (u_i_2 < 0 || (u_i_2 % 2) == 0) u_i_1 = r.m * 2;
+        else u_i_1 = (r.m - 1) * 2;
+    } else {
+        if (u_i_2 < 0 || (u_i_2 % 2) == 1) u_i_1 = 0;
+        else { u_i_1 = -1; has_u = false; }
+    }
+
+    if (has_u) {
+        if (u_i_1 < 16) {
+            w.put((1ULL << u_i_1) - 1, (int)u_i_1 + 1);
+        } else {
+            w.put((1ULL << 16) - 1, 17);
+            put_egc(w, (uint32_t)(u_i_1 - 16));
+        }
+    }
+    if (r.add > 0) {
+        const int p = 63 - __builtin_clzll((uint64_t)r.add);
+        const int64_t e = (1LL << (p + 1)) - r.add - 1;
+        if (r.offset < e) {
+            w.put((uint64_t)r.offset, p);
+        } else {
+            w.put((uint64_t)((r.offset + e) / 2), p);
+            w.put((uint64_t)((r.offset + e) % 2), 1);
+        }
+    }
+    w.put((uint64_t)r.sign, 1);
+    return has_u ? u_i_1 : -1;
+}
+
+static inline bool unary_undefined(int64_t prev_u, const Residual& r) {
+    if (!r.has_m) return true;
+    if (r.m == 0 && prev_u >= 0 && (prev_u % 2) == 0) return true;
+    return false;
+}
+
+}  // namespace wv
+
+extern "C" {
+
+// WavPack per-block sample CRC: crc = 3*crc + sample (mod 2^32) over
+// interleaved samples.
+uint32_t atpu_wv_crc(const int32_t* samples, int64_t n) {
+    uint32_t crc = 0xFFFFFFFFu;
+    for (int64_t i = 0; i < n; i++)
+        crc = 3 * crc + (uint32_t)samples[i];
+    return crc;
+}
+
+// One WavPack decorrelation pass over 1 or 2 channels, matching
+// ref/wavpack.py correlation_pass_1ch/2ch.
+//
+// samples: int64 [n] per channel (in/out); weights: int64 [2]
+// (in/out); corr: per-channel history (in/out; layout per term:
+// 17/18 -> [2] as stored (newest first), 1..8 -> [term] oldest first,
+// negative terms -> [1] per channel).
+// returns 0 or a negative error code
+int32_t atpu_wv_correlate(int64_t* ch0,
+                          int64_t* ch1,
+                          int64_t n,
+                          int32_t channel_count,
+                          int32_t term,
+                          int32_t delta,
+                          int64_t* weights,
+                          int64_t* corr0,
+                          int64_t* corr1) {
+    using namespace wv;
+    if (term >= 1 || term == 17 || term == 18) {
+        for (int c = 0; c < channel_count; c++) {
+            int64_t* s = (c == 0) ? ch0 : ch1;
+            int64_t* hist = (c == 0) ? corr0 : corr1;
+            int64_t weight = weights[c];
+            if (term == 17 || term == 18) {
+                int64_t p2 = hist[1];     // full[i-2]
+                int64_t p1 = hist[0];     // full[i-1]
+                int64_t last_cor = 0, prev_cor = 0;
+                for (int64_t i = 0; i < n; i++) {
+                    const int64_t temp = (term == 18)
+                        ? ((3 * p1 - p2) >> 1)
+                        : (2 * p1 - p2);
+                    const int64_t cor = s[i] -
+                        apply_weight(weight, temp);
+                    weight += update_weight(temp, cor, delta);
+                    p2 = p1;
+                    p1 = s[i];
+                    s[i] = cor;
+                    prev_cor = last_cor;
+                    last_cor = cor;
+                }
+                // the oracle stores the last two CORRELATED outputs,
+                // newest first (reversed(correlated[-2:]))
+                if (n >= 2) {
+                    hist[0] = last_cor;
+                    hist[1] = prev_cor;
+                } else if (n == 1) {
+                    hist[1] = hist[0];
+                    hist[0] = last_cor;
+                }
+            } else {
+                // terms 1..8: full = hist(term) + samples; the weight
+                // update uses correlated[i - term], which for the
+                // first `term` outputs falls OUTSIDE this block — the
+                // oracle indexes `correlated[i - term]` with
+                // i starting at `term`, i.e. output index i-term
+                // within this block, always >= 0
+                static thread_local int64_t* ring = nullptr;
+                static thread_local int64_t ring_cap = 0;
+                if (term > ring_cap) {
+                    delete[] ring;
+                    ring = new int64_t[term * 2];
+                    ring_cap = term;
+                }
+                for (int j = 0; j < term; j++) ring[j] = hist[j];
+                int rpos = 0;
+                for (int64_t i = 0; i < n; i++) {
+                    const int64_t source = ring[rpos];
+                    const int64_t cor = s[i] -
+                        apply_weight(weight, source);
+                    // correlated[i - term]: the output emitted
+                    // `term` samples ago (or not yet for i < term —
+                    // the oracle uses correlated[i-term] where the
+                    // correlated list starts at full[term], so for
+                    // the first `term` iterations it indexes the
+                    // samples being appended this loop; replicate by
+                    // using the ring of recent outputs)
+                    ring[rpos] = s[i];
+                    s[i] = cor;
+                    rpos = (rpos + 1) % term;
+                    (void)0;
+                    weight += update_weight(source, cor, delta);
+                    (void)cor;
+                }
+                for (int j = 0; j < term; j++) {
+                    const int64_t idx = n - term + j;
+                    hist[j] = (idx >= 0) ? s[idx] : hist[(term + idx) %
+                                                         term];
+                }
+            }
+            weights[c] = weight;
+        }
+        return 0;
+    } else if (term >= -3 && term <= -1) {
+        if (channel_count != 2) return -80;
+        // full[0] = corr1[0] + ch0; full[1] = corr0[0] + ch1
+        int64_t prev0 = corr1[0];
+        int64_t prev1 = corr0[0];
+        int64_t w0 = weights[0];
+        int64_t w1 = weights[1];
+        for (int64_t i = 0; i < n; i++) {
+            const int64_t x0 = ch0[i];
+            const int64_t x1 = ch1[i];
+            int64_t c0, c1;
+            if (term == -1) {
+                c0 = x0 - apply_weight(w0, prev1);
+                c1 = x1 - apply_weight(w1, x0);
+                w0 += update_weight(prev1, c0, delta);
+                w1 += update_weight(x0, c1, delta);
+            } else if (term == -2) {
+                c0 = x0 - apply_weight(w0, x1);
+                c1 = x1 - apply_weight(w1, prev0);
+                w0 += update_weight(x1, c0, delta);
+                w1 += update_weight(prev0, c1, delta);
+            } else {
+                c0 = x0 - apply_weight(w0, prev1);
+                c1 = x1 - apply_weight(w1, prev0);
+                w0 += update_weight(prev1, c0, delta);
+                w1 += update_weight(prev0, c1, delta);
+            }
+            if (w0 > 1024) w0 = 1024;
+            if (w0 < -1024) w0 = -1024;
+            if (w1 > 1024) w1 = 1024;
+            if (w1 < -1024) w1 = -1024;
+            prev0 = x0;
+            prev1 = x1;
+            ch0[i] = c0;
+            ch1[i] = c1;
+        }
+        weights[0] = w0;
+        weights[1] = w1;
+        // negative terms keep their original correlation samples
+        return 0;
+    }
+    return -81;
+}
+
+// The adaptive-medians residual coder (ref/wavpack.py
+// write_bitstream): correlated int64 [n] per channel; entropies
+// int64 [2][3] (mutated); returns bytes written or negative error.
+int64_t atpu_wv_write_bitstream(const int64_t* ch0,
+                                const int64_t* ch1,
+                                int64_t n,
+                                int32_t channel_count,
+                                int64_t* entropies,
+                                uint8_t* out) {
+    using namespace wv;
+    LEWriter w(out, 0);
+    Residual r_prev;          // starts with no m, no zeroes
+    int64_t u_i_2 = -1;
+    const int64_t total = n * channel_count;
+
+    for (int64_t i = 0; i < total; i++) {
+        const int c = (int)(i % channel_count);
+        const int64_t r = (c == 0) ? ch0[i / channel_count]
+                                   : ch1[i / channel_count];
+        int64_t* entropy = entropies + c * 3;
+
+        if (entropies[0] < 2 && entropies[3] < 2 &&
+                unary_undefined(u_i_2, r_prev)) {
+            if (r_prev.has_zeroes && !r_prev.has_m) {
+                // inside a zero block
+                if (r == 0) {
+                    r_prev.zeroes += 1;
+                } else {
+                    Residual r_i = encode_residual(r, entropy);
+                    r_i.has_zeroes = true;
+                    r_i.zeroes = r_prev.zeroes;
+                    r_prev = r_i;
+                }
+            } else {
+                if (r == 0) {
+                    Residual r_i;
+                    r_i.has_zeroes = true;
+                    r_i.zeroes = 1;
+                    u_i_2 = flush_residual(r_prev, w, u_i_2, 0);
+                    for (int j = 0; j < 6; j++) entropies[j] = 0;
+                    r_prev = r_i;
+                } else {
+                    Residual r_i = encode_residual(r, entropy);
+                    r_i.has_zeroes = true;
+                    r_i.zeroes = 0;
+                    u_i_2 = flush_residual(r_prev, w, u_i_2, r_i.m);
+                    r_prev = r_i;
+                }
+            }
+        } else {
+            Residual r_i = encode_residual(r, entropy);
+            r_i.has_zeroes = false;
+            u_i_2 = flush_residual(r_prev, w, u_i_2, r_i.m);
+            r_prev = r_i;
+        }
+    }
+    // final flush of the last pending residual (m_i = 0)
+    flush_residual(r_prev, w, u_i_2, 0);
+    w.byte_align();
+    return w.pos;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------
+// WavPack decode kernels: adaptive-medians residual reader and inverse
+// decorrelation passes (ref/wavpack.py _read_bitstream,
+// _decorrelation_pass_1ch/2ch).
+
+extern "C" {
+
+// Reads n*channel_count residuals; entropies int64 [2][3] mutated;
+// out: int64 [n] per channel. returns bytes consumed or negative.
+int64_t atpu_wv_read_bitstream(const uint8_t* data,
+                               int64_t len,
+                               int64_t n,
+                               int32_t channel_count,
+                               int64_t* entropies,
+                               int64_t* out0,
+                               int64_t* out1) {
+    using namespace wv;
+    LEReader r(data, len);
+    const int64_t total = n * channel_count;
+    int64_t i = 0;
+    int64_t u = -1;          // -1 encodes None
+    bool u_none = true;
+
+    auto read_residual = [&](int64_t* entropy, int64_t* residual)
+            -> bool {
+        int64_t m;
+        if (u_none) {
+            uint32_t uu = r.unary1();
+            if (uu == 16) uu += get_egc(r);
+            u = uu;
+            u_none = false;
+            m = u / 2;
+        } else if ((u % 2) == 1) {
+            uint32_t uu = r.unary1();
+            if (uu == 16) uu += get_egc(r);
+            u = uu;
+            m = (u / 2) + 1;
+        } else {
+            u_none = true;
+            m = 0;
+        }
+        int64_t base, add;
+        if (m == 0) {
+            base = 0;
+            add = entropy[0] >> 4;
+            entropy[0] -= ((entropy[0] + 126) >> 7) * 2;
+        } else if (m == 1) {
+            base = (entropy[0] >> 4) + 1;
+            add = entropy[1] >> 4;
+            entropy[0] += ((entropy[0] + 128) >> 7) * 5;
+            entropy[1] -= ((entropy[1] + 62) >> 6) * 2;
+        } else if (m == 2) {
+            base = ((entropy[0] >> 4) + 1) + ((entropy[1] >> 4) + 1);
+            add = entropy[2] >> 4;
+            entropy[0] += ((entropy[0] + 128) >> 7) * 5;
+            entropy[1] += ((entropy[1] + 64) >> 6) * 5;
+            entropy[2] -= ((entropy[2] + 30) >> 5) * 2;
+        } else {
+            base = ((entropy[0] >> 4) + 1) + ((entropy[1] >> 4) + 1) +
+                   ((entropy[2] >> 4) + 1) * (m - 2);
+            add = entropy[2] >> 4;
+            entropy[0] += ((entropy[0] + 128) >> 7) * 5;
+            entropy[1] += ((entropy[1] + 64) >> 6) * 5;
+            entropy[2] += ((entropy[2] + 32) >> 5) * 5;
+        }
+        int64_t unsigned_v;
+        if (add == 0) {
+            unsigned_v = base;
+        } else {
+            const int p = 63 - __builtin_clzll((uint64_t)add);
+            const int64_t e = (1LL << (p + 1)) - add - 1;
+            const int64_t rv = (int64_t)r.get(p);
+            if (rv >= e)
+                unsigned_v = base + rv * 2 - e + (int64_t)r.get(1);
+            else
+                unsigned_v = base + rv;
+        }
+        *residual = r.get(1) ? (-unsigned_v - 1) : unsigned_v;
+        return !r.error;
+    };
+
+    while (i < total) {
+        int64_t* out = (i % channel_count == 0) ? out0 : out1;
+        int64_t* entropy = entropies + (i % channel_count) * 3;
+        if (u_none && entropies[0] < 2 && entropies[3] < 2) {
+            uint32_t zeroes = get_egc(r);
+            if (zeroes > 0) {
+                for (uint32_t z = 0; z < zeroes && i < total; z++) {
+                    ((i % channel_count == 0) ? out0 : out1)
+                        [i / channel_count] = 0;
+                    i += 1;
+                }
+                for (int j = 0; j < 6; j++) entropies[j] = 0;
+            }
+            if (i < total) {
+                out = (i % channel_count == 0) ? out0 : out1;
+                entropy = entropies + (i % channel_count) * 3;
+                int64_t residual;
+                if (!read_residual(entropy, &residual)) return -85;
+                out[i / channel_count] = residual;
+                i += 1;
+            }
+        } else {
+            int64_t residual;
+            if (!read_residual(entropy, &residual)) return -85;
+            out[i / channel_count] = residual;
+            i += 1;
+        }
+        if (r.error) return -85;
+    }
+    return r.byte_pos();
+}
+
+// One inverse decorrelation pass (ref/wavpack.py
+// _decorrelation_pass_1ch/2ch); ch arrays in/out, dec samples are
+// the per-pass stored history (layouts as in the reader).
+int32_t atpu_wv_decorrelate(int64_t* ch0,
+                            int64_t* ch1,
+                            int64_t n,
+                            int32_t channel_count,
+                            int32_t term,
+                            int32_t delta,
+                            const int64_t* weights,
+                            const int64_t* dec0,
+                            const int64_t* dec1) {
+    using namespace wv;
+    if (term == 17 || term == 18) {
+        for (int c = 0; c < channel_count; c++) {
+            int64_t* s = (c == 0) ? ch0 : ch1;
+            const int64_t* dec = (c == 0) ? dec0 : dec1;
+            int64_t weight = weights[c];
+            // dec stored newest-first; reversed gives [old, new]
+            int64_t p0 = dec[1];     // decorrelated[i]
+            int64_t p1 = dec[0];     // decorrelated[i+1]
+            for (int64_t i = 0; i < n; i++) {
+                const int64_t temp = (term == 18)
+                    ? ((3 * p1 - p0) >> 1)
+                    : (2 * p1 - p0);
+                const int64_t cor = s[i];
+                const int64_t dv = apply_weight(weight, temp) + cor;
+                weight += update_weight(temp, cor, delta);
+                p0 = p1;
+                p1 = dv;
+                s[i] = dv;
+            }
+        }
+        return 0;
+    } else if (term >= 1 && term <= 8) {
+        static thread_local int64_t* ring = nullptr;
+        static thread_local int64_t ring_cap = 0;
+        if (term > ring_cap) {
+            delete[] ring;
+            ring = new int64_t[term * 2];
+            ring_cap = term;
+        }
+        for (int c = 0; c < channel_count; c++) {
+            int64_t* s = (c == 0) ? ch0 : ch1;
+            const int64_t* dec = (c == 0) ? dec0 : dec1;
+            int64_t weight = weights[c];
+            for (int j = 0; j < term; j++) ring[j] = dec[j];
+            int rpos = 0;
+            for (int64_t i = 0; i < n; i++) {
+                const int64_t source = ring[rpos];
+                const int64_t cor = s[i];
+                const int64_t dv = apply_weight(weight, source) + cor;
+                weight += update_weight(source, cor, delta);
+                ring[rpos] = dv;
+                rpos = (rpos + 1) % term;
+                s[i] = dv;
+            }
+        }
+        return 0;
+    } else if (term >= -3 && term <= -1) {
+        if (channel_count != 2) return -86;
+        int64_t prev0 = dec1[0];     // decorrelated[0] head
+        int64_t prev1 = dec0[0];     // decorrelated[1] head
+        int64_t w0 = weights[0];
+        int64_t w1 = weights[1];
+        for (int64_t i = 0; i < n; i++) {
+            const int64_t c0 = ch0[i];
+            const int64_t c1 = ch1[i];
+            int64_t d0, d1;
+            if (term == -1) {
+                d0 = apply_weight(w0, prev1) + c0;
+                d1 = apply_weight(w1, d0) + c1;
+                w0 += update_weight(prev1, c0, delta);
+                w1 += update_weight(d0, c1, delta);
+            } else if (term == -2) {
+                d1 = apply_weight(w1, prev0) + c1;
+                d0 = apply_weight(w0, d1) + c0;
+                w1 += update_weight(prev0, c1, delta);
+                w0 += update_weight(d1, c0, delta);
+            } else {
+                d0 = apply_weight(w0, prev1) + c0;
+                d1 = apply_weight(w1, prev0) + c1;
+                w0 += update_weight(prev1, c0, delta);
+                w1 += update_weight(prev0, c1, delta);
+            }
+            if (w0 > 1024) w0 = 1024;
+            if (w0 < -1024) w0 = -1024;
+            if (w1 > 1024) w1 = 1024;
+            if (w1 < -1024) w1 = -1024;
+            prev0 = d0;
+            prev1 = d1;
+            ch0[i] = d0;
+            ch1[i] = d1;
+        }
+        return 0;
+    }
+    return -87;
+}
+
+}  // extern "C"

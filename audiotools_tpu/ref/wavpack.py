@@ -48,6 +48,11 @@ def _make_log2_table(exp2_table):
     return np.round(256.0 * np.log2(1.0 + i / 256.0)).astype(np.int64)
 
 
+def _use_native():
+    import os
+    return os.environ.get("ATPU_WV_ORACLE", "0") != "1"
+
+
 EXP2_TABLE = _make_exp2_table()
 LOG2_TABLE = _make_log2_table(EXP2_TABLE)
 
@@ -109,6 +114,20 @@ def restore_weight(v):
 
 def calculate_crc(channels):
     """the WavPack per-block sample CRC"""
+    if _use_native():
+        from .. import _native
+        import ctypes
+        lib = _native.get_lib()
+        lib.atpu_wv_crc.restype = ctypes.c_uint32
+        lib.atpu_wv_crc.argtypes = [ctypes.POINTER(ctypes.c_int32),
+                                    ctypes.c_int64]
+        flat = np.ascontiguousarray(
+            np.stack([np.asarray(c, dtype=np.int64)
+                      for c in channels], axis=1).reshape(-1)
+            .astype(np.int32))
+        return int(lib.atpu_wv_crc(
+            flat.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            flat.size))
     crc = 0xFFFFFFFF
     for frame in zip(*channels):
         for s in frame:
@@ -348,7 +367,7 @@ def _read_block(header, sub_blocks):
             if entropies is None:
                 raise ValueError("bitstream before entropy variables")
             residuals = _read_bitstream(reader, header, entropies,
-                                        two_ch)
+                                        two_ch, raw_data=data)
 
     if residuals is None:
         raise ValueError("bitstream sub block not found")
@@ -506,8 +525,41 @@ def _read_residual(reader, last_u, entropies):
         return (unsigned, u)
 
 
-def _read_bitstream(reader, header, entropies, two_ch):
+def _read_bitstream(reader, header, entropies, two_ch,
+                    raw_data=None):
     channel_count = 2 if two_ch else 1
+    if _use_native() and raw_data is not None:
+        from .. import _native
+        import ctypes
+        lib = _native.get_lib()
+        lib.atpu_wv_read_bitstream.restype = ctypes.c_int64
+        lib.atpu_wv_read_bitstream.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64)]
+        n = header.block_samples
+        buf = np.frombuffer(bytes(raw_data), dtype=np.uint8)
+        ent = np.asarray(list(entropies[0]) + list(entropies[1]),
+                         dtype=np.int64)
+        out0 = np.zeros(n, dtype=np.int64)
+        out1 = np.zeros(n if channel_count == 2 else 1,
+                        dtype=np.int64)
+        consumed = lib.atpu_wv_read_bitstream(
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            len(buf), n, channel_count,
+            ent.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            out0.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            out1.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+        if consumed < 0:
+            raise ValueError("bitstream error (code %d)" %
+                             (consumed,))
+        entropies[0][0:3] = [int(v) for v in ent[0:3]]
+        entropies[1][0:3] = [int(v) for v in ent[3:6]]
+        if channel_count == 2:
+            return [out0.tolist(), out1.tolist()]
+        return [out0.tolist()]
     residuals = [[] for _ in range(channel_count)]
     u = None
     i = 0
@@ -540,8 +592,44 @@ def _floor_half(x):
     return x >> 1
 
 
+def _native_decorrelate(chs, channel_count, term, delta, weights,
+                        dec_samples):
+    from .. import _native
+    import ctypes
+    lib = _native.get_lib()
+    lib.atpu_wv_decorrelate.restype = ctypes.c_int32
+    lib.atpu_wv_decorrelate.argtypes = (
+        [ctypes.POINTER(ctypes.c_int64)] * 2 +
+        [ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+         ctypes.c_int32] +
+        [ctypes.POINTER(ctypes.c_int64)] * 3)
+
+    def ptr(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+    c0 = np.ascontiguousarray(chs[0], dtype=np.int64)
+    c1 = (np.ascontiguousarray(chs[1], dtype=np.int64)
+          if channel_count == 2 else np.zeros(1, dtype=np.int64))
+    w = np.asarray(list(weights) + [0] * (2 - len(weights)),
+                   dtype=np.int64)
+    d0 = np.ascontiguousarray(dec_samples[0], dtype=np.int64)
+    d1 = (np.ascontiguousarray(dec_samples[1], dtype=np.int64)
+          if (channel_count == 2 and len(dec_samples) > 1)
+          else np.zeros(max(len(d0), 1), dtype=np.int64))
+    rc = lib.atpu_wv_decorrelate(ptr(c0), ptr(c1), len(c0),
+                                 channel_count, term, delta,
+                                 ptr(w), ptr(d0), ptr(d1))
+    if rc != 0:
+        raise ValueError("decorrelation error (code %d)" % (rc,))
+    return (c0, c1)
+
+
 def _decorrelation_pass_1ch(correlated, term, delta, weight,
                             dec_samples):
+    if _use_native() and (term in (17, 18) or 1 <= term <= 8):
+        (c0, _c1) = _native_decorrelate(
+            [correlated], 1, term, delta, [weight], [dec_samples])
+        return c0.tolist()
     if term in (17, 18):
         decorrelated = list(dec_samples[::-1])
         for i in range(len(correlated)):
@@ -586,6 +674,10 @@ def _decorrelate_channels(residuals, terms, deltas, weights,
 
 def _decorrelation_pass_2ch(correlated, term, delta, weights,
                             dec_samples):
+    if _use_native() and (-3 <= term <= -1):
+        (c0, c1) = _native_decorrelate(correlated, 2, term, delta,
+                                       weights, dec_samples)
+        return [c0.tolist(), c1.tolist()]
     if (17 <= term <= 18) or (1 <= term <= 8):
         return [_decorrelation_pass_1ch(correlated[0], term, delta,
                                         weights[0], dec_samples[0]),
@@ -1153,8 +1245,51 @@ def correlate_channels(uncorrelated, correlation_parameters,
         return latest
 
 
+def _native_correlate(ch_arrays, channel_count, term, delta,
+                      weights, corr_samples):
+    """runs one decorrelation pass via the native kernel
+
+    returns (channels, weights, samples) with oracle semantics"""
+    from .. import _native
+    import ctypes
+    lib = _native.get_lib()
+    lib.atpu_wv_correlate.restype = ctypes.c_int32
+    lib.atpu_wv_correlate.argtypes = (
+        [ctypes.POINTER(ctypes.c_int64)] * 2 +
+        [ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+         ctypes.c_int32] +
+        [ctypes.POINTER(ctypes.c_int64)] * 3)
+
+    def ptr(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+    c0 = np.ascontiguousarray(ch_arrays[0], dtype=np.int64)
+    c1 = (np.ascontiguousarray(ch_arrays[1], dtype=np.int64)
+          if channel_count == 2 else np.zeros(1, dtype=np.int64))
+    w = np.asarray(list(weights) + [0] * (2 - len(weights)),
+                   dtype=np.int64)
+    h0 = np.ascontiguousarray(corr_samples[0], dtype=np.int64)
+    h1 = (np.ascontiguousarray(corr_samples[1], dtype=np.int64)
+          if channel_count == 2 else np.zeros(max(len(h0), 1),
+                                              dtype=np.int64))
+    rc = lib.atpu_wv_correlate(ptr(c0), ptr(c1), len(c0),
+                               channel_count, term, delta,
+                               ptr(w), ptr(h0), ptr(h1))
+    if rc != 0:
+        raise ValueError("decorrelation error (code %d)" % (rc,))
+    if channel_count == 1:
+        return ([c0], [int(w[0])], [h0.tolist()])
+    return ([c0, c1], [int(w[0]), int(w[1])],
+            [h0.tolist(), h1.tolist()])
+
+
 def correlation_pass_1ch(uncorrelated, term, delta, weight,
                          correlation_samples):
+    if _use_native():
+        (chs, ws, samps) = _native_correlate(
+            [uncorrelated], 1, term, delta, [weight],
+            [correlation_samples])
+        return (chs[0].tolist(), ws[0], samps[0])
     if term in (17, 18):
         full = [correlation_samples[1],
                 correlation_samples[0]] + list(uncorrelated)
@@ -1182,6 +1317,13 @@ def correlation_pass_1ch(uncorrelated, term, delta, weight,
 
 def correlation_pass_2ch(uncorrelated, term, delta, weights,
                          correlation_samples):
+    if _use_native() and (-3 <= term <= -1):
+        (chs, ws, _samps) = _native_correlate(
+            uncorrelated, 2, term, delta, weights,
+            correlation_samples)
+        # negative terms keep their original correlation samples
+        return ([chs[0].tolist(), chs[1].tolist()], ws,
+                correlation_samples)
     if (17 <= term <= 18) or (1 <= term <= 8):
         (un1, w1, s1) = correlation_pass_1ch(
             uncorrelated[0], term, delta, weights[0],
@@ -1366,6 +1508,35 @@ def _unary_undefined(prev_u, m):
 
 
 def write_bitstream(writer, channels, entropies):
+    if _use_native():
+        from .. import _native
+        import ctypes
+        lib = _native.get_lib()
+        lib.atpu_wv_write_bitstream.restype = ctypes.c_int64
+        lib.atpu_wv_write_bitstream.argtypes = (
+            [ctypes.POINTER(ctypes.c_int64)] * 2 +
+            [ctypes.c_int64, ctypes.c_int32,
+             ctypes.POINTER(ctypes.c_int64),
+             ctypes.POINTER(ctypes.c_uint8)])
+        ch = len(channels)
+        c0 = np.ascontiguousarray(channels[0], dtype=np.int64)
+        c1 = (np.ascontiguousarray(channels[1], dtype=np.int64)
+              if ch == 2 else np.zeros(1, dtype=np.int64))
+        ent = np.asarray(list(entropies[0]) + list(entropies[1]),
+                         dtype=np.int64)
+        out = np.empty(len(c0) * 64 * ch + 1024, dtype=np.uint8)
+        total = lib.atpu_wv_write_bitstream(
+            c0.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            c1.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(c0), ch,
+            ent.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+        if total < 0:
+            raise ValueError("bitstream error (code %d)" % (total,))
+        entropies[0][0:3] = [int(v) for v in ent[0:3]]
+        entropies[1][0:3] = [int(v) for v in ent[3:6]]
+        writer.write_bytes(out[:total].tobytes())
+        return
     r_i_1 = _Residual(zeroes=None, m=None, offset=None, add=None,
                       sign=None)
     u_i_2 = None
