@@ -1,0 +1,61 @@
+"""coverview: display embedded cover art.
+
+Rebuild of the reference ``coverview`` tool (Tkinter viewer,
+reference coverview:51,322); falls back to a text listing when no
+display is available."""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from . import add_common_arguments
+from ..utils.messenger import Messenger
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        prog="coverview", description="view embedded cover art")
+    add_common_arguments(parser)
+    parser.add_argument("filename")
+    options = parser.parse_args(argv)
+    msg = Messenger("coverview", options)
+
+    from ..dispatch import open as open_track
+
+    try:
+        track = open_track(options.filename)
+    except (IOError, ValueError) as err:
+        msg.error(str(err))
+        return 1
+    metadata = track.get_metadata()
+    images = metadata.images() if metadata is not None else []
+    if not images:
+        msg.error("no images found in %s" % (options.filename,))
+        return 1
+
+    import os
+    if os.environ.get("DISPLAY"):
+        try:
+            import tkinter
+            from tkinter import PhotoImage
+            root = tkinter.Tk()
+            root.title(options.filename)
+            photo = PhotoImage(data=images[0].data)
+            label = tkinter.Label(root, image=photo)
+            label.pack()
+            root.mainloop()
+            return 0
+        except Exception as err:
+            msg.info("viewer unavailable (%s); listing instead" %
+                     (err,))
+
+    for (i, image) in enumerate(images):
+        msg.output("%d: %s %dx%d %s (%d bytes)" %
+                   (i, image.type_string(), image.width,
+                    image.height, image.mime_type, len(image.data)))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,103 @@
+"""track2cd: burn audio tracks to a CD-R.
+
+Rebuild of the reference ``track2cd`` tool: converts tracks to a
+cue/bin image and invokes the ``cdrdao``/``cdrecord`` binaries to
+burn, availability-gated exactly like the reference BINARIES checks.
+Without a burner binary it still writes the cue/bin image, which
+``cd2track``/``cdinfo`` (and real burners elsewhere) consume.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+import subprocess
+import sys
+
+from . import add_common_arguments
+from ..utils.messenger import Messenger
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        prog="track2cd",
+        description="burn audio tracks to CD (or a cue/bin image)")
+    add_common_arguments(parser)
+    parser.add_argument("-c", "--cdrom", dest="cdrom",
+                        default="/dev/cdrom")
+    parser.add_argument("--image", dest="image", default=None,
+                        help="write a cue/bin image to this basename "
+                             "instead of burning")
+    parser.add_argument("-s", "--speed", dest="speed", type=int,
+                        default=20)
+    parser.add_argument("filenames", nargs="+")
+    options = parser.parse_args(argv)
+    msg = Messenger("track2cd", options)
+
+    from ..dispatch import open_files
+    from ..pcmstream import PCMConverter
+    from fractions import Fraction
+
+    tracks = open_files(options.filenames, messenger=msg)
+    if len(tracks) == 0:
+        msg.error("you must specify at least 1 supported audio file")
+        return 1
+
+    base = options.image or "track2cd_image"
+    bin_path = base + ".bin"
+    cue_path = base + ".cue"
+
+    # build the image: 44.1kHz/2ch/16-bit PCM, sector-padded tracks
+    offsets = []
+    with open(bin_path, "wb") as out:
+        for track in tracks:
+            start = out.tell()
+            offsets.append(start // 2352)
+            reader = track.to_pcm()
+            if ((reader.sample_rate != 44100) or
+                    (reader.channels != 2) or
+                    (reader.bits_per_sample != 16)):
+                reader = PCMConverter(reader, 44100, 2, 0x3, 16)
+            framelist = reader.read(65536)
+            while framelist.frames:
+                out.write(framelist.to_bytes(False, True))
+                framelist = reader.read(65536)
+            reader.close()
+            pad = (-out.tell()) % 2352
+            out.write(b"\x00" * pad)
+
+    with open(cue_path, "w") as cue:
+        cue.write('FILE "%s" BINARY\n' % (os.path.basename(bin_path),))
+        for (i, sector) in enumerate(offsets, 1):
+            minutes = sector // (75 * 60)
+            seconds = (sector // 75) % 60
+            frames = sector % 75
+            cue.write("  TRACK %2.2d AUDIO\n" % (i,))
+            cue.write("    INDEX 01 %2.2d:%2.2d:%2.2d\n" %
+                      (minutes, seconds, frames))
+    msg.info("wrote %s + %s" % (cue_path, bin_path))
+
+    if options.image is not None:
+        return 0
+
+    # burn via cdrdao or cdrecord when present (reference gates the
+    # tool on these binaries)
+    if shutil.which("cdrdao") is not None:
+        result = subprocess.run(
+            ["cdrdao", "write", "--device", options.cdrom,
+             "--speed", str(options.speed), cue_path])
+        return result.returncode
+    elif shutil.which("cdrecord") is not None:
+        result = subprocess.run(
+            ["cdrecord", "-audio", "dev=%s" % (options.cdrom,),
+             "speed=%d" % (options.speed,), bin_path])
+        return result.returncode
+    else:
+        msg.error("no CD burning binary found (cdrdao/cdrecord); "
+                  "image retained at %s" % (cue_path,))
+        return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

