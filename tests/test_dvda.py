@@ -1,0 +1,258 @@
+"""DVD-Audio stack tests over a synthesized AUDIO_TS disc image
+(the hardware-free equivalent of the reference's bundled fixtures)."""
+
+import os
+import struct
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SR = 48000
+CH = 2
+BPS = 16
+PTS = 90000
+
+
+class BEWriter:
+    """a minimal MSB-first bit writer for fixture construction"""
+
+    def __init__(self):
+        self.acc = 0
+        self.bits = 0
+        self.out = bytearray()
+
+    def write(self, nbits, value):
+        self.acc = (self.acc << nbits) | (value & ((1 << nbits) - 1))
+        self.bits += nbits
+        while self.bits >= 8:
+            self.bits -= 8
+            self.out.append((self.acc >> self.bits) & 0xFF)
+
+    def bytes(self):
+        assert self.bits == 0
+        return bytes(self.out)
+
+
+def build_audio_ts_ifo():
+    w = BEWriter()
+    w.write(96, int.from_bytes(b"DVDAUDIO-AMG", "big"))
+    w.write(32, 0)            # AMG start sector
+    w.write(96, 0)            # 12P
+    w.write(32, 0)            # AMGI end sector
+    w.write(16, 0x0012)       # DVD version
+    w.write(32, 0)            # 4P
+    w.write(16, 1)            # volume count
+    w.write(16, 1)            # volume number
+    w.write(8, 0)             # disc side
+    w.write(32, 0)            # 4P
+    w.write(8, 0)             # autoplay
+    w.write(32, 0)            # ts_to_sv
+    w.write(80, 0)            # 10P
+    w.write(8, 0)             # video titlesets
+    w.write(8, 1)             # audio titlesets
+    w.write(320, 0)           # provider (40b)
+    return w.bytes().ljust(2048 * 2, b"\x00")
+
+
+def build_ats_ifo(track_pts, total_sectors):
+    """one title whose tracks split total_sectors evenly"""
+    n_tracks = len(track_pts)
+    # title table (built first to learn sizes)
+    title = BEWriter()
+    title.write(16, 0)                 # 16p
+    title.write(8, n_tracks)           # tracks
+    title.write(8, n_tracks)           # indexes
+    title.write(32, sum(track_pts))    # PTS length
+    title.write(32, 0)                 # 4P
+    spt_offset = (4 + 4 + 4 + 2 + 2) + n_tracks * 20
+    title.write(16, spt_offset)        # sector pointers table offset
+    title.write(16, 0)                 # 2P
+    for (i, pts) in enumerate(track_pts):
+        title.write(32, 0)             # 32p
+        title.write(8, i + 1)          # index number
+        title.write(8, 0)              # 8p
+        title.write(32, sum(track_pts[:i]))   # first PTS
+        title.write(32, pts)           # PTS length
+        title.write(48, 0)             # 48p
+    sectors_per = total_sectors // n_tracks
+    for i in range(n_tracks):
+        first = i * sectors_per
+        last = (total_sectors - 1 if i == n_tracks - 1
+                else (i + 1) * sectors_per - 1)
+        title.write(32, 0x01000000)
+        title.write(32, first)
+        title.write(32, last)
+    title_table = title.bytes()
+
+    # sector 1: title count + offsets
+    head = BEWriter()
+    head.write(16, 1)          # title count
+    head.write(16, 0)          # 16p
+    head.write(32, 0)          # last byte address
+    head.write(8, 1)           # title number
+    head.write(24, 0)          # 24p
+    title_offset = 8 + 8       # after this 16-byte header block
+    head.write(32, title_offset)
+    sector1 = head.bytes() + title_table
+
+    return (b"DVDAUDIO-ATS".ljust(2048, b"\x00") +
+            sector1.ljust(2048, b"\x00"))
+
+
+def build_aob(samples):
+    """packs int16 stereo PCM into AOB sectors (one 0xBD packet per
+    2048-byte sector, 0xA0 PCM headers, byte-swapped payload)"""
+    swap = [1, 0, 3, 2, 5, 4, 7, 6]      # 16 bps, 2 ch
+    raw = samples.astype("<i2").tobytes()
+    # byte-swap chunks of 8 (2 frames)
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 8)
+    chunks = np.empty_like(arr)
+    # encoder side: chunk[i] = unswapped[SWAP[i]]
+    chunks[:, :] = arr[:, swap]
+    payload_all = chunks.tobytes()
+
+    sectors = bytearray()
+    pos = 0
+    while pos < len(payload_all):
+        pack = BEWriter()
+        pack.write(32, 0x1BA)
+        pack.write(2, 1)
+        pack.write(3, 0)
+        pack.write(1, 1)
+        pack.write(15, 0)
+        pack.write(1, 1)
+        pack.write(15, 0)
+        pack.write(1, 1)
+        pack.write(9, 0)
+        pack.write(1, 1)
+        pack.write(22, 0)
+        pack.write(2, 3)
+        pack.write(5, 0)
+        pack.write(3, 0)          # no stuffing
+        header = pack.bytes()
+
+        # audio packet: fits in the rest of the sector
+        room = 2048 - len(header) - 6
+        pcm_header = BEWriter()
+        pcm_header.write(16, 0)       # 16p
+        pcm_header.write(8, 0)        # pad1_size
+        pcm_header.write(8, 0xA0)     # codec
+        pcm_header.write(8, 0)        # CRC
+        pcm_header.write(8, 0)        # 8p
+        pcm_header.write(8, 9)        # pad2_size
+        pcm_header.write(16, 0)       # first_audio_frame
+        pcm_header.write(8, 0)        # 8p
+        pcm_header.write(4, 0)        # group1 bps (16)
+        pcm_header.write(4, 0)        # group2 bps
+        pcm_header.write(4, 0)        # group1 rate (48000)
+        pcm_header.write(4, 0)        # group2 rate
+        pcm_header.write(8, 0)        # 8p
+        pcm_header.write(8, 1)        # channel assignment (2ch)
+        pcm_header.write(8, 0)        # 8p
+        pcm_header.write(8, 0)        # CRC2
+        body_header = pcm_header.bytes()
+
+        data_room = room - len(body_header)
+        data_room -= data_room % 8
+        chunk = payload_all[pos:pos + data_room]
+        pos += len(chunk)
+
+        packet_length = len(body_header) + len(chunk)
+        sector = (header +
+                  b"\x00\x00\x01\xBD" +
+                  struct.pack(">H", packet_length) +
+                  body_header + chunk)
+        sectors += sector.ljust(2048, b"\xFF")
+    return bytes(sectors)
+
+
+@pytest.fixture()
+def audio_ts(tmp_path):
+    n = SR * 2                  # 2 seconds, 2 tracks of 1s each
+    t = np.arange(n)
+    arr = np.clip(np.stack([8000 * np.sin(2 * np.pi * 440 * t / SR),
+                            7000 * np.sin(2 * np.pi * 550 * t / SR)],
+                           axis=1), -32768, 32767).astype(np.int16)
+    aob = build_aob(arr)
+    total_sectors = len(aob) // 2048
+
+    ts_dir = tmp_path / "AUDIO_TS"
+    ts_dir.mkdir()
+    (ts_dir / "AUDIO_TS.IFO").write_bytes(build_audio_ts_ifo())
+    (ts_dir / "ATS_01_0.IFO").write_bytes(
+        build_ats_ifo([PTS, PTS], total_sectors))
+    (ts_dir / "ATS_01_1.AOB").write_bytes(aob)
+    return (str(ts_dir), arr.astype(np.int32))
+
+
+def test_dvda_parsing(audio_ts):
+    from audiotools_tpu.dvda import DVDAudio
+    (path, arr) = audio_ts
+    dvda = DVDAudio(path)
+    assert len(dvda) == 1
+    titles = dvda[0]
+    assert len(titles) == 1
+    title = titles[0]
+    assert title.sample_rate == SR
+    assert title.channels == CH
+    assert title.bits_per_sample == BPS
+    assert title.stream_id == 0xA0
+    assert len(title) == 2
+    assert title.total_frames() == SR * 2
+
+
+def test_dvda_pcm_decode(audio_ts):
+    from audiotools_tpu.dvda import DVDAudio
+    (path, arr) = audio_ts
+    title = DVDAudio(path)[0][0]
+    reader = title.to_pcm()
+    out = []
+    fl = reader.read(65536)
+    while fl.frames:
+        out.append(fl.samples)
+        fl = reader.read(65536)
+    reader.close()
+    got = np.concatenate(out)
+    assert got.shape[0] == SR * 2
+    assert np.array_equal(got, arr)
+
+
+def run_tool(name, *args):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    return subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", name)] +
+        list(args), capture_output=True, text=True, env=env,
+        timeout=600)
+
+
+def test_dvdainfo_cli(audio_ts):
+    (path, _arr) = audio_ts
+    r = run_tool("dvdainfo", "-A", path)
+    assert r.returncode == 0, r.stderr
+    assert "Titleset 1" in r.stdout
+    assert "PCM" in r.stdout
+    assert "48000Hz" in r.stdout
+
+
+def test_dvda2track_cli(audio_ts, tmp_path):
+    from audiotools_tpu.formats.flac import FlacAudio
+    (path, arr) = audio_ts
+    outdir = str(tmp_path / "out")
+    r = run_tool("dvda2track", "-A", path, "-t", "flac",
+                 "-d", outdir)
+    assert r.returncode == 0, r.stderr
+    files = sorted(os.listdir(outdir))
+    assert len(files) == 2
+    decoded = []
+    for f in files:
+        dec = FlacAudio(os.path.join(outdir, f)).to_pcm()
+        fl = dec.read(65536)
+        while fl.frames:
+            decoded.append(fl.samples)
+            fl = dec.read(65536)
+        dec.close()
+    assert np.array_equal(np.concatenate(decoded), arr)
