@@ -188,6 +188,8 @@ def file_type(file):
             return _fmt(".formats.opus", "OpusAudio")
         else:
             return None
+    elif header[0:4] == b"MAC ":
+        return _fmt(".meta.ape", "ApeAudio")
     elif header[0:5] == b"ajkg\x02":
         return _fmt(".formats.shn", "ShortenAudio")
     elif header[0:4] == b"wvpk":

@@ -593,3 +593,72 @@ def _existing_tag_size(f):
     if flags & (1 << 31):
         total += 32
     return total
+
+
+
+class ApeAudio:
+    """a Monkey's Audio file stub (reference ape.py:1080)
+
+    parses MAC stream headers for its attributes; like the reference,
+    no decoder/encoder is provided and the class stays OUT of
+    AVAILABLE_TYPES — it exists so file_type() can identify .ape files
+    and report them as unsupported rather than unknown."""
+
+    SUFFIX = "ape"
+    NAME = SUFFIX
+    DESCRIPTION = "Monkey's Audio"
+    COMPRESSION_MODES = tuple()
+    DEFAULT_COMPRESSION = ""
+
+    def __init__(self, filename):
+        import struct
+        self.filename = filename
+        with open(filename, "rb") as f:
+            header = f.read(76)
+        if header[0:4] != b"MAC ":
+            raise ValueError("invalid Monkey's Audio header")
+        (version,) = struct.unpack("<H", header[4:6])
+        if version >= 3980:
+            (_desc_len, _header_len) = struct.unpack(
+                "<II", header[8:16])
+            (blocks_per_frame, final_frame_blocks, total_frames,
+             bits_per_sample, channels,
+             sample_rate) = struct.unpack("<IIIHHI", header[56:76])
+            self.__total_frames__ = ((total_frames - 1) *
+                                     blocks_per_frame +
+                                     final_frame_blocks
+                                     if total_frames else 0)
+            self.__bits_per_sample__ = bits_per_sample
+            self.__channels__ = channels
+            self.__sample_rate__ = sample_rate
+        else:
+            raise ValueError("unsupported Monkey's Audio version")
+
+    @classmethod
+    def available(cls, system_binaries=None):
+        return False            # no codec support (like the reference)
+
+    def bits_per_sample(self):
+        return self.__bits_per_sample__
+
+    def channels(self):
+        return self.__channels__
+
+    def sample_rate(self):
+        return self.__sample_rate__
+
+    def total_frames(self):
+        return self.__total_frames__
+
+    def lossless(self):
+        return True
+
+    def to_pcm(self):
+        raise NotImplementedError(
+            "Monkey's Audio decoding is not supported")
+
+    @classmethod
+    def from_pcm(cls, filename, pcmreader, compression=None,
+                 total_pcm_frames=None):
+        raise NotImplementedError(
+            "Monkey's Audio encoding is not supported")
