@@ -19,7 +19,7 @@ from ..utils.messenger import Messenger
 
 
 def _rip_track(cdda_path, track_number, sample_offset, output_class,
-               output_filename, quality, progress=None):
+               output_filename, quality, metadata=None, progress=None):
     from ..cdio import CDDA, CDTrackReader
     from ..pcmstream import PCMReaderProgress
 
@@ -30,6 +30,8 @@ def _rip_track(cdda_path, track_number, sample_offset, output_class,
             reader, reader.__total_frames__, progress)
     track = output_class.from_pcm(output_filename, reader,
                                   compression=quality)
+    if metadata is not None:
+        track.set_metadata(metadata)
     cdda.close()
     return output_filename
 
@@ -50,6 +52,17 @@ def main(argv=None):
                         help="drive read offset, in PCM samples")
     parser.add_argument("-j", "--joint", dest="max_processes",
                         type=int, default=None)
+    parser.add_argument("--no-musicbrainz", dest="use_musicbrainz",
+                        action="store_false", default=True,
+                        help="skip the MusicBrainz metadata lookup")
+    parser.add_argument("--musicbrainz-server",
+                        dest="musicbrainz_server",
+                        default="musicbrainz.org")
+    parser.add_argument("--no-freedb", dest="use_freedb",
+                        action="store_false", default=True,
+                        help="skip the FreeDB metadata lookup")
+    parser.add_argument("--freedb-server", dest="freedb_server",
+                        default="us.freedb.org")
     parser.add_argument("tracks", nargs="*", type=int,
                         help="track numbers to rip (default: all)")
 
@@ -85,16 +98,36 @@ def main(argv=None):
     msg.info("AccurateRip disc ID: %s" %
              (str(cdda.accuraterip_disc_id()),))
 
+    # service lookup (reference cd2track:338-365): the first
+    # returned choice wins non-interactively; the final choice is
+    # always the track-numbers-only default, so this degrades
+    # cleanly offline
+    from ..services.lookup import metadata_lookup
+    choices = metadata_lookup(
+        cdda,
+        musicbrainz_server=options.musicbrainz_server,
+        freedb_server=options.freedb_server,
+        use_musicbrainz=options.use_musicbrainz,
+        use_freedb=options.use_freedb)
+    disc_metadata = choices[0]
+    if len(choices) > 1:
+        album = disc_metadata[0].album_name
+        msg.info("Using metadata: %s" % (album or "(untitled)",))
+
     os.makedirs(options.dir, exist_ok=True)
     queue = ExecProgressQueue(ProgressDisplay(msg))
     total = len(cdda)
     for number in track_numbers:
+        try:
+            track_metadata = disc_metadata[number - 1]
+        except IndexError:
+            track_metadata = MetaData(track_number=number,
+                                      track_total=total)
         filename = os.path.join(
             options.dir,
             output_class.track_name(
                 file_path="track%2.2d" % (number,),
-                track_metadata=MetaData(track_number=number,
-                                        track_total=total),
+                track_metadata=track_metadata,
                 format=options.format))
         queue.execute(
             _rip_track,
@@ -105,7 +138,8 @@ def main(argv=None):
             sample_offset=options.sample_offset,
             output_class=output_class,
             output_filename=filename,
-            quality=quality)
+            quality=quality,
+            metadata=track_metadata)
     cdda.close()
 
     try:

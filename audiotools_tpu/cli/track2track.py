@@ -165,7 +165,7 @@ def main(argv=None):
             import os as os_mod
             os_mod.environ["ATPU_DEVICES"] = str(options.devices)
         queue.run(options.max_processes or MAX_JOBS())
-    except ExecQueueError as err:
+    except (ExecQueueError, IOError, ValueError) as err:
         msg.error(str(err))
         return 1
 

@@ -76,7 +76,7 @@ def main(argv=None):
 
     try:
         results = queue.run(options.max_processes or MAX_JOBS())
-    except ExecQueueError as err:
+    except (ExecQueueError, IOError, ValueError) as err:
         msg.error(str(err))
         return 1
 

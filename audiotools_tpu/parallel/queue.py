@@ -121,11 +121,14 @@ class ExecProgressQueue:
                 del active[job_index]
 
             if error is not None:
-                # drain remaining processes then re-raise
+                # drain remaining processes then re-raise the child's
+                # original exception (reference __init__.py:5394-5402)
                 for (process, conn) in active.values():
                     process.terminate()
                     process.join()
                 active.clear()
+                if isinstance(error, BaseException):
+                    raise error
                 raise ExecQueueError(error)
 
         self.queued_jobs = []
@@ -154,5 +157,12 @@ def _run_job(conn, progress_array, function, args, kwargs):
     try:
         result = function(*args, progress=progress, **kwargs)
         conn.send((True, result))
-    except Exception:
-        conn.send((False, traceback.format_exc()))
+    except Exception as err:
+        # ship the original exception object so the parent can
+        # re-raise it by type (the reference pickles the child
+        # exception back to the parent); fall back to the traceback
+        # text when the exception isn't picklable
+        try:
+            conn.send((False, err))
+        except Exception:
+            conn.send((False, traceback.format_exc()))

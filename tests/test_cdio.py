@@ -135,3 +135,54 @@ def test_cd2track_cli(tmp_path):
     # bad image path errors
     assert run_tool("cd2track", "-c",
                     str(tmp_path / "none.cue")).returncode != 0
+
+
+def test_metadata_lookup_parsers():
+    """XMCD and MusicBrainz XML responses parse into MetaData"""
+    from audiotools_tpu.services.lookup import (parse_xmcd,
+                                                parse_musicbrainz_xml,
+                                                metadata_lookup)
+    xmcd = ("# xmcd\n#\nDISCID=09000702\n"
+            "DTITLE=Some Artist / Some Album\nDYEAR=1999\n"
+            "TTITLE0=First Track\nTTITLE1=Second Track\n"
+            "EXTD=\nPLAYORDER=\n")
+    parsed = parse_xmcd(xmcd, 2)
+    assert parsed[0].track_name == "First Track"
+    assert parsed[0].artist_name == "Some Artist"
+    assert parsed[0].album_name == "Some Album"
+    assert parsed[1].track_number == 2
+    assert parsed[1].year == "1999"
+
+    mb = ('<metadata xmlns="http://musicbrainz.org/ns/mmd-2.0#">'
+          '<disc><release-list><release><title>An Album</title>'
+          '<date>2001-05-01</date>'
+          '<artist-credit><name-credit><artist>'
+          '<name>An Artist</name></artist></name-credit>'
+          '</artist-credit>'
+          '<medium-list><medium><track-list>'
+          '<track><recording><title>T1</title></recording></track>'
+          '<track><recording><title>T2</title></recording></track>'
+          '</track-list></medium></medium-list>'
+          '</release></release-list></disc></metadata>')
+    choices = parse_musicbrainz_xml(mb, 2)
+    assert len(choices) == 1
+    assert choices[0][0].track_name == "T1"
+    assert choices[0][0].album_name == "An Album"
+    assert choices[0][0].artist_name == "An Artist"
+    assert choices[0][1].year == "2001"
+
+
+def test_metadata_lookup_offline(tmp_path):
+    """offline lookups degrade to the blank default choice"""
+    from audiotools_tpu.services.lookup import metadata_lookup
+    (cue, _arr) = make_image(tmp_path)
+    cdda = CDDA(cue)
+    choices = metadata_lookup(
+        cdda, musicbrainz_server="localhost.invalid",
+        freedb_server="localhost.invalid")
+    assert len(choices) >= 1
+    default = choices[-1]
+    assert len(default) == 2
+    assert default[0].track_number == 1
+    assert default[1].track_number == 2
+    cdda.close()
