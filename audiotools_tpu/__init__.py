@@ -29,6 +29,8 @@ from .pcmstream import (  # noqa: F401,E402
     LimitedFileReader,
     LimitedPCMReader,
     PCMReaderWindow,
+    PCMReaderHead,
+    PCMReaderDeHead,
     PCMConverter,
     pcm_cmp,
     pcm_frame_cmp,
@@ -127,3 +129,20 @@ from .dispatch import (  # noqa: F401,E402
     Filename,
 )
 from .utils.files import TemporaryFile, make_dirs  # noqa: F401,E402
+from .utils.config import MAX_JOBS  # noqa: F401,E402
+from .cdio import CDDA, CDTrackReader  # noqa: F401,E402
+from .parallel.queue import (  # noqa: F401,E402
+    ExecProgressQueue,
+    ExecQueueError,
+)
+from .services.lookup import (  # noqa: F401,E402
+    metadata_lookup,
+    accuraterip_lookup,
+)
+
+
+def calculate_replay_gain(tracks, progress=None):
+    """yields (track, gain, peak, album_gain, album_peak) per track
+    (reference __init__.py:2845)"""
+    from .replaygain import calculate_replay_gain_values
+    return calculate_replay_gain_values(tracks, progress)

@@ -80,6 +80,37 @@ def main(argv=None):
         msg.error(str(err))
         return 1
 
+    if options.accuraterip:
+        # compare the computed checksums against the AccurateRip
+        # database (reference trackverify:104-144); with no network
+        # access the lookup degrades to empty match lists
+        from ..dispatch import open_files, sorted_tracks
+        from ..services.lookup import accuraterip_lookup
+
+        verified = [(filename, checksums)
+                    for (filename, status, checksums) in results
+                    if status == "OK" and checksums is not None]
+        if verified:
+            tracks = sorted_tracks(open_files(
+                [f for (f, _c) in verified], messenger=msg))
+            matches = accuraterip_lookup(tracks)
+            for (number, (filename, checksums)) in \
+                    enumerate(verified, 1):
+                entries = matches.get(number, [])
+                hits = [confidence for (confidence, crc, crc2)
+                        in entries
+                        if crc in checksums or crc2 in checksums]
+                if hits:
+                    msg.info("%s : AccurateRip match "
+                             "(confidence %d)" %
+                             (filename, max(hits)))
+                elif entries:
+                    msg.info("%s : AccurateRip MISMATCH" %
+                             (filename,))
+                else:
+                    msg.info("%s : not present in "
+                             "AccurateRip database" % (filename,))
+
     return 0 if all(r[1] == "OK" for r in results) else 1
 
 

@@ -543,6 +543,25 @@ class PCMReaderWindow:
         self.pcmreader.close()
 
 
+class PCMReaderHead(PCMReaderWindow):
+    """truncates (or zero-extends) a stream's ENDING to exactly
+    pcm_frames (reference __init__.py:4850)"""
+
+    def __init__(self, pcmreader, pcm_frames):
+        if pcm_frames < 0:
+            raise ValueError("invalid pcm_frames value")
+        PCMReaderWindow.__init__(self, pcmreader, 0, pcm_frames)
+
+
+class PCMReaderDeHead(PCMReaderWindow):
+    """removes pcm_frames from a stream's BEGINNING (negative values
+    pad the start with silence; reference __init__.py:4916)"""
+
+    def __init__(self, pcmreader, pcm_frames):
+        PCMReaderWindow.__init__(self, pcmreader, pcm_frames,
+                                 (1 << 62))
+
+
 def transfer_data(from_function, to_function):
     """sends BUFFER_SIZE chunks from from_function to to_function"""
     try:

@@ -128,3 +128,42 @@ def metadata_lookup(cdda, musicbrainz_server="musicbrainz.org",
                              track_total=track_count)
                     for i in range(track_count)])
     return choices
+
+
+def accuraterip_lookup(sorted_tracks,
+                       accuraterip_server="www.accuraterip.com",
+                       accuraterip_port=80):
+    """given sorted AudioFile objects, builds an artificial disc ID
+    from their CD frame lengths and queries the AccurateRip database
+    (reference __init__.py:5152); returns
+    {track_number: [(confidence, crc, crc2), ...]} (empty offline)"""
+    if len(sorted_tracks) == 0:
+        return {}
+
+    def track_number(track, default):
+        metadata = track.get_metadata()
+        if metadata is not None and metadata.track_number is not None:
+            return metadata.track_number
+        return default
+
+    from .accuraterip import DiscID as ARDiscID
+    from .accuraterip import perform_lookup
+    from .freedb import DiscID as FreeDBDiscID
+
+    track_numbers = [track_number(track, i + 1)
+                     for (i, track) in enumerate(sorted_tracks)]
+    track_frames = [track.cd_frames() for track in sorted_tracks]
+    track_offsets = [0]
+    for length in track_frames[:-1]:
+        track_offsets.append(length + track_offsets[-1])
+    lead_out_offset = sum(track_frames)
+
+    freedb_disc_id = FreeDBDiscID(
+        offsets=[o + 150 for o in track_offsets],
+        total_length=lead_out_offset,
+        track_count=len(sorted_tracks))
+
+    return perform_lookup(
+        ARDiscID(track_numbers, track_offsets, lead_out_offset,
+                 freedb_disc_id),
+        accuraterip_server, accuraterip_port)
