@@ -254,6 +254,17 @@ def _build_and_load():
     lib.atpu_crc8.argtypes = [ctypes.POINTER(ctypes.c_uint8),
                               ctypes.c_int64, ctypes.c_uint8]
 
+    lib.atpu_mlp_new.restype = ctypes.c_void_p
+    lib.atpu_mlp_new.argtypes = []
+    lib.atpu_mlp_free.restype = None
+    lib.atpu_mlp_free.argtypes = [ctypes.c_void_p]
+    lib.atpu_mlp_decode.restype = ctypes.c_int64
+    lib.atpu_mlp_decode.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64)]
+
     _lib = lib
     return lib
 
@@ -671,3 +682,68 @@ class MD5:
             _as_ptr(self._state, ctypes.c_uint8),
             _as_ptr(out, ctypes.c_uint8))
         return out.tobytes()
+
+
+_MLP_ERRORS = {
+    -1: "invalid MLP stream data",
+    -2: "parity mismatch decoding MLP substream",
+    -3: "CRC8 mismatch decoding MLP substream",
+    -4: "I/O error reading MLP stream",
+    -6: "invalid MLP major sync",
+}
+
+
+class MLPDecoderHandle:
+    """a stateful native MLP decoder context
+
+    decode(data) consumes every whole length-prefixed frame in data
+    and returns (samples int32 [n, channels] in WAVE order,
+    consumed_bytes); stream attributes appear after the first
+    major sync"""
+
+    def __init__(self):
+        import numpy as np
+        self._np = np
+        self._lib = get_lib()
+        self._ctx = self._lib.atpu_mlp_new()
+        self.sample_rate = 0
+        self.channels = 0
+        self.bits_per_sample = 0
+
+    def decode(self, data):
+        np = self._np
+        buf = np.frombuffer(bytes(data), dtype=np.uint8)
+        # worst case ~2 PCM samples per stream byte at 6 channels;
+        # retry bigger on overflow
+        cap = max(len(buf) * 8, 1 << 16)
+        info = np.zeros(4, dtype=np.int64)
+        while True:
+            out = np.empty(cap, dtype=np.int32)
+            n = self._lib.atpu_mlp_decode(
+                self._ctx, _as_ptr(buf, ctypes.c_uint8), len(buf),
+                _as_ptr(out, ctypes.c_int32), cap,
+                _as_ptr(info, ctypes.c_int64))
+            if n == -5:         # output overflow: grow and retry
+                cap *= 4
+                continue
+            if n < 0:
+                raise ValueError(_MLP_ERRORS.get(
+                    int(n), "MLP decode error (code %d)" % (n,)))
+            break
+        self.sample_rate = int(info[0])
+        self.channels = int(info[1])
+        self.bits_per_sample = int(info[2])
+        consumed = int(info[3])
+        channels = max(self.channels, 1)
+        return (out[:n * channels].reshape(-1, channels), consumed)
+
+    def close(self):
+        if self._ctx is not None:
+            self._lib.atpu_mlp_free(self._ctx)
+            self._ctx = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

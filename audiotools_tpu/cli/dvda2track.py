@@ -70,9 +70,13 @@ def main(argv=None):
                     track_metadata=MetaData(track_number=position,
                                             track_total=len(title)),
                     format=None))
-            output_class.from_pcm(
-                filename, LimitedPCMReader(reader, frames),
-                compression=options.quality or None)
+            try:
+                output_class.from_pcm(
+                    filename, LimitedPCMReader(reader, frames),
+                    compression=options.quality or None)
+            except (IOError, ValueError) as err:
+                msg.error(str(err))
+                return 1
             msg.info("extracted track %d" % (position,))
         else:
             remaining = frames

@@ -8,9 +8,10 @@ pack/packet walking and ``src/decoders/aobpcm.c`` sample packing):
 the unencrypted PCM stream from the titleset's AOB files (MPEG program
 stream packs, 0xBD private-stream packets, the 0xA0 PCM headers and
 the byte-swap matrices per bit depth and channel count).  MLP (0xA1)
-titles and CPPM-encrypted discs are detected and reported as
-unsupported (the reference gates these on hardware ioctls and its MLP
-decoder).
+titles decode through ``MLPTitleReader`` (native fast path in
+``_native.MLPDecoderHandle``, oracle in ``ref/mlp.py``; role of
+reference ``src/decoders/mlp.c``).  CPPM-encrypted discs remain
+unsupported (the reference gates decryption on hardware ioctls).
 """
 
 from __future__ import annotations
@@ -278,7 +279,9 @@ class DVDATitle:
         return int(frames) + (1 if frames % 1 else 0)
 
     def to_pcm(self):
-        """returns a DVDATitleReader of the title's PCM data"""
+        """returns a PCMReader of the title's audio (PCM or MLP)"""
+        if self.stream_id == 0xA1:
+            return MLPTitleReader(self)
         return DVDATitleReader(self)
 
 
@@ -368,8 +371,12 @@ class DVDATitleReader:
             dtype=np.int64)
         self.__chunk__ = len(self.__swap__)
         self.__remaining__ = title.total_frames()
+        self.__init_spans__(title)
+        self.__leftover__ = b""
+        self.closed = False
 
-        # the title's sector spans across its AOBs
+    def __init_spans__(self, title):
+        """maps the title's sector range onto its AOB files"""
         self.__spans__ = []
         start = title.tracks[0].first_sector
         end = title.tracks[-1].last_sector + 1
@@ -386,8 +393,6 @@ class DVDATitleReader:
         self.__span_index__ = 0
         self.__sector__ = None
         self.__file__ = None
-        self.__leftover__ = b""
-        self.closed = False
 
     def __next_sector__(self):
         """returns the next 2048-byte sector or None at title end"""
@@ -494,3 +499,93 @@ class DVDATitleReader:
         if self.__file__ is not None:
             self.__file__.close()
             self.__file__ = None
+
+
+class MLPTitleReader(DVDATitleReader):
+    """a PCMReader decoding a title's MLP audio from its AOBs
+
+    role of the reference MLP path in decoders.DVDA_Title
+    (src/decoders/aob.c:246-300 packet feed, src/decoders/mlp.c
+    frame decode); the sector/packet walk is inherited from
+    DVDATitleReader and the length-prefixed MLP frames are decoded
+    by the native context (oracle with ATPU_MLP_ORACLE=1)"""
+
+    def __init__(self, title):
+        if title.stream_id != 0xA1:
+            raise ValueError("not an MLP title")
+        self.title = title
+        self.sample_rate = title.sample_rate
+        self.channels = title.channels
+        self.channel_mask = title.channel_mask
+        self.bits_per_sample = title.bits_per_sample
+        self.__remaining__ = title.total_frames()
+        self.__init_spans__(title)
+        self.__leftover__ = b""
+        self.__pending__ = None
+        self.closed = False
+
+        if os.environ.get("ATPU_MLP_ORACLE") == "1":
+            from .ref.mlp import MLPDecoder, split_frames
+
+            class _OracleCtx:
+                def __init__(self):
+                    self.dec = MLPDecoder()
+
+                def decode(self, data):
+                    (frames, leftover) = split_frames(data)
+                    if frames:
+                        out = np.concatenate(
+                            [self.dec.decode_frame(f)
+                             for f in frames])
+                    else:
+                        out = np.zeros((0, 1), dtype=np.int32)
+                    return (out, len(data) - len(leftover))
+
+                def close(self):
+                    pass
+
+            self.__decoder__ = _OracleCtx()
+        else:
+            from ._native import MLPDecoderHandle
+            self.__decoder__ = MLPDecoderHandle()
+
+    def read(self, pcm_frames):
+        if self.closed:
+            raise ValueError("stream is closed")
+        if self.__remaining__ <= 0:
+            return pcm.empty_framelist(self.channels,
+                                       self.bits_per_sample)
+
+        rows = []
+        got = 0
+        if self.__pending__ is not None:
+            rows.append(self.__pending__)
+            got = len(self.__pending__)
+            self.__pending__ = None
+        want = max(pcm_frames, 1)
+        while got < want:
+            sector = self.__next_sector__()
+            if sector is None:
+                break
+            data = self.__leftover__ + self.__audio_payload__(sector)
+            (samples, consumed) = self.__decoder__.decode(data)
+            self.__leftover__ = data[consumed:]
+            if len(samples):
+                rows.append(samples)
+                got += len(samples)
+
+        if not rows:
+            self.__remaining__ = 0
+            return pcm.empty_framelist(self.channels,
+                                       self.bits_per_sample)
+        samples = np.concatenate(rows) if len(rows) > 1 else rows[0]
+        if len(samples) > self.__remaining__:
+            samples = samples[:self.__remaining__]
+        self.__remaining__ -= len(samples)
+        return pcm.FrameList._wrap(
+            np.ascontiguousarray(samples.astype(np.int32)),
+            self.bits_per_sample)
+
+    def close(self):
+        DVDATitleReader.close(self)
+        self.__decoder__.close()

@@ -256,3 +256,137 @@ def test_dvda2track_cli(audio_ts, tmp_path):
             fl = dec.read(65536)
         dec.close()
     assert np.array_equal(np.concatenate(decoded), arr)
+
+
+# ---- MLP titles -------------------------------------------------------
+
+def build_mlp_aob(samples):
+    """packs PCM into MLP frames and then into AOB sectors
+    (0xA1 packets)"""
+    from audiotools_tpu.ref.mlp import MLPEncoder
+
+    enc = MLPEncoder(sample_rate=SR, bits_per_sample=BPS,
+                     channels=CH, block_size=40, codebook=1,
+                     huffman_lsbs=17,
+                     fir_coeff=[256, -128], filter_shift=8)
+    n = 160
+    assert len(samples) % n == 0
+    stream = b"".join(enc.encode_frame(samples[i:i + n])
+                      for i in range(0, len(samples), n))
+
+    sectors = bytearray()
+    pos = 0
+    while pos < len(stream):
+        pack = BEWriter()
+        pack.write(32, 0x1BA)
+        pack.write(2, 1)
+        pack.write(3, 0)
+        pack.write(1, 1)
+        pack.write(15, 0)
+        pack.write(1, 1)
+        pack.write(15, 0)
+        pack.write(1, 1)
+        pack.write(9, 0)
+        pack.write(1, 1)
+        pack.write(22, 0)
+        pack.write(2, 3)
+        pack.write(5, 0)
+        pack.write(3, 0)
+        header = pack.bytes()
+
+        body_header = BEWriter()
+        body_header.write(16, 0)      # 16p
+        body_header.write(8, 0)       # pad1_size
+        body_header.write(8, 0xA1)    # codec: MLP
+        body_header.write(8, 0)       # CRC
+        body_header.write(8, 0)       # 8p
+        body_header.write(8, 0)       # pad2_size
+        body = body_header.bytes()
+
+        room = 2048 - len(header) - 6 - len(body)
+        chunk = stream[pos:pos + room]
+        pos += len(chunk)
+        packet_length = len(body) + len(chunk)
+        sector = (header + b"\x00\x00\x01\xBD" +
+                  struct.pack(">H", packet_length) + body + chunk)
+        sectors += sector.ljust(2048, b"\xFF")
+    return bytes(sectors)
+
+
+@pytest.fixture()
+def mlp_audio_ts(tmp_path):
+    n = SR * 2                  # 2 seconds, 2 tracks
+    t = np.arange(n)
+    arr = np.clip(np.stack(
+        [9000 * np.sin(2 * np.pi * 330 * t / SR),
+         8000 * np.sin(2 * np.pi * 495 * t / SR)], axis=1),
+        -32768, 32767).astype(np.int64)
+    aob = build_mlp_aob(arr)
+    total_sectors = len(aob) // 2048
+
+    ts_dir = tmp_path / "AUDIO_TS"
+    ts_dir.mkdir()
+    (ts_dir / "AUDIO_TS.IFO").write_bytes(build_audio_ts_ifo())
+    (ts_dir / "ATS_01_0.IFO").write_bytes(
+        build_ats_ifo([PTS, PTS], total_sectors))
+    (ts_dir / "ATS_01_1.AOB").write_bytes(aob)
+    return (str(ts_dir), arr.astype(np.int32))
+
+
+def test_mlp_title_attrs(mlp_audio_ts):
+    from audiotools_tpu.dvda import DVDAudio
+    (path, _arr) = mlp_audio_ts
+    title = DVDAudio(path)[0][0]
+    assert title.stream_id == 0xA1
+    assert title.sample_rate == SR
+    assert title.channels == CH
+    assert title.bits_per_sample == BPS
+
+
+def test_mlp_title_decode(mlp_audio_ts):
+    from audiotools_tpu.dvda import DVDAudio
+    (path, arr) = mlp_audio_ts
+    reader = DVDAudio(path)[0][0].to_pcm()
+    out = []
+    fl = reader.read(65536)
+    while fl.frames:
+        out.append(fl.samples)
+        fl = reader.read(65536)
+    reader.close()
+    got = np.concatenate(out)
+    assert got.shape[0] == SR * 2
+    assert np.array_equal(got, arr)
+
+
+def test_mlp_oracle_matches_native(mlp_audio_ts, monkeypatch):
+    from audiotools_tpu.dvda import DVDAudio
+    (path, arr) = mlp_audio_ts
+    monkeypatch.setenv("ATPU_MLP_ORACLE", "1")
+    reader = DVDAudio(path)[0][0].to_pcm()
+    out = []
+    fl = reader.read(1 << 20)
+    while fl.frames:
+        out.append(fl.samples)
+        fl = reader.read(1 << 20)
+    reader.close()
+    assert np.array_equal(np.concatenate(out), arr)
+
+
+def test_mlp_dvda2track_cli(mlp_audio_ts, tmp_path):
+    from audiotools_tpu.formats.flac import FlacAudio
+    (path, arr) = mlp_audio_ts
+    outdir = str(tmp_path / "out")
+    r = run_tool("dvda2track", "-A", path, "-t", "flac",
+                 "-d", outdir)
+    assert r.returncode == 0, r.stderr
+    files = sorted(os.listdir(outdir))
+    assert len(files) == 2
+    decoded = []
+    for f in files:
+        dec = FlacAudio(os.path.join(outdir, f)).to_pcm()
+        fl = dec.read(65536)
+        while fl.frames:
+            decoded.append(fl.samples)
+            fl = dec.read(65536)
+        dec.close()
+    assert np.array_equal(np.concatenate(decoded), arr)
