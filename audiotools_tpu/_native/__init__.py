@@ -134,7 +134,7 @@ def _build_and_load():
         ctypes.POINTER(ctypes.c_int32),   # layout_off [G]
         ctypes.POINTER(ctypes.c_int32),   # layout_w [G]
         ctypes.c_int32,                   # n_groups
-        ctypes.POINTER(ctypes.c_int32),   # packed [B,G,5,2,13]
+        ctypes.POINTER(ctypes.c_int32),   # packed [B,G,5,2,15]
         ctypes.c_int32,                   # ch_total
         ctypes.c_int32,                   # max_n
         ctypes.c_int32,                   # block_size
@@ -421,7 +421,7 @@ def alac_emit_framesets(blocks, ns, layout, packed,
     """emits ALAC framesets from raw PCM + packed LPC candidates
 
     blocks: int32 [B, max_n, ch] wave-order PCM
-    packed: int32 [B, G, 5, 2, 13] LPC candidate rows (device output)
+    packed: int32 [B, G, 5, 2, 15] LPC candidate rows (device output)
     returns (frameset bytes, per-frameset byte sizes int64 array)"""
     import numpy as np
 

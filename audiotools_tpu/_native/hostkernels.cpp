@@ -1410,7 +1410,8 @@ int64_t atpu_flac_decode(const uint8_t* data,
 namespace alac {
 
 constexpr int QLP_SHIFT = 9;
-constexpr int PACKED_COLS = 13;   // qlp4[4] + qlp8[8] + degenerate
+// qlp4[4] + qlp8[8] + degenerate + est4 + est8
+constexpr int PACKED_COLS = 15;
 constexpr int N_LW = 5;
 
 struct Opts {
@@ -1611,8 +1612,6 @@ static bool run_candidate(Sink& w, const Opts& o, int sample_size,
 // per-(leftweight, channel) candidate state for one frame group
 struct Candidate {
     int order;                 // chosen order (4 or 8)
-    int64_t res_bits;          // residual block bits of chosen order
-    bool overflow;
     const int32_t* qlp;        // chosen coefficients (packed row)
 };
 
@@ -1622,54 +1621,27 @@ struct Scratch {
 
 static const int32_t ZERO_QLP[8] = {0, 0, 0, 0, 0, 0, 0, 0};
 
-// evaluates one channel's order-4 vs order-8 candidate
-// (py_encoders/alac.py calculate_lpc_coefficients tail)
-static Candidate eval_channel(const Opts& o, int sample_size,
-                              const int32_t* channel, int64_t n,
-                              const int32_t* packed_row) {
-    Candidate c{4, 0, false, packed_row};
-    const bool degenerate = packed_row[12] != 0;
-    if (degenerate) {
-        BitCounter bc;
-        c.overflow = !run_candidate(bc, o, sample_size, channel, n,
-                                    ZERO_QLP, 4);
-        c.order = 4;
-        c.res_bits = bc.total;
-        c.qlp = ZERO_QLP;
-        return c;
-    }
-    int64_t bits[2];
-    bool ovf[2];
-    for (int oi = 0; oi < 2; oi++) {
-        const int order = oi ? 8 : 4;
-        const int32_t* q = packed_row + (oi ? 4 : 0);
-        BitCounter bc;
-        ovf[oi] = !run_candidate(bc, o, sample_size, channel, n, q,
-                                 order);
-        bits[oi] = bc.total;
-    }
-    if (bits[0] < bits[1]) {
-        c.order = 4;
-        c.res_bits = bits[0];
-        c.qlp = packed_row;
-    } else {
-        c.order = 8;
-        c.res_bits = bits[1];
-        c.qlp = packed_row + 4;
-    }
-    c.overflow = ovf[0] || ovf[1];
-    return c;
+// selects one channel's order-4 vs order-8 candidate from the
+// device-computed residual-size estimates (packed cols 13/14; the
+// same policy as ref/alac.py calculate_lpc_coefficients) — the
+// adaptive recurrence only runs for the winner, at write time
+static Candidate pick_channel(const int32_t* packed_row) {
+    if (packed_row[12] != 0)                    // degenerate
+        return Candidate{4, ZERO_QLP};
+    if (packed_row[13] <= packed_row[14])
+        return Candidate{4, packed_row};
+    return Candidate{8, packed_row + 4};
 }
 
-// writes the residual block for a decided candidate
+// writes the residual block for a decided candidate; returns false
+// on residual overflow (caller rolls the writer back)
 template <typename Sink>
-static void write_candidate_residuals(Sink& w, const Opts& o,
+static bool write_candidate_residuals(Sink& w, const Opts& o,
                                       int sample_size,
                                       const int32_t* channel,
-                                      int64_t n, const Candidate& c,
-                                      Scratch& s) {
-    (void)s;
-    run_candidate(w, o, sample_size, channel, n, c.qlp, c.order);
+                                      int64_t n, const Candidate& c) {
+    return run_candidate(w, o, sample_size, channel, n, c.qlp,
+                         c.order);
 }
 
 }  // namespace alac
@@ -1761,112 +1733,46 @@ int64_t atpu_alac_emit_framesets(const int32_t* blocks,
             Candidate chosen[2];
 
             if (!write_uncompressed && width == 1) {
-                const int sample_size = bps - lsb_shift;
-                Candidate c = eval_channel(
-                    o, sample_size, s.ch[0], n, prow_base);
-                if (c.overflow) {
-                    write_uncompressed = true;
-                } else {
-                    const int64_t comp_bits = 16 + 1 + 2 + 1 +
-                        (partial ? 32 : 0) + 8 + 8 +
-                        (4 + 4 + 3 + 5 + 16 * c.order) +
-                        n * width * lsb_shift + c.res_bits;
-                    if (comp_bits < unc_bits) {
-                        chosen[0] = c;
-                    } else {
-                        write_uncompressed = true;
-                    }
-                }
+                chosen[0] = pick_channel(prow_base);
             } else if (!write_uncompressed) {
-                const int sample_size = bps - lsb_shift + 1;
-                int64_t lw_bits[N_LW];
-                Candidate cands[N_LW][2];
-                bool any_overflow = false;
-                const int n_cand = max_lw - min_lw + 1;
-                for (int li = 0; li < n_cand; li++) {
-                    const int lw = min_lw + li;
-                    const int32_t* c0;
-                    const int32_t* c1;
-                    if (lw == 0) {
-                        c0 = s.ch[0];
-                        c1 = s.ch[1];
-                    } else {
-                        for (int64_t i = 0; i < n; i++) {
-                            const int64_t a = s.ch[0][i];
-                            const int64_t bb = s.ch[1][i];
-                            cor0[i] = (int32_t)(bb +
-                                (((a - bb) * lw) >> interlacing_shift));
-                            cor1[i] = (int32_t)(a - bb);
-                        }
-                        c0 = cor0;
-                        c1 = cor1;
-                    }
+                // leftweight from the device residual estimates:
+                // lowest min(est4, est8) sum over both correlated
+                // channels, ties to the lowest leftweight (the
+                // oracle's encode_compressed_frame policy)
+                int64_t best_score = 0;
+                for (int lw = min_lw; lw <= max_lw; lw++) {
                     const int32_t* prow0 = prow_base +
                         (lw * 2 + 0) * PACKED_COLS;
                     const int32_t* prow1 = prow_base +
                         (lw * 2 + 1) * PACKED_COLS;
-                    cands[li][0] = eval_channel(o, sample_size, c0,
-                                                n, prow0);
-                    cands[li][1] = eval_channel(o, sample_size, c1,
-                                                n, prow1);
-                    any_overflow |= cands[li][0].overflow ||
-                                    cands[li][1].overflow;
-                    lw_bits[li] = 16 + 1 + 2 + 1 + (partial ? 32 : 0) +
-                        8 + 8 +
-                        (4 + 4 + 3 + 5 + 16 * cands[li][0].order) +
-                        (4 + 4 + 3 + 5 + 16 * cands[li][1].order) +
-                        n * width * lsb_shift +
-                        cands[li][0].res_bits + cands[li][1].res_bits;
-                }
-                if (any_overflow) {
-                    write_uncompressed = true;
-                } else {
-                    // the oracle's first-strict-minimum selection
-                    // (py_encoders/alac.py:204-210)
-                    int pick = 0;
-                    bool found = false;
-                    for (int i = 0; i + 1 < n_cand && !found; i++) {
-                        int64_t later = lw_bits[i + 1];
-                        for (int j = i + 2; j < n_cand; j++)
-                            if (lw_bits[j] < later) later = lw_bits[j];
-                        if (lw_bits[i] < later) {
-                            pick = i;
-                            found = true;
-                        }
-                    }
-                    if (lw_bits[pick] < unc_bits) {
-                        chosen_lw = min_lw + pick;
-                        chosen[0] = cands[pick][0];
-                        chosen[1] = cands[pick][1];
-                    } else {
-                        write_uncompressed = true;
+                    const int64_t score =
+                        (int64_t)(prow0[13] < prow0[14] ? prow0[13]
+                                                        : prow0[14]) +
+                        (int64_t)(prow1[13] < prow1[14] ? prow1[13]
+                                                        : prow1[14]);
+                    if (lw == min_lw || score < best_score) {
+                        best_score = score;
+                        chosen_lw = lw;
                     }
                 }
+                chosen[0] = pick_channel(
+                    prow_base + (chosen_lw * 2 + 0) * PACKED_COLS);
+                chosen[1] = pick_channel(
+                    prow_base + (chosen_lw * 2 + 1) * PACKED_COLS);
             }
 
-            if (write_uncompressed) {
+            // write the compressed frame speculatively; roll the
+            // writer back to this snapshot on residual overflow or
+            // when the exact size loses to the uncompressed frame
+            const BitWriter snapshot = w;
+            bool ok = !write_uncompressed;
+            if (ok && width == 1) {
+                const int sample_size = bps - lsb_shift;
                 w.put(0, 16);
                 w.put(partial ? 1 : 0, 1);
-                w.put(0, 2);
-                w.put(1, 1);
+                w.put(lsb_bytes, 2);
+                w.put(0, 1);
                 if (partial) w.put((uint64_t)n, 32);
-                const uint64_t mask = (1ULL << bps) - 1;
-                for (int64_t i = 0; i < n; i++) {
-                    w.put((uint64_t)raw0[i] & mask, bps);
-                    if (width == 2)
-                        w.put((uint64_t)raw1[i] & mask, bps);
-                }
-                continue;
-            }
-
-            // compressed frame
-            w.put(0, 16);
-            w.put(partial ? 1 : 0, 1);
-            w.put(lsb_bytes, 2);
-            w.put(0, 1);
-            if (partial) w.put((uint64_t)n, 32);
-            if (width == 1) {
-                const int sample_size = bps - lsb_shift;
                 w.put(0, 8);
                 w.put(0, 8);
                 put_subframe_header(w, chosen[0].qlp, chosen[0].order);
@@ -1875,10 +1781,15 @@ int64_t atpu_alac_emit_framesets(const int32_t* blocks,
                     for (int64_t i = 0; i < n; i++)
                         w.put((uint32_t)raw0[i] & lmask, lsb_shift);
                 }
-                write_candidate_residuals(w, o, sample_size, s.ch[0],
-                                          n, chosen[0], s);
-            } else {
+                ok = write_candidate_residuals(
+                    w, o, sample_size, s.ch[0], n, chosen[0]);
+            } else if (ok) {
                 const int sample_size = bps - lsb_shift + 1;
+                w.put(0, 16);
+                w.put(partial ? 1 : 0, 1);
+                w.put(lsb_bytes, 2);
+                w.put(0, 1);
+                if (partial) w.put((uint64_t)n, 32);
                 w.put(interlacing_shift, 8);
                 w.put(chosen_lw, 8);
                 put_subframe_header(w, chosen[0].qlp, chosen[0].order);
@@ -1907,10 +1818,31 @@ int64_t atpu_alac_emit_framesets(const int32_t* blocks,
                     c0 = cor0;
                     c1 = cor1;
                 }
-                write_candidate_residuals(w, o, sample_size, c0, n,
-                                          chosen[0], s);
-                write_candidate_residuals(w, o, sample_size, c1, n,
-                                          chosen[1], s);
+                ok = write_candidate_residuals(
+                    w, o, sample_size, c0, n, chosen[0]);
+                if (ok)
+                    ok = write_candidate_residuals(
+                        w, o, sample_size, c1, n, chosen[1]);
+            }
+            if (ok) {
+                const int64_t comp_bits =
+                    (w.pos * 8 + w.bits) -
+                    (snapshot.pos * 8 + snapshot.bits);
+                if (comp_bits >= unc_bits) ok = false;
+            }
+            if (!ok) {
+                w = snapshot;
+                w.put(0, 16);
+                w.put(partial ? 1 : 0, 1);
+                w.put(0, 2);
+                w.put(1, 1);
+                if (partial) w.put((uint64_t)n, 32);
+                const uint64_t mask = (1ULL << bps) - 1;
+                for (int64_t i = 0; i < n; i++) {
+                    w.put((uint64_t)raw0[i] & mask, bps);
+                    if (width == 2)
+                        w.put((uint64_t)raw1[i] & mask, bps);
+                }
             }
         }
 

@@ -27,26 +27,33 @@ _jax_alac_cache = {}
 
 def _get_backend(backend):
     if backend is None:
-        backend = os.environ.get("ATPU_ALAC_BACKEND",
-                                 os.environ.get("ATPU_FLAC_BACKEND",
-                                                "numpy"))
+        backend = (os.environ.get("ATPU_ALAC_BACKEND") or
+                   os.environ.get("ATPU_FLAC_BACKEND"))
+        if backend is None:
+            from .flac_enc_fast import default_backend
+            backend = default_backend()
     return backend
 
 
 def _analyze(blocks, layout, bps, lsb_shift, interlacing_shift,
              min_lw, max_lw, window, backend):
-    """packed LPC candidates [B, G, 5, 2, 13] for a uniform batch"""
+    """packed LPC candidates [B, G, 5, 2, 15] for a uniform batch"""
     if backend == "jax":
         import jax
         jax.config.update("jax_enable_x64", True)
         from .flac_enc_fast import _enable_compilation_cache
         _enable_compilation_cache(jax)
+        # ship int16 when the samples fit: upload bandwidth is the
+        # tunnel bottleneck, and the analysis widens on device
+        if bps <= 16 and blocks.dtype != np.int16:
+            blocks = blocks.astype(np.int16)
         key = (blocks.shape, blocks.dtype.str, tuple(layout), bps,
                lsb_shift, interlacing_shift, min_lw, max_lw)
         if key not in _jax_alac_cache:
             import jax.numpy as jnp
 
             def run(blocks, window):
+                blocks = blocks.astype(jnp.int32)
                 return alac_frames.analyze_framesets_packed(
                     jnp, blocks, list(layout), bps, lsb_shift,
                     interlacing_shift, min_lw, max_lw, window).ravel()
@@ -91,7 +98,7 @@ def encode_mdat_fast(file, pcmreader,
     backend = _get_backend(backend)
     if batch_frames is None:
         batch_frames = int(os.environ.get(
-            "ATPU_ALAC_BATCH", "64" if backend == "jax" else "16"))
+            "ATPU_ALAC_BATCH", "192" if backend == "jax" else "16"))
 
     channels = pcmreader.channels
     bps = pcmreader.bits_per_sample
@@ -108,20 +115,31 @@ def encode_mdat_fast(file, pcmreader,
     mdat_start = file.tell()
     file.write(b"\x00" * 4 + b"mdat")
 
-    pending = None     # (handle, blocks, ns) — one batch in flight
+    pending = None     # (handle, blocks, ns, padded) in flight
 
     def submit(blocks, ns):
-        handle = _analyze(blocks, layout, bps, lsb_shift,
+        upload = blocks
+        if (backend == "jax" and
+                blocks.shape[1] == block_size and
+                blocks.shape[0] < batch_frames):
+            # pad partial full-block batches to the steady-state
+            # shape: one compiled program per file instead of one
+            # per tail length (jit recompiles dominate otherwise)
+            pad = batch_frames - blocks.shape[0]
+            upload = np.concatenate(
+                [blocks, np.zeros((pad,) + blocks.shape[1:],
+                                  dtype=blocks.dtype)])
+        handle = _analyze(upload, layout, bps, lsb_shift,
                           interlacing_shift,
                           min_interlacing_leftweight,
                           max_interlacing_leftweight,
                           lpc_ops.tukey_window(blocks.shape[1]),
                           backend)
-        return (handle, blocks, ns)
+        return (handle, blocks, ns, upload.shape[0])
 
     def finish(entry):
-        (handle, blocks, ns) = entry
-        packed = _fetch(handle, blocks.shape[0], len(layout))
+        (handle, blocks, ns, padded) = entry
+        packed = _fetch(handle, padded, len(layout))[:blocks.shape[0]]
         (data, lens) = _native.alac_emit_framesets(
             blocks, ns, layout, packed,
             block_size, initial_history, history_multiplier,

@@ -30,9 +30,29 @@ from .. import _native
 _jax_analyze_cache = {}
 
 
+_default_backend_cache = None
+
+
+def default_backend():
+    """"jax" when a JAX device is reachable, else "numpy"
+
+    the analysis kernels are byte-identical across backends, so this
+    only decides where the batched front half runs"""
+    global _default_backend_cache
+    if _default_backend_cache is None:
+        try:
+            import jax
+            jax.devices()
+            _default_backend_cache = "jax"
+        except Exception:
+            _default_backend_cache = "numpy"
+    return _default_backend_cache
+
+
 def _get_backend(backend):
     if backend is None:
-        backend = os.environ.get("ATPU_FLAC_BACKEND", "numpy")
+        backend = os.environ.get("ATPU_FLAC_BACKEND") or \
+            default_backend()
     return backend
 
 

@@ -31,7 +31,10 @@ N_LEFTWEIGHTS = 5          # leftweight candidates 0..4
 #   cols 0..3  qlp order-4 coefficients
 #   cols 4..11 qlp order-8 coefficients
 #   col 12     degenerate flag (windowed autocorrelation[0] == 0)
-PACKED_COLS = 13
+#   col 13     order-4 residual-size estimate (see
+#              residual_estimate; selects order and leftweight)
+#   col 14     order-8 residual-size estimate
+PACKED_COLS = 15
 
 
 def alac_quantize(xp, coeff_row):
@@ -66,11 +69,45 @@ def correlate(xp, ch0, ch1, shift, leftweight):
     return (correlated0, correlated1)
 
 
+def residual_estimate(xp, X, qlp, order):
+    """integer-exact estimate of a candidate's residual magnitude
+
+    X: int32 [S, n]; qlp: int32 [S, order].  Computes the
+    NON-adaptive ALAC-form residuals
+    ``e_i = x_i - base_i - ((sum_j q_j (x_{i-1-j} - base_i)) >> 9)``
+    (base_i = x_{i-order-1}) over i in [order+1, n) and returns
+    ``min(floor(sum|e_i| / 64), 2^31-1)`` as int32.
+
+    This is a RANKING metric for the order/leftweight selection
+    policy shared by the oracle and the C++ emitter: the adaptive
+    residuals the emitter actually codes track these within a few
+    percent, and one estimated-best pass replaces exact sizing of
+    every candidate.  All arithmetic is exact in f64 (products
+    <= 2^36, sums <= 2^40 < 2^53) so numpy/jax/TPU agree bitwise."""
+    n = X.shape[1]
+    count = n - 1 - order
+    if count <= 0:
+        return xp.zeros((X.shape[0],), dtype=xp.int32)
+    Xf = X.astype(xp.float64)
+    qf = qlp.astype(xp.float64)
+    conv = xp.zeros((X.shape[0], count), dtype=xp.float64)
+    for j in range(order):
+        conv = conv + qf[:, j:j + 1] * Xf[:, order - j:n - 1 - j]
+    base = Xf[:, 0:count]
+    Q = xp.sum(qf, axis=1)[:, None]
+    shifted = xp.floor((conv - base * Q) / float(1 << QLP_SHIFT_NEEDED))
+    e = Xf[:, order + 1:n] - base - shifted
+    total = xp.sum(xp.abs(e), axis=1)
+    return xp.minimum(xp.floor(total / 64.0),
+                      float((1 << 31) - 1)).astype(xp.int32)
+
+
 def lpc_candidates(xp, X, window):
     """windowed LPC coefficient candidates for a batch of channels
 
     X: int32 [S, n] (post-LSB-shift, possibly correlated)
-    returns int32 [S, PACKED_COLS]: qlp4, qlp8, degenerate flag"""
+    returns int32 [S, PACKED_COLS]: qlp4, qlp8, degenerate flag,
+    order-4/order-8 residual-size estimates"""
     autocorr = lpc_ops.windowed_autocorr(xp, X, window, 8)  # [S, 9]
     degenerate = (autocorr[:, 0] == 0.0)
     (coeffs, _errors) = lpc_ops.levinson(xp, autocorr, 8)
@@ -78,8 +115,11 @@ def lpc_candidates(xp, X, window):
     qlp8 = alac_quantize(xp, coeffs[:, 7, :8])              # [S, 8]
     qlp4 = xp.where(degenerate[:, None], 0, qlp4)
     qlp8 = xp.where(degenerate[:, None], 0, qlp8)
+    est4 = residual_estimate(xp, X, qlp4, 4)
+    est8 = residual_estimate(xp, X, qlp8, 8)
     return xp.concatenate(
-        [qlp4, qlp8, degenerate[:, None].astype(xp.int32)], axis=1)
+        [qlp4, qlp8, degenerate[:, None].astype(xp.int32),
+         est4[:, None], est8[:, None]], axis=1)
 
 
 def analyze_framesets_packed(xp, blocks, layout, bps, lsb_shift,

@@ -192,22 +192,29 @@ def encode_compressed_frame(writer, pcmreader, options, channels):
         encode_non_interlaced_frame(writer, pcmreader, options,
                                     uncompressed_LSBs, LSBs, channels)
     else:
-        frames = []
+        # the leftweight is chosen from the per-candidate residual
+        # estimates (same policy as the C++ emitter): lowest
+        # min(est4, est8) sum over both correlated channels, ties to
+        # the lowest leftweight; only the winner is encoded
+        best_lw = options.min_interlacing_leftweight
+        best_score = None
         for leftweight in range(options.min_interlacing_leftweight,
                                 options.max_interlacing_leftweight + 1):
-            rec = BitstreamRecorder(False)
-            encode_interlaced_frame(rec, pcmreader, options,
-                                    uncompressed_LSBs, LSBs,
-                                    options.interlacing_shift,
-                                    leftweight, channels)
-            frames.append(rec)
-        for i in range(len(frames) - 1):
-            if frames[i].bits() < min(f.bits()
-                                      for f in frames[i + 1:]):
-                frames[i].copy(writer)
-                break
-        else:
-            frames[0].copy(writer)
+            (c0, c1) = correlate_channels(
+                channels[0], channels[1],
+                options.interlacing_shift, leftweight)
+            (_q4, _q8, _deg, e4a,
+             e8a) = lpc_coefficient_candidates(c0)
+            (_q4, _q8, _deg, e4b,
+             e8b) = lpc_coefficient_candidates(c1)
+            score = min(e4a, e8a) + min(e4b, e8b)
+            if best_score is None or score < best_score:
+                best_score = score
+                best_lw = leftweight
+        encode_interlaced_frame(writer, pcmreader, options,
+                                uncompressed_LSBs, LSBs,
+                                options.interlacing_shift,
+                                best_lw, channels)
 
 
 def encode_non_interlaced_frame(writer, pcmreader, options,
@@ -281,42 +288,40 @@ def correlate_channels(channel0, channel1, interlacing_shift,
 
 
 def lpc_coefficient_candidates(channel):
-    """returns (qlp4, qlp8, degenerate) for one channel via the shared
-    batched analysis kernel (ops/alac_frames.py) — the fast C++ path
-    consumes the same tables, so encodings are byte-identical"""
+    """returns (qlp4, qlp8, degenerate, est4, est8) for one channel
+    via the shared batched analysis kernel (ops/alac_frames.py) — the
+    fast C++ path consumes the same tables, so encodings are
+    byte-identical"""
     from ..ops import alac_frames
     window = tukey_window(len(channel), 0.5)
     X = np.asarray(channel, dtype=np.int32)[None, :]
     row = np.asarray(alac_frames.lpc_candidates(np, X, window))[0]
     return ([int(v) for v in row[0:4]],
             [int(v) for v in row[4:12]],
-            bool(row[12]))
+            bool(row[12]),
+            int(row[13]),
+            int(row[14]))
 
 
 def calculate_lpc_coefficients(pcmreader, options, sample_size,
                                channel):
-    """returns (qlp_coefficients, residual_block) for one channel"""
-    (qlp4, qlp8, degenerate) = lpc_coefficient_candidates(channel)
+    """returns (qlp_coefficients, residual_block) for one channel
+
+    the order choice uses the device-computed residual-size
+    estimates (ops/alac_frames.residual_estimate) so only the
+    chosen candidate's adaptive recurrence runs — the same policy
+    as the C++ emitter, keeping the paths byte-identical"""
+    (qlp4, qlp8, degenerate, est4,
+     est8) = lpc_coefficient_candidates(channel)
 
     if not degenerate:
-        residuals4 = compute_residuals(sample_size, qlp4[:], channel)
-        residuals8 = compute_residuals(sample_size, qlp8[:], channel)
-
-        block4 = BitstreamRecorder(False)
-        block8 = BitstreamRecorder(False)
-        encode_residuals(block4, options, sample_size, residuals4)
-        encode_residuals(block8, options, sample_size, residuals8)
-
-        if block4.bits() < block8.bits():
-            return (qlp4, block4)
-        else:
-            return (qlp8, block8)
+        qlp = qlp4 if est4 <= est8 else qlp8
     else:
         qlp = [0, 0, 0, 0]
-        residuals = compute_residuals(sample_size, qlp[:], channel)
-        block = BitstreamRecorder(False)
-        encode_residuals(block, options, sample_size, residuals)
-        return (qlp, block)
+    residuals = compute_residuals(sample_size, qlp[:], channel)
+    block = BitstreamRecorder(False)
+    encode_residuals(block, options, sample_size, residuals)
+    return (qlp, block)
 
 
 def compute_residuals(sample_size, qlp_coefficients, channel):

@@ -8,6 +8,10 @@ multi-chip sharding logic is tested without TPU hardware.
 import os
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# unit tests default to the numpy analysis backend (byte-identical to
+# jax by the contraction-immune kernel spec) so the suite isn't
+# dominated by one-off jit compiles; jax-path tests opt in explicitly
+os.environ.setdefault("ATPU_FLAC_BACKEND", "numpy")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
