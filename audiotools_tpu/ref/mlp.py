@@ -591,14 +591,18 @@ class MLPEncoder:
                  huffman_lsbs=None, fir_coeff=None, iir_coeff=None,
                  filter_shift=0, checkdata=True, matrices=None,
                  noise_shift=0, noise_seed=0x123456,
-                 output_shift=None, quant_step_size=None):
+                 output_shift=None, quant_step_size=None,
+                 channel_offset=0, assignment=None):
         rate_field = {v: k for (k, v) in SAMPLE_RATE.items()}[
             sample_rate]
         bps_field = {v: k for (k, v) in BITS_PER_SAMPLE.items()}[
             bits_per_sample]
-        assignment = {1: 0x00, 2: 0x01}.get(channels)
         if assignment is None:
-            raise ValueError("synthesizer supports 1-2 channels")
+            assignment = {1: 0x00, 2: 0x01}.get(channels)
+        if assignment is None:
+            raise ValueError("pass assignment explicitly for >2 "
+                             "channels (or use MLPEncoderMulti)")
+        self.channel_offset = channel_offset
         self.sample_rate = sample_rate
         self.bits_per_sample = bits_per_sample
         self.channels = channels
@@ -625,21 +629,23 @@ class MLPEncoder:
 
     # -- helpers ---------------------------------------------------------
 
-    def _write_major_sync(self, writer):
+    def _write_major_sync(self, writer, substream_count=1):
         writer.write(24, MAJOR_SYNC_WORDS)
         writer.write(8, MAJOR_SYNC_TYPE)
         writer.build("4u 4u 4u 4u 11p 5u 48p 1u 15u 4u 92p",
                      [self.bps_field, self.bps_field,
                       self.rate_field, self.rate_field,
-                      self.assignment, 0, 0, 1])
+                      self.assignment, 0, 0, substream_count])
 
     def _write_restart_header(self, writer):
+        off = self.channel_offset
+        mmc = off + self.channels - 1
         writer.build("13u 1u 16u 4u 4u 4u 4u 23u 19u 1u 8u 16u",
                      [RESTART_SYNC, 0, 0,
-                      0, self.channels - 1, self.channels - 1,
+                      off, mmc, mmc,
                       self.noise_shift, self.noise_seed,
                       0, 0, 0, 0])
-        for c in range(self.channels):
+        for c in range(mmc + 1):
             writer.write(6, c)
         writer.write(8, 0)      # checksum (unchecked by decoders)
 
@@ -676,13 +682,19 @@ class MLPEncoder:
         else:
             writer.write(1, 0)
         if any(self.output_shift):
+            # the decoder reads max_matrix_channel+1 entries; pad
+            # zeros for channels below this substream's offset
             writer.write(1, 1)
+            for _ in range(self.channel_offset):
+                writer.write_signed(4, 0)
             for c in range(self.channels):
                 writer.write_signed(4, self.output_shift[c])
         else:
             writer.write(1, 0)
         if any(self.quant_step_size):
             writer.write(1, 1)
+            for _ in range(self.channel_offset):
+                writer.write(4, 0)
             for c in range(self.channels):
                 writer.write(4, self.quant_step_size[c])
         else:
@@ -837,6 +849,16 @@ class MLPEncoder:
         if not self._started:
             self._write_major_sync(body)
 
+        ss_bytes = self._substream_bytes(block)
+        end = len(ss_bytes)
+        body.build("1u 1u 1u 1p 12u",
+                   [0, 0, 1 if self.checkdata else 0, end // 2])
+        body.write_bytes(ss_bytes)
+        return _frame_with_header(body.data())
+
+    def _substream_bytes(self, block):
+        """one substream's complete byte payload for a frame
+        (word-aligned; checkdata appended when enabled)"""
         substream = BitstreamRecorder()
         n_blocks = block.shape[0] // self.block_size
         for b in range(n_blocks):
@@ -866,21 +888,78 @@ class MLPEncoder:
         ss_bytes = substream.data()
         if (len(ss_bytes) + (2 if self.checkdata else 0)) % 2:
             ss_bytes += b"\x00"     # pad to a 16-bit word boundary
-        end = len(ss_bytes) + (2 if self.checkdata else 0)
-        body.build("1u 1u 1u 1p 12u",
-                   [0, 0, 1 if self.checkdata else 0, end // 2])
-        body.write_bytes(ss_bytes)
         if self.checkdata:
             check = Checkdata()
             check.update(ss_bytes)
-            body.write(8, 0xA9 ^ check.parity)
-            body.write(8, check.final_crc)
-        payload = body.data()
+            tail = BitstreamRecorder()
+            tail.write(8, 0xA9 ^ check.parity)
+            tail.write(8, check.final_crc)
+            ss_bytes += tail.data()
+        return ss_bytes
 
-        total = len(payload) + 4
-        if total % 2:
-            payload += b"\x00"
-            total += 1
-        header = BitstreamRecorder()
-        header.build("4p 12u 16p", [total // 2])
-        return header.data() + payload
+
+def _frame_with_header(payload):
+    """prefixes a frame body with the 4-byte length header"""
+    total = len(payload) + 4
+    if total % 2:
+        payload += b"\x00"
+        total += 1
+    header = BitstreamRecorder()
+    header.build("4p 12u 16p", [total // 2])
+    return header.data() + payload
+
+
+class MLPEncoderMulti:
+    """2-substream synthesizer for >2-channel streams
+
+    substream 0 carries channels 0-1 (the stereo downmix slot) and
+    substream 1 carries channels 2..C-1, the layout the reference
+    decoder expects for multichannel titles (mlp.h:188-193); the
+    decoder rematrixes with the LAST substream's parameters, so
+    matrices are not used here"""
+
+    def __init__(self, sample_rate=48000, bits_per_sample=16,
+                 channels=6, block_size=40, codebook=1,
+                 huffman_lsbs=None, fir_coeff=None, iir_coeff=None,
+                 filter_shift=0, checkdata=True):
+        assignment = {3: 0x02, 4: 0x03, 5: 0x06, 6: 0x0C}.get(
+            channels)
+        if assignment is None:
+            raise ValueError("multi synthesizer supports 3-6 "
+                             "channels")
+        common = dict(sample_rate=sample_rate,
+                      bits_per_sample=bits_per_sample,
+                      block_size=block_size, codebook=codebook,
+                      huffman_lsbs=huffman_lsbs,
+                      fir_coeff=fir_coeff, iir_coeff=iir_coeff,
+                      filter_shift=filter_shift,
+                      checkdata=checkdata, assignment=assignment)
+        self.channels = channels
+        self.checkdata = checkdata
+        self.sample_rate = sample_rate
+        self.block_size = block_size
+        self.ss0 = MLPEncoder(channels=2, **common)
+        self.ss1 = MLPEncoder(channels=channels - 2,
+                              channel_offset=2, **common)
+        self._started = False
+
+    def encode_frame(self, block):
+        """encodes [n, channels] int array into one length-prefixed
+        2-substream MLP frame"""
+        block = np.asarray(block, dtype=np.int64)
+        assert block.shape[1] == self.channels
+
+        body = BitstreamRecorder()
+        if not self._started:
+            self.ss0._write_major_sync(body, substream_count=2)
+            self._started = True
+
+        b0 = self.ss0._substream_bytes(block[:, :2])
+        b1 = self.ss1._substream_bytes(block[:, 2:])
+        cd = 1 if self.checkdata else 0
+        body.build("1u 1u 1u 1p 12u", [0, 0, cd, len(b0) // 2])
+        body.build("1u 1u 1u 1p 12u",
+                   [0, 1, cd, (len(b0) + len(b1)) // 2])
+        body.write_bytes(b0)
+        body.write_bytes(b1)
+        return _frame_with_header(body.data())

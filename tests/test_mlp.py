@@ -131,3 +131,34 @@ def test_crc8_table_structure():
     assert CRC8_TABLE[1] == 0x63
     assert CRC8_TABLE[2] == 0xC6
     assert CRC8_TABLE[3] == (0x63 ^ 0xC6)
+
+
+@pytest.mark.parametrize("channels", [3, 4, 5, 6])
+def test_two_substream_multichannel(channels):
+    """>2ch streams use 2 substreams (ch 0-1 + ch 2..C-1); the
+    decoder rematrixes with the second substream's parameters"""
+    from audiotools_tpu.ref.mlp import MLPEncoderMulti
+    rng = np.random.RandomState(13)
+    n, frames = 160, 3
+    enc = MLPEncoderMulti(channels=channels, codebook=1,
+                          huffman_lsbs=15, fir_coeff=[200, -90],
+                          filter_shift=8)
+    data = rng.randint(-6000, 6000,
+                       size=(n * frames, channels)).astype(np.int64)
+    stream = b"".join(enc.encode_frame(data[i * n:(i + 1) * n])
+                      for i in range(frames))
+    (frames_list, leftover) = split_frames(stream)
+    assert not leftover
+
+    dec = MLPDecoder()
+    oracle = np.concatenate([dec.decode_frame(f)
+                             for f in frames_list])
+    assert np.array_equal(oracle, data)
+
+    from audiotools_tpu._native import MLPDecoderHandle
+    h = MLPDecoderHandle()
+    (native, consumed) = h.decode(stream)
+    assert consumed == len(stream)
+    assert h.channels == channels
+    assert np.array_equal(native, data)
+    h.close()
