@@ -254,6 +254,13 @@ def _build_and_load():
     lib.atpu_crc8.argtypes = [ctypes.POINTER(ctypes.c_uint8),
                               ctypes.c_int64, ctypes.c_uint8]
 
+    lib.atpu_shn_split.restype = ctypes.c_int64
+    lib.atpu_shn_split.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64)]
+
     lib.atpu_mlp_new.restype = ctypes.c_void_p
     lib.atpu_mlp_new.argtypes = []
     lib.atpu_mlp_free.restype = None
@@ -747,3 +754,23 @@ class MLPDecoderHandle:
             self.close()
         except Exception:
             pass
+
+
+def shn_split(data):
+    """returns the (head, tail) VERBATIM container bytes of a
+    Shorten stream without decoding samples"""
+    import numpy as np
+    lib = get_lib()
+    buf = np.frombuffer(bytes(data), dtype=np.uint8)
+    cap = max(len(buf), 1 << 16)
+    head = np.empty(cap, dtype=np.uint8)
+    tail = np.empty(cap, dtype=np.uint8)
+    sizes = np.zeros(2, dtype=np.int64)
+    rc = lib.atpu_shn_split(
+        _as_ptr(buf, ctypes.c_uint8), len(buf),
+        _as_ptr(head, ctypes.c_uint8), cap,
+        _as_ptr(tail, ctypes.c_uint8), cap,
+        _as_ptr(sizes, ctypes.c_int64))
+    if rc < 0:
+        raise ValueError("Shorten split error (code %d)" % (rc,))
+    return (head[:sizes[0]].tobytes(), tail[:sizes[1]].tobytes())

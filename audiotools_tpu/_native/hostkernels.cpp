@@ -3133,6 +3133,87 @@ int64_t atpu_shn_decode(const uint8_t* data,
     return frames;
 }
 
+/* parse-only walk of a Shorten stream collecting the VERBATIM
+ * container bytes before (head) and after (tail) the PCM data —
+ * the role of the reference SHNDecoder read_header/read_tail
+ * (shn.py:287-331) without decoding any samples.
+ * sizes[0]=head bytes, sizes[1]=tail bytes; returns 0 or <0. */
+int64_t atpu_shn_split(const uint8_t* data,
+                       int64_t len,
+                       uint8_t* head_out, int64_t head_cap,
+                       uint8_t* tail_out, int64_t tail_cap,
+                       int64_t* sizes) {
+    using namespace shn;
+    BitReader r(data, len);
+    if (r.get(32) != 0x616A6B67 || r.get(8) != 2) return -62;
+    (void)get_long(r);                        /* file type */
+    (void)get_long(r);                        /* channels */
+    int64_t block_size = (int64_t)get_long(r);
+    (void)get_long(r);                        /* max LPC */
+    (void)get_long(r);                        /* means */
+    const int64_t skip = (int64_t)get_long(r);
+    if (r.error) return -64;
+    for (int64_t i = 0; i < skip; i++) get_unsigned(r, 8);
+
+    uint8_t* sink = head_out;
+    int64_t sink_cap = head_cap;
+    int64_t* sink_n = &sizes[0];
+    sizes[0] = sizes[1] = 0;
+
+    while (!r.error) {
+        const int command = (int)get_unsigned(r, 2);
+        if (r.error) return -66;
+        if (command == FN_QUIT) break;
+        switch (command) {
+        case FN_BLOCKSIZE:
+            block_size = (int64_t)get_long(r);
+            if (block_size < 0) return -67;
+            break;
+        case FN_BITSHIFT:
+            get_unsigned(r, 2);
+            break;
+        case FN_VERBATIM: {
+            const int64_t count = (int64_t)get_unsigned(r, 5);
+            for (int64_t i = 0; i < count; i++) {
+                const uint8_t byte =
+                    (uint8_t)(get_unsigned(r, 8) & 0xFF);
+                if (*sink_n >= sink_cap) return -69;
+                sink[(*sink_n)++] = byte;
+            }
+            break;
+        }
+        case FN_DIFF0: case FN_DIFF1: case FN_DIFF2: case FN_DIFF3: {
+            sink = tail_out;
+            sink_cap = tail_cap;
+            sink_n = &sizes[1];
+            const int energy = (int)get_unsigned(r, 3);
+            for (int64_t i = 0; i < block_size; i++)
+                get_signed(r, energy);
+            break;
+        }
+        case FN_QLPC: {
+            sink = tail_out;
+            sink_cap = tail_cap;
+            sink_n = &sizes[1];
+            const int energy = (int)get_unsigned(r, 3);
+            const int lpc_count = (int)get_unsigned(r, 2);
+            for (int j = 0; j < lpc_count; j++) get_signed(r, 5);
+            for (int64_t i = 0; i < block_size; i++)
+                get_signed(r, energy);
+            break;
+        }
+        case FN_ZERO:
+            sink = tail_out;
+            sink_cap = tail_cap;
+            sink_n = &sizes[1];
+            break;
+        default:
+            return -70;
+        }
+    }
+    return 0;
+}
+
 }  // extern "C"
 
 // ======================================================================

@@ -40,14 +40,18 @@ class ShortenAudio(WaveContainer, AiffContainer):
                 self.__channels__ = decoder.channels
                 self.__sample_rate__ = decoder.sample_rate
                 self.__channel_mask__ = ChannelMask(decoder.channel_mask)
-                # recover total frames from the embedded container header
+                # recover total frames from the embedded container
+                # header; only the leading VERBATIM chunk is scanned
+                # here — the trailing chunks (foreign-chunk
+                # passthrough, a rare path) load lazily via
+                # __tail__ since finding them costs a full stream
+                # scan in the scalar reader
                 self.__total_frames__ = 0
                 self.__head__ = b""
-                self.__tail__ = b""
+                self.__lazy_tail__ = None
                 f.seek(0)
-                (head, tail) = SHNDecoder(f).pcm_split()
+                head = SHNDecoder(f).pcm_head()
                 self.__head__ = head
-                self.__tail__ = tail
                 bytes_per_frame = (self.__channels__ *
                                    (self.__bits_per_sample__ // 8))
                 if head[0:4] == b"RIFF" and head[8:12] == b"WAVE":
@@ -184,6 +188,23 @@ class ShortenAudio(WaveContainer, AiffContainer):
                 pcmreader.close()
             except Exception:
                 pass
+
+    @property
+    def __tail__(self):
+        if self.__lazy_tail__ is None:
+            import os as os_mod
+            with open(self.filename, "rb") as f:
+                data = f.read()
+            if os_mod.environ.get("ATPU_SHN_ORACLE") == "1":
+                import io as io_mod
+                from ..ref.shn import SHNDecoder
+                (_head, tail) = SHNDecoder(
+                    io_mod.BytesIO(data)).pcm_split()
+            else:
+                from .. import _native
+                (_head, tail) = _native.shn_split(data)
+            self.__lazy_tail__ = tail
+        return self.__lazy_tail__
 
     def has_foreign_wave_chunks(self):
         head = self.__head__

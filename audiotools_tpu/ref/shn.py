@@ -518,5 +518,38 @@ class SHNDecoder:
 
         return (head.getvalue(), tail.getvalue())
 
+    def pcm_head(self):
+        """returns only the VERBATIM bytes BEFORE the PCM data
+
+        stops at the first audio command, so opening a file to read
+        its embedded container header doesn't pay for a full scalar
+        stream scan (pcm_split does, for the trailing chunks)"""
+        head = io.BytesIO()
+        self.reader.seek(0)
+        decoder = SHNDecoder.__new__(SHNDecoder)
+        decoder.reader = self.reader
+        (decoder.file_type, decoder.channels, decoder.block_length,
+         decoder.max_LPC, decoder.number_of_means) = \
+            decoder.read_header()
+
+        while True:
+            command = decoder.unsigned(2)
+            if command == FN_QUIT:
+                break
+            elif command == FN_VERBATIM:
+                data = bytes(decoder.unsigned(8) & 0xFF
+                             for _ in range(decoder.unsigned(5)))
+                head.write(data)
+            elif command == FN_BLOCKSIZE:
+                decoder.long()
+            elif command == FN_BITSHIFT:
+                decoder.unsigned(2)
+            elif command in (FN_DIFF0, FN_DIFF1, FN_DIFF2, FN_DIFF3,
+                             FN_QLPC, FN_ZERO):
+                break           # PCM data reached
+            else:
+                raise ValueError("unsupported Shorten command")
+        return head.getvalue()
+
     def close(self):
         self.reader.close()

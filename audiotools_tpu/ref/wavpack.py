@@ -71,6 +71,7 @@ def wv_exp2(value):
 
 def wv_log2(value):
     """the WavPack linear to 16-bit log-domain conversion"""
+    value = int(value)
     a = abs(value) + (abs(value) >> 9)
     c = a.bit_length() if a else 0
     if 0 <= a < 256:
@@ -558,8 +559,8 @@ def _read_bitstream(reader, header, entropies, two_ch,
         entropies[0][0:3] = [int(v) for v in ent[0:3]]
         entropies[1][0:3] = [int(v) for v in ent[3:6]]
         if channel_count == 2:
-            return [out0.tolist(), out1.tolist()]
-        return [out0.tolist()]
+            return [out0, out1]
+        return [out0]
     residuals = [[] for _ in range(channel_count)]
     u = None
     i = 0
@@ -629,7 +630,7 @@ def _decorrelation_pass_1ch(correlated, term, delta, weight,
     if _use_native() and (term in (17, 18) or 1 <= term <= 8):
         (c0, _c1) = _native_decorrelate(
             [correlated], 1, term, delta, [weight], [dec_samples])
-        return c0.tolist()
+        return c0
     if term in (17, 18):
         decorrelated = list(dec_samples[::-1])
         for i in range(len(correlated)):
@@ -656,14 +657,14 @@ def _decorrelation_pass_1ch(correlated, term, delta, weight,
 def _decorrelate_channels(residuals, terms, deltas, weights,
                           samples_list):
     if len(residuals) == 2:
-        latest = [list(r) for r in residuals]
+        latest = [r for r in residuals]
         for (term, delta, weight_pair, dec_samples) in zip(
                 terms, deltas, weights, samples_list):
             latest = _decorrelation_pass_2ch(latest, term, delta,
                                              weight_pair, dec_samples)
         return latest
     else:
-        latest = list(residuals[0])
+        latest = residuals[0]
         for (term, delta, weight_pair, dec_samples) in zip(
                 terms, deltas, weights, samples_list):
             latest = _decorrelation_pass_1ch(latest, term, delta,
@@ -677,7 +678,7 @@ def _decorrelation_pass_2ch(correlated, term, delta, weights,
     if _use_native() and (-3 <= term <= -1):
         (c0, c1) = _native_decorrelate(correlated, 2, term, delta,
                                        weights, dec_samples)
-        return [c0.tolist(), c1.tolist()]
+        return [c0, c1]
     if (17 <= term <= 18) or (1 <= term <= 8):
         return [_decorrelation_pass_1ch(correlated[0], term, delta,
                                         weights[0], dec_samples[0]),
@@ -938,10 +939,12 @@ def encode_wavpack(file_or_path,
         c = 0
         for parameters in context.block_parameters:
             if parameters.channel_count == 1:
-                channel_data = [frame.samples[:, c].tolist()]
+                channel_data = [
+                    frame.samples[:, c].astype(np.int64)]
             else:
-                channel_data = [frame.samples[:, c].tolist(),
-                                frame.samples[:, c + 1].tolist()]
+                channel_data = [
+                    frame.samples[:, c].astype(np.int64),
+                    frame.samples[:, c + 1].astype(np.int64)]
             first_block = parameters is context.block_parameters[0]
             last_block = parameters is context.block_parameters[-1]
 
@@ -1001,7 +1004,8 @@ def encode_wavpack(file_or_path,
 def write_block(writer, context, channels, total_pcm_frames,
                 block_index, first_block, last_block, parameters):
     """writes one WavPack block of 1-2 channels"""
-    if (len(channels) == 1) or (channels[0] == channels[1]):
+    if (len(channels) == 1) or bool(
+            np.array_equal(channels[0], channels[1])):
         false_stereo = 0 if len(channels) == 1 else 1
         arr = np.asarray(channels[0], dtype=np.int64)
         magnitude = int(np.abs(arr).max()).bit_length() \
@@ -1013,9 +1017,9 @@ def write_block(writer, context, channels, total_pcm_frames,
         else:
             wasted = 0
         if wasted > 0:
-            shifted = [(arr >> wasted).tolist()]
+            shifted = [arr >> wasted]
         else:
-            shifted = [channels[0]]
+            shifted = [arr]
         crc = calculate_crc(shifted)
     else:
         false_stereo = 0
@@ -1031,16 +1035,13 @@ def write_block(writer, context, channels, total_pcm_frames,
         else:
             wasted = 0
         if wasted > 0:
-            shifted = [(arr0 >> wasted).tolist(),
-                       (arr1 >> wasted).tolist()]
+            shifted = [arr0 >> wasted, arr1 >> wasted]
         else:
-            shifted = channels
+            shifted = [arr0, arr1]
         crc = calculate_crc(shifted)
         # joint stereo: mid = l - r, side = floor((l + r) / 2)
-        l_arr = np.asarray(shifted[0], dtype=np.int64)
-        r_arr = np.asarray(shifted[1], dtype=np.int64)
-        mid_side = [(l_arr - r_arr).tolist(),
-                    ((l_arr + r_arr) >> 1).tolist()]
+        (l_arr, r_arr) = (shifted[0], shifted[1])
+        mid_side = [l_arr - r_arr, (l_arr + r_arr) >> 1]
 
     sub_blocks = BitstreamRecorder(True)
     sub_block = BitstreamRecorder(True)
@@ -1278,9 +1279,8 @@ def _native_correlate(ch_arrays, channel_count, term, delta,
     if rc != 0:
         raise ValueError("decorrelation error (code %d)" % (rc,))
     if channel_count == 1:
-        return ([c0], [int(w[0])], [h0.tolist()])
-    return ([c0, c1], [int(w[0]), int(w[1])],
-            [h0.tolist(), h1.tolist()])
+        return ([c0], [int(w[0])], [h0])
+    return ([c0, c1], [int(w[0]), int(w[1])], [h0, h1])
 
 
 def correlation_pass_1ch(uncorrelated, term, delta, weight,
@@ -1289,7 +1289,7 @@ def correlation_pass_1ch(uncorrelated, term, delta, weight,
         (chs, ws, samps) = _native_correlate(
             [uncorrelated], 1, term, delta, [weight],
             [correlation_samples])
-        return (chs[0].tolist(), ws[0], samps[0])
+        return (chs[0], ws[0], samps[0])
     if term in (17, 18):
         full = [correlation_samples[1],
                 correlation_samples[0]] + list(uncorrelated)
@@ -1322,8 +1322,7 @@ def correlation_pass_2ch(uncorrelated, term, delta, weights,
             uncorrelated, 2, term, delta, weights,
             correlation_samples)
         # negative terms keep their original correlation samples
-        return ([chs[0].tolist(), chs[1].tolist()], ws,
-                correlation_samples)
+        return ([chs[0], chs[1]], ws, correlation_samples)
     if (17 <= term <= 18) or (1 <= term <= 8):
         (un1, w1, s1) = correlation_pass_1ch(
             uncorrelated[0], term, delta, weights[0],
