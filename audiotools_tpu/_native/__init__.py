@@ -483,7 +483,8 @@ def alac_decode(data, bps, channels, samples_per_frame,
         _as_ptr(out, ctypes.c_int32),
         ctypes.byref(consumed))
     if decoded < 0:
-        raise ValueError("ALAC decode error (code %d)" % (decoded,))
+        raise ValueError("truncated or corrupt ALAC stream "
+                         "(native code %d)" % (decoded,))
     return (out[:decoded * channels].reshape(-1, channels),
             consumed.value)
 
@@ -509,7 +510,8 @@ def flac_decode(data, stream_bps, stream_channels, max_samples,
         ctypes.byref(consumed),
         1 if verify_crc else 0)
     if decoded < 0:
-        raise ValueError("FLAC decode error (code %d)" % (decoded,))
+        raise ValueError("truncated or corrupt FLAC stream "
+                         "(native code %d)" % (decoded,))
     return (out[:decoded * stream_channels].reshape(-1, stream_channels),
             consumed.value)
 
@@ -583,7 +585,8 @@ def shn_decode(data, max_frames, channels):
         _as_ptr(out, ctypes.c_int32),
         _as_ptr(info, ctypes.c_int64))
     if frames < 0:
-        raise ValueError("Shorten decode error (code %d)" % (frames,))
+        raise ValueError("truncated or corrupt Shorten stream "
+                         "(native code %d)" % (frames,))
     channels = int(info[0])
     return (out[:frames * channels].reshape(-1, channels),
             int(info[1]), int(info[3]))
@@ -625,7 +628,8 @@ def tta_decode_frame(data, n, channels, bps, verify_crc=True):
         _as_ptr(buf, ctypes.c_uint8), len(buf), n, channels, bps,
         _as_ptr(out, ctypes.c_int32), 1 if verify_crc else 0)
     if consumed < 0:
-        raise ValueError("TTA decode error (code %d)" % (consumed,))
+        raise ValueError("truncated or corrupt TTA stream "
+                         "(native code %d)" % (consumed,))
     return (out.reshape(n, channels), consumed)
 
 
@@ -772,5 +776,6 @@ def shn_split(data):
         _as_ptr(tail, ctypes.c_uint8), cap,
         _as_ptr(sizes, ctypes.c_int64))
     if rc < 0:
-        raise ValueError("Shorten split error (code %d)" % (rc,))
+        raise ValueError("truncated or corrupt Shorten stream "
+                         "(native code %d)" % (rc,))
     return (head[:sizes[0]].tobytes(), tail[:sizes[1]].tobytes())

@@ -390,3 +390,84 @@ def test_mlp_dvda2track_cli(mlp_audio_ts, tmp_path):
             fl = dec.read(65536)
         dec.close()
     assert np.array_equal(np.concatenate(decoded), arr)
+
+
+def test_dvda_24bit_pcm(tmp_path):
+    """24-bit stereo PCM AOBs exercise the 3-byte unpack + sign
+    extension and the (24, 2) byte-swap matrix"""
+    from audiotools_tpu.dvda import DVDAudio, AOB_BYTE_SWAP
+
+    n = SR  # 1 second
+    t = np.arange(n)
+    arr = np.clip(
+        np.stack([2_000_000 * np.sin(2 * np.pi * 440 * t / SR),
+                  -1_500_000 * np.sin(2 * np.pi * 550 * t / SR)],
+                 axis=1),
+        -(1 << 23), (1 << 23) - 1).astype(np.int64)
+
+    # pack LE24 interleaved then apply the encoder-side swap
+    swap = AOB_BYTE_SWAP[(24, 2)]
+    le = np.empty((n * 2, 3), dtype=np.uint8)
+    flat = (arr.reshape(-1) & 0xFFFFFF).astype(np.int64)
+    le[:, 0] = flat & 0xFF
+    le[:, 1] = (flat >> 8) & 0xFF
+    le[:, 2] = (flat >> 16) & 0xFF
+    chunks = np.frombuffer(le.tobytes(),
+                           dtype=np.uint8).reshape(-1, len(swap))
+    swapped = chunks[:, swap]
+
+    # reuse the sector packer with a 24-bit PCM header
+    payload_all = swapped.tobytes()
+    sectors = bytearray()
+    pos = 0
+    while pos < len(payload_all):
+        pack = BEWriter()
+        pack.write(32, 0x1BA)
+        pack.write(2, 1); pack.write(3, 0); pack.write(1, 1)
+        pack.write(15, 0); pack.write(1, 1); pack.write(15, 0)
+        pack.write(1, 1); pack.write(9, 0); pack.write(1, 1)
+        pack.write(22, 0); pack.write(2, 3); pack.write(5, 0)
+        pack.write(3, 0)
+        header = pack.bytes()
+        room = 2048 - len(header) - 6
+        ph = BEWriter()
+        ph.write(16, 0); ph.write(8, 0); ph.write(8, 0xA0)
+        ph.write(8, 0); ph.write(8, 0); ph.write(8, 9)
+        ph.write(16, 0); ph.write(8, 0)
+        ph.write(4, 2)          # group1 bps = 24
+        ph.write(4, 0)
+        ph.write(4, 0)          # 48000 Hz
+        ph.write(4, 0)
+        ph.write(8, 0)
+        ph.write(8, 1)          # 2 channels
+        ph.write(8, 0); ph.write(8, 0)
+        body_header = ph.bytes()
+        data_room = room - len(body_header)
+        data_room -= data_room % len(swap)
+        chunk = payload_all[pos:pos + data_room]
+        pos += len(chunk)
+        sector = (header + b"\x00\x00\x01\xBD" +
+                  struct.pack(">H", len(body_header) + len(chunk)) +
+                  body_header + chunk)
+        sectors += sector.ljust(2048, b"\xFF")
+
+    ts_dir = tmp_path / "AUDIO_TS"
+    ts_dir.mkdir()
+    (ts_dir / "AUDIO_TS.IFO").write_bytes(build_audio_ts_ifo())
+    (ts_dir / "ATS_01_0.IFO").write_bytes(
+        build_ats_ifo([PTS], len(sectors) // 2048))
+    (ts_dir / "ATS_01_1.AOB").write_bytes(bytes(sectors))
+
+    title = DVDAudio(str(ts_dir))[0][0]
+    assert title.bits_per_sample == 24
+    assert title.channels == 2
+    reader = title.to_pcm()
+    out = []
+    fl = reader.read(65536)
+    while fl.frames:
+        out.append(fl.samples)
+        fl = reader.read(65536)
+    reader.close()
+    got = np.concatenate(out)
+    assert got.shape[0] == n
+    assert np.array_equal(got, arr)
