@@ -17,7 +17,8 @@ import struct
 
 from .. import (EncodingError, InvalidFile, UnsupportedChannelCount,
                 UnsupportedChannelMask)
-from ..audiofile import (AudioFile, MetaData, Image, Sheet, SheetTrack,
+from ..audiofile import (AudioFile, WaveContainer, AiffContainer,
+                         MetaData, Image, Sheet, SheetTrack,
                          SheetIndex)
 from ..pcmstream import ChannelMask, BufferedPCMReader, PCMReaderError
 from ..bitstream import BitstreamReader, BitstreamWriter, BitstreamRecorder
@@ -847,8 +848,9 @@ class FlacMetaData(MetaData):
                    if b.size() < (1 << 24))
 
 
-class FlacAudio(AudioFile):
-    """a Free Lossless Audio Codec file"""
+class FlacAudio(WaveContainer, AiffContainer):
+    """a Free Lossless Audio Codec file (stores foreign WAV/AIFF
+    chunks in APPLICATION blocks, reference flac.py:1251)"""
 
     SUFFIX = "flac"
     NAME = SUFFIX
@@ -1353,6 +1355,210 @@ class FlacAudio(AudioFile):
                 vorbis["REPLAYGAIN_ALBUM_PEAK"][0])
         except (IndexError, KeyError, ValueError, IOError):
             return None
+
+    # ---- foreign WAV/AIFF chunk passthrough ---------------------------
+    # each container chunk is stored as one APPLICATION block with
+    # application id b"riff"/b"aiff" (reference flac.py:1890-2420):
+    # the RIFF/FORM prologue is the first block, the "data"/"SSND"
+    # chunk header (SSND keeps its 8 offset/blocksize bytes) marks
+    # where the footer begins on reassembly
+
+    def __foreign_blocks__(self, application_id):
+        metadata = self.get_metadata()
+        if metadata is None:
+            return []
+        return [b for b in
+                metadata.get_blocks(Flac_APPLICATION.BLOCK_ID)
+                if b.application_id == application_id]
+
+    def has_foreign_wave_chunks(self):
+        return len(self.__foreign_blocks__(b"riff")) > 0
+
+    def has_foreign_aiff_chunks(self):
+        return len(self.__foreign_blocks__(b"aiff")) > 0
+
+    def __header_footer__(self, application_id, data_chunk_id):
+        blocks = self.__foreign_blocks__(application_id)
+        if not blocks:
+            raise ValueError("no foreign %s chunks" %
+                             (application_id.decode("ascii"),))
+        data_bytes = (self.total_frames() * self.channels() *
+                      (self.bits_per_sample() // 8))
+        header = []
+        footer = [b"\x00"] if (data_bytes % 2) else []
+        current = header
+        for block in blocks:
+            current.append(block.data)
+            if block.data[0:4] == data_chunk_id:
+                current = footer
+        return (b"".join(header), b"".join(footer))
+
+    def wave_header_footer(self):
+        """returns (header, footer) bytes reassembled from the
+        stored foreign RIFF chunks"""
+        return self.__header_footer__(b"riff", b"data")
+
+    def aiff_header_footer(self):
+        """returns (header, footer) bytes reassembled from the
+        stored foreign AIFF chunks"""
+        return self.__header_footer__(b"aiff", b"SSND")
+
+    @classmethod
+    def __chunks_to_blocks__(cls, application_id, header, footer,
+                             big_endian, fmt_id, data_id,
+                             data_header_extra):
+        """splits container header/footer bytes into APPLICATION
+        blocks; returns (blocks, data_chunk_size, total_size)"""
+        from ..bitstream import BitstreamReader
+        from .. import EncodingError
+        import io as io_mod
+        import struct as struct_mod
+
+        end = ">" if big_endian else "<"
+        blocks = []
+        pos = 0
+        if len(header) < 12:
+            raise EncodingError("container header too short")
+        (magic, remaining, form) = struct_mod.unpack(
+            end + "4sI4s", header[0:12])
+        blocks.append(Flac_APPLICATION(application_id, header[0:12]))
+        total_size = remaining + 8
+        pos = 12
+
+        fmt_found = False
+        data_chunk_size = None
+        while pos < len(header):
+            if pos + 8 > len(header):
+                raise EncodingError("truncated container chunk")
+            (chunk_id, chunk_size) = struct_mod.unpack(
+                end + "4sI", header[pos:pos + 8])
+            if not all(0x20 <= b <= 0x7E for b in chunk_id):
+                raise EncodingError("invalid container chunk ID")
+            if chunk_id == data_id:
+                extra = header[pos + 8:pos + 8 + data_header_extra]
+                if len(extra) != data_header_extra or \
+                        pos + 8 + data_header_extra != len(header):
+                    raise EncodingError(
+                        "unexpected data after the PCM chunk header")
+                if not fmt_found:
+                    raise EncodingError("no format chunk in header")
+                blocks.append(Flac_APPLICATION(
+                    application_id, header[pos:pos + 8] + extra))
+                data_chunk_size = chunk_size - data_header_extra
+                pos = len(header)
+                break
+            padded = chunk_size + (chunk_size % 2)
+            chunk = header[pos:pos + 8 + padded]
+            if len(chunk) != 8 + padded:
+                raise EncodingError("truncated container chunk")
+            if chunk_id == fmt_id:
+                if fmt_found:
+                    raise EncodingError("multiple format chunks")
+                fmt_found = True
+            blocks.append(Flac_APPLICATION(application_id, chunk))
+            pos += 8 + padded
+        if data_chunk_size is None:
+            raise EncodingError("no PCM data chunk in header")
+
+        fpos = data_chunk_size % 2      # skip the data pad byte
+        while fpos < len(footer):
+            if fpos + 8 > len(footer):
+                raise EncodingError("truncated container footer")
+            (chunk_id, chunk_size) = struct_mod.unpack(
+                end + "4sI", footer[fpos:fpos + 8])
+            if not all(0x20 <= b <= 0x7E for b in chunk_id):
+                raise EncodingError("invalid container chunk ID")
+            if chunk_id in (fmt_id, data_id):
+                raise EncodingError("duplicate %s chunk in footer" %
+                                    (chunk_id.decode("ascii"),))
+            padded = chunk_size + (chunk_size % 2)
+            chunk = footer[fpos:fpos + 8 + padded]
+            if len(chunk) != 8 + padded:
+                raise EncodingError("truncated container footer")
+            blocks.append(Flac_APPLICATION(application_id, chunk))
+            fpos += 8 + padded
+        return (blocks, data_chunk_size, total_size)
+
+    @classmethod
+    def __from_container__(cls, filename, header, pcmreader, footer,
+                           compression, application_id, big_endian,
+                           fmt_id, data_id, data_header_extra):
+        from .. import EncodingError
+        from ..pcmstream import CounterPCMReader
+
+        (blocks, data_chunk_size,
+         total_size) = cls.__chunks_to_blocks__(
+            application_id, header, footer, big_endian, fmt_id,
+            data_id, data_header_extra)
+
+        counter = CounterPCMReader(pcmreader)
+        flac = cls.from_pcm(filename, counter, compression)
+        data_written = counter.bytes_written()
+        if data_written != data_chunk_size:
+            cls.__unlink__(filename)
+            raise EncodingError("PCM data size differs from the "
+                                "container's data chunk")
+        # header + PCM + footer (footer carries any pad byte)
+        # must reassemble the original container exactly
+        if len(header) + data_written + len(footer) != total_size:
+            cls.__unlink__(filename)
+            raise EncodingError("container size mismatch")
+
+        metadata = flac.get_metadata()
+        if metadata is not None:
+            for block in blocks:
+                metadata.add_block(block)
+            flac.update_metadata(metadata)
+        return flac
+
+    @classmethod
+    def from_wave(cls, filename, header, pcmreader, footer,
+                  compression=None):
+        """encodes a new FLAC from wave data, preserving foreign
+        RIFF chunks as APPLICATION metadata blocks"""
+        return cls.__from_container__(
+            filename, header, pcmreader, footer, compression,
+            b"riff", False, b"fmt ", b"data", 0)
+
+    @classmethod
+    def from_aiff(cls, filename, header, pcmreader, footer,
+                  compression=None):
+        """encodes a new FLAC from AIFF data, preserving foreign
+        AIFF chunks as APPLICATION metadata blocks"""
+        return cls.__from_container__(
+            filename, header, pcmreader, footer, compression,
+            b"aiff", True, b"COMM", b"SSND", 8)
+
+    def convert(self, target_path, target_class, compression=None,
+                progress=None):
+        """converts, routing stored foreign WAV/AIFF chunks to
+        targets that accept them (reference flac.py:2385)"""
+        from .. import EncodingError
+        from ..pcmstream import to_pcm_progress
+
+        if (self.has_foreign_wave_chunks() and
+                hasattr(target_class, "from_wave") and
+                callable(target_class.from_wave)):
+            try:
+                (header, footer) = self.wave_header_footer()
+            except (ValueError, IOError) as err:
+                raise EncodingError(str(err))
+            return target_class.from_wave(
+                target_path, header,
+                to_pcm_progress(self, progress), footer, compression)
+        if (self.has_foreign_aiff_chunks() and
+                hasattr(target_class, "from_aiff") and
+                callable(target_class.from_aiff)):
+            try:
+                (header, footer) = self.aiff_header_footer()
+            except (ValueError, IOError) as err:
+                raise EncodingError(str(err))
+            return target_class.from_aiff(
+                target_path, header,
+                to_pcm_progress(self, progress), footer, compression)
+        return target_class.from_pcm(
+            target_path, to_pcm_progress(self, progress), compression,
+            total_pcm_frames=self.total_frames())
 
 
 def seektable_from_offsets(offsets, seekpoint_interval):
