@@ -905,20 +905,14 @@ class FlacAudio(WaveContainer, AiffContainer):
         try:
             with open(filename, "rb") as f:
                 if f.read(4) != b"fLaC":
-                    # check for ID3v2-wrapped FLAC
+                    # check for ID3v2-wrapped FLAC (possibly
+                    # stacked tags, reference flac-id3-2.flac)
+                    from ..meta.id3 import skip_id3v2_comment
                     f.seek(0, 0)
-                    header = f.read(10)
-                    if (header[0:3] == b"ID3" and
-                            header[3] in (2, 3, 4)):
-                        tag_size = 0
-                        for b in header[6:10]:
-                            tag_size = (tag_size << 7) | (b & 0x7F)
-                        f.seek(10 + tag_size, 0)
-                        if f.read(4) != b"fLaC":
-                            raise InvalidFLAC("invalid FLAC file")
-                        self.__stream_offset__ = 10 + tag_size + 4
-                    else:
+                    skipped = skip_id3v2_comment(f)
+                    if skipped == 0 or f.read(4) != b"fLaC":
                         raise InvalidFLAC("invalid FLAC file")
+                    self.__stream_offset__ = skipped + 4
                 else:
                     self.__stream_offset__ = 4
 
