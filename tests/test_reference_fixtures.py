@@ -181,3 +181,33 @@ def test_reference_flac_disordered_clean(tmp_path):
     track.clean(fixed_path)
     fixed = FlacAudio(fixed_path)
     assert np.array_equal(decode_all(fixed), samples)
+
+
+def test_reference_aac_m4a_gated_like_reference():
+    """AAC M4A files parse attributes via direct class use, but
+    open() rejects them without the faac/faad binaries — the same
+    gating as the reference (__init__.py:1489-1506)"""
+    from audiotools_tpu.formats.m4a import M4AAudio
+    from audiotools_tpu import open as aopen, UnsupportedFile
+    path = os.path.join(FIX, "m4a-itunes.m4a")
+    track = M4AAudio(path)
+    assert track.channels() == 2
+    assert track.sample_rate() == 44100
+    assert not track.lossless()
+    if not M4AAudio.available():
+        with pytest.raises(UnsupportedFile):
+            aopen(path)
+
+
+def test_reference_misordered_wav():
+    """wav-misordered.wav (odd chunk order) still decodes"""
+    from audiotools_tpu.formats.wav import WaveAudio
+    track = WaveAudio(os.path.join(FIX, "wav-misordered.wav"))
+    assert decode_all(track).shape[0] == track.total_frames()
+
+
+def test_reference_aiff_nossnd_rejected():
+    """aiff-nossnd.aiff (no SSND chunk) raises InvalidAIFF"""
+    from audiotools_tpu.formats.aiff import AiffAudio, InvalidAIFF
+    with pytest.raises(InvalidAIFF):
+        AiffAudio(os.path.join(FIX, "aiff-nossnd.aiff"))
