@@ -137,6 +137,7 @@ from .parallel.queue import (  # noqa: F401,E402
 )
 from .services.lookup import (  # noqa: F401,E402
     metadata_lookup,
+    track_metadata_lookup,
     accuraterip_lookup,
 )
 

@@ -72,6 +72,27 @@ def main(argv=None):
     parser.add_argument("--replay-gain", action="store_true",
                         dest="add_replay_gain", default=False,
                         help="add ReplayGain metadata to output files")
+    parser.add_argument("--no-replay-gain", action="store_false",
+                        dest="add_replay_gain",
+                        help="do not add ReplayGain metadata")
+    parser.add_argument("-M", "--metadata-lookup",
+                        action="store_true", default=False,
+                        dest="metadata_lookup",
+                        help="treat the input files as one album and "
+                             "look up metadata from online services")
+    parser.add_argument("--no-musicbrainz", dest="use_musicbrainz",
+                        action="store_false", default=True)
+    parser.add_argument("--musicbrainz-server",
+                        dest="musicbrainz_server",
+                        default="musicbrainz.org")
+    parser.add_argument("--no-freedb", dest="use_freedb",
+                        action="store_false", default=True)
+    parser.add_argument("--freedb-server", dest="freedb_server",
+                        default="us.freedb.org")
+    parser.add_argument("-D", "--default", dest="use_default",
+                        action="store_true", default=False,
+                        help="with -M, use the default blank choice "
+                             "instead of the first service match")
     parser.add_argument("--devices", type=int, default=None,
                         help="shard encode batches over N accelerator "
                              "devices (data-parallel frames on a Mesh)")
@@ -121,12 +142,44 @@ def main(argv=None):
             return 1
         return 0
 
+    # album-wide metadata lookup (reference track2track:461-530):
+    # the input files are treated as one CD; the first service
+    # choice wins non-interactively (-D forces the blank default),
+    # and existing track metadata fills any gaps
+    lookup_metadata = None
+    if options.metadata_lookup:
+        from ..services.lookup import track_metadata_lookup
+        choices = track_metadata_lookup(
+            audiofiles,
+            musicbrainz_server=options.musicbrainz_server,
+            freedb_server=options.freedb_server,
+            use_musicbrainz=options.use_musicbrainz,
+            use_freedb=options.use_freedb)
+        chosen = choices[-1] if options.use_default else choices[0]
+        from ..dispatch import sorted_tracks as _sort
+        lookup_metadata = dict(zip(
+            (t.filename for t in _sort(audiofiles)), chosen))
+        if len(choices) > 1 and not options.use_default:
+            msg.info("Using metadata: %s" %
+                     (chosen[0].album_name or "(untitled)",))
+
     progress_display = ProgressDisplay(msg)
     queue = ExecProgressQueue(progress_display)
     output_filenames = []
 
     for track in audiofiles:
         metadata = track.get_metadata()
+        if lookup_metadata is not None:
+            looked_up = lookup_metadata.get(track.filename)
+            if looked_up is not None:
+                if metadata is not None:
+                    # keep existing fields, fill blanks from lookup
+                    for field in looked_up.FIELDS:
+                        if getattr(metadata, field) is None:
+                            setattr(metadata, field,
+                                    getattr(looked_up, field))
+                else:
+                    metadata = looked_up
         filename = AudioFile.track_name(
             track.filename, metadata,
             options.format or FILENAME_FORMAT,

@@ -130,6 +130,56 @@ def metadata_lookup(cdda, musicbrainz_server="musicbrainz.org",
     return choices
 
 
+def track_metadata_lookup(audiofiles,
+                          musicbrainz_server="musicbrainz.org",
+                          freedb_server="us.freedb.org",
+                          use_musicbrainz=True, use_freedb=True):
+    """treats a list of AudioFile objects as a single CD and
+    generates MetaData choices from the lookup services
+    (reference __init__.py:5109); returns metadata[choice][track]
+    ending with an all-blank default choice"""
+    from ..dispatch import sorted_tracks as sort
+    from .freedb import DiscID as FreeDBDiscID
+    from .musicbrainz import DiscID as MBDiscID
+
+    audiofiles = sort(audiofiles)
+    track_count = len(audiofiles)
+    track_frames = [f.cd_frames() for f in audiofiles]
+    offsets = [150 + sum(track_frames[0:i])
+               for i in range(track_count)]
+    lead_out_offset = 150 + sum(track_frames)
+
+    choices = []
+    if track_count:
+        if use_musicbrainz:
+            from . import musicbrainz
+            response = musicbrainz.perform_lookup(
+                MBDiscID(first_track_number=1,
+                         last_track_number=track_count,
+                         lead_out_offset=lead_out_offset,
+                         offsets=offsets),
+                musicbrainz_server=musicbrainz_server)
+            if response:
+                choices.extend(parse_musicbrainz_xml(response,
+                                                     track_count))
+        if use_freedb:
+            from . import freedb
+            response = freedb.perform_lookup(
+                FreeDBDiscID(offsets=offsets,
+                             total_length=sum(track_frames) - 1,
+                             track_count=track_count),
+                freedb_server=freedb_server)
+            if response:
+                parsed = parse_xmcd(response, track_count)
+                if parsed is not None:
+                    choices.append(parsed)
+
+    choices.append([MetaData(track_number=i + 1,
+                             track_total=track_count)
+                    for i in range(track_count)])
+    return choices
+
+
 def accuraterip_lookup(sorted_tracks,
                        accuraterip_server="www.accuraterip.com",
                        accuraterip_port=80):

@@ -194,3 +194,17 @@ def test_tracklint_fix_and_undo(tmp_path, flac_file):
 
     # undo without --db errors
     assert run_tool("tracklint", "--undo", flac_file).returncode != 0
+
+
+def test_track2track_metadata_lookup_offline(tmp_path, wav_file):
+    """-M treats inputs as an album; offline it degrades to the
+    track-numbers-only default choice"""
+    out = str(tmp_path / "out")
+    r = run_tool("track2track", "-t", "flac", "-d", out, "-M",
+                 "--format", "%(basename)s.%(suffix)s", wav_file)
+    assert r.returncode == 0, r.stderr
+    from audiotools_tpu.formats.flac import FlacAudio
+    files = sorted(os.listdir(out))
+    md = FlacAudio(os.path.join(out, files[0])).get_metadata()
+    assert md is not None
+    assert md.track_number == 1
