@@ -10,6 +10,14 @@ from __future__ import annotations
 
 import os
 
+# restore default SIGPIPE handling so tools piped into head/grep
+# exit quietly instead of tracebacking on BrokenPipeError
+try:
+    import signal
+    signal.signal(signal.SIGPIPE, signal.SIG_DFL)
+except (ImportError, AttributeError, ValueError):
+    pass        # non-POSIX or non-main-thread import
+
 
 def audiofile_type(messenger, type_name):
     """resolves a -t/--type argument to an AudioFile class"""

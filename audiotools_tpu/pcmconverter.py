@@ -147,6 +147,28 @@ class Resampler:
         self.__eof__ = False
         self.__half__ = half
 
+        # polyphase filter bank: for a rational rate change the
+        # fractional phase cycles through num/den residues, so the
+        # Kaiser-sinc kernel (a Bessel evaluation per tap) is
+        # computed once per distinct phase instead of once per
+        # output sample; irrational-looking pairs fall back to a
+        # dense quantized bank
+        from fractions import Fraction
+        from math import gcd
+        g = gcd(self.__input_rate__, sample_rate)
+        num = self.__input_rate__ // g
+        den = sample_rate // g
+        self.__step_num__ = num
+        self.__step_den__ = den
+        if den <= 8192:
+            self.__bank_den__ = den
+        else:
+            self.__bank_den__ = 8192
+        phases = np.arange(self.__bank_den__,
+                           dtype=np.float64) / self.__bank_den__
+        self.__bank__ = _kaiser_sinc_kernel(phases, self.TAPS,
+                                            self.__cutoff__)
+
     def read(self, pcm_frames):
         from fractions import Fraction
         half = self.__half__
@@ -181,10 +203,13 @@ class Resampler:
             return pcm.empty_framelist(self.channels,
                                        self.bits_per_sample)
 
-        # input positions for each output frame
-        positions = out_indices * float(step)
-        base = np.floor(positions).astype(np.int64)
-        phase = positions - base
+        # input positions for each output frame (exact rational
+        # arithmetic: position i = i*num/den)
+        num = self.__step_num__
+        den = self.__step_den__
+        scaled = out_indices * num
+        base = scaled // den
+        phase_num = scaled - base * den         # phase = k/den
 
         # pad history at the edges for window overlap
         hist_start = self.__consumed__
@@ -194,12 +219,21 @@ class Resampler:
                         len(self.__history__))
         padded = np.pad(self.__history__,
                         [(pad_left, pad_right), (0, 0)])
-        idx = (lo + pad_left)[:, None] + np.arange(self.TAPS)[None, :]
-        windows = padded[idx]                       # [M, taps, ch]
+        starts = lo + pad_left
 
-        kernel = _kaiser_sinc_kernel(phase, self.TAPS,
-                                     self.__cutoff__)  # [M, taps]
-        out = np.einsum("mtc,mt->mc", windows, kernel)
+        if self.__bank_den__ == den:
+            q = phase_num                              # exact
+        else:
+            q = ((phase_num * self.__bank_den__ + den // 2) //
+                 den) % self.__bank_den__              # quantized
+        # accumulate one tap at a time: 1-D row gathers + an
+        # outer-product add vectorize well, where a single
+        # [M, taps, ch] gather does not
+        bank = self.__bank__
+        out = np.zeros((len(starts), self.channels),
+                       dtype=np.float64)
+        for t in range(self.TAPS):
+            out += padded[starts + t] * bank[q, t][:, None]
 
         self.__next_out__ = int(max_out)
 
