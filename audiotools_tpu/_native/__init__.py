@@ -261,6 +261,13 @@ def _build_and_load():
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int64)]
 
+    lib.atpu_iir.restype = None
+    lib.atpu_iir.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ctypes.c_int64, ctypes.POINTER(ctypes.c_double)]
+
     lib.atpu_mlp_new.restype = ctypes.c_void_p
     lib.atpu_mlp_new.argtypes = []
     lib.atpu_mlp_free.restype = None

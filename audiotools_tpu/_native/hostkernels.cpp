@@ -4412,3 +4412,27 @@ int64_t atpu_mlp_decode(void* ctx_ptr, const uint8_t* data,
 }
 
 }  // extern "C"
+
+/* ====================================================================
+ * Direct-form II transposed IIR filter with carried state
+ * (the ReplayGain equal-loudness chain's hot loop — role of the
+ * reference's src/replaygain.c filter routines)
+ * ==================================================================== */
+
+extern "C" {
+
+/* y[i] = b0*x[i] + z0; z[j] = b[j+1]*x[i] + z[j+1] - a[j+1]*y[i]
+ * b, a: double[n]; z: double[n-1] in/out; x, y: double[len] */
+void atpu_iir(const double* b, const double* a, int32_t n,
+              const double* x, double* y, int64_t len, double* z) {
+    for (int64_t i = 0; i < len; i++) {
+        const double xi = x[i];
+        const double yi = b[0] * xi + z[0];
+        for (int32_t j = 0; j < n - 2; j++)
+            z[j] = b[j + 1] * xi + z[j + 1] - a[j + 1] * yi;
+        z[n - 2] = b[n - 1] * xi - a[n - 1] * yi;
+        y[i] = yi;
+    }
+}
+
+}  // extern "C"

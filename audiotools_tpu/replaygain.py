@@ -30,10 +30,28 @@ MAX_ORDER = 10
 
 
 def _lfilter(b, a, x, zi):
-    """IIR filter with state; returns (y, zf)"""
+    """IIR filter with state (direct form II transposed);
+    returns (y, zf)
+
+    runs through the native kernel (``atpu_iir``) — a sequential
+    recurrence is host work, and this avoids both a scipy import
+    (~2.5 s of process start) and the scalar-Python fallback"""
     try:
-        from scipy.signal import lfilter
-        return lfilter(b, a, x, zi=zi)
+        from . import _native
+        import ctypes
+        lib = _native.get_lib()
+        b = np.ascontiguousarray(b, dtype=np.float64)
+        a = np.ascontiguousarray(a, dtype=np.float64)
+        x = np.ascontiguousarray(x, dtype=np.float64)
+        y = np.empty_like(x)
+        z = np.ascontiguousarray(zi, dtype=np.float64).copy()
+
+        def p(arr):
+            return arr.ctypes.data_as(
+                ctypes.POINTER(ctypes.c_double))
+
+        lib.atpu_iir(p(b), p(a), len(b), p(x), p(y), len(x), p(z))
+        return (y, z)
     except ImportError:
         # direct form II transposed, scalar fallback
         b = np.asarray(b)
