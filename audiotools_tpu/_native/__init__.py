@@ -124,6 +124,34 @@ def _build_and_load():
         ctypes.c_int32,                   # qlp_precision
         ctypes.POINTER(ctypes.c_uint8),   # out
         ctypes.POINTER(ctypes.c_int64),   # out_lens (cumulative ends)
+        ctypes.c_int64,                   # out_capacity
+    ]
+
+    lib.atpu_flac_qplan.restype = ctypes.c_int32
+    lib.atpu_flac_qplan.argtypes = [
+        ctypes.POINTER(ctypes.c_int32),   # blocks [B, n, ch]
+        ctypes.c_int64,                   # B
+        ctypes.c_int64,                   # n
+        ctypes.c_int64,                   # ch
+        ctypes.c_int32,                   # bps
+        ctypes.c_int32,                   # guard
+        ctypes.c_int32,                   # stereo_trial
+        ctypes.POINTER(ctypes.c_int32),   # t_out [B, ch]
+        ctypes.POINTER(ctypes.c_int32),   # x0_out [B, ch]
+        ctypes.POINTER(ctypes.c_int32),   # or_out [B, V]
+        ctypes.POINTER(ctypes.c_uint8),   # const_out [B, V]
+    ]
+
+    lib.atpu_flac_qpack_bits.restype = None
+    lib.atpu_flac_qpack_bits.argtypes = [
+        ctypes.POINTER(ctypes.c_int32),   # blocks [B, n, ch]
+        ctypes.c_int64,                   # B
+        ctypes.c_int64,                   # n
+        ctypes.c_int64,                   # ch
+        ctypes.POINTER(ctypes.c_int32),   # t [B, ch]
+        ctypes.c_int32,                   # k
+        ctypes.POINTER(ctypes.c_uint32),  # packed [B, ch, W]
+        ctypes.c_int64,                   # W
     ]
 
     lib.atpu_alac_emit_framesets.restype = ctypes.c_int64
@@ -421,11 +449,50 @@ def flac_emit_frames2(blocks, frame_numbers, block_sizes, packed,
         n_frames, max_subframes, max_order, max_partitions, max_block,
         sample_rate, stream_bps, stream_channels, qlp_precision,
         _as_ptr(out, ctypes.c_uint8),
-        _as_ptr(out_ends, ctypes.c_int64))
+        _as_ptr(out_ends, ctypes.c_int64),
+        worst)
+    if total == -31:
+        raise ValueError(
+            "frame emit overflow: decision array implies more than "
+            "%d bytes (analysis produced unsafe Rice parameters)"
+            % (worst,))
     if total < 0:
         raise ValueError("frame emit error (code %d)" % (total,))
     lens = np.diff(np.concatenate([[0], out_ends]))
     return (out[:total].tobytes(), lens)
+
+
+def flac_qpack(blocks, bps, guard, stereo_trial):
+    """plans + bit-packs the quantized-analysis upload (ops/qpack.py
+    wire format) in one native pass
+
+    blocks: int32 [B, n, ch] exact samples
+    returns (packed uint32 [B, ch, W], k, t int32 [B, ch],
+    x0 int32 [B, ch], or_vals int32 [B, V], const_flags bool [B, V])"""
+    import numpy as np
+
+    lib = get_lib()
+    blocks = np.ascontiguousarray(blocks, dtype=np.int32)
+    (B, n, ch) = blocks.shape
+    V = 4 if (stereo_trial and ch == 2) else ch
+    t = np.empty((B, ch), dtype=np.int32)
+    x0 = np.empty((B, ch), dtype=np.int32)
+    or_vals = np.empty((B, V), dtype=np.int32)
+    const_flags = np.empty((B, V), dtype=np.uint8)
+    k = lib.atpu_flac_qplan(
+        _as_ptr(blocks, ctypes.c_int32), B, n, ch,
+        int(bps), int(guard), 1 if (stereo_trial and ch == 2) else 0,
+        _as_ptr(t, ctypes.c_int32), _as_ptr(x0, ctypes.c_int32),
+        _as_ptr(or_vals, ctypes.c_int32),
+        _as_ptr(const_flags, ctypes.c_uint8))
+    W = ((n - 1) * k + 31) // 32 + 1 if n > 1 else 1
+    packed = np.zeros((B, ch, W), dtype=np.uint32)
+    if n > 1:
+        lib.atpu_flac_qpack_bits(
+            _as_ptr(blocks, ctypes.c_int32), B, n, ch,
+            _as_ptr(t, ctypes.c_int32), int(k),
+            _as_ptr(packed, ctypes.c_uint32), W)
+    return (packed, int(k), t, x0, or_vals, const_flags.astype(bool))
 
 
 def alac_emit_framesets(blocks, ns, layout, packed,

@@ -82,11 +82,31 @@ struct BitWriter {
     int64_t pos;        // byte position
     uint64_t acc;       // bit accumulator, MSB-first
     int bits;           // bits currently in acc
+    int64_t limit;      // byte capacity (writes stop, overflow set)
+    bool overflow;
 
-    explicit BitWriter(uint8_t* buffer, int64_t start)
-        : out(buffer), pos(start), acc(0), bits(0) {}
+    explicit BitWriter(uint8_t* buffer, int64_t start,
+                       int64_t capacity = INT64_MAX)
+        : out(buffer), pos(start), acc(0), bits(0), limit(capacity),
+          overflow(false) {}
 
     inline void flush_bytes() {
+        if (pos + 8 > limit) {
+            // slow guarded path near the end of the buffer; bad
+            // decision arrays must error, never scribble
+            while (bits >= 8) {
+                bits -= 8;
+                if (pos >= limit) {
+                    overflow = true;
+                    bits = 0;
+                    acc = 0;
+                    return;
+                }
+                out[pos++] = (uint8_t)(acc >> bits);
+            }
+            acc &= (bits ? ((1ULL << bits) - 1) : 0);
+            return;
+        }
         if (bits >= 32) {
             bits -= 32;
             uint32_t v = __builtin_bswap32((uint32_t)(acc >> bits));
@@ -103,8 +123,10 @@ struct BitWriter {
     // writes a token: nbits total, low bits of val are the payload,
     // leading bits are zero (val's significant bits <= 57 guaranteed)
     inline void put(uint64_t val, int64_t nbits) {
+        if (overflow) return;
         // emit implicit leading zeros beyond 57 payload bits
         while (nbits > 57) {
+            if (overflow) return;
             int64_t zeros = nbits - 57;
             int64_t take = zeros > 32 ? 32 : zeros;
             acc <<= take;        // append 'take' zero bits
@@ -621,7 +643,8 @@ int64_t atpu_flac_emit_frames2(const int32_t* blocks,    // [F,max_block,ch]
                                int32_t stream_channels,
                                int32_t qlp_precision,
                                uint8_t* out,
-                               int64_t* out_lens) {
+                               int64_t* out_lens,
+                               int64_t out_capacity) {
     const int W = 6 + max_order + max_partitions;
     const int row_width = 1 + max_subframes * W;
 
@@ -638,7 +661,7 @@ int64_t atpu_flac_emit_frames2(const int32_t* blocks,    // [F,max_block,ch]
 
     for (int64_t f = 0; f < n_frames; f++) {
         const int64_t frame_start = (f == 0) ? 0 : out_lens[f - 1];
-        BitWriter w(out, frame_start);
+        BitWriter w(out, frame_start, out_capacity);
         const int block_size = block_sizes[f];
         const int32_t* prow = packed + f * row_width;
         const int assignment = prow[0];
@@ -728,7 +751,7 @@ int64_t atpu_flac_emit_frames2(const int32_t* blocks,    // [F,max_block,ch]
         if (assignment <= 7) n_subframes = assignment + 1;
         else n_subframes = 2;
 
-        BitWriter w2(out, pos);
+        BitWriter w2(out, pos, out_capacity);
         for (int s = 0; s < n_subframes; s++) {
             const int32_t* sub = prow + 1 + s * W;
             const int choice = sub[0];
@@ -842,6 +865,8 @@ int64_t atpu_flac_emit_frames2(const int32_t* blocks,    // [F,max_block,ch]
         }
 
         w2.byte_align();
+        if (w.overflow || w2.overflow || w2.pos + 2 > out_capacity)
+            return -31;         // decision array overran the buffer
         pos = w2.pos;
         const uint16_t crc = crc16_buf(out + frame_start,
                                        pos - frame_start, 0);
@@ -850,6 +875,134 @@ int64_t atpu_flac_emit_frames2(const int32_t* blocks,    // [F,max_block,ch]
         out_lens[f] = pos;      // cumulative end offsets
     }
     return (n_frames > 0) ? out_lens[n_frames - 1] : 0;
+}
+
+// ---------------------------------------------- quantized upload --
+// Planner for the ops/qpack.py wire format: per-(block, channel)
+// quantization shift t from the mean |second difference|, the exact
+// per-variant OR/const sideband, and the batch-wide diff bit width k.
+// Spec must match ops/qpack.py plan_t/variant_sideband/pack exactly.
+static inline int bit_length_u64(uint64_t v) {
+    return v ? (64 - __builtin_clzll(v)) : 0;
+}
+
+int32_t atpu_flac_qplan(const int32_t* blocks,   // [B, n, ch]
+                        int64_t B, int64_t n, int64_t ch,
+                        int32_t bps, int32_t guard,
+                        int32_t stereo_trial,
+                        int32_t* t_out,          // [B, ch]
+                        int32_t* x0_out,         // [B, ch]
+                        int32_t* or_out,         // [B, V]
+                        uint8_t* const_out) {    // [B, V]
+    const int cap = (bps > 8) ? (bps - 8) : 0;
+    const int64_t V = (stereo_trial && ch == 2) ? 4 : ch;
+    uint64_t max_u = 0;
+
+    for (int64_t b = 0; b < B; b++) {
+        const int32_t* blk = blocks + b * n * ch;
+
+        // exactness sideband over the exact samples
+        if (stereo_trial && ch == 2) {
+            int32_t orv[4] = {0, 0, 0, 0};
+            const int32_t L0 = blk[0];
+            const int32_t R0 = blk[1];
+            const int32_t f0[4] = {L0, R0, (L0 + R0) >> 1, L0 - R0};
+            uint8_t cst[4] = {1, 1, 1, 1};
+            for (int64_t i = 0; i < n; i++) {
+                const int32_t L = blk[i * 2];
+                const int32_t R = blk[i * 2 + 1];
+                const int32_t var[4] = {L, R, (L + R) >> 1, L - R};
+                for (int v = 0; v < 4; v++) {
+                    orv[v] |= var[v];
+                    cst[v] &= (var[v] == f0[v]);
+                }
+            }
+            for (int v = 0; v < 4; v++) {
+                or_out[b * V + v] = orv[v];
+                const_out[b * V + v] = cst[v];
+            }
+        } else {
+            for (int64_t c = 0; c < ch; c++) {
+                int32_t orv = 0;
+                uint8_t cst = 1;
+                const int32_t f0 = blk[c];
+                for (int64_t i = 0; i < n; i++) {
+                    const int32_t x = blk[i * ch + c];
+                    orv |= x;
+                    cst &= (x == f0);
+                }
+                or_out[b * V + c] = orv;
+                const_out[b * V + c] = cst;
+            }
+        }
+
+        // t from mean |second difference|; then the diff width pass
+        for (int64_t c = 0; c < ch; c++) {
+            x0_out[b * ch + c] = blk[c];
+            int t = 0;
+            if (n > 2) {
+                uint64_t sum2 = 0;
+                for (int64_t i = 2; i < n; i++) {
+                    const int64_t d2 =
+                        (int64_t)blk[i * ch + c] -
+                        2 * (int64_t)blk[(i - 1) * ch + c] +
+                        (int64_t)blk[(i - 2) * ch + c];
+                    sum2 += (uint64_t)(d2 < 0 ? -d2 : d2);
+                }
+                const uint64_t m = sum2 / (uint64_t)(n - 2);
+                t = bit_length_u64(m) - 1 - guard;
+                if (t < 0) t = 0;
+                if (t > cap) t = cap;
+            }
+            t_out[b * ch + c] = t;
+
+            int32_t prev = blk[c] >> t;
+            for (int64_t i = 1; i < n; i++) {
+                const int32_t xq = blk[i * ch + c] >> t;
+                const int64_t d = (int64_t)xq - prev;
+                prev = xq;
+                const uint64_t u = (uint64_t)((d << 1) ^ (d >> 63));
+                if (u > max_u) max_u = u;
+            }
+        }
+    }
+    const int k = bit_length_u64(max_u);
+    return k > 0 ? k : 1;
+}
+
+// Bit-packs zigzag first-differences of the quantized samples at
+// width k into little-endian uint32 lanes ([B, ch, W] with
+// W = ceil((n-1)*k/32) + 1, caller-zeroed) — same words as
+// ops/qpack.py pack().
+void atpu_flac_qpack_bits(const int32_t* blocks,   // [B, n, ch]
+                          int64_t B, int64_t n, int64_t ch,
+                          const int32_t* t, int32_t k,
+                          uint32_t* packed, int64_t W) {
+    for (int64_t b = 0; b < B; b++) {
+        const int32_t* blk = blocks + b * n * ch;
+        for (int64_t c = 0; c < ch; c++) {
+            const int tt = t[b * ch + c];
+            uint32_t* out = packed + (b * ch + c) * W;
+            uint64_t acc = 0;
+            int accbits = 0;
+            int32_t prev = blk[c] >> tt;
+            for (int64_t i = 1; i < n; i++) {
+                const int32_t xq = blk[i * ch + c] >> tt;
+                const int64_t d = (int64_t)xq - prev;
+                prev = xq;
+                const uint64_t u = (uint64_t)((d << 1) ^ (d >> 63));
+                acc |= u << accbits;
+                accbits += k;
+                if (accbits >= 32) {
+                    *out++ = (uint32_t)acc;
+                    acc >>= 32;
+                    accbits -= 32;
+                }
+            }
+            if (accbits > 0)
+                *out = (uint32_t)acc;
+        }
+    }
 }
 
 uint16_t atpu_crc16(const uint8_t* data, int64_t n, uint16_t initial) {

@@ -23,7 +23,7 @@ import os
 
 import numpy as np
 
-from ..ops import flac_frames, lpc as lpc_ops
+from ..ops import flac_frames, lpc as lpc_ops, qpack
 from ..ref import flac_enc as oracle
 from .. import _native
 
@@ -144,10 +144,76 @@ def _analyze_jax(blocks, stereo_trial, bps_scalar, n, K, precision,
     device = _jax_device()
     if device is not None and n_devices == 1:
         blocks = jax.device_put(blocks, device)
-        window = jax.device_put(window, device)
+        window = _window_on_device(window, device)
     # async dispatch: the caller fetches the packed array later,
     # letting the device overlap with host-side serialization
     return _jax_analyze_cache[key](blocks, window)
+
+
+_device_window_cache = {}
+
+
+def _window_on_device(window, device):
+    """caches the constant analysis window on the target device so
+    each batch skips one host->device transfer"""
+    import jax
+    key = (id(window), window.shape[0], repr(device))
+    if key not in _device_window_cache:
+        _device_window_cache[key] = jax.device_put(window, device)
+    return _device_window_cache[key]
+
+
+def _analyze_jax_q(qwords, k, meta, ch, V, stereo_trial, bps_scalar,
+                   n, K, precision, porders, max_rice, exhaustive,
+                   mid_side, window, n_devices=1):
+    """jitted quantized-upload analysis (ops/qpack.py wire format)
+
+    qwords: uint32 [B, ch, W] bit-packed zigzag diffs (k bits each);
+    meta: int32 [B, 2*ch + 2*V] consolidated sideband — columns
+    [t(ch), x0(ch), or_vals(V), const_flags(V)] — one upload instead
+    of four (each put costs a tunnel round trip).  The device
+    reconstructs the quantized samples exactly (integer gathers +
+    cumsum) and analyzes them — typically 2-3x fewer bytes over the
+    host->device link than raw int16, which is the tunneled-TPU
+    pipeline's bottleneck."""
+    import jax
+    jax.config.update("jax_enable_x64", True)
+    _enable_compilation_cache(jax)
+
+    key = ("q", qwords.shape, k, ch, V, stereo_trial, bps_scalar, n,
+           K, precision, tuple(porders), max_rice, exhaustive,
+           mid_side, n_devices)
+    if key not in _jax_analyze_cache:
+        import jax.numpy as jnp
+
+        def run(qwords, meta, window):
+            t = meta[:, 0:ch]
+            x0 = meta[:, ch:2 * ch]
+            or_vals = meta[:, 2 * ch:2 * ch + V]
+            const_flags = meta[:, 2 * ch + V:] != 0
+            blocks = qpack.unpack(jnp, qwords, k, t, x0, n)
+            return flac_frames.analyze_frames_packed(
+                jnp, blocks, stereo_trial, bps_scalar, n, K, precision,
+                list(porders), max_rice, exhaustive, mid_side, window,
+                or_vals=or_vals, const_flags=const_flags).ravel()
+
+        if n_devices > 1:
+            from ..parallel.mesh import make_mesh
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            mesh = make_mesh(n_devices)
+            data = NamedSharding(mesh, P("blocks"))
+            replicated = NamedSharding(mesh, P())
+            _jax_analyze_cache[key] = jax.jit(
+                run, in_shardings=(data, data, replicated),
+                out_shardings=replicated)
+        else:
+            _jax_analyze_cache[key] = jax.jit(run)
+    device = _jax_device()
+    if device is not None and n_devices == 1:
+        qwords = jax.device_put(qwords, device)
+        meta = jax.device_put(meta, device)
+        window = _window_on_device(window, device)
+    return _jax_analyze_cache[key](qwords, meta, window)
 
 
 def encode_flac_fast(file_or_path,
@@ -240,22 +306,54 @@ def encode_flac_fast(file_or_path,
 
     n_devices = _n_devices()
 
+    use_qpack = qpack.enabled()
+    qguard = qpack.guard_bits()
+
+    def _pad_rows(arrays):
+        """pads leading dims to a shardable batch; extra rows are
+        dropped after the fetch"""
+        B = arrays[0].shape[0]
+        if n_devices > 1 and B % n_devices:
+            pad = n_devices - (B % n_devices)
+            arrays = [np.concatenate(
+                [a, np.zeros((pad,) + a.shape[1:], dtype=a.dtype)])
+                for a in arrays]
+        return arrays
+
     def submit(blocks):
         """launches analysis of [B, n, ch] int32 blocks"""
         if backend == "jax":
+            if use_qpack:
+                (qwords, k, t, x0, orv, cflags) = _native.flac_qpack(
+                    blocks, bps, qguard, stereo_trial)
+                meta = np.concatenate(
+                    [t, x0, orv, cflags.astype(np.int32)],
+                    axis=1).astype(np.int32)
+                (qwords, meta) = _pad_rows([qwords, meta])
+                return _analyze_jax_q(
+                    qwords, k, meta, channels, orv.shape[1],
+                    stereo_trial, bps, block_size, max_lpc_order,
+                    precision, porders, max_rice,
+                    exhaustive_model_search, mid_side, window,
+                    n_devices)
             upload = (blocks.astype(np.int16) if bps <= 16 else blocks)
-            if n_devices > 1 and upload.shape[0] % n_devices:
-                # pad to a shardable batch; extra rows are dropped
-                # after the fetch
-                pad = n_devices - (upload.shape[0] % n_devices)
-                upload = np.concatenate(
-                    [upload, np.zeros((pad,) + upload.shape[1:],
-                                      dtype=upload.dtype)])
+            (upload,) = _pad_rows([upload])
             return _analyze_jax(upload, stereo_trial, bps, block_size,
                                 max_lpc_order, precision, porders,
                                 max_rice, exhaustive_model_search,
                                 mid_side, window, n_devices)
         else:
+            if use_qpack:
+                # same spec, no wire format: analysis sees
+                # (x >> t) << t plus the exact sideband
+                (_qw, _k, t, _x0, orv, cflags) = _native.flac_qpack(
+                    blocks, bps, qguard, stereo_trial)
+                analysis_blocks = qpack.quantize(np, blocks, t)
+                return flac_frames.analyze_frames_packed(
+                    np, analysis_blocks, stereo_trial, bps, block_size,
+                    max_lpc_order, precision, porders, max_rice,
+                    exhaustive_model_search, mid_side, window,
+                    or_vals=orv, const_flags=cflags)
             return flac_frames.analyze_frames_packed(
                 np, blocks, stereo_trial, bps, block_size,
                 max_lpc_order, precision, porders, max_rice,

@@ -116,26 +116,45 @@ def _exp2i(xp, e):
 _CHUNK = 64
 
 
-def exact_i32_sum(xp, x, axis=-1):
+def sum_chunk_for(value_bits):
+    """largest power-of-two chunk whose int32 partial sums cannot wrap
+
+    chunk * 2^value_bits < 2^31  =>  chunk = 2^clamp(30 - value_bits,
+    0, 6); value_bits is a static bound on bits of |summand|.  chunk 1
+    degenerates to a pure (still exact) f64 sum."""
+    return 1 << max(0, min(6, 30 - value_bits))
+
+
+def exact_i32_sum(xp, x, axis=-1, chunk=_CHUNK):
     """exact f64 sum of int32 values along the last axis
 
-    two-stage: int32 partial sums over 64-element chunks (exact while
-    partials fit int32; wraps deterministically on both backends
-    otherwise), then f64 combination (exact for integers < 2^53 in any
-    order).  the input is zero-padded to a chunk multiple."""
+    two-stage: int32 partial sums over `chunk`-element groups (the
+    caller bounds |x| so partials cannot wrap — see sum_chunk_for),
+    then f64 combination (exact for integers < 2^53 in any order).
+    the input is zero-padded to a chunk multiple."""
     assert axis in (-1, x.ndim - 1)
+    if chunk <= 1:
+        return pairwise_i32_f64_sum(xp, x)
     n = x.shape[-1]
-    pad = (-n) % _CHUNK
+    pad = (-n) % chunk
     if pad:
         padding = [(0, 0)] * (x.ndim - 1) + [(0, pad)]
         x = xp.pad(x, padding)
-    chunked = xp.reshape(x, x.shape[:-1] + ((n + pad) // _CHUNK, _CHUNK))
+    chunked = xp.reshape(x, x.shape[:-1] + ((n + pad) // chunk, chunk))
     partial = xp.sum(chunked, axis=-1, dtype=xp.int32)
     return xp.sum(partial.astype(xp.float64), axis=-1)
 
 
+def pairwise_i32_f64_sum(xp, x):
+    """exact f64 sum of int32 values (no int32 stage): every int32 is
+    exact in f64 and integer f64 sums below 2^53 are exact in any
+    order, so this is deterministic on every backend"""
+    return xp.sum(x.astype(xp.float64), axis=-1)
+
+
 def analyze_subframes(xp, X, bps, n, max_lpc_order, qlp_precision,
-                      porders, max_rice, exhaustive, window):
+                      porders, max_rice, exhaustive, window,
+                      or_all=None, const_flag=None, max_bps=25):
     """runs all subframe trials for a batch of channels
 
     X:   int32 [S, n] decorrelated channel data
@@ -143,6 +162,16 @@ def analyze_subframes(xp, X, bps, n, max_lpc_order, qlp_precision,
     n, max_lpc_order, qlp_precision, porders (list of valid partition
     orders), max_rice, exhaustive: static Python values
     window: [n] analysis window (host constant; cast to f32)
+    or_all / const_flag: optional [S] exactness sideband (see
+    ops/qpack.py) — the OR of all *exact* samples and the exact
+    is-constant flags.  When X carries quantized samples these MUST be
+    supplied: wasted-bits and CONSTANT choices are the two decisions
+    the emitters trust for losslessness, so they are always derived
+    from exact data (here or from X itself when X is exact).
+    max_bps: static bound on bits of |X| — sizes the int32 partial-sum
+    chunks and the residual-path dispatch so no intermediate can wrap
+    (wrapped int32 sums once produced catastrophically small Rice
+    parameters whose unary coding overran the emit buffer).
 
     returns a dict of [S]-leading arrays describing the chosen
     subframe encodings plus their exact bit sizes (float64 integers)
@@ -154,22 +183,28 @@ def analyze_subframes(xp, X, bps, n, max_lpc_order, qlp_precision,
     bps_f = bps.astype(xp.float64)
 
     # ---- constant detection -------------------------------------------
-    const_flag = xp.all(X == X[:, :1], axis=1)
+    if const_flag is None:
+        const_flag = xp.all(X == X[:, :1], axis=1)
+    else:
+        const_flag = xp.asarray(const_flag).astype(bool)
     const_val = X[:, 0]
 
     # ---- wasted bits ---------------------------------------------------
     # min trailing zeros over samples == trailing zeros of the OR of
     # all samples; OR-reduce via power-of-two padded folding
-    acc = X
-    p2 = 1
-    while p2 < acc.shape[1]:
-        p2 <<= 1
-    if p2 != acc.shape[1]:
-        acc = xp.pad(acc, [(0, 0), (0, p2 - acc.shape[1])])
-    while acc.shape[1] > 1:
-        half = acc.shape[1] // 2
-        acc = acc[:, :half] | acc[:, half:]
-    or_all = acc[:, 0]
+    if or_all is None:
+        acc = X
+        p2 = 1
+        while p2 < acc.shape[1]:
+            p2 <<= 1
+        if p2 != acc.shape[1]:
+            acc = xp.pad(acc, [(0, 0), (0, p2 - acc.shape[1])])
+        while acc.shape[1] > 1:
+            half = acc.shape[1] // 2
+            acc = acc[:, :half] | acc[:, half:]
+        or_all = acc[:, 0]
+    else:
+        or_all = xp.asarray(or_all, dtype=xp.int32)
     low_bit = or_all & (-or_all)
     wasted = xp.where(or_all == 0, 0, popcount32(xp, low_bit - 1))
     wasted = xp.where(const_flag, 0, wasted)        # constants skip it
@@ -184,8 +219,10 @@ def analyze_subframes(xp, X, bps, n, max_lpc_order, qlp_precision,
         [xp.pad(diffs[o], [(0, 0), (o, 0)]) for o in range(5)], axis=1)
     # error sums skip the first 4 positions, so every order competes
     # over the same n-4 values (reference py_encoders/flac.py:449-469)
+    # |diff_o| <= 2^(max_bps + 4), so chunk accordingly
     total_error = exact_i32_sum(
-        xp, xp.abs(fixed_res_all[:, :, 4:]))               # [S, 5] f64
+        xp, xp.abs(fixed_res_all[:, :, 4:]),
+        chunk=sum_chunk_for(max_bps + 4))                  # [S, 5] f64
     # first order o in 0..3 with err[o] < min(err[o+1:]), else 4
     suffix_min = total_error[:, 4]
     conds = []
@@ -216,8 +253,9 @@ def analyze_subframes(xp, X, bps, n, max_lpc_order, qlp_precision,
         # degenerate rows -> order 1, coeff 0, shift 0
         qlp = xp.where(degenerate[:, None, None], 0, qlp)
         shifts = xp.where(degenerate[:, None], 0, shifts)
-        lpc_res = lpc_ops.lpc_residuals_i32(xp, Xs, qlp,
-                                            shifts)        # [S, K, n]
+        lpc_res = lpc_ops.lpc_residuals(
+            xp, Xs, qlp, shifts, max_bps, qlp_precision,
+            clip_bits=max_bps + 4)                         # [S, K, n]
     else:
         degenerate = xp.ones(S, dtype=bool)
         errors = xp.zeros((S, max(K, 1)), dtype=xp.float64)
@@ -250,10 +288,13 @@ def analyze_subframes(xp, X, bps, n, max_lpc_order, qlp_precision,
     parts_max = 1 << pmax
 
     # per-partition |residual| sums: computed exactly once at the
-    # finest partition level, coarser levels by (exact f64) pairing
+    # finest partition level, coarser levels by (exact f64) pairing;
+    # |residual| <= 2^(max_bps + 5) (order-4 fixed diffs dominate)
+    res_bits = max_bps + 5
     seg_abs_by_p = [None] * (pmax + 1)
     seg_abs_by_p[pmax] = exact_i32_sum(
-        xp, xp.reshape(abs_res, (S, C, parts_max, n >> pmax)))
+        xp, xp.reshape(abs_res, (S, C, parts_max, n >> pmax)),
+        chunk=sum_chunk_for(res_bits))
     for p in range(pmax - 1, -1, -1):
         fine = seg_abs_by_p[p + 1]
         seg_abs_by_p[p] = fine[:, :, 0::2] + fine[:, :, 1::2]
@@ -271,9 +312,11 @@ def analyze_subframes(xp, X, bps, n, max_lpc_order, qlp_precision,
         for rr in range(max_rice):
             r = r + ((counts * float(1 << rr)) < seg_abs).astype(
                 xp.int32)
-        # sum(u >> r) per partition (int32 shifts, exact f64 totals)
+        # sum(u >> r) per partition (int32 shifts, exact f64 totals);
+        # u <= 2^(max_bps + 6) (zigzag doubles the residual bound)
         msb = xp.reshape(u, (S, C, parts, psize)) >> r[:, :, :, None]
-        msb_sum = exact_i32_sum(xp, msb)
+        msb_sum = exact_i32_sum(xp, msb,
+                                chunk=sum_chunk_for(res_bits + 1))
         part_bits = 4.0 + msb_sum + counts * (1.0 + r.astype(
             xp.float64))
         rice_totals.append(xp.sum(part_bits, axis=2))
@@ -419,22 +462,35 @@ ASSIGNMENT_VARIANTS = {1: (0, 1), 8: (0, 3), 9: (3, 1), 10: (2, 3)}
 
 def analyze_frames_packed(xp, blocks, stereo_trial, bps, n,
                           max_lpc_order, qlp_precision, porders,
-                          max_rice, exhaustive, mid_side, window):
+                          max_rice, exhaustive, mid_side, window,
+                          or_vals=None, const_flags=None):
     """full per-frame analysis: variants, subframe trials, channel
     assignment, and decision packing — one device round trip per batch
 
     blocks: int [B, n, ch]; returns packed int32
     [B, 1 + max_subframes * W]: column 0 is the FLAC channel
     assignment, then per chosen subframe the layout documented at the
-    top of this module (W = packed_width(K, 1 << porders[-1]))."""
+    top of this module (W = packed_width(K, 1 << porders[-1])).
+
+    or_vals / const_flags: optional [B, V] exactness sideband (variant
+    order matching build_variants); required whenever blocks carry
+    quantized samples (ops/qpack.py)."""
     B = blocks.shape[0]
     ch = blocks.shape[2]
     K = max_lpc_order
     P = 1 << porders[-1]
 
     (X, bps_vec) = build_variants(xp, blocks, stereo_trial, bps)
+    Vn = 4 if stereo_trial else ch
+    or_flat = (None if or_vals is None
+               else xp.reshape(xp.asarray(or_vals, dtype=xp.int32),
+                               (B * Vn,)))
+    const_flat = (None if const_flags is None
+                  else xp.reshape(xp.asarray(const_flags), (B * Vn,)))
     out = analyze_subframes(xp, X, bps_vec, n, K, qlp_precision,
-                            list(porders), max_rice, exhaustive, window)
+                            list(porders), max_rice, exhaustive, window,
+                            or_all=or_flat, const_flag=const_flat,
+                            max_bps=bps + 1 if stereo_trial else bps)
 
     V = 4 if stereo_trial else ch
     sub_bits = xp.reshape(out["sub_bits"], (B, V))

@@ -181,6 +181,66 @@ def lpc_residuals_i32(xp, samples, qlp, shifts):
     return xp.where(pos < order_arr, 0, res).astype(xp.int32)
 
 
+def lpc_residuals_f64(xp, samples, qlp, shifts, clip_bits):
+    """batched integer LPC residuals via exact f64 accumulation
+
+    The wide-bound path (whenever the hi/lo int32 scheme's
+    intermediates could exceed int32 — e.g. ``A << (11 - s)`` reaches
+    2^33 for 24-bit input with small shifts and wraps to an ALIASED
+    SMALL residual, which under-sizes Rice parameters and explodes the
+    emitters' unary coding): every product q * x is of integers below
+    2^14 and 2^26, so the f64 product (< 2^40) is exact, the <= 32
+    term sum stays far below 2^53 (exact in any order, immune to FMA
+    contraction by exactness), and the arithmetic shift is an exact
+    power-of-two scale + floor.
+
+    Residuals beyond +-2^clip_bits (only reachable through degenerate
+    predictor trials, never by a sane candidate) clip to the bound:
+    float->int32 overflow casts are NOT backend-deterministic, and the
+    clipped value keeps |residual| sums maximal-but-bounded so such
+    candidates draw maximal Rice parameters and lose every argmin.
+    Bit-deterministic on every backend; same semantics as
+    ``lpc_residuals_i32`` within its exact range."""
+    S = samples.shape[0]
+    n = samples.shape[1]
+    K = qlp.shape[1]
+    x = samples.astype(xp.float64)
+    x_pad = xp.pad(x, [(0, 0), (K, 0)])
+    acc = xp.zeros((S, K, n), dtype=xp.float64)
+    for j in range(K):
+        q = qlp[:, :, j].astype(xp.float64)[:, :, None]
+        acc = acc + q * x_pad[:, None, K - 1 - j:K - 1 - j + n]
+    scale = xp.exp2(-shifts.astype(xp.float64))[:, :, None]
+    pred = xp.floor(acc * scale)
+    res = samples[:, None, :].astype(xp.float64) - pred
+    bound = float(1 << clip_bits)
+    res = xp.clip(res, -bound, bound)
+    pos = xp.arange(n, dtype=xp.int32)[None, None, :]
+    order_arr = xp.arange(1, K + 1, dtype=xp.int32)[None, :, None]
+    return xp.where(pos < order_arr, 0.0, res).astype(xp.int32)
+
+
+def lpc_residuals(xp, samples, qlp, shifts, value_bits, precision,
+                  clip_bits):
+    """dispatches between the int32 hi/lo and exact-f64 residual paths
+
+    value_bits: static bound on bits of |samples| (bps + 1 for side
+    channels, post-wasted-shift upper bound).  The int32 scheme is
+    used only when NO input can wrap it:
+    K * 2^(precision-1) * 2^(max(value_bits-11,0)) << 11 (the worst
+    ``A << (11-s)`` recombination) must stay below 2^31; otherwise the
+    f64 path computes the true value exactly (products fit 2^53 for
+    all audio), clipped to +-2^clip_bits (see lpc_residuals_f64)."""
+    K = qlp.shape[1]
+    import math
+    hi_bits = (math.ceil(math.log2(max(K, 1))) + (precision - 1) +
+               max(value_bits - 11, 0))
+    # the recombination shifts A by up to 11 more bits
+    if hi_bits + 11 < 31:
+        return lpc_residuals_i32(xp, samples, qlp, shifts)
+    return lpc_residuals_f64(xp, samples, qlp, shifts, clip_bits)
+
+
 def levinson(xp, autocorr, max_order):
     """batched Levinson-Durbin recursion
 

@@ -1,0 +1,189 @@
+"""Quantized-analysis upload transform (the encode path's wire format).
+
+The FLAC/ALAC analysis kernels only *steer* encoding decisions — the
+C++ emitters re-derive residuals exactly from the original host-side
+PCM (``_native/hostkernels.cpp`` ``atpu_flac_emit_frames2``), so any
+decision array yields a lossless stream.  That freedom lets the
+host→device transfer (the measured bottleneck of the tunneled-TPU
+pipeline; raw int16 uploads cap throughput at link-rate/2 bytes per
+sample) carry a *reduced-precision* view of the samples:
+
+* **t (quantization spec)** — per (block, channel), analysis runs on
+  ``(x >> t) << t``.  ``t`` is chosen from the mean second-difference
+  magnitude so the quantization step stays ``2**guard``-fold below the
+  residual scale: LPC coefficient and Rice parameter selection are
+  perturbed far below their decision thresholds (quantization noise
+  only *inflates* residual-magnitude sums, so Rice parameters never
+  systematically shrink — oversized unary tails cannot happen).
+* **exactness sideband** — two per-(block, variant) values the
+  decisions must get exactly right for losslessness: the OR of all
+  samples (wasted-bits; an overestimated shift would destroy
+  low bits) and the is-constant flag (a false CONSTANT would drop the
+  block).  Both are computed on host from the exact samples and fed to
+  ``flac_frames.analyze_frames_packed``.
+* **wire format** — first-differences of the quantized samples,
+  zigzag-mapped and bit-packed to the batch-wide maximum width ``k``
+  into uint32 lanes: typically 5–9 bits/sample instead of 16, a
+  2–3x cut in bytes over the link.  The device reconstructs
+  ``(x >> t) << t`` exactly with integer gathers + cumsum, so numpy
+  and every JAX backend see bit-identical analysis inputs.
+
+The *spec* is only "analysis input = ``(x >> t) << t`` with exact
+or/const sideband"; the bit-packing is pure transport.  The scalar
+oracle (``ref/flac_enc.py``) applies the same quantization directly,
+which keeps oracle and device paths byte-identical by construction.
+
+Reference counterpart: none — the reference's C encoder
+(``/root/reference/src/encoders/flac.c:43``) reads PCM from host
+memory and has no transfer link to feed; this module exists because
+the TPU-native design treats host↔device bytes as the scarce resource
+(HBM/link bandwidth first, FLOPs second).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+_DEFAULT_GUARD = 3
+
+
+def enabled():
+    """whether the quantized-upload spec is active (default on)"""
+    return os.environ.get("ATPU_FLAC_QPACK", "1") != "0"
+
+
+def guard_bits():
+    """how many bits below the residual scale the quantization step
+    sits; larger = closer-to-exact analysis, smaller = fewer wire bits"""
+    return int(os.environ.get("ATPU_QPACK_GUARD", str(_DEFAULT_GUARD)))
+
+
+def plan_t(blocks, bps, guard=None):
+    """chooses the per-(block, channel) quantization shift t
+
+    blocks: int32 [B, n, ch] exact samples
+    returns t int32 [B, ch]
+
+    spec (pure integer, any-backend deterministic):
+      sum2 = sum_{i=2..n-1} |x[i] - 2*x[i-1] + x[i-2]|   (exact int64)
+      m    = sum2 // (n - 2)                  (0 when n <= 2)
+      t    = clamp(bit_length(m) - 1 - guard, 0, max(bps - 8, 0))
+
+    The mean |second difference| tracks the coding-residual scale
+    (it is the order-2 fixed predictor's mean error); keeping the
+    step 2**guard below it bounds decision perturbation.  Constant
+    blocks have sum2 == 0 and stay exact (t = 0)."""
+    if guard is None:
+        guard = guard_bits()
+    blocks = np.asarray(blocks)
+    (B, n, ch) = blocks.shape
+    if n <= 2:
+        return np.zeros((B, ch), dtype=np.int32)
+    x = blocks.astype(np.int64)
+    d2 = np.abs(x[:, 2:, :] - 2 * x[:, 1:-1, :] + x[:, :-2, :])
+    m = d2.sum(axis=1) // (n - 2)                          # [B, ch]
+    # bit_length via log-free integer loop (m < 2^33)
+    bl = np.zeros_like(m)
+    mm = m.copy()
+    for _ in range(34):
+        live = mm > 0
+        if not live.any():
+            break
+        bl += live
+        mm >>= 1
+    cap = max(int(bps) - 8, 0)
+    return np.clip(bl - 1 - guard, 0, cap).astype(np.int32)
+
+
+def quantize(xp, blocks, t):
+    """the spec'd analysis input: (x >> t) << t, per (block, channel)
+
+    blocks: int [B, n, ch]; t: int32 [B, ch]; returns int32 [B, n, ch]"""
+    x = blocks.astype(xp.int32)
+    tt = t[:, None, :]
+    return (x >> tt) << tt
+
+
+def variant_sideband(blocks, stereo_trial):
+    """exact per-(block, variant) OR-of-samples and is-constant flags
+
+    blocks: int [B, n, ch] exact samples; variant order matches
+    ``flac_frames.build_variants`` ([L, R, mid, side] under stereo
+    trials, else the channels themselves).
+
+    returns (or_vals int32 [B, V], const_flags bool [B, V])"""
+    blocks = np.asarray(blocks)
+    (B, n, ch) = blocks.shape
+    if stereo_trial:
+        left = blocks[:, :, 0].astype(np.int32)
+        right = blocks[:, :, 1].astype(np.int32)
+        variants = [left, right, (left + right) >> 1, left - right]
+    else:
+        variants = [blocks[:, :, c].astype(np.int32) for c in range(ch)]
+    or_vals = np.stack(
+        [np.bitwise_or.reduce(v, axis=1) for v in variants], axis=1)
+    const_flags = np.stack(
+        [(v == v[:, :1]).all(axis=1) for v in variants], axis=1)
+    return (or_vals.astype(np.int32), const_flags)
+
+
+def pack(blocks, t):
+    """bit-packs first-differences of the quantized samples (numpy
+    reference implementation of the wire format; `_native.flac_qpack`
+    is the production path and must produce identical words)
+
+    blocks: int [B, n, ch]; t: int32 [B, ch]
+    returns (packed uint32 [B, ch, W], k, x0 int32 [B, ch]) where
+    x0 carries the exact first sample and W = ceil((n-1)*k/32) + 1
+    (one pad word so two-word unpack gathers never index past the
+    end)."""
+    blocks = np.asarray(blocks)
+    (B, n, ch) = blocks.shape
+    xq = blocks.astype(np.int32) >> t[:, None, :]
+    x0 = blocks[:, 0, :].astype(np.int32)
+    if n <= 1:
+        return (np.zeros((B, ch, 1), dtype=np.uint32), 1, x0)
+    d = (xq[:, 1:, :] - xq[:, :-1, :]).astype(np.int64)
+    u = ((d << 1) ^ (d >> 63)).astype(np.uint64)           # zigzag
+    k = max(int(u.max()).bit_length(), 1) if u.size else 1
+    W = ((n - 1) * k + 31) // 32 + 1
+    packed = np.zeros((B, ch, W), dtype=np.uint32)
+    flat = np.moveaxis(u, 1, 2).reshape(B * ch, n - 1)     # [B*ch, n-1]
+    pw = packed.reshape(B * ch, W)
+    bit = np.arange(n - 1, dtype=np.int64) * k
+    wi = (bit >> 5).astype(np.int64)
+    off = (bit & 31).astype(np.uint64)
+    lo = ((flat << off) & 0xFFFFFFFF).astype(np.uint32)
+    hi = (flat >> (np.uint64(32) - off)).astype(np.uint32)
+    hi = np.where(off == 0, 0, hi).astype(np.uint32)
+    np.bitwise_or.at(pw, (slice(None), wi), lo)
+    np.bitwise_or.at(pw, (slice(None), wi + 1), hi)
+    return (packed, k, x0)
+
+
+def unpack(xp, packed, k, t, x0, n):
+    """reconstructs the quantized analysis input from the wire format
+
+    packed: uint32 [B, ch, W]; k: static int; t, x0: int32 [B, ch]
+    returns int32 [B, n, ch] == quantize(blocks, t), exactly, on any
+    backend (integer gathers, shifts and cumsum only)."""
+    (B, ch, W) = packed.shape
+    x0q = (x0 >> t).astype(xp.int32)                       # [B, ch]
+    if n <= 1:
+        return (x0q[:, None, :] << t[:, None, :])[:, :n, :]
+    bit = np.arange(n - 1, dtype=np.int64) * k
+    wi = xp.asarray(bit >> 5, dtype=xp.int32)              # [n-1] static
+    off = xp.asarray((bit & 31).astype(np.uint32))
+    lo = packed[:, :, wi] >> off[None, None, :]
+    hi_src = packed[:, :, wi + 1]
+    # off == 0 would shift by 32 (undefined); split the shift so the
+    # expression is well-defined and exact for every offset
+    hi = (hi_src << (xp.uint32(31) - off[None, None, :])) << xp.uint32(1)
+    u = (lo | hi) & xp.uint32((1 << k) - 1)                # [B, ch, n-1]
+    ui = u.astype(xp.int32)
+    d = (ui >> 1) ^ -(ui & 1)                              # un-zigzag
+    xq = x0q[:, :, None] + xp.cumsum(d, axis=2, dtype=xp.int32)
+    full = xp.concatenate([x0q[:, :, None], xq], axis=2)   # [B, ch, n]
+    return xp.swapaxes(full, 1, 2) << t[:, None, :]

@@ -490,7 +490,7 @@ def encode_frame(pcmreader, options, frame_number, samples):
     byte-identical to the batched device path — while serialization
     stays an independent Python implementation (TokenStream) that
     differentially tests the C++ emitter."""
-    from ..ops import flac_frames, lpc as lpc_ops
+    from ..ops import flac_frames, lpc as lpc_ops, qpack
 
     bps = pcmreader.bits_per_sample
     n = samples.shape[0]
@@ -522,12 +522,26 @@ def encode_frame(pcmreader, options, frame_number, samples):
         P_orders = flac_frames.valid_partition_orders(
             n, options.max_residual_partition_order, max(K, 4))
         window = lpc_ops.tukey_window(n)
+        blocks1 = samples[None].astype(np.int32)
+        if qpack.enabled():
+            # the shared quantized-analysis spec (ops/qpack.py):
+            # analysis sees (x >> t) << t plus the exact or/const
+            # sideband — identical to what the device path
+            # reconstructs from the wire format, so oracle and fast
+            # paths stay byte-identical by construction
+            t = qpack.plan_t(blocks1, bps)
+            (or_vals, const_flags) = qpack.variant_sideband(
+                blocks1, stereo_trial)
+            analysis_blocks = qpack.quantize(np, blocks1, t)
+        else:
+            (or_vals, const_flags) = (None, None)
+            analysis_blocks = blocks1
         packed = np.asarray(flac_frames.analyze_frames_packed(
-            np, samples[None].astype(np.int32), stereo_trial, bps, n,
+            np, analysis_blocks, stereo_trial, bps, n,
             K, options.qlp_precision, P_orders,
             options.max_rice_parameter,
             options.exhaustive_model_search, options.mid_side,
-            window))[0]
+            window, or_vals=or_vals, const_flags=const_flags))[0]
 
         Kp = max(K, 1)
         P = 1 << P_orders[-1]

@@ -1,0 +1,143 @@
+"""Quantized-analysis upload spec (ops/qpack.py) and its native packer.
+
+Mirrors the reference's dual-implementation oracle pattern
+(/root/reference/test/test_formats.py:4075-4130): the numpy spec is
+the oracle; the C++ planner/packer (_native.flac_qpack) and the JAX
+device unpack must agree with it exactly.  Losslessness invariants:
+unpack(pack(x)) == (x >> t) << t for every backend, the sideband
+carries *exact* OR/const values, and the end-to-end encode stays
+bit-exact while oracle and fast paths stay byte-identical.
+"""
+
+import io
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+from audiotools_tpu.ops import qpack  # noqa: E402
+from audiotools_tpu import _native, pcm  # noqa: E402
+from audiotools_tpu.pcmstream import PCMReader  # noqa: E402
+
+
+def _signal(B, n, ch, bps, scale, seed=0):
+    rng = np.random.default_rng(seed)
+    lim = 1 << (bps - 1)
+    x = rng.normal(0, scale, (B, n, ch))
+    tones = np.sin(np.arange(n)[None, :, None] * 0.07) * scale * 4
+    return np.clip(x + tones, -lim, lim - 1).astype(np.int32)
+
+
+CASES = [
+    (16, 9000.0, 2, True),     # program material, stereo trials
+    (16, 30.0, 2, True),       # quiet (t should stay 0 or small)
+    (16, 0.0, 2, True),        # silence
+    (8, 40.0, 1, False),       # 8-bit mono (cap -> t == 0)
+    (24, 2.0e6, 6, False),     # 24-bit multichannel
+]
+
+
+@pytest.mark.parametrize("bps,scale,ch,stereo", CASES)
+def test_native_matches_numpy_spec(bps, scale, ch, stereo):
+    n = 4096
+    x = _signal(5, n, ch, bps, scale)
+    x[1, :, 0] = x[1, 0, 0]                     # a constant channel
+    t_np = qpack.plan_t(x, bps)
+    (orv_np, cf_np) = qpack.variant_sideband(x, stereo)
+    (pk_np, k_np, x0_np) = qpack.pack(x, t_np)
+    (pk_c, k_c, t_c, x0_c, orv_c, cf_c) = _native.flac_qpack(
+        x, bps, qpack.guard_bits(), stereo)
+    assert np.array_equal(t_np, t_c)
+    assert k_np == k_c
+    assert np.array_equal(x0_np, x0_c)
+    assert np.array_equal(orv_np, orv_c)
+    assert np.array_equal(cf_np, cf_c)
+    assert np.array_equal(pk_np, pk_c)
+
+
+@pytest.mark.parametrize("bps,scale,ch,stereo", CASES)
+def test_unpack_reconstructs_quantized(bps, scale, ch, stereo):
+    n = 4096
+    x = _signal(4, n, ch, bps, scale, seed=3)
+    (pk, k, t, x0, _orv, _cf) = _native.flac_qpack(
+        x, bps, qpack.guard_bits(), stereo)
+    rec = qpack.unpack(np, pk, k, t, x0, n)
+    assert np.array_equal(rec, qpack.quantize(np, x, t))
+
+
+def test_jax_unpack_matches_numpy():
+    import jax
+    import jax.numpy as jnp
+    x = _signal(4, 4096, 2, 16, 9000.0, seed=5)
+    (pk, k, t, x0, _orv, _cf) = _native.flac_qpack(x, 16, 3, True)
+    rec_j = np.asarray(jax.jit(
+        lambda p, t, x0: qpack.unpack(jnp, p, k, t, x0, 4096))(
+            pk, t, x0))
+    assert np.array_equal(rec_j, qpack.unpack(np, pk, k, t, x0, 4096))
+
+
+def test_sideband_is_exact():
+    """OR/const sideband must reflect the exact samples, not the
+    quantized view (the two lossless-critical decisions)"""
+    x = _signal(3, 4096, 2, 16, 9000.0, seed=7)
+    x[0, :, 0] = (x[0, :, 0] >> 2) << 2         # genuine wasted bits
+    x[2, :, 1] = -12345                          # constant channel
+    (orv, cf) = qpack.variant_sideband(x, True)
+    left = x[:, :, 0]
+    right = x[:, :, 1]
+    assert orv[0, 0] == np.bitwise_or.reduce(left[0])
+    assert (orv[0, 0] & 3) == 0
+    assert bool(cf[2, 1])
+    assert not bool(cf[0, 0])
+    side = left - right
+    assert orv[1, 3] == np.bitwise_or.reduce(side[1])
+
+
+def test_quiet_signals_stay_exact():
+    """t == 0 (no quantization) whenever the residual scale is small"""
+    x = _signal(3, 4096, 2, 16, 0.5, seed=9)
+    t = qpack.plan_t(x, 16)
+    assert int(t.max()) == 0
+    x8 = _signal(3, 4096, 1, 8, 40.0)
+    assert int(qpack.plan_t(x8, 8).max()) == 0   # bps-8 cap
+
+
+def test_encode_roundtrip_with_qpack():
+    """production encode stays bit-exact and backend-identical"""
+    from audiotools_tpu.codecs.flac_enc_fast import encode_flac_fast
+    from audiotools_tpu.codecs.flac_dec_fast import FastFlacDecoder
+
+    rng = np.random.default_rng(11)
+    n = 4096 * 6 + 777
+    tone = 9000 * np.sin(np.arange(n) * 0.06)
+    arr = np.clip(
+        np.stack([tone, -tone], axis=1) + rng.normal(0, 600, (n, 2)),
+        -32768, 32767).astype(np.int32)
+
+    def reader():
+        fl = pcm.FrameList._wrap(arr, 16)
+        return PCMReader(io.BytesIO(fl.to_bytes(False, True)),
+                         44100, 2, 3, 16)
+
+    opts = dict(block_size=4096, max_lpc_order=8, mid_side=True,
+                exhaustive_model_search=False,
+                max_residual_partition_order=5, batch_frames=3)
+    b1 = io.BytesIO()
+    encode_flac_fast(b1, reader(), backend="numpy", **opts)
+    data = b1.getvalue()
+    dec = FastFlacDecoder(io.BytesIO(data))
+    out = []
+    while True:
+        fl = dec.read(4096)
+        if fl.frames == 0:
+            break
+        out.append(fl.samples)
+    assert np.array_equal(np.concatenate(out), arr)
+
+    b2 = io.BytesIO()
+    encode_flac_fast(b2, reader(), backend="jax", **opts)
+    assert b2.getvalue() == data
