@@ -46,7 +46,7 @@ import os
 
 import numpy as np
 
-_DEFAULT_GUARD = 3
+_DEFAULT_GUARD = 2
 
 
 def enabled():
