@@ -50,8 +50,11 @@ def alac_quantize(xp, coeff_row):
     error = xp.zeros(coeff_row.shape[:-1], dtype=xp.float64)
     cols = []
     for j in range(order):
-        candidate = error + coeff_row[..., j] * float(1 <<
-                                                      QLP_SHIFT_NEEDED)
+        # f32 re-round keeps the integer rounding's input identical
+        # under IEEE f64 and TPU float-float f64 (see ops/lpc.py)
+        candidate = lpc_ops.f32round(
+            xp, error + coeff_row[..., j] * float(1 <<
+                                                  QLP_SHIFT_NEEDED))
         q = xp.clip(xp.round(candidate), qlp_min, qlp_max)
         error = candidate - q
         cols.append(q.astype(xp.int32))
@@ -83,7 +86,8 @@ def residual_estimate(xp, X, qlp, order):
     residuals the emitter actually codes track these within a few
     percent, and one estimated-best pass replaces exact sizing of
     every candidate.  All arithmetic is exact in f64 (products
-    <= 2^36, sums <= 2^40 < 2^53) so numpy/jax/TPU agree bitwise."""
+    <= 2^36, sums <= 2^40 — below even the TPU float-float bound of
+    ~2^47) so numpy/jax/TPU agree bitwise."""
     n = X.shape[1]
     count = n - 1 - order
     if count <= 0:
@@ -95,10 +99,13 @@ def residual_estimate(xp, X, qlp, order):
         conv = conv + qf[:, j:j + 1] * Xf[:, order - j:n - 1 - j]
     base = Xf[:, 0:count]
     Q = xp.sum(qf, axis=1)[:, None]
-    shifted = xp.floor((conv - base * Q) / float(1 << QLP_SHIFT_NEEDED))
+    # multiply by the exact power-of-two reciprocal — float-float
+    # division is approximate, scaling is exact
+    shifted = xp.floor((conv - base * Q) *
+                       (1.0 / float(1 << QLP_SHIFT_NEEDED)))
     e = Xf[:, order + 1:n] - base - shifted
     total = xp.sum(xp.abs(e), axis=1)
-    return xp.minimum(xp.floor(total / 64.0),
+    return xp.minimum(xp.floor(total * (1.0 / 64.0)),
                       float((1 << 31) - 1)).astype(xp.int32)
 
 

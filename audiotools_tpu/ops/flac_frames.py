@@ -17,9 +17,12 @@ so the round-1 f64-everywhere kernel ran emulated):
   values, diffs) or **float32** (the windowed autocorrelation inputs)
 * integer reductions that may exceed 32 bits run *two-stage*: int32
   partial sums over 64-element chunks (exact — bounded by 64*max|x|),
-  promoted to f64 and combined (f64 adds of integers < 2^53 are exact
-  and order-independent), so results equal the mathematically exact
-  sums on both backends
+  promoted to f64 and combined (f64 adds of integers are exact and
+  order-independent while totals stay < 2^47 — the representable
+  bound of the TPU's float-float f64 emulation, stricter than IEEE
+  f64's 2^53; all totals here are bit counts or |residual| sums far
+  below it), so results equal the mathematically exact sums on every
+  backend
 * LPC prediction uses the hi/lo-split int32 scheme in
   ``ops.lpc.lpc_residuals_i32``
 * only tiny ``[S, K]``-shaped tensors (Levinson, quantization, order
@@ -109,8 +112,11 @@ def popcount32(xp, v):
 
 
 def _exp2i(xp, e):
-    """exact 2^e for (possibly negative) integer arrays, as float64"""
-    return xp.exp2(e.astype(xp.float64))
+    """exact 2^e for (possibly negative) integer arrays, as float64
+
+    via IEEE bit construction — the transcendental ``exp2`` is NOT
+    exact for integral args under TPU float-float f64 emulation"""
+    return lpc_ops.exact_exp2(xp, e)
 
 
 _CHUNK = 64
@@ -130,7 +136,9 @@ def exact_i32_sum(xp, x, axis=-1, chunk=_CHUNK):
 
     two-stage: int32 partial sums over `chunk`-element groups (the
     caller bounds |x| so partials cannot wrap — see sum_chunk_for),
-    then f64 combination (exact for integers < 2^53 in any order).
+    then f64 combination — exact in any order for integer totals
+    below the representable bound (2^53 IEEE, ~2^47 under TPU
+    float-float f64 emulation; all totals here are far below both).
     the input is zero-padded to a chunk multiple."""
     assert axis in (-1, x.ndim - 1)
     if chunk <= 1:
@@ -147,8 +155,9 @@ def exact_i32_sum(xp, x, axis=-1, chunk=_CHUNK):
 
 def pairwise_i32_f64_sum(xp, x):
     """exact f64 sum of int32 values (no int32 stage): every int32 is
-    exact in f64 and integer f64 sums below 2^53 are exact in any
-    order, so this is deterministic on every backend"""
+    exact in f64 and integer f64 sums are exact in any order while
+    totals stay representable (2^53 IEEE, ~2^47 TPU float-float), so
+    this is deterministic on every backend"""
     return xp.sum(x.astype(xp.float64), axis=-1)
 
 

@@ -27,6 +27,30 @@ the pipeline is built so no optimization can change any value:
 * transcendental outputs (log) are immediately rounded to f32
   precision, collapsing sub-ulp libm/XLA differences
 
+**float-float f64 (TPU x64 emulation).**  TPUs have no native f64;
+XLA's x64 rewriter emulates it as a (hi, lo) *pair of f32s* (~49-bit
+significand, non-IEEE rounding).  Measured consequences on real TPU
+hardware: ``exp2`` of integral arguments is NOT exact, general
+(non-integer) f64 add chains round differently than IEEE f64, and
+f64 division is approximate.  The spec therefore tightens further:
+
+* every value is either an INTEGER below 2^47 (exactly representable
+  and exactly summable as two f32s, in any order) or an f32-VALUED
+  float (lo half zero); products of two f32-valued numbers (<= 48
+  mantissa bits) and sums of two f32-valued numbers (<= 49 bits) are
+  exact in float-float via two-product/two-sum, so rounding them back
+  to f32 matches IEEE f64 bit-for-bit
+* powers of two come from ``exact_exp2`` (IEEE-754 bit construction,
+  never the transcendental ``exp2``)
+* the windowed autocorrelation quantizes windowed samples to
+  integers so its lag sums are exact integer sums, immune to any
+  reduction reordering or fusion
+* the one remaining approximation is division (Levinson's reflection
+  coefficients): both backends round the quotient to f32, which can
+  differ only when the emulation's ~2^-49 quotient error straddles an
+  f32 rounding boundary (~2^-25 per division; decisions only steer
+  encoding, losslessness is unaffected)
+
 All functions take an ``xp`` module (numpy or jax.numpy) and operate on
 arrays whose leading dimensions are batch dims.
 """
@@ -80,6 +104,32 @@ def tukey_window(n, alpha=0.5):
     return _window_cache[key]
 
 
+def exact_exp2(xp, e):
+    """exact 2^e for integer arrays, as float64
+
+    Built from the IEEE-754 bit pattern ((e + 1023) << 52) rather than
+    the transcendental ``exp2``, which is NOT exact for integral
+    arguments on TPU backends (x64 float-float emulation).  Exponents
+    clamp to the normal range [-1022, 1023]."""
+    if xp is np:
+        e = np.clip(np.asarray(e).astype(np.int64), -1022, 1023)
+        return ((e + 1023) << 52).view(np.float64)
+    import jax.lax
+    e = xp.clip(xp.asarray(e).astype(xp.int64), -1022, 1023)
+    return jax.lax.bitcast_convert_type((e + 1023) << 52, xp.float64)
+
+
+def int_bit_length(xp, v):
+    """bit_length of non-negative int32/int64 arrays (0 -> 0)
+
+    pure integer compares — deterministic on every backend"""
+    v = xp.asarray(v)
+    out = xp.zeros(v.shape, dtype=xp.int32)
+    for k in range(31):
+        out = out + (v >= (1 << k)).astype(xp.int32)
+    return out
+
+
 def pairwise_sum(xp, x, axis=-1):
     """deterministic binary-tree sum along the given axis
 
@@ -120,23 +170,43 @@ def windowed_autocorr(xp, samples, window, max_order):
     samples: int [..., n] (post-wasted-shift, |x| < 2^26);
     window: f64 [n] (rounded to f32 precision inside).
 
-    Contraction-immune by construction: the windowing product
-    (int26 * f32-valued) is exact in f64 and then explicitly rounded
-    to f32 precision; each lag product of two f32-valued numbers is
-    again exact in f64; the pairwise tree sums are plain f64 adds.
-    Analysis precision only steers *which* predictor is chosen (the
-    emitters re-derive residuals exactly), so f32-precision windowed
-    samples cost ~nothing in ratio.
+    Bit-deterministic across numpy / CPU XLA / TPU float-float f64 by
+    keeping every lag sum an exact INTEGER sum: samples pre-shift to
+    17 bits, the windowing product (int17 * f32-valued, <= 41 bits)
+    is exact everywhere, and windowed values quantize to integers
+    |wq| < 2^m with m sized so products (2^2m) and whole-block sums
+    (2^(2m + log2 n)) stay below 2^47 — exactly representable and
+    order-independent even in float-float, so a plain ``xp.sum``
+    (which XLA lowers to a fast reduce) is safe.  The exact
+    power-of-two scale is restored afterwards.  Analysis precision
+    only steers *which* predictor is chosen (the emitters re-derive
+    residuals exactly), so ~18-bit windowed samples cost ~nothing in
+    ratio (the quantized-upload wire format already feeds analysis
+    ~7-bit samples).
 
     returns f64 [..., max_order+1]"""
+    n = samples.shape[-1]
     w = f32round(xp, xp.asarray(window, dtype=xp.float64))
-    windowed = f32round(xp, samples.astype(xp.float64) * w)
-    n = windowed.shape[-1]
+    # per-row pre-shift so |xs| < 2^17 (exact integer ops)
+    amax = xp.max(xp.abs(samples), axis=-1, keepdims=True)
+    pre = xp.maximum(int_bit_length(xp, amax) - 17, 0)     # [..., 1]
+    xs = samples >> pre
+    windowed = xs.astype(xp.float64) * w                   # exact
+    # static integer budget: 2*m + ceil(log2 n) <= 47
+    nb = 1
+    while (1 << nb) < n:
+        nb += 1
+    m = min((47 - nb) // 2, 23)
+    shift2 = m - 17
+    wq = xp.floor(windowed * float(exact_exp2(np, shift2)) + 0.5)
     lags = []
     for lag in range(max_order + 1):
-        products = windowed[..., :n - lag] * windowed[..., lag:]
-        lags.append(pairwise_sum(xp, products))
-    return xp.stack(lags, axis=-1)
+        products = wq[..., :n - lag] * wq[..., lag:]
+        lags.append(xp.sum(products, axis=-1))
+    ac = xp.stack(lags, axis=-1)
+    # restore scale: ac_true = ac * 2^(2*(pre - shift2))
+    scale = exact_exp2(xp, 2 * (pre.astype(xp.int64) - shift2))
+    return ac * scale
 
 
 def lpc_residuals_i32(xp, samples, qlp, shifts):
@@ -190,9 +260,10 @@ def lpc_residuals_f64(xp, samples, qlp, shifts, clip_bits):
     SMALL residual, which under-sizes Rice parameters and explodes the
     emitters' unary coding): every product q * x is of integers below
     2^14 and 2^26, so the f64 product (< 2^40) is exact, the <= 32
-    term sum stays far below 2^53 (exact in any order, immune to FMA
-    contraction by exactness), and the arithmetic shift is an exact
-    power-of-two scale + floor.
+    term sum stays below 2^45 — exact in any order even under TPU
+    float-float f64 (representable bound ~2^47), immune to FMA
+    contraction by exactness — and the arithmetic shift is an exact
+    power-of-two scale (exact_exp2) + floor.
 
     Residuals beyond +-2^clip_bits (only reachable through degenerate
     predictor trials, never by a sane candidate) clip to the bound:
@@ -210,7 +281,7 @@ def lpc_residuals_f64(xp, samples, qlp, shifts, clip_bits):
     for j in range(K):
         q = qlp[:, :, j].astype(xp.float64)[:, :, None]
         acc = acc + q * x_pad[:, None, K - 1 - j:K - 1 - j + n]
-    scale = xp.exp2(-shifts.astype(xp.float64))[:, :, None]
+    scale = exact_exp2(xp, -shifts)[:, :, None]
     pred = xp.floor(acc * scale)
     res = samples[:, None, :].astype(xp.float64) - pred
     bound = float(1 << clip_bits)
@@ -271,15 +342,20 @@ def levinson(xp, autocorr, max_order):
     first = xp.zeros(batch + (max_order,), dtype=xp.float64)
     first = _set_col(xp, first, 0, k0)
     coeff_rows[0] = first
-    errors = [f32round(xp, autocorr[..., 0] * (1 - k0 * k0))]
+    # every mul/add is a SINGLE op on f32-valued operands followed by
+    # an immediate f32 re-round: such ops round identically under IEEE
+    # f64 and the TPU's float-float emulation (exact two-product/
+    # two-sum, then one rounding); multi-op chains would not
+    kk0 = f32round(xp, k0 * k0)
+    errors = [f32round(xp, autocorr[..., 0] * f32round(xp, 1 - kk0))]
 
     for i in range(1, max_order):
         prev = coeff_rows[i - 1]
-        # acc = sum_j prev[j] * autocorr[i - j]; every product is
-        # exact (f32-valued operands), adds are plain f64
+        # acc = sum_j prev[j] * autocorr[i - j]
         acc = xp.zeros(batch, dtype=xp.float64)
         for j in range(i):
-            acc = acc + prev[..., j] * autocorr[..., i - j]
+            p = f32round(xp, prev[..., j] * autocorr[..., i - j])
+            acc = f32round(xp, acc + p)
         err_prev = errors[i - 1]
         safe_err = xp.where(err_prev == 0.0, 1.0, err_prev)
         ki = f32round(xp, (autocorr[..., i + 1] - acc) / safe_err)
@@ -288,12 +364,13 @@ def levinson(xp, autocorr, max_order):
         # new row: prev[j] - ki * prev[i-1-j] for j < i, then ki
         row = xp.zeros(batch + (max_order,), dtype=xp.float64)
         for j in range(i):
+            t = f32round(xp, ki * prev[..., i - 1 - j])
             row = _set_col(xp, row, j,
-                           f32round(xp, prev[..., j] -
-                                    ki * prev[..., i - 1 - j]))
+                           f32round(xp, prev[..., j] - t))
         row = _set_col(xp, row, i, ki)
         coeff_rows.append(row)
-        errors.append(f32round(xp, err_prev * (1 - ki * ki)))
+        kk = f32round(xp, ki * ki)
+        errors.append(f32round(xp, err_prev * f32round(xp, 1 - kk)))
 
     return (xp.stack(coeff_rows, axis=-2), xp.stack(errors, axis=-1))
 
@@ -313,14 +390,15 @@ def ilog2_trunc(xp, values):
 
     deterministic across backends: an approximate log2 seeds an exact
     floor which is then corrected with exact power-of-two comparisons
-    (exp2 of integral args and f64 compares are exact everywhere; no
-    frexp/bitcast, which XLA's TPU x64 rewriter cannot lower)"""
+    (powers of two from exact_exp2 — the transcendental exp2 is NOT
+    exact for integral args under TPU float-float f64)"""
     approx = xp.floor(xp.log2(values))
     # correct the floor estimate by at most one step each way
-    approx = xp.where(xp.exp2(approx + 1.0) <= values, approx + 1.0,
-                      approx)
-    approx = xp.where(xp.exp2(approx) > values, approx - 1.0, approx)
-    exact_power = xp.exp2(approx) == values
+    approx = xp.where(
+        exact_exp2(xp, approx + 1.0) <= values, approx + 1.0, approx)
+    approx = xp.where(
+        exact_exp2(xp, approx) > values, approx - 1.0, approx)
+    exact_power = exact_exp2(xp, approx) == values
     # truncation toward zero: for v >= 1 trunc == floor; for v < 1
     # (log2 < 0) trunc == floor + 1 unless v is an exact power of two
     trunc = xp.where((values >= 1.0) | exact_power, approx, approx + 1.0)
@@ -354,10 +432,9 @@ def quantize_all_orders(xp, coeffs, precision):
     # effective multiplier: 2^shift for shift >= 0, else 1/2^-shift
     # with the emitted shift clamped to 0
     shift_nonneg = xp.maximum(raw_shift, 0)
-    scale = xp.where(
-        raw_shift >= 0,
-        xp.exp2(raw_shift.astype(xp.float64)),
-        1.0 / xp.exp2((-raw_shift).astype(xp.float64)))
+    # exact_exp2 covers negatives directly (2^-k is exact), so no
+    # reciprocal needed
+    scale = exact_exp2(xp, raw_shift)
 
     qlp_max = (1 << (precision - 1)) - 1
     qlp_min = -(1 << (precision - 1))
@@ -366,10 +443,12 @@ def quantize_all_orders(xp, coeffs, precision):
     cols = []
     for j in range(K):
         # scale is an exact power of two, so the product is exact
-        # (contraction-immune)
+        # (contraction-immune); the candidate re-rounds to f32 so the
+        # integer rounding below sees an identical f32-valued input
+        # under IEEE f64 and float-float alike
         contribution = coeffs[..., j] * scale                # [..., K]
         active = valid[:, j]                                 # [K]
-        error_candidate = error + contribution
+        error_candidate = f32round(xp, error + contribution)
         q = xp.clip(xp.round(error_candidate), qlp_min, qlp_max)
         new_error = error_candidate - q
         q = xp.where(active, q, 0.0)
@@ -404,12 +483,16 @@ def estimate_best_lpc_order(xp, errors, block_size, bits_per_sample,
         order = i + 1
         err = errors[..., i]
         header_bits = order * (bps + qlp_precision)
-        # log output rounds to f32 precision: collapses sub-ulp
-        # libm/XLA differences, and makes the bits*(n-order) product
-        # exact (26-bit value * 16-bit integer), contraction-immune
-        log_err = xp.log(xp.where(err > 0.0, err * error_scale, 1.0))
+        # log output rounds to f32 precision immediately: collapses
+        # sub-ulp libm/XLA/float-float differences; the constant
+        # divide becomes a multiply by an f32-rounded reciprocal so
+        # the product is exact (two f32-valued operands) — float-float
+        # division is approximate and would reintroduce divergence
+        log_err = f32round(xp, xp.log(
+            xp.where(err > 0.0, err * error_scale, 1.0)))
+        inv_2log2 = float(np.float32(1.0 / (np.log(2) * 2)))
         bits_per_residual = f32round(
-            xp, xp.maximum(log_err / (np.log(2) * 2), 0.0))
+            xp, xp.maximum(log_err * inv_2log2, 0.0))
         estimated = header_bits + bits_per_residual * (block_size -
                                                        order)
 

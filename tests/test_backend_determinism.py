@@ -1,0 +1,77 @@
+"""Cross-backend byte-determinism of the analysis kernels.
+
+The encode analysis spec (ops/lpc.py, ops/flac_frames.py,
+ops/alac_frames.py) promises bit-identical decisions from numpy, CPU
+XLA, and TPU XLA — including TPUs' float-float f64 emulation, whose
+non-IEEE rounding (inexact ``exp2`` of integral args, ~49-bit add
+chains, approximate division) historically diverged from numpy at the
+±1-bit level in subframe size totals and flipped argmin decisions
+(regression: long noisy streams encoded to different — still lossless
+— bytes per backend).
+
+These tests drive the full fast encoders on both backends over inputs
+long and noisy enough to hit rounding boundaries (the tiny smoke
+inputs in test_qpack.py never did) and require byte equality.
+Mirrors the reference's C-vs-Python codec equivalence strategy
+(/root/reference/test/test_formats.py:4075-4130) one level down: fast
+backend vs fast backend.
+"""
+
+import io
+
+import numpy as np
+import pytest
+
+from audiotools_tpu import pcm
+from audiotools_tpu.codecs.flac_enc_fast import encode_flac_fast
+from audiotools_tpu.codecs.alac_fast import encode_mdat_fast
+from audiotools_tpu.pcmstream import PCMReader
+
+
+def noisy_reader(bps=16, seconds=12, seed=7):
+    rng = np.random.default_rng(seed)
+    n = 44100 * seconds
+    t = np.arange(n)
+    amp = 1 << (bps - 3)
+    sig = (amp * np.sin(2 * np.pi * 440 * t / 44100) +
+           rng.integers(-amp // 8, amp // 8, n)).astype(np.int64)
+    arr = np.stack([sig, np.roll(sig, 311)], 1).astype(np.int32)
+    fl = pcm.FrameList._wrap(arr, bps)
+    return PCMReader(io.BytesIO(fl.to_bytes(False, True)),
+                     44100, 2, 3, bps)
+
+
+def encode_both(make_reader, **opts):
+    outs = {}
+    for backend in ("numpy", "jax"):
+        buf = io.BytesIO()
+        encode_flac_fast(buf, make_reader(), backend=backend, **opts)
+        outs[backend] = buf.getvalue()
+    return outs
+
+
+@pytest.mark.parametrize("exhaustive", [False, True])
+def test_flac8_long_noisy_byte_identity(exhaustive):
+    outs = encode_both(
+        noisy_reader,
+        max_lpc_order=12, max_residual_partition_order=6,
+        mid_side=True, exhaustive_model_search=exhaustive)
+    assert outs["numpy"] == outs["jax"]
+
+
+def test_flac_24bit_byte_identity():
+    outs = encode_both(
+        lambda: noisy_reader(bps=24, seconds=6),
+        max_lpc_order=12, max_residual_partition_order=6,
+        mid_side=True, exhaustive_model_search=True)
+    assert outs["numpy"] == outs["jax"]
+
+
+def test_alac_long_noisy_byte_identity():
+    outs = {}
+    for backend in ("numpy", "jax"):
+        buf = io.BytesIO()
+        encode_mdat_fast(buf, noisy_reader(seconds=6),
+                         backend=backend)
+        outs[backend] = buf.getvalue()
+    assert outs["numpy"] == outs["jax"]
