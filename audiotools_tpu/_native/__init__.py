@@ -135,6 +135,7 @@ def _build_and_load():
         ctypes.c_int64,                   # ch
         ctypes.c_int32,                   # bps
         ctypes.c_int32,                   # guard
+        ctypes.c_int32,                   # cap_margin
         ctypes.c_int32,                   # stereo_trial
         ctypes.POINTER(ctypes.c_int32),   # t_out [B, ch]
         ctypes.POINTER(ctypes.c_int32),   # x0_out [B, ch]
@@ -462,14 +463,20 @@ def flac_emit_frames2(blocks, frame_numbers, block_sizes, packed,
     return (out[:total].tobytes(), lens)
 
 
-def flac_qpack(blocks, bps, guard, stereo_trial):
+def flac_qpack(blocks, bps, guard, stereo_trial, cap_margin=None):
     """plans + bit-packs the quantized-analysis upload (ops/qpack.py
     wire format) in one native pass
 
     blocks: int32 [B, n, ch] exact samples
+    cap_margin: minimum significant bits analysis keeps (t <= bps -
+    cap_margin); defaults to ops/qpack.py cap_margin()
     returns (packed uint32 [B, ch, W], k, t int32 [B, ch],
     x0 int32 [B, ch], or_vals int32 [B, V], const_flags bool [B, V])"""
     import numpy as np
+
+    if cap_margin is None:
+        from ..ops import qpack as _qpack
+        cap_margin = _qpack.cap_margin()
 
     lib = get_lib()
     blocks = np.ascontiguousarray(blocks, dtype=np.int32)
@@ -481,7 +488,8 @@ def flac_qpack(blocks, bps, guard, stereo_trial):
     const_flags = np.empty((B, V), dtype=np.uint8)
     k = lib.atpu_flac_qplan(
         _as_ptr(blocks, ctypes.c_int32), B, n, ch,
-        int(bps), int(guard), 1 if (stereo_trial and ch == 2) else 0,
+        int(bps), int(guard), int(cap_margin),
+        1 if (stereo_trial and ch == 2) else 0,
         _as_ptr(t, ctypes.c_int32), _as_ptr(x0, ctypes.c_int32),
         _as_ptr(or_vals, ctypes.c_int32),
         _as_ptr(const_flags, ctypes.c_uint8))

@@ -889,12 +889,13 @@ static inline int bit_length_u64(uint64_t v) {
 int32_t atpu_flac_qplan(const int32_t* blocks,   // [B, n, ch]
                         int64_t B, int64_t n, int64_t ch,
                         int32_t bps, int32_t guard,
+                        int32_t cap_margin,      // t <= bps - margin
                         int32_t stereo_trial,
                         int32_t* t_out,          // [B, ch]
                         int32_t* x0_out,         // [B, ch]
                         int32_t* or_out,         // [B, V]
                         uint8_t* const_out) {    // [B, V]
-    const int cap = (bps > 8) ? (bps - 8) : 0;
+    const int cap = (bps > cap_margin) ? (bps - cap_margin) : 0;
     const int64_t V = (stereo_trial && ch == 2) ? 4 : ch;
     uint64_t max_u = 0;
 

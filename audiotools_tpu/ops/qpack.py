@@ -46,7 +46,7 @@ import os
 
 import numpy as np
 
-_DEFAULT_GUARD = 2
+_DEFAULT_GUARD = 0
 
 
 def enabled():
@@ -60,7 +60,20 @@ def guard_bits():
     return int(os.environ.get("ATPU_QPACK_GUARD", str(_DEFAULT_GUARD)))
 
 
-def plan_t(blocks, bps, guard=None):
+_DEFAULT_CAP_MARGIN = 6
+
+
+def cap_margin():
+    """minimum significant bits the analysis always keeps: the
+    quantization shift t is capped at bps - cap_margin.  Smaller
+    margins send fewer wire bits but analyze coarser samples; the
+    guard term already bounds decision perturbation, so the cap only
+    matters for material whose residual scale approaches full scale"""
+    return int(os.environ.get("ATPU_QPACK_CAP",
+                              str(_DEFAULT_CAP_MARGIN)))
+
+
+def plan_t(blocks, bps, guard=None, margin=None):
     """chooses the per-(block, channel) quantization shift t
 
     blocks: int32 [B, n, ch] exact samples
@@ -69,7 +82,8 @@ def plan_t(blocks, bps, guard=None):
     spec (pure integer, any-backend deterministic):
       sum2 = sum_{i=2..n-1} |x[i] - 2*x[i-1] + x[i-2]|   (exact int64)
       m    = sum2 // (n - 2)                  (0 when n <= 2)
-      t    = clamp(bit_length(m) - 1 - guard, 0, max(bps - 8, 0))
+      t    = clamp(bit_length(m) - 1 - guard, 0,
+                   max(bps - cap_margin(), 0))
 
     The mean |second difference| tracks the coding-residual scale
     (it is the order-2 fixed predictor's mean error); keeping the
@@ -77,6 +91,8 @@ def plan_t(blocks, bps, guard=None):
     blocks have sum2 == 0 and stay exact (t = 0)."""
     if guard is None:
         guard = guard_bits()
+    if margin is None:
+        margin = cap_margin()
     blocks = np.asarray(blocks)
     (B, n, ch) = blocks.shape
     if n <= 2:
@@ -93,7 +109,7 @@ def plan_t(blocks, bps, guard=None):
             break
         bl += live
         mm >>= 1
-    cap = max(int(bps) - 8, 0)
+    cap = max(int(bps) - int(margin), 0)
     return np.clip(bl - 1 - guard, 0, cap).astype(np.int32)
 
 

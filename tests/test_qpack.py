@@ -102,8 +102,12 @@ def test_quiet_signals_stay_exact():
     x = _signal(3, 4096, 2, 16, 0.5, seed=9)
     t = qpack.plan_t(x, 16)
     assert int(t.max()) == 0
+    # analysis always keeps >= cap_margin significant bits
     x8 = _signal(3, 4096, 1, 8, 40.0)
-    assert int(qpack.plan_t(x8, 8).max()) == 0   # bps-8 cap
+    assert int(qpack.plan_t(x8, 8).max()) <= max(
+        8 - qpack.cap_margin(), 0)
+    # the legacy conservative margin pins loud 8-bit audio at t == 0
+    assert int(qpack.plan_t(x8, 8, margin=8).max()) == 0
 
 
 def test_encode_roundtrip_with_qpack():
