@@ -141,6 +141,7 @@ def _build_and_load():
         ctypes.POINTER(ctypes.c_int32),   # x0_out [B, ch]
         ctypes.POINTER(ctypes.c_int32),   # or_out [B, V]
         ctypes.POINTER(ctypes.c_uint8),   # const_out [B, V]
+        ctypes.POINTER(ctypes.c_uint8),   # md5_state (nullable)
     ]
 
     lib.atpu_flac_qpack_bits.restype = None
@@ -463,13 +464,16 @@ def flac_emit_frames2(blocks, frame_numbers, block_sizes, packed,
     return (out[:total].tobytes(), lens)
 
 
-def flac_qpack(blocks, bps, guard, stereo_trial, cap_margin=None):
+def flac_qpack(blocks, bps, guard, stereo_trial, cap_margin=None,
+               md5=None):
     """plans + bit-packs the quantized-analysis upload (ops/qpack.py
     wire format) in one native pass
 
     blocks: int32 [B, n, ch] exact samples
     cap_margin: minimum significant bits analysis keeps (t <= bps -
     cap_margin); defaults to ops/qpack.py cap_margin()
+    md5: optional MD5 instance — the stream hash of these samples is
+    folded into the plan scan while each block is cache-hot
     returns (packed uint32 [B, ch, W], k, t int32 [B, ch],
     x0 int32 [B, ch], or_vals int32 [B, V], const_flags bool [B, V])"""
     import numpy as np
@@ -492,7 +496,9 @@ def flac_qpack(blocks, bps, guard, stereo_trial, cap_margin=None):
         1 if (stereo_trial and ch == 2) else 0,
         _as_ptr(t, ctypes.c_int32), _as_ptr(x0, ctypes.c_int32),
         _as_ptr(or_vals, ctypes.c_int32),
-        _as_ptr(const_flags, ctypes.c_uint8))
+        _as_ptr(const_flags, ctypes.c_uint8),
+        (_as_ptr(md5._state, ctypes.c_uint8)
+         if md5 is not None else None))
     W = ((n - 1) * k + 31) // 32 + 1 if n > 1 else 1
     packed = np.zeros((B, ch, W), dtype=np.uint32)
     if n > 1:
@@ -599,8 +605,15 @@ def flac_decode(data, stream_bps, stream_channels, max_samples,
 
 
 def pack_pcm(samples, bits_per_sample, big_endian, is_signed):
-    """int32 [frames, channels] -> packed bytes (native)"""
+    """int32 [frames, channels] -> packed bytes (native)
+
+    16-bit signed (the dominant layout) goes through numpy's SIMD
+    converter; the scalar C loop remains the generic fallback"""
     import numpy as np
+    if bits_per_sample == 16 and is_signed:
+        dt = ">i2" if big_endian else "<i2"
+        return np.ascontiguousarray(
+            samples, dtype=np.int32).astype(dt).tobytes()
     lib = get_lib()
     samples = np.ascontiguousarray(samples, dtype=np.int32)
     n = samples.size
@@ -614,8 +627,19 @@ def pack_pcm(samples, bits_per_sample, big_endian, is_signed):
 
 
 def unpack_pcm(data, bits_per_sample, big_endian, is_signed):
-    """packed bytes -> int32 samples (native)"""
+    """packed bytes -> int32 samples (native)
+
+    the dominant layouts go through numpy's SIMD converters (~10x the
+    scalar C byte loop, which remains the generic fallback)"""
     import numpy as np
+    if bits_per_sample == 16 and is_signed:
+        dt = ">i2" if big_endian else "<i2"
+        usable = len(data) - (len(data) % 2)
+        return np.frombuffer(data[:usable], dtype=dt).astype(np.int32)
+    if bits_per_sample == 8:
+        if is_signed:
+            return np.frombuffer(data, dtype=np.int8).astype(np.int32)
+        return np.frombuffer(data, dtype=np.uint8).astype(np.int32) - 128
     lib = get_lib()
     buf = np.frombuffer(data, dtype=np.uint8)
     n = len(buf) // (bits_per_sample // 8)

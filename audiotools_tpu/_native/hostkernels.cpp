@@ -107,7 +107,7 @@ struct BitWriter {
             acc &= (bits ? ((1ULL << bits) - 1) : 0);
             return;
         }
-        if (bits >= 32) {
+        while (bits >= 32) {
             bits -= 32;
             uint32_t v = __builtin_bswap32((uint32_t)(acc >> bits));
             __builtin_memcpy(out + pos, &v, 4);
@@ -121,9 +121,13 @@ struct BitWriter {
     }
 
     // writes a token: nbits total, low bits of val are the payload,
-    // leading bits are zero (val's significant bits <= 57 guaranteed)
+    // leading bits are zero (val's significant bits <= 57 guaranteed).
+    // Flushing is LAZY: the accumulator drains only when the next
+    // token would overflow 64 bits, so the typical token is just
+    // shift+or (the emitters' hottest path — per-sample Rice codes)
     inline void put(uint64_t val, int64_t nbits) {
         if (overflow) return;
+        if (bits + nbits > 64) flush_bytes();   // leaves bits < 8
         // emit implicit leading zeros beyond 57 payload bits
         while (nbits > 57) {
             if (overflow) return;
@@ -136,10 +140,10 @@ struct BitWriter {
         }
         acc = (acc << nbits) | val;
         bits += (int)nbits;
-        flush_bytes();
     }
 
     inline void byte_align() {
+        flush_bytes();          // drain lazy accumulator (bits < 8)
         if (bits) {
             acc <<= (8 - bits);
             bits = 8;
@@ -254,6 +258,7 @@ int64_t atpu_pack_frames(const int64_t* vals,
 
         for (int64_t t = 0; t < n_header; t++, token_idx++)
             w.put((uint64_t)vals[token_idx], nbits[token_idx]);
+        w.flush_bytes();             // drain lazy accumulator
         if (w.bits != 0) return -1;  // header must be byte-aligned
         out_pos = w.pos;
         out[out_pos] = crc8_buf(out + frame_start,
@@ -484,6 +489,7 @@ int64_t atpu_flac_emit_frames(const int64_t* frame_numbers,
         else if (sr_code == 13) w.put(sample_rate, 16);
         else if (sr_code == 14) w.put(sample_rate % 10, 16);
 
+        w.flush_bytes();              // drain lazy accumulator
         if (w.bits != 0) return -20;  // header must be byte-aligned
         int64_t pos = w.pos;
         out[pos] = crc8_buf(out + frame_start, pos - frame_start, 0);
@@ -741,6 +747,7 @@ int64_t atpu_flac_emit_frames2(const int32_t* blocks,    // [F,max_block,ch]
         else if (sr_code == 13) w.put(sample_rate, 16);
         else if (sr_code == 14) w.put(sample_rate % 10, 16);
 
+        w.flush_bytes();              // drain lazy accumulator
         if (w.bits != 0) return -20;  // header must be byte-aligned
         int64_t pos = w.pos;
         out[pos] = crc8_buf(out + frame_start, pos - frame_start, 0);
@@ -886,6 +893,12 @@ static inline int bit_length_u64(uint64_t v) {
     return v ? (64 - __builtin_clzll(v)) : 0;
 }
 
+extern "C" void atpu_md5_update_pcm(uint8_t* state,
+                                    const int32_t* samples,
+                                    int64_t n,
+                                    int32_t bytes_per_sample,
+                                    int32_t is_signed);
+
 int32_t atpu_flac_qplan(const int32_t* blocks,   // [B, n, ch]
                         int64_t B, int64_t n, int64_t ch,
                         int32_t bps, int32_t guard,
@@ -894,7 +907,11 @@ int32_t atpu_flac_qplan(const int32_t* blocks,   // [B, n, ch]
                         int32_t* t_out,          // [B, ch]
                         int32_t* x0_out,         // [B, ch]
                         int32_t* or_out,         // [B, V]
-                        uint8_t* const_out) {    // [B, V]
+                        uint8_t* const_out,      // [B, V]
+                        uint8_t* md5_state) {    // optional (may be null)
+    // md5_state: when non-null, the stream MD5 (packed little-endian
+    // signed PCM at bps) is folded into this scan while each block is
+    // cache-hot, replacing a separate full pass over the batch
     const int cap = (bps > cap_margin) ? (bps - cap_margin) : 0;
     const int64_t V = (stereo_trial && ch == 2) ? 4 : ch;
     uint64_t max_u = 0;
@@ -936,6 +953,9 @@ int32_t atpu_flac_qplan(const int32_t* blocks,   // [B, n, ch]
                 const_out[b * V + c] = cst;
             }
         }
+
+        if (md5_state != nullptr)
+            atpu_md5_update_pcm(md5_state, blk, n * ch, bps / 8, 1);
 
         // t from mean |second difference|; then the diff width pass
         for (int64_t c = 0; c < ch; c++) {

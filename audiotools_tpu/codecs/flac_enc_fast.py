@@ -320,11 +320,14 @@ def encode_flac_fast(file_or_path,
         return arrays
 
     def submit(blocks):
-        """launches analysis of [B, n, ch] int32 blocks"""
+        """launches analysis of [B, n, ch] int32 blocks; the stream
+        MD5 of these samples is folded into the qpack scan (one
+        cache-hot pass instead of a separate one)"""
         if backend == "jax":
             if use_qpack:
                 (qwords, k, t, x0, orv, cflags) = _native.flac_qpack(
-                    blocks, bps, qguard, stereo_trial)
+                    blocks, bps, qguard, stereo_trial,
+                    md5=stream_md5)
                 meta = np.concatenate(
                     [t, x0, orv, cflags.astype(np.int32)],
                     axis=1).astype(np.int32)
@@ -346,7 +349,8 @@ def encode_flac_fast(file_or_path,
                 # same spec, no wire format: analysis sees
                 # (x >> t) << t plus the exact sideband
                 (_qw, _k, t, _x0, orv, cflags) = _native.flac_qpack(
-                    blocks, bps, qguard, stereo_trial)
+                    blocks, bps, qguard, stereo_trial,
+                    md5=stream_md5)
                 analysis_blocks = qpack.quantize(np, blocks, t)
                 return flac_frames.analyze_frames_packed(
                     np, analysis_blocks, stereo_trial, bps, block_size,
@@ -447,7 +451,9 @@ def encode_flac_fast(file_or_path,
             if n_full:
                 blocks = np.ascontiguousarray(
                     full.reshape(n_full, block_size, channels))
-                # submit before any host work so the device runs ahead
+                # submit before any host work so the device runs
+                # ahead; submit's qpack scan also folds these samples
+                # into the stream MD5
                 handle = submit(blocks)
                 if backend == "jax":
                     # queue the device->host copy behind the compute
@@ -460,7 +466,10 @@ def encode_flac_fast(file_or_path,
                 writer_queue.put(
                     ("batch", handle, blocks, submitted_frames))
                 submitted_frames += n_full
-            stream_md5.update_pcm(samples, bps)
+                if not use_qpack:
+                    stream_md5.update_pcm(full, bps)
+            if tail.shape[0] or not n_full:
+                stream_md5.update_pcm(tail, bps)
 
             if tail.shape[0]:
                 # final short block: scalar oracle path (shared

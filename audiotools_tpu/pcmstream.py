@@ -367,11 +367,20 @@ class BufferedPCMReader:
         self.read = self.read_closed
 
     def read(self, pcm_frames):
-        """reads exactly pcm_frames (fewer only at EOF), never more"""
+        """reads exactly pcm_frames (fewer only at EOF), never more
+
+        asks the wrapped reader for everything still missing in one
+        call (readers may return less, so still loops): large batch
+        reads come back as a single FrameList with no concatenation
+        copies (the += fallback is O(n^2) over chunks)"""
         while self.buffer.frames < pcm_frames:
-            frame = self.pcmreader.read(FRAMELIST_SIZE)
+            frame = self.pcmreader.read(
+                max(pcm_frames - self.buffer.frames, FRAMELIST_SIZE))
             if len(frame):
-                self.buffer += frame
+                if self.buffer.frames:
+                    self.buffer += frame
+                else:
+                    self.buffer = frame
             else:
                 break
         (output, self.buffer) = self.buffer.split(pcm_frames)
