@@ -485,10 +485,14 @@ class PCMReaderWindow:
     """a PCMReader wrapper with a frame offset and total frame count
 
     negative initial_offset pads the start with silence;
-    pcm_frames pads or truncates the end (reference __init__.py:4842)
+    pcm_frames pads or truncates the end (reference __init__.py:4842).
+    pad_end=False streams until true EOF instead of zero-filling the
+    window (PCMReaderDeHead semantics, reference __init__.py:4916 —
+    its window is unbounded, so padding would never terminate)
     """
 
-    def __init__(self, pcmreader, initial_offset, pcm_frames):
+    def __init__(self, pcmreader, initial_offset, pcm_frames,
+                 pad_end=True):
         self.pcmreader = pcmreader
         self.sample_rate = pcmreader.sample_rate
         self.channels = pcmreader.channels
@@ -496,6 +500,7 @@ class PCMReaderWindow:
         self.bits_per_sample = pcmreader.bits_per_sample
         self.initial_offset = initial_offset
         self.pcm_frames_remaining = pcm_frames
+        self.pad_end = pad_end
 
     def read(self, pcm_frames):
         if self.pcm_frames_remaining <= 0:
@@ -505,6 +510,9 @@ class PCMReaderWindow:
             frame = self.pcmreader.read(pcm_frames)
             if frame.frames <= self.pcm_frames_remaining:
                 if frame.frames == 0:
+                    if not self.pad_end:
+                        self.pcm_frames_remaining = 0
+                        return frame
                     # EOF before window exhausted: pad with silence
                     frame = pcm.FrameList._wrap(
                         np.zeros((min(pcm_frames,
@@ -523,6 +531,9 @@ class PCMReaderWindow:
                 frame = self.pcmreader.read(
                     min(self.initial_offset, FRAMELIST_SIZE))
                 if frame.frames == 0:
+                    # EOF while skipping: the source is exhausted, so
+                    # the remaining window is padding (or nothing)
+                    self.initial_offset = 0
                     break
                 if frame.frames <= self.initial_offset:
                     self.initial_offset -= frame.frames
@@ -568,7 +579,7 @@ class PCMReaderDeHead(PCMReaderWindow):
 
     def __init__(self, pcmreader, pcm_frames):
         PCMReaderWindow.__init__(self, pcmreader, pcm_frames,
-                                 (1 << 62))
+                                 (1 << 62), pad_end=False)
 
 
 def transfer_data(from_function, to_function):
