@@ -209,8 +209,8 @@ def windowed_autocorr(xp, samples, window, max_order):
     return ac * scale
 
 
-def lpc_residuals_i32(xp, samples, qlp, shifts):
-    """batched integer LPC residuals for every order row, int32-exact
+def lpc_residuals_i32(xp, samples, qlp, shifts, clip_bits):
+    """batched integer LPC residuals for every order row, exact
 
     samples: int32 [S, n] (post-wasted-shift)
     qlp:     int32 [S, K, K] quantized coefficients (row o-1 = order o)
@@ -219,14 +219,15 @@ def lpc_residuals_i32(xp, samples, qlp, shifts):
 
     The prediction accumulator can exceed int32 (|q|<2^13, |x|<2^25),
     so samples split into hi/lo halves (x = hi*2^11 + lo, 0 <= lo <
-    2^11) and accumulate separately in int32; the shifted prediction
-    recombines exactly via arithmetic-shift identities:
-      s >= 11: floor(C/2^s) = (A + (B>>11)) >> (s-11)
-      s <  11: floor(C/2^s) = (A << (11-s)) + (B >> s)
-    (C = A*2^11 + B).  Exact whenever intermediates fit int32 (all
-    non-pathological audio); wraps deterministically otherwise — and
-    the emitters re-derive written residuals in int64 regardless, so
-    streams stay lossless."""
+    2^11) and accumulate separately in int32 — the O(K^2 n) hot loop
+    stays native int32 on TPU (no float-float emulation).  The single
+    per-element recombination floor(C / 2^s) with C = A*2^11 + B runs
+    in f64: A*2^11 <= 2^(hi_bits+11) and |C| < 2^46 stay exactly
+    representable even under float-float f64 (< 2^47), the
+    exact_exp2 scale is exact, and floor is exact — so the result
+    equals the true integer residual on every backend.  The caller
+    guarantees the int32 ACCUMULATION cannot wrap (hi_bits <= 30,
+    see lpc_residuals)."""
     S = samples.shape[0]
     n = samples.shape[1]
     K = qlp.shape[1]
@@ -241,14 +242,20 @@ def lpc_residuals_i32(xp, samples, qlp, shifts):
         q = qlp[:, :, j][:, :, None]
         A = A + q * hi_pad[:, None, K - 1 - j:K - 1 - j + n]
         Bv = Bv + q * lo_pad[:, None, K - 1 - j:K - 1 - j + n]
-    s = shifts[:, :, None]
-    pred_hi = (A + (Bv >> 11)) >> xp.clip(s - 11, 0, 31)
-    pred_lo = (A << xp.clip(11 - s, 0, 31)) + (Bv >> xp.minimum(s, 11))
-    pred = xp.where(s >= 11, pred_hi, pred_lo)
-    res = samples[:, None, :] - pred
+    scale = exact_exp2(xp, -shifts)[:, :, None]
+    C = A.astype(xp.float64) * 2048.0 + Bv.astype(xp.float64)
+    pred = xp.floor(C * scale)
+    res = samples[:, None, :].astype(xp.float64) - pred
+    # degenerate candidates (tiny shift, huge coeffs) can exceed the
+    # downstream |residual| bound; clip instead of casting
+    # out-of-range (float->int32 overflow is not
+    # backend-deterministic), keeping such trials maximal-but-bounded
+    # so they lose every argmin (same semantics as lpc_residuals_f64)
+    bound = float(1 << clip_bits)
+    res = xp.clip(res, -bound, bound)
     pos = xp.arange(n, dtype=xp.int32)[None, None, :]
     order_arr = xp.arange(1, K + 1, dtype=xp.int32)[None, :, None]
-    return xp.where(pos < order_arr, 0, res).astype(xp.int32)
+    return xp.where(pos < order_arr, 0.0, res).astype(xp.int32)
 
 
 def lpc_residuals_f64(xp, samples, qlp, shifts, clip_bits):
@@ -297,18 +304,20 @@ def lpc_residuals(xp, samples, qlp, shifts, value_bits, precision,
 
     value_bits: static bound on bits of |samples| (bps + 1 for side
     channels, post-wasted-shift upper bound).  The int32 scheme is
-    used only when NO input can wrap it:
-    K * 2^(precision-1) * 2^(max(value_bits-11,0)) << 11 (the worst
-    ``A << (11-s)`` recombination) must stay below 2^31; otherwise the
-    f64 path computes the true value exactly (products fit 2^53 for
+    used only when its ACCUMULATORS cannot wrap:
+    A = sum q*xhi bounded by K * 2^(precision-1) *
+    2^(max(value_bits-11,0)) must stay below 2^31 (the recombination
+    itself runs in exact f64, so no extra << 11 headroom is needed —
+    16-bit stereo at precision 14 qualifies and keeps the O(K^2 n)
+    hot loop in native TPU int32).  Otherwise the f64 path computes
+    the true value exactly (products fit 2^53 / float-float 2^47 for
     all audio), clipped to +-2^clip_bits (see lpc_residuals_f64)."""
     K = qlp.shape[1]
     import math
     hi_bits = (math.ceil(math.log2(max(K, 1))) + (precision - 1) +
                max(value_bits - 11, 0))
-    # the recombination shifts A by up to 11 more bits
-    if hi_bits + 11 < 31:
-        return lpc_residuals_i32(xp, samples, qlp, shifts)
+    if hi_bits < 31:
+        return lpc_residuals_i32(xp, samples, qlp, shifts, clip_bits)
     return lpc_residuals_f64(xp, samples, qlp, shifts, clip_bits)
 
 
