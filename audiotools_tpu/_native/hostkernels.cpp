@@ -123,11 +123,24 @@ struct BitWriter {
     // writes a token: nbits total, low bits of val are the payload,
     // leading bits are zero (val's significant bits <= 57 guaranteed).
     // Flushing is LAZY: the accumulator drains only when the next
-    // token would overflow 64 bits, so the typical token is just
-    // shift+or (the emitters' hottest path — per-sample Rice codes)
+    // token would overflow 64 bits, so the typical token is a single
+    // predicted branch + shift + or (the emitters' hottest path —
+    // per-sample Rice codes)
     inline void put(uint64_t val, int64_t nbits) {
+        const int64_t nb = bits + nbits;
+        if (__builtin_expect(nb <= 64, 1)) {
+            if (__builtin_expect(overflow, 0)) return;
+            acc = (acc << nbits) | val;
+            bits = (int)nb;
+            return;
+        }
+        put_slow(val, nbits);
+    }
+
+    __attribute__((noinline))
+    void put_slow(uint64_t val, int64_t nbits) {
         if (overflow) return;
-        if (bits + nbits > 64) flush_bytes();   // leaves bits < 8
+        flush_bytes();                          // leaves bits < 8
         // emit implicit leading zeros beyond 57 payload bits
         while (nbits > 57) {
             if (overflow) return;
