@@ -119,12 +119,10 @@ def encode_mdat_fast(file, pcmreader,
 
     def submit(blocks, ns):
         upload = blocks
-        if (backend == "jax" and
-                blocks.shape[1] == block_size and
-                blocks.shape[0] < batch_frames):
-            # pad partial full-block batches to the steady-state
-            # shape: one compiled program per file instead of one
-            # per tail length (jit recompiles dominate otherwise)
+        if backend == "jax" and blocks.shape[0] < batch_frames:
+            # pad partial batches to the steady-state shape: one
+            # compiled program per (channels, bps) instead of one per
+            # file/tail length (jit recompiles dominate otherwise)
             pad = batch_frames - blocks.shape[0]
             upload = np.concatenate(
                 [blocks, np.zeros((pad,) + blocks.shape[1:],
@@ -171,7 +169,14 @@ def encode_mdat_fast(file, pcmreader,
             if pending is not None:
                 finish(pending)
                 pending = None
-            finish(submit(np.ascontiguousarray(tail[None]),
+            # zero-pad the tail to a full block for ANALYSIS (the
+            # emitter codes only the true ns samples; the oracle
+            # applies the same padded-analysis spec) so tails reuse
+            # the steady-state compiled shape
+            tail_blocks = np.zeros((1, block_size, channels),
+                                   dtype=np.int32)
+            tail_blocks[0, :tail.shape[0]] = tail
+            finish(submit(tail_blocks,
                           np.asarray([tail.shape[0]],
                                      dtype=np.int32)))
     if pending is not None:

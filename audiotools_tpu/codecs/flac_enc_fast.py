@@ -309,11 +309,21 @@ def encode_flac_fast(file_or_path,
     qguard = qpack.guard_bits()
 
     def _pad_rows(arrays):
-        """pads leading dims to a shardable batch; extra rows are
-        dropped after the fetch"""
+        """pads leading dims to the FULL batch size (shards evenly
+        too); extra rows are dropped after the fetch
+
+        fixed shapes matter more than the wasted rows: a final batch
+        of B < batch_frames blocks would otherwise compile a fresh
+        XLA program per distinct track length (45-400 s each on the
+        tunneled backend), so every file length that isn't an exact
+        batch multiple would pay a compile instead of analyzing a few
+        zero blocks"""
         B = arrays[0].shape[0]
-        if n_devices > 1 and B % n_devices:
-            pad = n_devices - (B % n_devices)
+        target = batch_frames if backend == "jax" else B
+        if n_devices > 1 and target % n_devices:
+            target += n_devices - (target % n_devices)
+        if target > B:
+            pad = target - B
             arrays = [np.concatenate(
                 [a, np.zeros((pad,) + a.shape[1:], dtype=a.dtype)])
                 for a in arrays]

@@ -204,9 +204,9 @@ def encode_compressed_frame(writer, pcmreader, options, channels):
                 channels[0], channels[1],
                 options.interlacing_shift, leftweight)
             (_q4, _q8, _deg, e4a,
-             e8a) = lpc_coefficient_candidates(c0)
+             e8a) = lpc_coefficient_candidates(c0, options.block_size)
             (_q4, _q8, _deg, e4b,
-             e8b) = lpc_coefficient_candidates(c1)
+             e8b) = lpc_coefficient_candidates(c1, options.block_size)
             score = min(e4a, e8a) + min(e4b, e8b)
             if best_score is None or score < best_score:
                 best_score = score
@@ -287,12 +287,21 @@ def correlate_channels(channel0, channel1, interlacing_shift,
         return (list(channel0), list(channel1))
 
 
-def lpc_coefficient_candidates(channel):
+def lpc_coefficient_candidates(channel, analysis_block_size=None):
     """returns (qlp4, qlp8, degenerate, est4, est8) for one channel
     via the shared batched analysis kernel (ops/alac_frames.py) — the
     fast C++ path consumes the same tables, so encodings are
-    byte-identical"""
+    byte-identical.
+
+    Short (tail) channels zero-pad to analysis_block_size for the
+    candidate ANALYSIS only: the fast path analyzes tails the same
+    way (one compiled device program per shape), and the shared spec
+    keeps oracle and fast outputs byte-identical."""
     from ..ops import alac_frames
+    if (analysis_block_size is not None and
+            len(channel) < analysis_block_size):
+        channel = (list(channel) +
+                   [0] * (analysis_block_size - len(channel)))
     window = tukey_window(len(channel), 0.5)
     X = np.asarray(channel, dtype=np.int32)[None, :]
     row = np.asarray(alac_frames.lpc_candidates(np, X, window))[0]
@@ -310,9 +319,13 @@ def calculate_lpc_coefficients(pcmreader, options, sample_size,
     the order choice uses the device-computed residual-size
     estimates (ops/alac_frames.residual_estimate) so only the
     chosen candidate's adaptive recurrence runs — the same policy
-    as the C++ emitter, keeping the paths byte-identical"""
+    as the C++ emitter, keeping the paths byte-identical.
+
+    Short (tail) blocks zero-pad to the full block size for the
+    candidate ANALYSIS only (residual coding below uses the true
+    samples) — see lpc_coefficient_candidates."""
     (qlp4, qlp8, degenerate, est4,
-     est8) = lpc_coefficient_candidates(channel)
+     est8) = lpc_coefficient_candidates(channel, options.block_size)
 
     if not degenerate:
         qlp = qlp4 if est4 <= est8 else qlp8

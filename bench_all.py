@@ -1,0 +1,221 @@
+"""Benchmarks for every BASELINE.md config (1-5).
+
+`bench.py` is the driver's single-metric harness (config 2 only);
+this script measures all five working-baseline configs and prints one
+JSON line per config.  Run on the real device:
+
+    python bench_all.py
+
+Configs (BASELINE.md):
+  1. FLAC decode -> PCM (MD5-verified), realtime-x
+  2. FLAC -8 encode, bit-exact, Msamples/s        (same as bench.py)
+  3. ALAC + WavPack round trips incl. 6ch / 8-bit edge cases
+  4. Polyphase resample 96k->44.1k + ReplayGain title/album gain
+  5. Transcode farm: SHN/TTA/WavPack -> FLAC with trackverify
+     (decode + AccurateRip), bit-exact rate
+"""
+
+import io
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from audiotools_tpu import pcm  # noqa: E402
+from audiotools_tpu.pcmstream import (PCMReader, pcm_frame_cmp)  # noqa: E402
+
+SR = 44100
+
+
+def emit(config, metric, value, unit, extra=None):
+    row = {"config": config, "metric": metric,
+           "value": round(value, 3), "unit": unit}
+    if extra:
+        row.update(extra)
+    print(json.dumps(row), flush=True)
+
+
+def make_signal(n_frames, channels=2, bps=16, seed=7, rate=SR):
+    rng = np.random.default_rng(seed)
+    t = np.arange(n_frames)
+    amp = (1 << (bps - 1)) * 0.28
+    base = np.stack(
+        [amp * np.sin(2 * np.pi * (300 + 67 * c) * t / rate) +
+         rng.normal(0, amp / 16, n_frames)
+         for c in range(channels)], axis=1)
+    lim = (1 << (bps - 1)) - 1
+    return np.clip(base, -lim - 1, lim).astype(np.int32)
+
+
+def reader_for(arr, bps=16, rate=SR):
+    (n, ch) = arr.shape
+    masks = {1: 0x4, 2: 0x3, 6: 0x3F}
+    fl = pcm.FrameList._wrap(arr, bps)
+    return PCMReader(io.BytesIO(fl.to_bytes(False, True)),
+                     rate, ch, masks.get(ch, 0), bps)
+
+
+def drain(reader, chunk=65536):
+    out = []
+    while True:
+        fl = reader.read(chunk)
+        if fl.frames == 0:
+            break
+        out.append(fl.samples)
+    return np.concatenate(out) if out else np.zeros((0, 1), np.int32)
+
+
+def config1_flac_decode():
+    from audiotools_tpu.codecs.flac_enc_fast import encode_flac_fast
+    from audiotools_tpu.codecs.flac_dec_fast import FastFlacDecoder
+
+    arr = make_signal(SR * 120)
+    buf = io.BytesIO()
+    encode_flac_fast(buf, reader_for(arr), max_lpc_order=12,
+                     max_residual_partition_order=6, mid_side=True,
+                     exhaustive_model_search=True, backend="numpy")
+    data = buf.getvalue()
+    t0 = time.perf_counter()
+    got = drain(FastFlacDecoder(io.BytesIO(data)))
+    dt = time.perf_counter() - t0
+    ok = np.array_equal(got, arr)
+    emit(1, "flac_decode_realtime_x",
+         (arr.shape[0] / SR) / dt if ok else 0.0, "x",
+         {"bit_exact": bool(ok),
+          "Msamples_per_sec": round(arr.size / dt / 1e6, 1)})
+
+
+def config3_alac_wavpack():
+    from audiotools_tpu.formats.m4a import ALACAudio
+    from audiotools_tpu.formats.wavpack import WavPackAudio
+    import tempfile
+
+    base_cases = [("stereo16", make_signal(SR * 30, 2, 16), 16),
+                  ("6ch16", make_signal(SR * 10, 6, 16), 16)]
+    # ALAC is 16/24-bit only (reference m4a.py gating); WavPack takes
+    # the 8-bit edge case from BASELINE config 3
+    per_class = {
+        "alac": base_cases + [("24bit",
+                               make_signal(SR * 10, 2, 24, seed=9),
+                               24)],
+        "wavpack": base_cases + [("8bit",
+                                  make_signal(SR * 10, 2, 8, seed=9),
+                                  8)],
+    }
+    for (cls, name) in ((ALACAudio, "alac"), (WavPackAudio, "wavpack")):
+        cases = per_class[name]
+        total = 0
+        t_enc = t_dec = 0.0
+        ok = True
+        with tempfile.TemporaryDirectory() as td:
+            for (label, arr, bps) in cases:
+                path = os.path.join(td, label + "." + cls.SUFFIX)
+                t0 = time.perf_counter()
+                f = cls.from_pcm(path, reader_for(arr, bps))
+                t_enc += time.perf_counter() - t0
+                t0 = time.perf_counter()
+                mismatch = pcm_frame_cmp(f.to_pcm(),
+                                         reader_for(arr, bps))
+                t_dec += time.perf_counter() - t0
+                ok = ok and (mismatch is None)
+                total += arr.size
+        emit(3, name + "_roundtrip_Msamples_per_sec",
+             total / (t_enc + t_dec) / 1e6 if ok else 0.0,
+             "Msamples/s",
+             {"bit_exact": bool(ok),
+              "encode_Msps": round(total / t_enc / 1e6, 1),
+              "decode_Msps": round(total / t_dec / 1e6, 1)})
+
+
+def config4_resample_replaygain():
+    from audiotools_tpu.pcmconverter import Resampler
+    from audiotools_tpu.replaygain import ReplayGain
+
+    arr = make_signal(96000 * 30, 2, 16, rate=96000)
+    t0 = time.perf_counter()
+    out = drain(Resampler(reader_for(arr, rate=96000), SR))
+    dt_rs = time.perf_counter() - t0
+
+    rg = ReplayGain(SR)
+    t0 = time.perf_counter()
+    (gain, peak) = rg.title_gain(reader_for(out[:SR * 30]))
+    dt_rg = time.perf_counter() - t0
+    emit(4, "resample_96k_to_44k_Msamples_per_sec",
+         arr.size / dt_rs / 1e6, "Msamples/s",
+         {"replaygain_Msamples_per_sec":
+          round(out[:SR * 30].size / dt_rg / 1e6, 1),
+          "title_gain_dB": round(float(gain), 2),
+          "peak": round(float(peak), 4)})
+
+
+def config5_transcode_farm():
+    from audiotools_tpu.formats.shn import ShortenAudio
+    from audiotools_tpu.formats.tta import TrueAudio
+    from audiotools_tpu.formats.wavpack import WavPackAudio
+    from audiotools_tpu.formats.flac import FlacAudio
+    from audiotools_tpu.accuraterip_checksum import (
+        accuraterip_checksums)
+    import tempfile
+
+    n_tracks = 6
+    total = 0
+    exact = 0
+    t0 = time.perf_counter()
+    with tempfile.TemporaryDirectory() as td:
+        sources = []
+        for i in range(n_tracks):
+            arr = make_signal(SR * 20, 2, 16, seed=100 + i)
+            cls = (ShortenAudio, TrueAudio, WavPackAudio)[i % 3]
+            path = os.path.join(td, "src%d.%s" % (i, cls.SUFFIX))
+            cls.from_pcm(path, reader_for(arr))
+            sources.append((path, cls, arr))
+        t0 = time.perf_counter()          # farm time excludes setup
+        for (i, (path, cls, arr)) in enumerate(sources):
+            src = cls(path)
+            dst = os.path.join(td, "out%d.flac" % i)
+            f = FlacAudio.from_pcm(dst, src.to_pcm(), compression="8")
+            # verify: decode + MD5 (FlacAudio.verify) + AccurateRip CRC
+            assert f.verify()
+            got = drain(f.to_pcm())
+            crc_ref = accuraterip_checksums(
+                reader_for(arr), arr.shape[0], True, True)
+            crc_got = accuraterip_checksums(
+                reader_for(got), got.shape[0], True, True)
+            if np.array_equal(got, arr) and crc_ref == crc_got:
+                exact += 1
+            total += arr.size
+    dt = time.perf_counter() - t0
+    emit(5, "transcode_farm_Msamples_per_sec",
+         total / dt / 1e6, "Msamples/s",
+         {"bit_exact_rate": exact / n_tracks,
+          "tracks": n_tracks})
+
+
+def config2_flac_encode():
+    # delegate to the driver harness for identical methodology
+    import subprocess
+    env = dict(os.environ)
+    r = subprocess.run([sys.executable,
+                        os.path.join(os.path.dirname(
+                            os.path.abspath(__file__)), "bench.py")],
+                       capture_output=True, text=True, env=env)
+    line = r.stdout.strip().splitlines()[-1] if r.stdout.strip() else "{}"
+    row = json.loads(line)
+    row["config"] = 2
+    print(json.dumps(row), flush=True)
+
+
+def main():
+    config1_flac_decode()
+    config2_flac_encode()
+    config3_alac_wavpack()
+    config4_resample_replaygain()
+    config5_transcode_farm()
+
+
+if __name__ == "__main__":
+    sys.exit(main() or 0)
