@@ -231,6 +231,9 @@ class FastALACDecoder(oracle.ALACDecoder):
             self.reader.byte_align()
         return self._frame_sizes
 
+    def seekable(self):
+        return True
+
     def seek(self, pcm_frame):
         """seeks to the given PCM frame position
 

@@ -128,6 +128,9 @@ class FastFlacDecoder:
                     (self.current_md5.digest() != self.md5sum)):
                 raise ValueError("MD5 mismatch at end of stream")
 
+    def seekable(self):
+        return not self.closed
+
     def seek(self, pcm_frame):
         """seeks to the given PCM frame position in the stream
 

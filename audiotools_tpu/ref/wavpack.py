@@ -281,6 +281,46 @@ class WavPackDecoder:
             False, self.bits_per_sample > 8))
         return framelist
 
+    def seekable(self):
+        return True
+
+    def seek(self, pcm_frame):
+        """seeks to the given PCM frame position
+
+        returns the block-aligned position actually seeked to (at or
+        before the requested frame).  WavPack blocks decode
+        independently — each carries its own decorrelation state and
+        block_index — so seeking scans the self-delimiting 32-byte
+        block headers (reference decoder's seek strategy,
+        src/decoders/wavpack.c) for the last initial block at or
+        before the target and repositions there.  Seeking disables
+        the end-of-stream MD5 check (it no longer covers every
+        sample)."""
+        target = max(int(pcm_frame), 0)
+        r = self.reader
+        r.seek(0, 0)
+        byte_pos = 0
+        best = (0, 0)                      # (block_index, byte offset)
+        while True:
+            try:
+                header = Block_Header.read(r)
+            except (IOError, ValueError):
+                break
+            if header.initial_block:
+                if header.block_index <= target:
+                    best = (header.block_index, byte_pos)
+                else:
+                    break
+            # on-disk block length = block_size + 8 ('wvpk' + size
+            # are excluded from the field); 24 header bytes already
+            # consumed beyond the first 8
+            r.skip_bytes(header.block_size - 24)
+            byte_pos += header.block_size + 8
+        r.seek(best[1], 0)
+        self.pcm_finished = False
+        self.md5_checked = True            # hash no longer complete
+        return best[0]
+
     def close(self):
         self.reader.close()
 
