@@ -19,6 +19,14 @@ _lib = None
 _build_error = None
 
 
+class EmitOverflow(ValueError):
+    """the decision array implied more output bytes than the emitter's
+    worst-case buffer — analysis produced unsafe (undersized) Rice
+    parameters, e.g. when quantized-analysis uploads flattened a
+    partition whose exact residuals are large.  Callers retry the
+    batch with exact (non-quantized) analysis."""
+
+
 def _build_and_load():
     global _lib, _build_error
     if _lib is not None:
@@ -454,7 +462,7 @@ def flac_emit_frames2(blocks, frame_numbers, block_sizes, packed,
         _as_ptr(out_ends, ctypes.c_int64),
         worst)
     if total == -31:
-        raise ValueError(
+        raise EmitOverflow(
             "frame emit overflow: decision array implies more than "
             "%d bytes (analysis produced unsafe Rice parameters)"
             % (worst,))
@@ -499,6 +507,11 @@ def flac_qpack(blocks, bps, guard, stereo_trial, cap_margin=None,
         _as_ptr(const_flags, ctypes.c_uint8),
         (_as_ptr(md5._state, ctypes.c_uint8)
          if md5 is not None else None))
+    if n > 1:
+        # same grid as the numpy spec (ops/qpack.round_k): bounds the
+        # jit-compile count and rejects k > 31 (wire format limit)
+        from ..ops import qpack as _qpack2
+        k = _qpack2.round_k(int(k))
     W = ((n - 1) * k + 31) // 32 + 1 if n > 1 else 1
     packed = np.zeros((B, ch, W), dtype=np.uint32)
     if n > 1:

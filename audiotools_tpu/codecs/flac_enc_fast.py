@@ -305,7 +305,11 @@ def encode_flac_fast(file_or_path,
 
     n_devices = _n_devices()
 
-    use_qpack = qpack.enabled()
+    # zigzag first-differences need up to bps + 2 bits; the two-word
+    # wire format caps at 31, so streams deep enough to overflow it
+    # (e.g. 32-bit PCM) fall back to exact uploads instead of
+    # producing corrupt quantized samples
+    use_qpack = qpack.enabled() and (bps + 2 <= 31)
     qguard = qpack.guard_bits()
 
     def _pad_rows(arrays):
@@ -398,6 +402,28 @@ def encode_flac_fast(file_or_path,
     writer_queue = queue_mod.Queue(maxsize=max(pipeline_depth, 1))
     writer_error = []
 
+    def emit_exact_retry(blocks, first_frame):
+        """fallback for _native.EmitOverflow: the quantized-analysis
+        decisions implied unsafe Rice parameters for this batch (a
+        partition whose exact content sits below the quantization
+        step can analyze as near-constant while its exact residuals
+        are large), so re-run the batch through EXACT host analysis —
+        identical spec, no quantization — and emit from those
+        decisions.  Output stays lossless either way; this only
+        trades the rare pathological batch's speed for safety."""
+        B = blocks.shape[0]
+        packed = np.asarray(flac_frames.analyze_frames_packed(
+            np, blocks, stereo_trial, bps, block_size,
+            max_lpc_order, precision, porders, max_rice,
+            exhaustive_model_search, mid_side,
+            window)).reshape(-1, row_width)
+        return _native.flac_emit_frames2(
+            blocks,
+            np.arange(first_frame, first_frame + B, dtype=np.int64),
+            np.full(B, block_size, dtype=np.int32),
+            packed, max_subframes, Kp, P,
+            sample_rate, bps, channels, precision)
+
     def writer_loop():
         nonlocal current_offset, min_frame, max_frame, frame_number
         while True:
@@ -412,13 +438,17 @@ def encode_flac_fast(file_or_path,
                     packed = fetch(handle).reshape(-1, row_width)
                     B = blocks.shape[0]
                     packed = packed[:B]   # drop shard-padding rows
-                    (frame_bytes, lens) = _native.flac_emit_frames2(
-                        blocks,
-                        np.arange(first_frame, first_frame + B,
-                                  dtype=np.int64),
-                        np.full(B, block_size, dtype=np.int32),
-                        packed, max_subframes, Kp, P,
-                        sample_rate, bps, channels, precision)
+                    try:
+                        (frame_bytes, lens) = _native.flac_emit_frames2(
+                            blocks,
+                            np.arange(first_frame, first_frame + B,
+                                      dtype=np.int64),
+                            np.full(B, block_size, dtype=np.int32),
+                            packed, max_subframes, Kp, P,
+                            sample_rate, bps, channels, precision)
+                    except _native.EmitOverflow:
+                        (frame_bytes, lens) = emit_exact_retry(
+                            blocks, first_frame)
                     output_file.write(frame_bytes)
                     for length in lens:
                         frame_offsets.append(

@@ -145,6 +145,33 @@ def variant_sideband(blocks, stereo_trial):
     return (or_vals.astype(np.int32), const_flags)
 
 
+# the wire width k keys the jitted device unpack's compiled shape
+# (W = ceil((n-1)*k/32) + 1), and raw k jitters with content between
+# batches — each distinct value would cost a fresh XLA compile
+# (45-400 s on tunneled backends).  Rounding k up to this coarse grid
+# bounds the number of compiled programs at a few padding bits' wire
+# cost.  31 is a hard ceiling: values straddle at most two uint32
+# words and the unpack masks with a uint32 (1 << k) - 1, so k >= 32
+# would silently corrupt the wire (callers disable qpack for streams
+# whose zigzag diffs could need more).
+K_GRID = (4, 6, 8, 10, 12, 16, 21, 26, 31)
+
+
+def round_k(k):
+    """rounds the raw wire width up to the static K_GRID
+
+    raises ValueError past 31 bits (the two-word wire format's hard
+    limit) instead of producing corrupt packed words"""
+    if k > 31:
+        raise ValueError(
+            "qpack wire width k=%d exceeds the 31-bit two-word "
+            "format limit (disable qpack for this stream)" % (k,))
+    for g in K_GRID:
+        if k <= g:
+            return g
+    raise AssertionError("unreachable: K_GRID covers 1..31")
+
+
 def pack(blocks, t):
     """bit-packs first-differences of the quantized samples (numpy
     reference implementation of the wire format; `_native.flac_qpack`
@@ -164,6 +191,7 @@ def pack(blocks, t):
     d = (xq[:, 1:, :] - xq[:, :-1, :]).astype(np.int64)
     u = ((d << 1) ^ (d >> 63)).astype(np.uint64)           # zigzag
     k = max(int(u.max()).bit_length(), 1) if u.size else 1
+    k = round_k(k)
     W = ((n - 1) * k + 31) // 32 + 1
     packed = np.zeros((B, ch, W), dtype=np.uint32)
     flat = np.moveaxis(u, 1, 2).reshape(B * ch, n - 1)     # [B*ch, n-1]

@@ -523,7 +523,9 @@ def encode_frame(pcmreader, options, frame_number, samples):
             n, options.max_residual_partition_order, max(K, 4))
         window = lpc_ops.tukey_window(n)
         blocks1 = samples[None].astype(np.int32)
-        if qpack.enabled():
+        if qpack.enabled() and (bps + 2 <= 31):
+            # bps gate mirrors the fast path's wire-format limit so
+            # oracle and fast outputs stay byte-identical
             # the shared quantized-analysis spec (ops/qpack.py):
             # analysis sees (x >> t) << t plus the exact or/const
             # sideband — identical to what the device path

@@ -183,6 +183,12 @@ class WavPackDecoder:
             f = file_or_path
         self.reader = BitstreamReader(f, True)
 
+        # the stream may start at a nonzero offset of an already-open
+        # file object; record it so seek() scans from the WavPack
+        # stream's own base, not absolute byte 0
+        self._stream_start = self.reader.source.tell()
+        self._block_index_cache = None
+
         # read initial block for stream parameters
         self.reader.mark()
         header = Block_Header.read(self.reader)
@@ -298,24 +304,31 @@ class WavPackDecoder:
         sample)."""
         target = max(int(pcm_frame), 0)
         r = self.reader
-        r.seek(0, 0)
-        byte_pos = 0
-        best = (0, 0)                      # (block_index, byte offset)
-        while True:
-            try:
-                header = Block_Header.read(r)
-            except (IOError, ValueError):
-                break
-            if header.initial_block:
-                if header.block_index <= target:
-                    best = (header.block_index, byte_pos)
-                else:
+        if self._block_index_cache is None:
+            # one linear scan builds the (block_index, byte offset)
+            # table of initial blocks; later seeks reuse it
+            index = []
+            r.seek(self._stream_start, 0)
+            byte_pos = self._stream_start
+            while True:
+                try:
+                    header = Block_Header.read(r)
+                except (IOError, ValueError):
                     break
-            # on-disk block length = block_size + 8 ('wvpk' + size
-            # are excluded from the field); 24 header bytes already
-            # consumed beyond the first 8
-            r.skip_bytes(header.block_size - 24)
-            byte_pos += header.block_size + 8
+                if header.initial_block:
+                    index.append((header.block_index, byte_pos))
+                # on-disk block length = block_size + 8 ('wvpk' +
+                # size are excluded from the field); 24 header bytes
+                # already consumed beyond the first 8
+                r.skip_bytes(header.block_size - 24)
+                byte_pos += header.block_size + 8
+            self._block_index_cache = index
+        best = (0, self._stream_start)     # (block_index, byte offset)
+        for (block_index, byte_pos) in self._block_index_cache:
+            if block_index <= target:
+                best = (block_index, byte_pos)
+            else:
+                break
         r.seek(best[1], 0)
         self.pcm_finished = False
         self.md5_checked = True            # hash no longer complete
