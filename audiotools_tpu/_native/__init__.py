@@ -130,6 +130,7 @@ def _build_and_load():
         ctypes.c_int32,                   # stream_bps
         ctypes.c_int32,                   # stream_channels
         ctypes.c_int32,                   # qlp_precision
+        ctypes.c_int32,                   # compact row layout flag
         ctypes.POINTER(ctypes.c_uint8),   # out
         ctypes.POINTER(ctypes.c_int64),   # out_lens (cumulative ends)
         ctypes.c_int64,                   # out_capacity
@@ -429,12 +430,14 @@ def flac_emit_frames(frame_numbers, block_sizes, assignments,
 def flac_emit_frames2(blocks, frame_numbers, block_sizes, packed,
                       max_subframes, max_order, max_partitions,
                       sample_rate, stream_bps, stream_channels,
-                      qlp_precision):
+                      qlp_precision, compact=False):
     """emits FLAC frames from raw PCM blocks + packed decision rows
 
     blocks: int32 [n_frames, max_block, channels] interleaved PCM
     packed: int32 [n_frames, 1 + max_subframes * (6 + max_order +
-            max_partitions)] device decision output
+            max_partitions)] device decision output; with
+            compact=True, the 3.5x-smaller wire layout from
+            ops/flac_frames.compact_decisions instead
     returns (frame bytes, per-frame byte lengths int64 array)"""
     import numpy as np
 
@@ -458,6 +461,7 @@ def flac_emit_frames2(blocks, frame_numbers, block_sizes, packed,
         _as_ptr(packed, ctypes.c_int32),
         n_frames, max_subframes, max_order, max_partitions, max_block,
         sample_rate, stream_bps, stream_channels, qlp_precision,
+        1 if compact else 0,
         _as_ptr(out, ctypes.c_uint8),
         _as_ptr(out_ends, ctypes.c_int64),
         worst)

@@ -22,6 +22,11 @@
 #include <cstring>
 #include <vector>
 
+#if defined(__AVX512F__)
+#include <immintrin.h>
+#define ATPU_AVX512 1
+#endif
+
 namespace {
 
 // ---------------------------------------------------------------- CRC --
@@ -355,6 +360,177 @@ static void lpc_residuals_dispatch(const int32_t* samp, int64_t n,
     }
 }
 
+// int32 residual variants: halve the residual buffer traffic and let
+// the zigzag pass below vectorize.  The int64 intermediate plus an
+// accumulated wrap check keeps them exact for ANY decision array —
+// a residual that does not fit int32 (possible only with extreme
+// coefficient/shift combinations, or >26-bit streams) reports
+// overflow and the caller recomputes through the int64 path.
+template <int ORDER>
+static bool lpc_res32_t(const int32_t* samp, int64_t n,
+                        const int32_t* q, int shift, int32_t* res) {
+    int64_t ov = 0;
+    for (int64_t i = ORDER; i < n; i++) {
+        int64_t pred = 0;
+        for (int j = 0; j < ORDER; j++)
+            pred += (int64_t)q[j] * samp[i - 1 - j];
+        const int64_t r = samp[i] - (pred >> shift);
+        res[i] = (int32_t)r;
+        ov |= (r - (int32_t)r);
+    }
+    return ov != 0;
+}
+
+static bool lpc_res32_generic(const int32_t* samp, int64_t n,
+                              int order, const int32_t* q, int shift,
+                              int32_t* res) {
+    int64_t ov = 0;
+    for (int64_t i = order; i < n; i++) {
+        int64_t pred = 0;
+        for (int j = 0; j < order; j++)
+            pred += (int64_t)q[j] * samp[i - 1 - j];
+        const int64_t r = samp[i] - (pred >> shift);
+        res[i] = (int32_t)r;
+        ov |= (r - (int32_t)r);
+    }
+    return ov != 0;
+}
+
+#ifdef ATPU_AVX512
+// 8-wide int64 lanes, two accumulator chains over 16 samples/step;
+// _mm512_mul_epi32 sign-extends the low 32 bits of each lane (which
+// cvtepi32_epi64 fills), so products and the <= 32-term sum are exact
+// int64 — identical results to the scalar path, ~2x faster measured
+template <int ORDER>
+static bool lpc_res32_avx(const int32_t* samp, int64_t n,
+                          const int32_t* q, int shift, int32_t* res) {
+    __m512i qv[ORDER];
+    for (int j = 0; j < ORDER; j++) qv[j] = _mm512_set1_epi64(q[j]);
+    const __m128i sh = _mm_cvtsi64_si128(shift);
+    __m512i ovacc = _mm512_setzero_si512();
+    int64_t i = ORDER;
+    for (; i + 16 <= n; i += 16) {
+        __m512i p0 = _mm512_setzero_si512();
+        __m512i p1 = _mm512_setzero_si512();
+        for (int j = 0; j < ORDER; j++) {
+            p0 = _mm512_add_epi64(p0, _mm512_mul_epi32(
+                _mm512_cvtepi32_epi64(_mm256_loadu_si256(
+                    (const __m256i*)(samp + i - 1 - j))), qv[j]));
+            p1 = _mm512_add_epi64(p1, _mm512_mul_epi32(
+                _mm512_cvtepi32_epi64(_mm256_loadu_si256(
+                    (const __m256i*)(samp + i + 7 - j))), qv[j]));
+        }
+        const __m512i r0 = _mm512_sub_epi64(
+            _mm512_cvtepi32_epi64(_mm256_loadu_si256(
+                (const __m256i*)(samp + i))),
+            _mm512_sra_epi64(p0, sh));
+        const __m512i r1 = _mm512_sub_epi64(
+            _mm512_cvtepi32_epi64(_mm256_loadu_si256(
+                (const __m256i*)(samp + i + 8))),
+            _mm512_sra_epi64(p1, sh));
+        const __m256i a = _mm512_cvtepi64_epi32(r0);
+        const __m256i b = _mm512_cvtepi64_epi32(r1);
+        ovacc = _mm512_or_si512(ovacc, _mm512_xor_si512(
+            r0, _mm512_cvtepi32_epi64(a)));
+        ovacc = _mm512_or_si512(ovacc, _mm512_xor_si512(
+            r1, _mm512_cvtepi32_epi64(b)));
+        _mm256_storeu_si256((__m256i*)(res + i), a);
+        _mm256_storeu_si256((__m256i*)(res + i + 8), b);
+    }
+    alignas(64) int64_t tmp[8];
+    _mm512_store_si512((__m512i*)tmp, ovacc);
+    int64_t ov = 0;
+    for (int j = 0; j < 8; j++) ov |= tmp[j];
+    for (; i < n; i++) {
+        int64_t pred = 0;
+        for (int j = 0; j < ORDER; j++)
+            pred += (int64_t)q[j] * samp[i - 1 - j];
+        const int64_t r = samp[i] - (pred >> shift);
+        res[i] = (int32_t)r;
+        ov |= (r - (int32_t)r);
+    }
+    return ov != 0;
+}
+#endif  // ATPU_AVX512
+
+static bool lpc_residuals32_dispatch(const int32_t* samp, int64_t n,
+                                     int order, const int32_t* q,
+                                     int shift, int32_t* res) {
+#ifdef ATPU_AVX512
+    if (n >= 32) {
+        switch (order) {
+        case 1: return lpc_res32_avx<1>(samp, n, q, shift, res);
+        case 2: return lpc_res32_avx<2>(samp, n, q, shift, res);
+        case 3: return lpc_res32_avx<3>(samp, n, q, shift, res);
+        case 4: return lpc_res32_avx<4>(samp, n, q, shift, res);
+        case 5: return lpc_res32_avx<5>(samp, n, q, shift, res);
+        case 6: return lpc_res32_avx<6>(samp, n, q, shift, res);
+        case 7: return lpc_res32_avx<7>(samp, n, q, shift, res);
+        case 8: return lpc_res32_avx<8>(samp, n, q, shift, res);
+        case 9: return lpc_res32_avx<9>(samp, n, q, shift, res);
+        case 10: return lpc_res32_avx<10>(samp, n, q, shift, res);
+        case 11: return lpc_res32_avx<11>(samp, n, q, shift, res);
+        case 12: return lpc_res32_avx<12>(samp, n, q, shift, res);
+        default: break;
+        }
+    }
+#endif
+    switch (order) {
+    case 1: return lpc_res32_t<1>(samp, n, q, shift, res);
+    case 2: return lpc_res32_t<2>(samp, n, q, shift, res);
+    case 3: return lpc_res32_t<3>(samp, n, q, shift, res);
+    case 4: return lpc_res32_t<4>(samp, n, q, shift, res);
+    case 5: return lpc_res32_t<5>(samp, n, q, shift, res);
+    case 6: return lpc_res32_t<6>(samp, n, q, shift, res);
+    case 7: return lpc_res32_t<7>(samp, n, q, shift, res);
+    case 8: return lpc_res32_t<8>(samp, n, q, shift, res);
+    case 9: return lpc_res32_t<9>(samp, n, q, shift, res);
+    case 10: return lpc_res32_t<10>(samp, n, q, shift, res);
+    case 11: return lpc_res32_t<11>(samp, n, q, shift, res);
+    case 12: return lpc_res32_t<12>(samp, n, q, shift, res);
+    default:
+        return lpc_res32_generic(samp, n, order, q, shift, res);
+    }
+}
+
+// fixed-predictor residuals, int32 (coefficient rows of Pascal's
+// triangle with alternating signs — reference py_encoders/flac.py
+// diff orders 0-4)
+static void fixed_res32(const int32_t* samp, int64_t n, int order,
+                        int32_t* res) {
+    switch (order) {
+    case 0:
+        for (int64_t i = 0; i < n; i++) res[i] = samp[i];
+        break;
+    case 1:
+        for (int64_t i = 1; i < n; i++)
+            res[i] = samp[i] - samp[i - 1];
+        break;
+    case 2:
+        for (int64_t i = 2; i < n; i++)
+            res[i] = samp[i] - 2 * samp[i - 1] + samp[i - 2];
+        break;
+    case 3:
+        for (int64_t i = 3; i < n; i++)
+            res[i] = samp[i] - 3 * samp[i - 1] + 3 * samp[i - 2] -
+                     samp[i - 3];
+        break;
+    default:
+        for (int64_t i = 4; i < n; i++)
+            res[i] = samp[i] - 4 * samp[i - 1] + 6 * samp[i - 2] -
+                     4 * samp[i - 3] + samp[i - 4];
+        break;
+    }
+}
+
+// zigzag int32 residuals to uint32 Rice magnitudes, unit-stride
+// (autovectorizes; keeps the serial pack loop to pure shift/or work)
+static inline void zigzag32(const int32_t* res, int64_t start,
+                            int64_t end, uint32_t* u) {
+    for (int64_t i = start; i < end; i++)
+        u[i] = ((uint32_t)res[i] << 1) ^ (uint32_t)(res[i] >> 31);
+}
+
 inline void put_utf8(BitWriter& w, uint64_t value) {
     if (value <= 127) {
         w.put(value, 8);
@@ -661,28 +837,81 @@ int64_t atpu_flac_emit_frames2(const int32_t* blocks,    // [F,max_block,ch]
                                int32_t stream_bps,
                                int32_t stream_channels,
                                int32_t qlp_precision,
+                               int32_t compact,
                                uint8_t* out,
                                int64_t* out_lens,
                                int64_t out_capacity) {
     const int W = 6 + max_order + max_partitions;
     const int row_width = 1 + max_subframes * W;
+    // compact wire layout (ops/flac_frames.compact_decisions): one
+    // packed scalar word + int16 qlp pairs + u8 rice quads per
+    // subframe; decoded below into the standard row layout
+    const int CW = 1 + (max_order + 1) / 2 + (max_partitions + 3) / 4;
+    const int crow_width = 1 + max_subframes * CW;
+    static thread_local int32_t* row_buf = nullptr;
+    static thread_local int64_t row_cap = 0;
+    if (compact && row_width > row_cap) {
+        delete[] row_buf;
+        row_buf = new int32_t[row_width];
+        row_cap = row_width;
+    }
 
     static thread_local int32_t* samp_buf = nullptr;
     static thread_local int64_t* res_buf = nullptr;
+    static thread_local int32_t* res32_buf = nullptr;
+    static thread_local uint32_t* zz_buf = nullptr;
     static thread_local int64_t buf_size = 0;
     if (max_block > buf_size) {
         delete[] samp_buf;
         delete[] res_buf;
+        delete[] res32_buf;
+        delete[] zz_buf;
         samp_buf = new int32_t[max_block * 2];
         res_buf = new int64_t[max_block * 2];
+        res32_buf = new int32_t[max_block];
+        zz_buf = new uint32_t[max_block];
         buf_size = max_block;
     }
+    // fast path gate: FIXED residuals fit int32 when subframe
+    // samples (incl. the +1-bit side channel) stay <= 26 bits
+    // (order-4 diffs bound |res| <= 16 * 2^26 < 2^31); LPC residuals
+    // additionally carry a runtime wrap check that falls back to the
+    // int64 path on the (pathological-decision-array) overflow case
+    const bool res32_ok = (stream_bps + 1 + 5) <= 31;
 
     for (int64_t f = 0; f < n_frames; f++) {
         const int64_t frame_start = (f == 0) ? 0 : out_lens[f - 1];
         BitWriter w(out, frame_start, out_capacity);
         const int block_size = block_sizes[f];
-        const int32_t* prow = packed + f * row_width;
+        const int32_t* prow;
+        if (compact) {
+            const int32_t* crow = packed + f * crow_width;
+            row_buf[0] = crow[0];
+            for (int s = 0; s < max_subframes; s++) {
+                const int32_t* csub = crow + 1 + s * CW;
+                int32_t* dsub = row_buf + 1 + s * W;
+                const uint32_t w0 = (uint32_t)csub[0];
+                dsub[0] = (int32_t)(w0 & 0xF);
+                dsub[1] = (int32_t)((w0 >> 4) & 0x3F);
+                dsub[2] = (int32_t)((w0 >> 10) & 0x3F);
+                dsub[3] = (int32_t)((w0 >> 16) & 0xF);
+                dsub[4] = (int32_t)((w0 >> 20) & 0x1F);
+                dsub[5] = 0;
+                const int32_t* qw = csub + 1;
+                for (int j = 0; j < max_order; j++)
+                    dsub[6 + j] = (int16_t)(
+                        ((uint32_t)qw[j >> 1] >> ((j & 1) * 16)) &
+                        0xFFFF);
+                const int32_t* rw = csub + 1 + (max_order + 1) / 2;
+                for (int p = 0; p < max_partitions; p++)
+                    dsub[6 + max_order + p] = (int32_t)(
+                        ((uint32_t)rw[p >> 2] >> ((p & 3) * 8)) &
+                        0xFF);
+            }
+            prow = row_buf;
+        } else {
+            prow = packed + f * row_width;
+        }
         const int assignment = prow[0];
         const int32_t* frame_pcm =
             blocks + f * (int64_t)max_block * stream_channels;
@@ -771,6 +1000,44 @@ int64_t atpu_flac_emit_frames2(const int32_t* blocks,    // [F,max_block,ch]
         if (assignment <= 7) n_subframes = assignment + 1;
         else n_subframes = 2;
 
+        // stereo assignments derive both subframes' variant samples
+        // in ONE pass over the interleaved PCM (the switch hoists out
+        // of the loop, and the L/R loads are shared instead of read
+        // twice); independent channels (assignment <= 7, up to 8
+        // subframes) derive per-subframe below into slot 0
+        if (assignment > 7) {
+            const int w0 = prow[1 + 1];
+            const int w1 = prow[1 + W + 1];
+            int32_t* d0 = samp_buf;
+            int32_t* d1 = samp_buf + max_block;
+            switch (assignment) {
+            case 8:                               // L / side
+                for (int i = 0; i < block_size; i++) {
+                    const int32_t L = frame_pcm[(int64_t)i * 2];
+                    const int32_t R = frame_pcm[(int64_t)i * 2 + 1];
+                    d0[i] = L >> w0;
+                    d1[i] = (L - R) >> w1;
+                }
+                break;
+            case 9:                               // side / R
+                for (int i = 0; i < block_size; i++) {
+                    const int32_t L = frame_pcm[(int64_t)i * 2];
+                    const int32_t R = frame_pcm[(int64_t)i * 2 + 1];
+                    d0[i] = (L - R) >> w0;
+                    d1[i] = R >> w1;
+                }
+                break;
+            default:                              // mid / side
+                for (int i = 0; i < block_size; i++) {
+                    const int32_t L = frame_pcm[(int64_t)i * 2];
+                    const int32_t R = frame_pcm[(int64_t)i * 2 + 1];
+                    d0[i] = ((L + R) >> 1) >> w0;
+                    d1[i] = (L - R) >> w1;
+                }
+                break;
+            }
+        }
+
         BitWriter w2(out, pos, out_capacity);
         for (int s = 0; s < n_subframes; s++) {
             const int32_t* sub = prow + 1 + s * W;
@@ -781,6 +1048,16 @@ int64_t atpu_flac_emit_frames2(const int32_t* blocks,    // [F,max_block,ch]
             const int shift = sub[4];
             const int32_t* qlp = sub + 6;
             const int32_t* params = sub + 6 + max_order;
+            const int32_t* samp;
+            if (assignment <= 7) {
+                for (int i = 0; i < block_size; i++)
+                    samp_buf[i] =
+                        frame_pcm[(int64_t)i * stream_channels + s]
+                        >> sub[1];
+                samp = samp_buf;
+            } else {
+                samp = samp_buf + (int64_t)s * max_block;
+            }
 
             int sub_bps = stream_bps;
             if ((assignment == 8 && s == 1) ||
@@ -789,72 +1066,56 @@ int64_t atpu_flac_emit_frames2(const int32_t* blocks,    // [F,max_block,ch]
                 sub_bps += 1;
             const int ebps = sub_bps - wasted;
 
-            // derive the variant samples (post-wasted-shift)
-            if (assignment <= 7) {
-                const int c = s;
-                for (int i = 0; i < block_size; i++)
-                    samp_buf[i] =
-                        frame_pcm[(int64_t)i * stream_channels + c]
-                        >> wasted;
-            } else {
-                int variant;  // 0 L, 1 R, 2 mid, 3 side
-                if (assignment == 8) variant = (s == 0) ? 0 : 3;
-                else if (assignment == 9) variant = (s == 0) ? 3 : 1;
-                else variant = (s == 0) ? 2 : 3;
-                for (int i = 0; i < block_size; i++) {
-                    const int32_t L = frame_pcm[(int64_t)i * 2];
-                    const int32_t R = frame_pcm[(int64_t)i * 2 + 1];
-                    int32_t v;
-                    switch (variant) {
-                    case 0: v = L; break;
-                    case 1: v = R; break;
-                    case 2: v = (L + R) >> 1; break;
-                    default: v = L - R; break;
-                    }
-                    samp_buf[i] = v >> wasted;
-                }
-            }
-
             if (choice == 0) {                    // CONSTANT
                 w2.put(0, 1); w2.put(0, 6); w2.put(0, 1);
-                put_signed(w2, samp_buf[0], sub_bps);
+                put_signed(w2, samp[0], sub_bps);
                 continue;
             } else if (choice == 1) {             // VERBATIM
                 w2.put(0, 1); w2.put(1, 6);
                 put_wasted(w2, wasted);
                 for (int i = 0; i < block_size; i++)
-                    put_signed(w2, samp_buf[i], ebps);
+                    put_signed(w2, samp[i], ebps);
                 continue;
             }
 
+            bool use32 = res32_ok;
             if (choice == 2) {                    // FIXED
                 w2.put(0, 1); w2.put(1, 3); w2.put(order, 3);
                 put_wasted(w2, wasted);
                 for (int i = 0; i < order; i++)
-                    put_signed(w2, samp_buf[i], ebps);
-                static const int64_t FC[5][4] = {
-                    {0, 0, 0, 0},
-                    {1, 0, 0, 0},
-                    {2, -1, 0, 0},
-                    {3, -3, 1, 0},
-                    {4, -6, 4, -1}};
-                for (int i = order; i < block_size; i++) {
-                    int64_t pred = 0;
-                    for (int j = 0; j < order; j++)
-                        pred += FC[order][j] * samp_buf[i - 1 - j];
-                    res_buf[i] = samp_buf[i] - pred;
+                    put_signed(w2, samp[i], ebps);
+                if (use32) {
+                    fixed_res32(samp, block_size, order, res32_buf);
+                } else {
+                    static const int64_t FC[5][4] = {
+                        {0, 0, 0, 0},
+                        {1, 0, 0, 0},
+                        {2, -1, 0, 0},
+                        {3, -3, 1, 0},
+                        {4, -6, 4, -1}};
+                    for (int i = order; i < block_size; i++) {
+                        int64_t pred = 0;
+                        for (int j = 0; j < order; j++)
+                            pred += FC[order][j] * samp[i - 1 - j];
+                        res_buf[i] = samp[i] - pred;
+                    }
                 }
             } else {                              // LPC
                 w2.put(0, 1); w2.put(1, 1); w2.put(order - 1, 5);
                 put_wasted(w2, wasted);
                 for (int i = 0; i < order; i++)
-                    put_signed(w2, samp_buf[i], ebps);
+                    put_signed(w2, samp[i], ebps);
                 w2.put(qlp_precision - 1, 4);
                 put_signed(w2, shift, 5);
                 for (int i = 0; i < order; i++)
                     put_signed(w2, qlp[i], qlp_precision);
-                lpc_residuals_dispatch(samp_buf, block_size, order,
-                                       qlp, shift, res_buf);
+                if (use32 &&
+                    lpc_residuals32_dispatch(samp, block_size, order,
+                                             qlp, shift, res32_buf))
+                    use32 = false;                // int32 wrapped
+                if (!use32)
+                    lpc_residuals_dispatch(samp, block_size, order,
+                                           qlp, shift, res_buf);
             }
 
             // residual block
@@ -866,20 +1127,61 @@ int64_t atpu_flac_emit_frames2(const int32_t* blocks,    // [F,max_block,ch]
             w2.put(porder, 4);
 
             const int psize = block_size >> porder;
-            for (int p = 0; p < n_partitions; p++) {
-                const int param = params[p];
-                w2.put(param, coding_method ? 5 : 4);
-                const int start = (p == 0) ? order : p * psize;
-                const int end = (p + 1) * psize;
-                const uint64_t lsb_mask = (1ULL << param) - 1;
-                const uint64_t stop = 1ULL << param;
-                for (int i = start; i < end; i++) {
-                    const int64_t r = res_buf[i];
-                    // branchless zigzag: 2r / -2r-1
-                    const uint64_t u = (uint64_t)((r << 1) ^ (r >> 63));
-                    const uint64_t msb = u >> param;
-                    w2.put(stop | (u & lsb_mask),
-                           (int64_t)msb + 1 + param);
+            if (use32) {
+                // unit-stride zigzag pass (vectorizes), then a pure
+                // shift/or pack loop over u32 tokens; tokens combine
+                // in PAIRS when their joint width fits 64 bits (the
+                // common case at param <= 14), halving the length of
+                // the serial accumulator dependency chain
+                zigzag32(res32_buf, order, block_size, zz_buf);
+                for (int p = 0; p < n_partitions; p++) {
+                    const int param = params[p];
+                    w2.put(param, coding_method ? 5 : 4);
+                    const int start = (p == 0) ? order : p * psize;
+                    const int end = (p + 1) * psize;
+                    const uint32_t lsb_mask =
+                        (uint32_t)((1ULL << param) - 1);
+                    const uint64_t stop = 1ULL << param;
+                    int i = start;
+                    for (; i + 2 <= end; i += 2) {
+                        const uint32_t u1 = zz_buf[i];
+                        const uint32_t u2 = zz_buf[i + 1];
+                        const int64_t l1 =
+                            (int64_t)(u1 >> param) + 1 + param;
+                        const int64_t l2 =
+                            (int64_t)(u2 >> param) + 1 + param;
+                        if (__builtin_expect(l1 + l2 <= 64, 1)) {
+                            w2.put(((stop | (u1 & lsb_mask)) << l2) |
+                                       (stop | (u2 & lsb_mask)),
+                                   l1 + l2);
+                        } else {
+                            w2.put(stop | (u1 & lsb_mask), l1);
+                            w2.put(stop | (u2 & lsb_mask), l2);
+                        }
+                    }
+                    for (; i < end; i++) {
+                        const uint32_t u = zz_buf[i];
+                        w2.put(stop | (u & lsb_mask),
+                               (int64_t)(u >> param) + 1 + param);
+                    }
+                }
+            } else {
+                for (int p = 0; p < n_partitions; p++) {
+                    const int param = params[p];
+                    w2.put(param, coding_method ? 5 : 4);
+                    const int start = (p == 0) ? order : p * psize;
+                    const int end = (p + 1) * psize;
+                    const uint64_t lsb_mask = (1ULL << param) - 1;
+                    const uint64_t stop = 1ULL << param;
+                    for (int i = start; i < end; i++) {
+                        const int64_t r = res_buf[i];
+                        // branchless zigzag: 2r / -2r-1
+                        const uint64_t u =
+                            (uint64_t)((r << 1) ^ (r >> 63));
+                        const uint64_t msb = u >> param;
+                        w2.put(stop | (u & lsb_mask),
+                               (int64_t)msb + 1 + param);
+                    }
                 }
             }
         }
@@ -929,41 +1231,63 @@ int32_t atpu_flac_qplan(const int32_t* blocks,   // [B, n, ch]
     const int64_t V = (stereo_trial && ch == 2) ? 4 : ch;
     uint64_t max_u = 0;
 
+    // per-channel deinterleave buffer: unit-stride scans vectorize
+    // where the strided originals ran scalar; one block-channel is
+    // L1/L2-resident (<= 128 KB at n = 4096, ch <= 8)
+    static thread_local int32_t* chan_buf = nullptr;
+    static thread_local int64_t chan_cap = 0;
+    if (n * ch > chan_cap) {
+        delete[] chan_buf;
+        chan_buf = new int32_t[n * ch];
+        chan_cap = n * ch;
+    }
+
     for (int64_t b = 0; b < B; b++) {
         const int32_t* blk = blocks + b * n * ch;
 
-        // exactness sideband over the exact samples
+        // deinterleave once (the only strided pass)
+        for (int64_t c = 0; c < ch; c++) {
+            int32_t* dst = chan_buf + c * n;
+            for (int64_t i = 0; i < n; i++)
+                dst[i] = blk[i * ch + c];
+        }
+
+        // exactness sideband over the exact samples (unit-stride)
         if (stereo_trial && ch == 2) {
-            int32_t orv[4] = {0, 0, 0, 0};
-            const int32_t L0 = blk[0];
-            const int32_t R0 = blk[1];
-            const int32_t f0[4] = {L0, R0, (L0 + R0) >> 1, L0 - R0};
-            uint8_t cst[4] = {1, 1, 1, 1};
+            const int32_t* Lb = chan_buf;
+            const int32_t* Rb = chan_buf + n;
+            const int32_t L0 = Lb[0];
+            const int32_t R0 = Rb[0];
+            const int32_t m0 = (L0 + R0) >> 1;
+            const int32_t s0 = L0 - R0;
+            int32_t orL = 0, orR = 0, orM = 0, orS = 0;
+            int32_t neL = 0, neR = 0, neM = 0, neS = 0;
             for (int64_t i = 0; i < n; i++) {
-                const int32_t L = blk[i * 2];
-                const int32_t R = blk[i * 2 + 1];
-                const int32_t var[4] = {L, R, (L + R) >> 1, L - R};
-                for (int v = 0; v < 4; v++) {
-                    orv[v] |= var[v];
-                    cst[v] &= (var[v] == f0[v]);
-                }
+                const int32_t L = Lb[i];
+                const int32_t R = Rb[i];
+                const int32_t M = (L + R) >> 1;
+                const int32_t S = L - R;
+                orL |= L; orR |= R; orM |= M; orS |= S;
+                neL |= (L ^ L0); neR |= (R ^ R0);
+                neM |= (M ^ m0); neS |= (S ^ s0);
             }
-            for (int v = 0; v < 4; v++) {
-                or_out[b * V + v] = orv[v];
-                const_out[b * V + v] = cst[v];
-            }
+            or_out[b * V + 0] = orL; or_out[b * V + 1] = orR;
+            or_out[b * V + 2] = orM; or_out[b * V + 3] = orS;
+            const_out[b * V + 0] = (neL == 0);
+            const_out[b * V + 1] = (neR == 0);
+            const_out[b * V + 2] = (neM == 0);
+            const_out[b * V + 3] = (neS == 0);
         } else {
             for (int64_t c = 0; c < ch; c++) {
-                int32_t orv = 0;
-                uint8_t cst = 1;
-                const int32_t f0 = blk[c];
+                const int32_t* xb = chan_buf + c * n;
+                int32_t orv = 0, ne = 0;
+                const int32_t f0 = xb[0];
                 for (int64_t i = 0; i < n; i++) {
-                    const int32_t x = blk[i * ch + c];
-                    orv |= x;
-                    cst &= (x == f0);
+                    orv |= xb[i];
+                    ne |= (xb[i] ^ f0);
                 }
                 or_out[b * V + c] = orv;
-                const_out[b * V + c] = cst;
+                const_out[b * V + c] = (ne == 0);
             }
         }
 
@@ -972,16 +1296,17 @@ int32_t atpu_flac_qplan(const int32_t* blocks,   // [B, n, ch]
 
         // t from mean |second difference|; then the diff width pass
         for (int64_t c = 0; c < ch; c++) {
-            x0_out[b * ch + c] = blk[c];
+            const int32_t* xb = chan_buf + c * n;
+            x0_out[b * ch + c] = xb[0];
             int t = 0;
             if (n > 2) {
+                // |d2| fits int32 for any bps <= 30 stream; partial
+                // int64 sums every element keep the total exact
                 uint64_t sum2 = 0;
                 for (int64_t i = 2; i < n; i++) {
-                    const int64_t d2 =
-                        (int64_t)blk[i * ch + c] -
-                        2 * (int64_t)blk[(i - 1) * ch + c] +
-                        (int64_t)blk[(i - 2) * ch + c];
-                    sum2 += (uint64_t)(d2 < 0 ? -d2 : d2);
+                    const int32_t d2 = xb[i] - 2 * xb[i - 1] +
+                                       xb[i - 2];
+                    sum2 += (uint32_t)(d2 < 0 ? -d2 : d2);
                 }
                 const uint64_t m = sum2 / (uint64_t)(n - 2);
                 t = bit_length_u64(m) - 1 - guard;
@@ -990,14 +1315,20 @@ int32_t atpu_flac_qplan(const int32_t* blocks,   // [B, n, ch]
             }
             t_out[b * ch + c] = t;
 
-            int32_t prev = blk[c] >> t;
+            // max zigzag width of quantized first differences:
+            // max |u| == 2 * max(d, -d - 1); track the OR of both
+            // shifted diffs and read the width off one bit_length
+            uint32_t wid = 0;
+            int32_t prev = xb[0] >> t;
             for (int64_t i = 1; i < n; i++) {
-                const int32_t xq = blk[i * ch + c] >> t;
-                const int64_t d = (int64_t)xq - prev;
+                const int32_t xq = xb[i] >> t;
+                const int32_t d = xq - prev;
                 prev = xq;
-                const uint64_t u = (uint64_t)((d << 1) ^ (d >> 63));
-                if (u > max_u) max_u = u;
+                const uint32_t u =
+                    ((uint32_t)d << 1) ^ (uint32_t)(d >> 31);
+                wid |= u;
             }
+            if ((uint64_t)wid > max_u) max_u = wid;
         }
     }
     const int k = bit_length_u64(max_u);
@@ -1113,15 +1444,17 @@ static void md5_block(MD5State* st, const uint8_t* p) {
     uint32_t m[16];
     __builtin_memcpy(m, p, 64);   // little-endian host assumed
     uint32_t a = st->a, b = st->b, c = st->c, d = st->d;
-    // four explicitly-split rounds let the compiler unroll fully
+    // four explicitly-split rounds let the compiler unroll fully;
+    // rounds 1-2 use the xor-select forms (one op fewer on the
+    // critical dependency chain than the (x&y)|(~x&z) originals)
     for (int i = 0; i < 16; i++) {
-        const uint32_t f = (b & c) | (~b & d);
+        const uint32_t f = d ^ (b & (c ^ d));
         const uint32_t tmp = d; d = c; c = b;
         b = b + rotl32(a + f + MD5_K[i] + m[i], MD5_S[i]);
         a = tmp;
     }
     for (int i = 16; i < 32; i++) {
-        const uint32_t f = (d & b) | (~d & c);
+        const uint32_t f = c ^ (d & (b ^ c));
         const uint32_t tmp = d; d = c; c = b;
         b = b + rotl32(a + f + MD5_K[i] + m[(5 * i + 1) % 16],
                        MD5_S[i]);

@@ -25,6 +25,7 @@ import numpy as np
 
 from ..ops import flac_frames, lpc as lpc_ops, qpack
 from ..ref import flac_enc as oracle
+from ..utils.profiling import stage_timer, profiling_enabled
 from .. import _native
 
 _jax_analyze_cache = {}
@@ -124,11 +125,15 @@ def _analyze_jax(blocks, stereo_trial, bps_scalar, n, K, precision,
             # flattened output: multi-dim jit outputs hit a slow
             # per-row device->host conversion path on some backends
             # (measured 3 orders of magnitude slower on TPU tunnels);
-            # the caller reshapes after the single bulk fetch
-            return flac_frames.analyze_frames_packed(
+            # the caller reshapes after the single bulk fetch.
+            # compact_decisions shrinks the fetch 3.5x on device.
+            packed = flac_frames.analyze_frames_packed(
                 jnp, blocks, stereo_trial, bps_scalar, n, K, precision,
-                list(porders), max_rice, exhaustive, mid_side,
-                window).ravel()
+                list(porders), max_rice, exhaustive, mid_side, window)
+            max_subframes = 2 if stereo_trial else blocks.shape[2]
+            return flac_frames.compact_decisions(
+                jnp, packed, max_subframes, K,
+                1 << porders[-1]).ravel()
 
         if n_devices > 1:
             from ..parallel.mesh import make_mesh
@@ -163,39 +168,47 @@ def _window_on_device(window, device):
     return _device_window_cache[key]
 
 
-def _analyze_jax_q(qwords, k, meta, ch, V, stereo_trial, bps_scalar,
+def _analyze_jax_q(wire, k, W, ch, V, stereo_trial, bps_scalar,
                    n, K, precision, porders, max_rice, exhaustive,
                    mid_side, window, n_devices=1):
     """jitted quantized-upload analysis (ops/qpack.py wire format)
 
-    qwords: uint32 [B, ch, W] bit-packed zigzag diffs (k bits each);
-    meta: int32 [B, 2*ch + 2*V] consolidated sideband — columns
-    [t(ch), x0(ch), or_vals(V), const_flags(V)] — one upload instead
-    of four (each put costs a tunnel round trip).  The device
-    reconstructs the quantized samples exactly (integer gathers +
-    cumsum) and analyzes them — typically 2-3x fewer bytes over the
-    host->device link than raw int16, which is the tunneled-TPU
-    pipeline's bottleneck."""
+    wire: uint32 [B, ch*W + 2*ch + 2*V] — ONE consolidated upload per
+    batch (each device_put costs a tunnel round trip): the first ch*W
+    columns are the bit-packed zigzag diffs (k bits each), the tail
+    columns are the bitcast int32 sideband [t(ch), x0(ch), or_vals(V),
+    const_flags(V)].  The device reconstructs the quantized samples
+    exactly (integer gathers + cumsum) and analyzes them — typically
+    2-3x fewer bytes over the host->device link than raw int16, which
+    is the tunneled-TPU pipeline's bottleneck."""
     import jax
     jax.config.update("jax_enable_x64", True)
     _enable_compilation_cache(jax)
 
-    key = ("q", qwords.shape, k, ch, V, stereo_trial, bps_scalar, n,
+    key = ("q", wire.shape, k, W, ch, V, stereo_trial, bps_scalar, n,
            K, precision, tuple(porders), max_rice, exhaustive,
            mid_side, n_devices)
     if key not in _jax_analyze_cache:
         import jax.numpy as jnp
+        from jax import lax
 
-        def run(qwords, meta, window):
+        def run(wire, window):
+            qwords = wire[:, :ch * W].reshape(-1, ch, W)
+            meta = lax.bitcast_convert_type(wire[:, ch * W:],
+                                            jnp.int32)
             t = meta[:, 0:ch]
             x0 = meta[:, ch:2 * ch]
             or_vals = meta[:, 2 * ch:2 * ch + V]
             const_flags = meta[:, 2 * ch + V:] != 0
             blocks = qpack.unpack(jnp, qwords, k, t, x0, n)
-            return flac_frames.analyze_frames_packed(
+            packed = flac_frames.analyze_frames_packed(
                 jnp, blocks, stereo_trial, bps_scalar, n, K, precision,
                 list(porders), max_rice, exhaustive, mid_side, window,
-                or_vals=or_vals, const_flags=const_flags).ravel()
+                or_vals=or_vals, const_flags=const_flags)
+            max_subframes = 2 if stereo_trial else ch
+            return flac_frames.compact_decisions(
+                jnp, packed, max_subframes, K,
+                1 << porders[-1]).ravel()
 
         if n_devices > 1:
             from ..parallel.mesh import make_mesh
@@ -204,16 +217,15 @@ def _analyze_jax_q(qwords, k, meta, ch, V, stereo_trial, bps_scalar,
             data = NamedSharding(mesh, P("blocks"))
             replicated = NamedSharding(mesh, P())
             _jax_analyze_cache[key] = jax.jit(
-                run, in_shardings=(data, data, replicated),
+                run, in_shardings=(data, replicated),
                 out_shardings=replicated)
         else:
             _jax_analyze_cache[key] = jax.jit(run)
     device = _jax_device()
     if device is not None and n_devices == 1:
-        qwords = jax.device_put(qwords, device)
-        meta = jax.device_put(meta, device)
+        wire = jax.device_put(wire, device)
         window = _window_on_device(window, device)
-    return _jax_analyze_cache[key](qwords, meta, window)
+    return _jax_analyze_cache[key](wire, window)
 
 
 def encode_flac_fast(file_or_path,
@@ -293,6 +305,8 @@ def encode_flac_fast(file_or_path,
         output_file.write(pad.to_bytes())
         output_file.write(b"\x00" * padding_size)
 
+    prof = stage_timer("flac_enc_fast[%s]" % backend)
+
     reader = BufferedPCMReader(pcmreader)
     stream_md5 = _native.MD5()
     total_pcm_frames = 0
@@ -333,50 +347,80 @@ def encode_flac_fast(file_or_path,
                 for a in arrays]
         return arrays
 
-    def submit(blocks):
-        """launches analysis of [B, n, ch] int32 blocks; the stream
-        MD5 of these samples is folded into the qpack scan (one
-        cache-hot pass instead of a separate one)"""
+    def prepare(blocks):
+        """host half of a batch submission: the qpack scan (with the
+        stream MD5 folded in — one cache-hot pass instead of a
+        separate one) and wire assembly.  Returns the payload the
+        submit thread turns into a device dispatch — the main thread
+        never blocks on the tunnel."""
         if backend == "jax":
             if use_qpack:
-                (qwords, k, t, x0, orv, cflags) = _native.flac_qpack(
-                    blocks, bps, qguard, stereo_trial,
-                    md5=stream_md5)
-                meta = np.concatenate(
-                    [t, x0, orv, cflags.astype(np.int32)],
-                    axis=1).astype(np.int32)
-                (qwords, meta) = _pad_rows([qwords, meta])
+                with prof("qpack+md5"):
+                    (qwords, k, t, x0, orv, cflags) = \
+                        _native.flac_qpack(
+                            blocks, bps, qguard, stereo_trial,
+                            md5=stream_md5)
+                    meta = np.concatenate(
+                        [t, x0, orv, cflags.astype(np.int32)],
+                        axis=1).astype(np.int32)
+                    B = qwords.shape[0]
+                    W = qwords.shape[2]
+                    wire = np.concatenate(
+                        [qwords.reshape(B, -1),
+                         meta.view(np.uint32)], axis=1)
+                    (wire,) = _pad_rows([wire])
+                    return ("q", wire, k, W, orv.shape[1])
+            else:
+                upload = (blocks.astype(np.int16) if bps <= 16
+                          else blocks)
+                (upload,) = _pad_rows([upload])
+                return ("raw", upload)
+        if use_qpack:
+            # same spec, no wire format: analysis sees (x >> t) << t
+            # plus the exact sideband
+            (_qw, _k, t, _x0, orv, cflags) = _native.flac_qpack(
+                blocks, bps, qguard, stereo_trial,
+                md5=stream_md5)
+            return ("np_q", qpack.quantize(np, blocks, t), orv, cflags)
+        return ("np", blocks)
+
+    def dispatch(payload):
+        """device (or numpy) half of a batch submission; runs in the
+        submit thread so device_put transfers and jit dispatch never
+        stall the reader"""
+        tag = payload[0]
+        if tag == "q":
+            (_tag, wire, k, W, V) = payload
+            with prof("submit"):
                 return _analyze_jax_q(
-                    qwords, k, meta, channels, orv.shape[1],
+                    wire, k, W, channels, V,
                     stereo_trial, bps, block_size, max_lpc_order,
                     precision, porders, max_rice,
                     exhaustive_model_search, mid_side, window,
                     n_devices)
-            upload = (blocks.astype(np.int16) if bps <= 16 else blocks)
-            (upload,) = _pad_rows([upload])
-            return _analyze_jax(upload, stereo_trial, bps, block_size,
-                                max_lpc_order, precision, porders,
-                                max_rice, exhaustive_model_search,
-                                mid_side, window, n_devices)
-        else:
-            if use_qpack:
-                # same spec, no wire format: analysis sees
-                # (x >> t) << t plus the exact sideband
-                (_qw, _k, t, _x0, orv, cflags) = _native.flac_qpack(
-                    blocks, bps, qguard, stereo_trial,
-                    md5=stream_md5)
-                analysis_blocks = qpack.quantize(np, blocks, t)
-                return flac_frames.analyze_frames_packed(
-                    np, analysis_blocks, stereo_trial, bps, block_size,
-                    max_lpc_order, precision, porders, max_rice,
-                    exhaustive_model_search, mid_side, window,
-                    or_vals=orv, const_flags=cflags)
+        elif tag == "raw":
+            with prof("submit"):
+                return _analyze_jax(payload[1], stereo_trial, bps,
+                                    block_size, max_lpc_order,
+                                    precision, porders, max_rice,
+                                    exhaustive_model_search,
+                                    mid_side, window, n_devices)
+        elif tag == "np_q":
+            (_tag, analysis_blocks, orv, cflags) = payload
             return flac_frames.analyze_frames_packed(
-                np, blocks, stereo_trial, bps, block_size,
+                np, analysis_blocks, stereo_trial, bps, block_size,
+                max_lpc_order, precision, porders, max_rice,
+                exhaustive_model_search, mid_side, window,
+                or_vals=orv, const_flags=cflags)
+        else:
+            return flac_frames.analyze_frames_packed(
+                np, payload[1], stereo_trial, bps, block_size,
                 max_lpc_order, precision, porders, max_rice,
                 exhaustive_model_search, mid_side, window)
 
     row_width = 1 + max_subframes * flac_frames.packed_width(
+        max_lpc_order, P)
+    compact_row_width = 1 + max_subframes * flac_frames.compact_width(
         max_lpc_order, P)
 
     def fetch(handle):
@@ -389,16 +433,19 @@ def encode_flac_fast(file_or_path,
         return jax.device_get(handle)
 
     # ------------------------------------------------------------------
-    # writer thread: fetches decision arrays and emits/writes frames in
-    # submission order while the main thread reads, packs and submits
-    # the next batches.  The box has one CPU core, but the fetch is a
-    # network wait and the emitter is a ctypes call (both release the
-    # GIL), so the worker overlaps the emitter's CPU time with the main
-    # thread's tunnel waits — measured ~25 ms/batch of hidden work.
-    # The bounded queue is the pipeline-depth backpressure.
+    # three-stage pipeline over two worker threads:
+    #   main thread:   read + qpack/MD5 scans (serial by spec)
+    #   submit thread: device_put + jit dispatch (tunnel uploads)
+    #   writer thread: fetch + emit + file write (tunnel downloads
+    #                  and the serializer CPU)
+    # The box has one CPU core, but the tunnel waits and the ctypes
+    # kernels all release the GIL, so the stages overlap: wire
+    # transfers ride under host CPU and vice versa.  The bounded
+    # queues are the pipeline-depth backpressure.
     import queue as queue_mod
     import threading
 
+    submit_queue = queue_mod.Queue(maxsize=max(pipeline_depth, 1))
     writer_queue = queue_mod.Queue(maxsize=max(pipeline_depth, 1))
     writer_error = []
 
@@ -435,21 +482,33 @@ def encode_flac_fast(file_or_path,
             try:
                 if item[0] == "batch":
                     (_tag, handle, blocks, first_frame) = item
-                    packed = fetch(handle).reshape(-1, row_width)
+                    # device handles carry the 3.5x-smaller compact
+                    # row layout; the numpy path keeps standard rows
+                    is_compact = not isinstance(handle, np.ndarray)
+                    width = (compact_row_width if is_compact
+                             else row_width)
+                    with prof("fetch"):
+                        packed = fetch(handle).reshape(-1, width)
                     B = blocks.shape[0]
                     packed = packed[:B]   # drop shard-padding rows
                     try:
-                        (frame_bytes, lens) = _native.flac_emit_frames2(
-                            blocks,
-                            np.arange(first_frame, first_frame + B,
-                                      dtype=np.int64),
-                            np.full(B, block_size, dtype=np.int32),
-                            packed, max_subframes, Kp, P,
-                            sample_rate, bps, channels, precision)
+                        with prof("emit"):
+                            (frame_bytes, lens) = \
+                                _native.flac_emit_frames2(
+                                    blocks,
+                                    np.arange(first_frame,
+                                              first_frame + B,
+                                              dtype=np.int64),
+                                    np.full(B, block_size,
+                                            dtype=np.int32),
+                                    packed, max_subframes, Kp, P,
+                                    sample_rate, bps, channels,
+                                    precision, compact=is_compact)
                     except _native.EmitOverflow:
                         (frame_bytes, lens) = emit_exact_retry(
                             blocks, first_frame)
-                    output_file.write(frame_bytes)
+                    with prof("write"):
+                        output_file.write(frame_bytes)
                     for length in lens:
                         frame_offsets.append(
                             (current_offset, block_size))
@@ -469,8 +528,37 @@ def encode_flac_fast(file_or_path,
             except BaseException as err:  # noqa: B902
                 writer_error.append(err)
 
+    def submit_loop():
+        while True:
+            item = submit_queue.get()
+            if item is None:
+                writer_queue.put(None)
+                return
+            if writer_error:
+                continue                  # drain after a failure
+            try:
+                if item[0] == "batch":
+                    (_tag, payload, blocks, first_frame) = item
+                    handle = dispatch(payload)
+                    if backend == "jax":
+                        # queue the device->host copy behind the
+                        # compute so the transfer overlaps host
+                        # serialization
+                        try:
+                            handle.copy_to_host_async()
+                        except AttributeError:
+                            pass
+                    writer_queue.put(
+                        ("batch", handle, blocks, first_frame))
+                else:                     # ("bytes", ...) passthrough
+                    writer_queue.put(item)
+            except BaseException as err:  # noqa: B902
+                writer_error.append(err)
+
     writer = threading.Thread(target=writer_loop, daemon=True)
     writer.start()
+    submitter = threading.Thread(target=submit_loop, daemon=True)
+    submitter.start()
 
     def check_writer():
         if writer_error:
@@ -478,7 +566,8 @@ def encode_flac_fast(file_or_path,
 
     try:
         while True:
-            framelist = reader.read(block_size * batch_frames)
+            with prof("read"):
+                framelist = reader.read(block_size * batch_frames)
             if framelist.frames == 0:
                 break
             total_pcm_frames += framelist.frames
@@ -491,20 +580,13 @@ def encode_flac_fast(file_or_path,
             if n_full:
                 blocks = np.ascontiguousarray(
                     full.reshape(n_full, block_size, channels))
-                # submit before any host work so the device runs
-                # ahead; submit's qpack scan also folds these samples
-                # into the stream MD5
-                handle = submit(blocks)
-                if backend == "jax":
-                    # queue the device->host copy behind the compute
-                    # so the transfer overlaps host serialization
-                    try:
-                        handle.copy_to_host_async()
-                    except AttributeError:
-                        pass
+                # prepare's qpack scan also folds these samples into
+                # the stream MD5 (order matters: before any tail)
+                payload = prepare(blocks)
                 check_writer()
-                writer_queue.put(
-                    ("batch", handle, blocks, submitted_frames))
+                with prof("queue_wait"):
+                    submit_queue.put(
+                        ("batch", payload, blocks, submitted_frames))
                 submitted_frames += n_full
                 if not use_qpack:
                     stream_md5.update_pcm(full, bps)
@@ -519,13 +601,16 @@ def encode_flac_fast(file_or_path,
                     reader, options, submitted_frames,
                     tail.astype(np.int64))
                 check_writer()
-                writer_queue.put(
+                submit_queue.put(
                     ("bytes", frame_bytes, tail.shape[0]))
                 submitted_frames += 1
     finally:
-        writer_queue.put(None)
-        writer.join()
+        with prof("drain"):
+            submit_queue.put(None)
+            submitter.join()
+            writer.join()
     check_writer()
+    prof.report(extra="(%d frames)" % frame_number)
 
     if max_frame == 0:
         min_frame = (1 << 24) - 1

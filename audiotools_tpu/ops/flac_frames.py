@@ -59,6 +59,50 @@ def packed_width(max_lpc_order, max_parts):
     return PACKED_SCALARS + max(max_lpc_order, 1) + max_parts
 
 
+def compact_width(max_lpc_order, max_parts):
+    """per-subframe width of the COMPACT decision layout (the wire
+    format for device->host decision downloads): one bit-packed
+    scalar word [choice(4b) | wasted<<4 (6b) | order<<10 (6b) |
+    porder<<16 (4b) | shift<<20 (5b)], qlp coefficients as int16
+    pairs, Rice parameters as u8 quads — 3.5x smaller than the
+    standard layout (sub_bits, which no emitter reads, is dropped)"""
+    Kp = max(max_lpc_order, 1)
+    return 1 + (Kp + 1) // 2 + (max_parts + 3) // 4
+
+
+def compact_decisions(xp, packed, max_subframes, max_lpc_order,
+                      max_parts):
+    """converts [B, 1 + S*W] standard decision rows to the compact
+    layout [B, 1 + S*CW] (see compact_width); runs on device inside
+    the analysis jit so the host fetch shrinks 3.5x.  The C++ emitter
+    (`atpu_flac_emit_frames2` with compact=1) reverses this exactly."""
+    Kp = max(max_lpc_order, 1)
+    P = max_parts
+    W = PACKED_SCALARS + Kp + P
+    B = packed.shape[0]
+    rows = xp.reshape(packed[:, 1:], (B, max_subframes, W))
+    choice = rows[:, :, 0]
+    wasted = rows[:, :, 1]
+    order = rows[:, :, 2]
+    porder = rows[:, :, 3]
+    shift = rows[:, :, 4]
+    w0 = (choice | (wasted << 4) | (order << 10) | (porder << 16) |
+          (shift << 20))
+    qlp = rows[:, :, PACKED_SCALARS:PACKED_SCALARS + Kp] & 0xFFFF
+    if Kp % 2:
+        qlp = xp.pad(qlp, [(0, 0), (0, 0), (0, 1)])
+    qpair = qlp[:, :, 0::2] | (qlp[:, :, 1::2] << 16)
+    rice = rows[:, :, PACKED_SCALARS + Kp:] & 0xFF
+    if P % 4:
+        rice = xp.pad(rice, [(0, 0), (0, 0), (0, (-P) % 4)])
+    rquad = (rice[:, :, 0::4] | (rice[:, :, 1::4] << 8) |
+             (rice[:, :, 2::4] << 16) | (rice[:, :, 3::4] << 24))
+    per_sub = xp.concatenate([w0[:, :, None], qpair, rquad], axis=2)
+    return xp.concatenate(
+        [packed[:, :1], xp.reshape(per_sub, (B, -1))],
+        axis=1).astype(xp.int32)
+
+
 def build_variants(xp, blocks, stereo_trial, bps):
     """builds the candidate channel stack from [B, n, ch] blocks
 
