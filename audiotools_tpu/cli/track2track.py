@@ -195,7 +195,13 @@ def main(argv=None):
                       "use --format with distinguishing fields" %
                       (destination,))
             return 1
-        os.makedirs(os.path.dirname(destination) or ".", exist_ok=True)
+        try:
+            os.makedirs(os.path.dirname(destination) or ".",
+                        exist_ok=True)
+        except OSError as err:
+            msg.error("unable to create directory for \"%s\": %s" %
+                      (destination, err.strerror or err))
+            return 1
         output_filenames.append(destination)
         queue.execute(
             convert,

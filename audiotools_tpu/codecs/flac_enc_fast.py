@@ -433,11 +433,17 @@ def encode_flac_fast(file_or_path,
         return jax.device_get(handle)
 
     # ------------------------------------------------------------------
-    # three-stage pipeline over two worker threads:
+    # four-stage pipeline:
     #   main thread:   read + qpack/MD5 scans (serial by spec)
     #   submit thread: device_put + jit dispatch (tunnel uploads)
-    #   writer thread: fetch + emit + file write (tunnel downloads
-    #                  and the serializer CPU)
+    #   fetch pool:    device->host decision downloads.  The tunnel
+    #                  charges a full ~40 ms round trip per fetch no
+    #                  matter the size and copy_to_host_async is a
+    #                  no-op on it, but concurrent fetches from
+    #                  separate threads DO overlap (measured 4 gets in
+    #                  36 ms vs 125 ms serial) — so a small pool turns
+    #                  the per-batch RTT into per-pipeline RTT.
+    #   writer thread: emit + file write, in submission order.
     # The box has one CPU core, but the tunnel waits and the ctypes
     # kernels all release the GIL, so the stages overlap: wire
     # transfers ride under host CPU and vice versa.  The bounded
@@ -447,6 +453,7 @@ def encode_flac_fast(file_or_path,
 
     submit_queue = queue_mod.Queue(maxsize=max(pipeline_depth, 1))
     writer_queue = queue_mod.Queue(maxsize=max(pipeline_depth, 1))
+    fetch_queue = queue_mod.Queue()
     writer_error = []
 
     def emit_exact_retry(blocks, first_frame):
@@ -471,6 +478,22 @@ def encode_flac_fast(file_or_path,
             packed, max_subframes, Kp, P,
             sample_rate, bps, channels, precision)
 
+    def fetch_loop():
+        """fetch-pool worker: blocks on one device->host download at
+        a time; concurrency across workers overlaps the tunnel RTTs"""
+        while True:
+            job = fetch_queue.get()
+            if job is None:
+                return
+            (handle, slot, done) = job
+            try:
+                with prof("fetch"):
+                    slot.append(fetch(handle))
+            except BaseException as err:  # noqa: B902
+                writer_error.append(err)
+            finally:
+                done.set()
+
     def writer_loop():
         nonlocal current_offset, min_frame, max_frame, frame_number
         while True:
@@ -481,14 +504,17 @@ def encode_flac_fast(file_or_path,
                 continue                  # drain after a failure
             try:
                 if item[0] == "batch":
-                    (_tag, handle, blocks, first_frame) = item
+                    (_tag, slot, done, is_compact,
+                     blocks, first_frame) = item
                     # device handles carry the 3.5x-smaller compact
                     # row layout; the numpy path keeps standard rows
-                    is_compact = not isinstance(handle, np.ndarray)
                     width = (compact_row_width if is_compact
                              else row_width)
-                    with prof("fetch"):
-                        packed = fetch(handle).reshape(-1, width)
+                    with prof("fetch_wait"):
+                        done.wait()
+                    if writer_error:
+                        continue
+                    packed = slot[0].reshape(-1, width)
                     B = blocks.shape[0]
                     packed = packed[:B]   # drop shard-padding rows
                     try:
@@ -540,16 +566,18 @@ def encode_flac_fast(file_or_path,
                 if item[0] == "batch":
                     (_tag, payload, blocks, first_frame) = item
                     handle = dispatch(payload)
-                    if backend == "jax":
-                        # queue the device->host copy behind the
-                        # compute so the transfer overlaps host
-                        # serialization
-                        try:
-                            handle.copy_to_host_async()
-                        except AttributeError:
-                            pass
+                    slot = []
+                    done = threading.Event()
+                    if isinstance(handle, np.ndarray):
+                        slot.append(handle)   # numpy backend: ready
+                        done.set()
+                        is_compact = False
+                    else:
+                        fetch_queue.put((handle, slot, done))
+                        is_compact = True
                     writer_queue.put(
-                        ("batch", handle, blocks, first_frame))
+                        ("batch", slot, done, is_compact,
+                         blocks, first_frame))
                 else:                     # ("bytes", ...) passthrough
                     writer_queue.put(item)
             except BaseException as err:  # noqa: B902
@@ -559,6 +587,12 @@ def encode_flac_fast(file_or_path,
     writer.start()
     submitter = threading.Thread(target=submit_loop, daemon=True)
     submitter.start()
+    fetchers = []
+    if backend == "jax":
+        for _ in range(max(pipeline_depth, 1)):
+            worker = threading.Thread(target=fetch_loop, daemon=True)
+            worker.start()
+            fetchers.append(worker)
 
     def check_writer():
         if writer_error:
@@ -609,6 +643,10 @@ def encode_flac_fast(file_or_path,
             submit_queue.put(None)
             submitter.join()
             writer.join()
+            for _ in fetchers:
+                fetch_queue.put(None)
+            for worker in fetchers:
+                worker.join()
     check_writer()
     prof.report(extra="(%d frames)" % frame_number)
 

@@ -438,8 +438,8 @@ def serialize_subframe(t, sub_bps, samples, choice, wasted, order,
     """serializes one subframe from its decision row
 
     samples: int64 [n] variant samples (pre-wasted-shift)"""
-    from ..ops.flac_frames import (CHOICE_CONSTANT, CHOICE_VERBATIM,
-                                   CHOICE_FIXED)
+    from .flac_analysis import (CHOICE_CONSTANT, CHOICE_VERBATIM,
+                                CHOICE_FIXED)
     n = len(samples)
     if choice == CHOICE_CONSTANT:
         t.write(1, 0)
@@ -484,19 +484,20 @@ def serialize_subframe(t, sub_bps, samples, choice, wasted, order,
 def encode_frame(pcmreader, options, frame_number, samples):
     """encodes one FLAC frame, returning its bytes
 
-    samples is an int64 [frames, channels] array.  Analysis runs
-    through the shared batched kernel (ops/flac_frames.py) on a
-    single-frame batch — the kernels are row-local, so decisions are
-    byte-identical to the batched device path — while serialization
-    stays an independent Python implementation (TokenStream) that
-    differentially tests the C++ emitter."""
-    from ..ops import flac_frames, lpc as lpc_ops, qpack
+    samples is an int64 [frames, channels] array.  Analysis AND
+    serialization are fully independent of the batched fast path:
+    decisions come from the scalar spec implementation in
+    ``ref/flac_analysis.py`` / ``ref/scalar_lpc.py`` (zero ops/
+    imports), serialization from the TokenStream packer here — the
+    dual-implementation oracle pattern of the reference\'s
+    ``py_encoders`` vs ``src/encoders`` (SURVEY.md \u00a72.2).  Byte-compare
+    tests hold this implementation and the batched device path to
+    identical streams."""
+    from . import flac_analysis
 
     bps = pcmreader.bits_per_sample
     n = samples.shape[0]
     ch = samples.shape[1]
-    stereo_trial = (ch == 2) and (options.mid_side or
-                                  options.adaptive_mid_side)
 
     body = TokenStream()
 
@@ -518,66 +519,21 @@ def encode_frame(pcmreader, options, frame_number, samples):
                 body.extend_arrays(vals.astype(np.int64),
                                    np.full(n, bps, dtype=np.int64))
     else:
-        K = options.max_lpc_order
-        P_orders = flac_frames.valid_partition_orders(
-            n, options.max_residual_partition_order, max(K, 4))
-        window = lpc_ops.tukey_window(n)
-        blocks1 = samples[None].astype(np.int32)
-        if qpack.enabled() and (bps + 2 <= 31):
-            # bps gate mirrors the fast path's wire-format limit so
-            # oracle and fast outputs stay byte-identical
-            # the shared quantized-analysis spec (ops/qpack.py):
-            # analysis sees (x >> t) << t plus the exact or/const
-            # sideband — identical to what the device path
-            # reconstructs from the wire format, so oracle and fast
-            # paths stay byte-identical by construction
-            t = qpack.plan_t(blocks1, bps)
-            (or_vals, const_flags) = qpack.variant_sideband(
-                blocks1, stereo_trial)
-            analysis_blocks = qpack.quantize(np, blocks1, t)
-        else:
-            (or_vals, const_flags) = (None, None)
-            analysis_blocks = blocks1
-        packed = np.asarray(flac_frames.analyze_frames_packed(
-            np, analysis_blocks, stereo_trial, bps, n,
-            K, options.qlp_precision, P_orders,
-            options.max_rice_parameter,
-            options.exhaustive_model_search, options.mid_side,
-            window, or_vals=or_vals, const_flags=const_flags))[0]
-
-        Kp = max(K, 1)
-        P = 1 << P_orders[-1]
-        W = flac_frames.packed_width(K, P)
-        assignment = int(packed[0])
-
-        if assignment <= 7:
-            n_subframes = ch
-            variants = [samples[:, c].astype(np.int64)
-                        for c in range(ch)]
-        else:
-            n_subframes = 2
-            left = samples[:, 0].astype(np.int64)
-            right = samples[:, 1].astype(np.int64)
-            average = (left + right) >> 1
-            difference = left - right
-            stack = [left, right, average, difference]
-            (v0, v1) = flac_frames.ASSIGNMENT_VARIANTS[assignment]
-            variants = [stack[v0], stack[v1]]
-
-        for s in range(n_subframes):
-            row = packed[1 + s * W:1 + (s + 1) * W]
+        (assignment, decisions, variants) = flac_analysis.analyze_frame(
+            np.asarray(samples, dtype=np.int64), bps, options)
+        for (s, (dec, var)) in enumerate(zip(decisions, variants)):
             sub_bps = bps
             if ((assignment == 8 and s == 1) or
                     (assignment == 9 and s == 0) or
                     (assignment == 10 and s == 1)):
                 sub_bps += 1
             serialize_subframe(
-                body, sub_bps, variants[s],
-                choice=int(row[0]), wasted=int(row[1]),
-                order=int(row[2]), porder=int(row[3]),
-                shift=int(row[4]),
+                body, sub_bps, var,
+                choice=dec["choice"], wasted=dec["wasted"],
+                order=dec["order"], porder=dec["porder"],
+                shift=dec["shift"],
                 precision=options.qlp_precision,
-                qlp=row[6:6 + Kp], rice=row[6 + Kp:6 + Kp + P])
+                qlp=dec["qlp"], rice=dec["rice"])
 
     header = frame_header_tokens(pcmreader, frame_number, n, assignment)
     header_bytes = header.to_bytes()

@@ -50,7 +50,12 @@ def encode_both(make_reader, **opts):
     return outs
 
 
-@pytest.mark.parametrize("exhaustive", [False, True])
+# the non-exhaustive variant runs the same code paths over a 12 s
+# stream (455 s); the exhaustive variant (36 s) stays in the default
+# run as the representative
+@pytest.mark.parametrize(
+    "exhaustive",
+    [pytest.param(False, marks=pytest.mark.slow), True])
 def test_flac8_long_noisy_byte_identity(exhaustive):
     outs = encode_both(
         noisy_reader,
@@ -59,6 +64,7 @@ def test_flac8_long_noisy_byte_identity(exhaustive):
     assert outs["numpy"] == outs["jax"]
 
 
+@pytest.mark.slow
 def test_flac_24bit_byte_identity():
     outs = encode_both(
         lambda: noisy_reader(bps=24, seconds=6),
@@ -74,4 +80,14 @@ def test_alac_long_noisy_byte_identity():
         encode_mdat_fast(buf, noisy_reader(seconds=6),
                          backend=backend)
         outs[backend] = buf.getvalue()
+    assert outs["numpy"] == outs["jax"]
+
+
+def test_flac_24bit_short_byte_identity():
+    """fast default-run representative of the slow 24-bit battery
+    (covers the int32-wrap residual path on both backends)"""
+    outs = encode_both(
+        lambda: noisy_reader(bps=24, seconds=1),
+        max_lpc_order=12, max_residual_partition_order=6,
+        mid_side=True, exhaustive_model_search=True)
     assert outs["numpy"] == outs["jax"]

@@ -3,7 +3,6 @@ disc IDs, and the cd2track/cdinfo CLI tools (the image backend is how
 the reference tests CD logic without hardware, test_core.py:462)."""
 
 import os
-import subprocess
 import sys
 
 import numpy as np
@@ -96,13 +95,7 @@ def test_disc_ids(tmp_path):
     cdda.close()
 
 
-def run_tool(name, *args):
-    env = dict(os.environ)
-    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
-    return subprocess.run(
-        [sys.executable, os.path.join(REPO, "tools", name)] +
-        list(args), capture_output=True, text=True, env=env,
-        timeout=600)
+from cli_harness import run_tool  # noqa: E402
 
 
 def test_cdinfo_cli(tmp_path):

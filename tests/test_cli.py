@@ -4,7 +4,6 @@ output files, metadata effects)."""
 
 import io
 import os
-import subprocess
 import sys
 
 import numpy as np
@@ -20,12 +19,7 @@ TOOLS = os.path.join(REPO, "tools")
 SR = 44100
 
 
-def run_tool(name, *args, timeout=300):
-    env = dict(os.environ)
-    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
-    return subprocess.run(
-        [sys.executable, os.path.join(TOOLS, name)] + list(args),
-        capture_output=True, text=True, env=env, timeout=timeout)
+from cli_harness import run_tool, run_tool_subprocess  # noqa: E402
 
 
 def make_signal(n):
@@ -208,3 +202,14 @@ def test_track2track_metadata_lookup_offline(tmp_path, wav_file):
     md = FlacAudio(os.path.join(out, files[0])).get_metadata()
     assert md is not None
     assert md.track_number == 1
+
+
+def test_tool_shim_subprocess_smoke(wav_file, tmp_path):
+    """one true black-box spawn: the tools/ shim scripts themselves
+    (sys.path setup + main() wiring) stay covered even though the
+    rest of the suite runs in-process for speed"""
+    r = run_tool_subprocess(
+        "trackinfo", wav_file,
+        env_extra={"ATPU_FLAC_BACKEND": "numpy"})
+    assert r.returncode == 0
+    assert "44100" in r.stdout

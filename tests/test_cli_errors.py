@@ -10,7 +10,6 @@ available lossless type as a CLI-level transcode matrix.
 
 import io
 import os
-import subprocess
 import sys
 
 import numpy as np
@@ -26,12 +25,7 @@ TOOLS = os.path.join(REPO, "tools")
 SR = 44100
 
 
-def run_tool(name, *args, timeout=300):
-    env = dict(os.environ)
-    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
-    return subprocess.run(
-        [sys.executable, os.path.join(TOOLS, name)] + list(args),
-        capture_output=True, text=True, env=env, timeout=timeout)
+from cli_harness import run_tool  # noqa: E402
 
 
 def make_reader(n=SR):

@@ -2,7 +2,6 @@
 (covertag/coverdump round trip; trackplay over the NULL output)."""
 
 import os
-import subprocess
 import sys
 
 import numpy as np
@@ -16,14 +15,7 @@ PNG = bytes.fromhex(
     "454e44ae426082")
 
 
-def run_tool(name, *args, timeout=300):
-    env = dict(os.environ)
-    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
-    env.setdefault("ATPU_FLAC_BACKEND", "numpy")
-    return subprocess.run(
-        [sys.executable, os.path.join(REPO, "tools", name)] +
-        list(args), capture_output=True, text=True, env=env,
-        timeout=timeout)
+from cli_harness import run_tool  # noqa: E402
 
 
 @pytest.fixture()

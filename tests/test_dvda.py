@@ -3,7 +3,6 @@
 
 import os
 import struct
-import subprocess
 import sys
 
 import numpy as np
@@ -220,13 +219,7 @@ def test_dvda_pcm_decode(audio_ts):
     assert np.array_equal(got, arr)
 
 
-def run_tool(name, *args):
-    env = dict(os.environ)
-    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
-    return subprocess.run(
-        [sys.executable, os.path.join(REPO, "tools", name)] +
-        list(args), capture_output=True, text=True, env=env,
-        timeout=600)
+from cli_harness import run_tool  # noqa: E402
 
 
 def test_dvdainfo_cli(audio_ts):
