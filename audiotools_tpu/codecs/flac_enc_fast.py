@@ -29,6 +29,11 @@ from ..utils.profiling import stage_timer, profiling_enabled
 from .. import _native
 
 _jax_analyze_cache = {}
+# guards jit-object creation: concurrent submit-pool threads must not
+# trigger duplicate XLA compiles of the same program (45-400 s each
+# on tunneled backends)
+import threading as _threading
+_jax_cache_lock = _threading.Lock()
 
 
 _default_backend_cache = None
@@ -118,7 +123,8 @@ def _analyze_jax(blocks, stereo_trial, bps_scalar, n, K, precision,
     key = (blocks.shape, blocks.dtype.str, stereo_trial, bps_scalar, n,
            K, precision, tuple(porders), max_rice, exhaustive,
            mid_side, n_devices)
-    if key not in _jax_analyze_cache:
+    with _jax_cache_lock:
+      if key not in _jax_analyze_cache:
         import jax.numpy as jnp
 
         def run(blocks, window):
@@ -188,7 +194,8 @@ def _analyze_jax_q(wire, k, W, ch, V, stereo_trial, bps_scalar,
     key = ("q", wire.shape, k, W, ch, V, stereo_trial, bps_scalar, n,
            K, precision, tuple(porders), max_rice, exhaustive,
            mid_side, n_devices)
-    if key not in _jax_analyze_cache:
+    with _jax_cache_lock:
+      if key not in _jax_analyze_cache:
         import jax.numpy as jnp
         from jax import lax
 
@@ -434,15 +441,23 @@ def encode_flac_fast(file_or_path,
 
     # ------------------------------------------------------------------
     # four-stage pipeline:
-    #   main thread:   read + qpack/MD5 scans (serial by spec)
-    #   submit thread: device_put + jit dispatch (tunnel uploads)
+    #   main thread:   read + qpack/MD5 scans (serial by spec); also
+    #                  owns ORDER — it enqueues each batch's result
+    #                  slot to the writer before handing the dispatch
+    #                  job to the pools, so pool completion order
+    #                  never matters
+    #   submit pool:   device_put + jit dispatch.  The tunnel
+    #                  serializes dispatches at ~60-70 ms each
+    #                  (upload + execute round trip, no pipelining),
+    #                  but dispatches issued from separate threads
+    #                  overlap partially (measured ~70 -> ~40-53 ms
+    #                  per dispatch with concurrent issue)
     #   fetch pool:    device->host decision downloads.  The tunnel
     #                  charges a full ~40 ms round trip per fetch no
     #                  matter the size and copy_to_host_async is a
     #                  no-op on it, but concurrent fetches from
     #                  separate threads DO overlap (measured 4 gets in
-    #                  36 ms vs 125 ms serial) — so a small pool turns
-    #                  the per-batch RTT into per-pipeline RTT.
+    #                  36 ms vs 125 ms serial)
     #   writer thread: emit + file write, in submission order.
     # The box has one CPU core, but the tunnel waits and the ctypes
     # kernels all release the GIL, so the stages overlap: wire
@@ -451,6 +466,9 @@ def encode_flac_fast(file_or_path,
     import queue as queue_mod
     import threading
 
+    n_submitters = (int(os.environ.get("ATPU_FLAC_SUBMIT_THREADS",
+                                       "2"))
+                    if backend == "jax" else 1)
     submit_queue = queue_mod.Queue(maxsize=max(pipeline_depth, 1))
     writer_queue = queue_mod.Queue(maxsize=max(pipeline_depth, 1))
     fetch_queue = queue_mod.Queue()
@@ -488,7 +506,7 @@ def encode_flac_fast(file_or_path,
             (handle, slot, done) = job
             try:
                 with prof("fetch"):
-                    slot.append(fetch(handle))
+                    slot.append(("jax", fetch(handle)))
             except BaseException as err:  # noqa: B902
                 writer_error.append(err)
             finally:
@@ -504,17 +522,18 @@ def encode_flac_fast(file_or_path,
                 continue                  # drain after a failure
             try:
                 if item[0] == "batch":
-                    (_tag, slot, done, is_compact,
-                     blocks, first_frame) = item
-                    # device handles carry the 3.5x-smaller compact
-                    # row layout; the numpy path keeps standard rows
-                    width = (compact_row_width if is_compact
-                             else row_width)
+                    (_tag, slot, done, blocks, first_frame) = item
                     with prof("fetch_wait"):
                         done.wait()
                     if writer_error:
                         continue
-                    packed = slot[0].reshape(-1, width)
+                    (kind, arr) = slot[0]
+                    # device handles carry the 3.5x-smaller compact
+                    # row layout; the numpy path keeps standard rows
+                    is_compact = (kind == "jax")
+                    width = (compact_row_width if is_compact
+                             else row_width)
+                    packed = arr.reshape(-1, width)
                     B = blocks.shape[0]
                     packed = packed[:B]   # drop shard-padding rows
                     try:
@@ -555,38 +574,35 @@ def encode_flac_fast(file_or_path,
                 writer_error.append(err)
 
     def submit_loop():
+        """submit-pool worker: one device dispatch at a time;
+        ordering is the main thread's job (it enqueued the result
+        slot to the writer before handing the payload here)"""
         while True:
             item = submit_queue.get()
             if item is None:
-                writer_queue.put(None)
                 return
+            (payload, slot, done) = item
             if writer_error:
+                done.set()
                 continue                  # drain after a failure
             try:
-                if item[0] == "batch":
-                    (_tag, payload, blocks, first_frame) = item
-                    handle = dispatch(payload)
-                    slot = []
-                    done = threading.Event()
-                    if isinstance(handle, np.ndarray):
-                        slot.append(handle)   # numpy backend: ready
-                        done.set()
-                        is_compact = False
-                    else:
-                        fetch_queue.put((handle, slot, done))
-                        is_compact = True
-                    writer_queue.put(
-                        ("batch", slot, done, is_compact,
-                         blocks, first_frame))
-                else:                     # ("bytes", ...) passthrough
-                    writer_queue.put(item)
+                handle = dispatch(payload)
+                if isinstance(handle, np.ndarray):
+                    slot.append(("np", handle))   # numpy: ready now
+                    done.set()
+                else:
+                    fetch_queue.put((handle, slot, done))
             except BaseException as err:  # noqa: B902
                 writer_error.append(err)
+                done.set()
 
     writer = threading.Thread(target=writer_loop, daemon=True)
     writer.start()
-    submitter = threading.Thread(target=submit_loop, daemon=True)
-    submitter.start()
+    submitters = []
+    for _ in range(max(n_submitters, 1)):
+        worker = threading.Thread(target=submit_loop, daemon=True)
+        worker.start()
+        submitters.append(worker)
     fetchers = []
     if backend == "jax":
         for _ in range(max(pipeline_depth, 1)):
@@ -618,9 +634,14 @@ def encode_flac_fast(file_or_path,
                 # the stream MD5 (order matters: before any tail)
                 payload = prepare(blocks)
                 check_writer()
+                slot = []
+                done = threading.Event()
                 with prof("queue_wait"):
-                    submit_queue.put(
-                        ("batch", payload, blocks, submitted_frames))
+                    # writer first (establishes order), then the pool
+                    writer_queue.put(
+                        ("batch", slot, done, blocks,
+                         submitted_frames))
+                    submit_queue.put((payload, slot, done))
                 submitted_frames += n_full
                 if not use_qpack:
                     stream_md5.update_pcm(full, bps)
@@ -628,25 +649,27 @@ def encode_flac_fast(file_or_path,
                 stream_md5.update_pcm(tail, bps)
 
             if tail.shape[0]:
-                # final short block: scalar oracle path (shared
-                # analysis kernel; byte-identical by construction);
-                # ordering through the same queue
+                # final short block: independent scalar oracle path
+                # (byte-identical by spec); ordered via writer_queue
                 frame_bytes = oracle.encode_frame(
                     reader, options, submitted_frames,
                     tail.astype(np.int64))
                 check_writer()
-                submit_queue.put(
+                writer_queue.put(
                     ("bytes", frame_bytes, tail.shape[0]))
                 submitted_frames += 1
     finally:
         with prof("drain"):
-            submit_queue.put(None)
-            submitter.join()
-            writer.join()
+            for _ in submitters:
+                submit_queue.put(None)
+            for worker in submitters:
+                worker.join()
             for _ in fetchers:
                 fetch_queue.put(None)
             for worker in fetchers:
                 worker.join()
+            writer_queue.put(None)
+            writer.join()
     check_writer()
     prof.report(extra="(%d frames)" % frame_number)
 
