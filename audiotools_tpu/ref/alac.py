@@ -17,7 +17,7 @@ import numpy as np
 from .. import pcm
 from ..bitstream import (BitstreamReader, BitstreamWriter,
                          BitstreamRecorder)
-from ..ops.lpc import tukey_window
+from . import scalar_lpc
 
 QLP_SHIFT_NEEDED = 9
 
@@ -287,37 +287,91 @@ def correlate_channels(channel0, channel1, interlacing_shift,
         return (list(channel0), list(channel1))
 
 
+def alac_quantize_coefficients(row):
+    """ALAC error-feedback quantization of one Levinson row
+
+    scale 2^9, clamp to signed 16 bits (reference
+    py_encoders/alac.py:336-347); scalar re-derivation of the spec
+    (every product is exact — f32-valued coefficient times a power of
+    two — and every add re-rounds to f32, so this matches the batched
+    kernel bit for bit while sharing no code with it)"""
+    qlp_max = (1 << 15) - 1
+    qlp_min = -(1 << 15)
+    error = 0.0
+    out = []
+    for c in row:
+        candidate = scalar_lpc.f32r(
+            error + c * float(1 << QLP_SHIFT_NEEDED))
+        q = min(max(float(np.round(candidate)), qlp_min), qlp_max)
+        error = candidate - q
+        out.append(int(q))
+    return out
+
+
+def residual_size_estimate(channel, qlp, order):
+    """integer-exact estimate of a candidate's residual magnitude
+
+    the NON-adaptive ALAC-form residuals
+    ``e_i = x_i - base_i - ((sum_j q_j (x_{i-1-j} - base_i)) >> 9)``
+    (base_i = x_{i-order-1}) over i in [order+1, n), returning
+    ``min(sum|e_i| // 64, 2^31-1)`` — the order/leftweight RANKING
+    metric shared (as a spec, not as code) with the batched kernel
+    and the C++ emitter."""
+    x = np.asarray(channel, dtype=np.int64)
+    n = len(x)
+    count = n - 1 - order
+    if count <= 0:
+        return 0
+    conv = np.zeros(count, dtype=np.int64)
+    for (j, q) in enumerate(qlp):
+        conv += int(q) * x[order - j:n - 1 - j]
+    base = x[0:count]
+    shifted = (conv - base * sum(int(q) for q in qlp)) >> \
+        QLP_SHIFT_NEEDED
+    e = x[order + 1:n] - base - shifted
+    return int(min(int(np.abs(e).sum()) // 64, (1 << 31) - 1))
+
+
 def lpc_coefficient_candidates(channel, analysis_block_size=None):
     """returns (qlp4, qlp8, degenerate, est4, est8) for one channel
-    via the shared batched analysis kernel (ops/alac_frames.py) — the
-    fast C++ path consumes the same tables, so encodings are
-    byte-identical.
+
+    INDEPENDENT scalar analysis (ref/scalar_lpc.py, zero ops/
+    imports): tukey windowing, autocorrelation over 9 lags,
+    Levinson-Durbin and the ALAC error-feedback quantization, plus
+    the order-4/order-8 residual-size estimates.  The batched kernel
+    (ops/alac_frames.py) implements the same spec; byte-compare tests
+    hold the two to identical streams.
 
     Short (tail) channels zero-pad to analysis_block_size for the
     candidate ANALYSIS only: the fast path analyzes tails the same
     way (one compiled device program per shape), and the shared spec
     keeps oracle and fast outputs byte-identical."""
-    from ..ops import alac_frames
     if (analysis_block_size is not None and
             len(channel) < analysis_block_size):
         channel = (list(channel) +
                    [0] * (analysis_block_size - len(channel)))
-    window = tukey_window(len(channel), 0.5)
-    X = np.asarray(channel, dtype=np.int32)[None, :]
-    row = np.asarray(alac_frames.lpc_candidates(np, X, window))[0]
-    return ([int(v) for v in row[0:4]],
-            [int(v) for v in row[4:12]],
-            bool(row[12]),
-            int(row[13]),
-            int(row[14]))
+    window = scalar_lpc.tukey_window(len(channel), 0.5)
+    x = np.asarray(channel, dtype=np.int64)
+    ac = scalar_lpc.windowed_autocorr(x, window, 8)
+    degenerate = (ac[0] == 0.0)
+    (rows, _errors) = scalar_lpc.levinson(ac, 8)
+    qlp4 = alac_quantize_coefficients(rows[3][:4])
+    qlp8 = alac_quantize_coefficients(rows[7][:8])
+    if degenerate:
+        qlp4 = [0, 0, 0, 0]
+        qlp8 = [0] * 8
+    est4 = residual_size_estimate(x, qlp4, 4)
+    est8 = residual_size_estimate(x, qlp8, 8)
+    return (qlp4, qlp8, degenerate, est4, est8)
 
 
 def calculate_lpc_coefficients(pcmreader, options, sample_size,
                                channel):
     """returns (qlp_coefficients, residual_block) for one channel
 
-    the order choice uses the device-computed residual-size
-    estimates (ops/alac_frames.residual_estimate) so only the
+    the order choice uses the residual-size estimate spec
+    (residual_size_estimate above; ops/alac_frames.residual_estimate
+    is the batched implementation of the same spec) so only the
     chosen candidate's adaptive recurrence runs — the same policy
     as the C++ emitter, keeping the paths byte-identical.
 
