@@ -1,0 +1,294 @@
+"""Device-side parallel FLAC residual bit-packing (Pallas TPU kernel).
+
+The one genuinely new algorithm the TPU port needs (SURVEY.md §7 step
+2a): the reference serializes Rice-coded residuals with a sequential
+bit writer (``/root/reference/src/encoders/flac.c`` residual emit /
+``src/bitstream.c``), an inherently serial carry chain.  This module
+re-derives it as a *parallel* program:
+
+1. **tokenize** — every bit-field of a residual partition block
+   (the 6-bit method+porder header, the per-partition 4/5-bit Rice
+   parameters, one Rice code per residual) becomes a token with a
+   total bit length ``l`` (unary zeros + stop + remainder) of which
+   only the trailing ``c = 1 + r`` bits are nonzero ("payload");
+2. **prefix-sum** the lengths to place every token at an absolute bit
+   offset (XLA scan — the unary zeros never materialize: the output
+   buffer is zero and only payloads are written);
+3. **scatter** each payload into one or two 32-bit words of the
+   MSB-first output stream.  TPU vector units have no per-lane
+   scatter, so the kernel scatters with the *masked-matmul* pattern:
+   for a tile of tokens x a tile of words, a one-hot comparison
+   matrix ``(word_index[token] == word_id)`` contracts against the
+   payload bytes on the MXU.  Payload bit-ranges are disjoint by
+   construction, so per-byte-lane sums stay <= 255 and f32 matmul
+   accumulation is exact.
+
+``scatter_words_xla`` is the same algorithm expressed as an XLA
+scatter-add (any backend); ``pack_residual_blocks`` dispatches per
+``ATPU_PALLAS`` and numpy availability.  Byte-identity against the
+serial reference (``ref/flac_enc.write_residual_block`` — itself held
+byte-identical to the C++ emitter by the oracle suites) is enforced by
+``tests/test_pallas_bitpack.py`` in interpret mode on CPU and, when a
+TPU is reachable, on the real chip.
+
+Production note: the tunneled single-chip bench charges per byte
+moved, so shipping exact PCM up for device-side emit loses to the
+quantized-analysis wire (see ops/qpack.py); this kernel is the
+building block for locally-attached TPU deployments where HBM
+bandwidth, not a WAN link, is the constraint.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+
+def enabled():
+    """whether the Pallas packing path is active (opt-in)"""
+    return os.environ.get("ATPU_PALLAS", "0") == "1"
+
+
+def words_needed(n, bps, max_parts):
+    """a safe static output width (in u32 words) for one subframe's
+    residual block: verbatim-scale residuals plus headers"""
+    bits = 6 + max_parts * 5 + n * (bps + 8)
+    return (bits + 31) // 32
+
+
+def tokenize(xp, res, orders, porders, params, n, max_parts):
+    """token model of a batch of residual partition blocks
+
+    res:     int32/int64 [S, n] residuals aligned at absolute
+             positions (warm-up entries below the order are zero and
+             become zero-length tokens)
+    orders:  int32 [S] predictor orders
+    porders: int32 [S] chosen partition orders
+    params:  int32 [S, max_parts] Rice parameters (entries past the
+             partition count ignored)
+
+    returns (ends int64 [S, T], payload int64 [S, T], widths int32
+    [S, T], total_bits int64 [S]) with T = 1 + max_parts + n; ends
+    are exclusive bit offsets from the prefix sum; only the trailing
+    ``widths`` bits of each token are nonzero and equal ``payload``.
+
+    Stream layout per subframe (matching the serial writers):
+    ``[method(2) porder(4)] ([param(4|5)] [rice codes...]) * parts``
+    with unused param slots as zero-length fillers at the end."""
+    S = res.shape[0]
+    T = 1 + max_parts + n
+
+    res = res.astype(xp.int64)
+    u = xp.where(res >= 0, res << 1, ((-res - 1) << 1) | 1)
+
+    parts = (xp.ones(S, dtype=xp.int32) << porders)
+    psize = (xp.full(S, n, dtype=xp.int32) >> porders)
+
+    # coding method 1 when any USED partition's parameter exceeds 14
+    pidx = xp.arange(max_parts, dtype=xp.int32)
+    used = pidx[None, :] < parts[:, None]
+    method = xp.any(xp.where(used, params, 0) > 14,
+                    axis=1).astype(xp.int32)
+    plen = xp.where(method == 1, 5, 4)                     # [S]
+
+    # token index decomposition: g = j - 1; group p = g // (psize+1);
+    # within == 0 -> param token, else residual p*psize + within-1
+    j = xp.arange(T, dtype=xp.int32)                       # [T]
+    g = xp.maximum(j - 1, 0)
+    group = g[None, :] // (psize + 1)[:, None]             # [S, T]
+    within = g[None, :] % (psize + 1)[:, None]
+    is_header = (j == 0)[None, :] & xp.ones((S, 1), dtype=bool)
+    live = group < parts[:, None]
+    is_param = (~is_header) & live & (within == 0)
+    res_pos = xp.clip(group * psize[:, None] + within - 1, 0, n - 1)
+    is_res = (~is_header) & live & (within > 0)
+
+    r = xp.take_along_axis(
+        params, xp.clip(group, 0, max_parts - 1), axis=1)  # [S, T]
+    r = r.astype(xp.int64)
+    uj = xp.take_along_axis(u, res_pos.astype(xp.int32), axis=1)
+    warmup = is_res & (res_pos < orders[:, None])
+
+    header_val = ((method << 4) | porders).astype(xp.int64)
+
+    stop = xp.int64(1) << r
+    res_payload = stop | (uj & (stop - 1))
+    res_len = (uj >> r) + 1 + r
+    res_width = (1 + r).astype(xp.int32)
+
+    lengths = xp.where(
+        is_header, 6,
+        xp.where(is_param, plen[:, None],
+                 xp.where(warmup, 0,
+                          xp.where(is_res, res_len, 0)))).astype(
+                              xp.int64)
+    payload = xp.where(
+        is_header, header_val[:, None],
+        xp.where(is_param, r,
+                 xp.where(warmup, 0,
+                          xp.where(is_res, res_payload, 0))))
+    widths = xp.where(
+        is_header, 6,
+        xp.where(is_param, plen[:, None],
+                 xp.where(warmup, 0,
+                          xp.where(is_res, res_width, 0)))).astype(
+                              xp.int32)
+
+    ends = xp.cumsum(lengths, axis=1)
+    total_bits = ends[:, -1]
+    return (ends, payload, widths, total_bits)
+
+
+def split_contributions(xp, ends, payload, widths):
+    """splits tokens into per-word contributions
+
+    Token payloads occupy stream bits [e - c, e), MSB-first; each
+    payload lands in word q1 = (e - 1) >> 5 and (when straddling)
+    q0 = q1 - 1.  Returns (idx int32 [S, 2T], val int64 [S, 2T])
+    where val holds the u32 word contribution; zero-width tokens
+    produce zero contributions at a harmless index."""
+    e = ends
+    c = widths.astype(xp.int64)
+    q1 = ((e - 1) >> 5).astype(xp.int32)
+    q1 = xp.maximum(q1, 0)
+    lo_bits = e - (q1.astype(xp.int64) << 5)               # in [1, 32]
+    lo_bits = xp.clip(lo_bits, 0, 32)
+    take = xp.minimum(lo_bits, c)
+    # mask of the low `take` bits without shifting by 64
+    mask = xp.where(take >= 63, xp.int64(-1),
+                    (xp.int64(1) << take) - 1)
+    lo_val = (payload & mask) << (32 - lo_bits)
+    hi_val = xp.where(c > take, payload >> take, 0)
+    q0 = xp.maximum(q1 - 1, 0)
+    dead = (c == 0)
+    lo_val = xp.where(dead, 0, lo_val)
+    idx = xp.concatenate([q1, q0], axis=1)
+    val = xp.concatenate([lo_val, hi_val], axis=1) & 0xFFFFFFFF
+    return (idx, val)
+
+
+def scatter_words_xla(xp, idx, val, n_words):
+    """reference scatter: sum contributions into u32 words
+
+    payload bit ranges are disjoint, so add == or.  Works with numpy
+    and jax (jnp .at[].add lowers to XLA scatter-add)."""
+    S = idx.shape[0]
+    out = xp.zeros((S, n_words), dtype=xp.int64)
+    if xp is np:
+        rows = np.repeat(np.arange(S), idx.shape[1])
+        np.add.at(out, (rows, idx.ravel()), val.ravel())
+    else:
+        rows = xp.repeat(xp.arange(S), idx.shape[1])
+        out = out.at[rows, idx.ravel()].add(val.ravel())
+    return (out & 0xFFFFFFFF).astype(xp.uint32)
+
+
+def scatter_words_pallas(idx, val, n_words, interpret=False,
+                         token_tile=512, word_tile=256):
+    """the Pallas masked-matmul scatter
+
+    idx: int32 [S, M] word indices; val: u32-valued int64/uint32
+    [S, M] contributions; returns uint32 [S, n_words].
+
+    Per (subframe, word-tile) grid cell the kernel loops over token
+    tiles: a one-hot comparison (idx == word_id) contracts against
+    the contributions' four byte lanes on the MXU; disjoint payload
+    bits keep each byte-lane sum <= 255 so f32 accumulation is exact."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    (S, M) = idx.shape
+    Mp = ((M + token_tile - 1) // token_tile) * token_tile
+    Wp = ((n_words + word_tile - 1) // word_tile) * word_tile
+    if Mp != M:
+        pad = [(0, 0), (0, Mp - M)]
+        idx = jnp.pad(idx, pad, constant_values=-1)
+        val = jnp.pad(val, pad)
+    idx = idx.astype(jnp.int32)
+    # byte lanes as f32 (exact: values <= 255), token axis last so
+    # the TPU lane dimension is 128-aligned
+    v = val.astype(jnp.uint32)
+    limbs = jnp.stack([(v >> (8 * b)) & 0xFF for b in range(4)],
+                      axis=1).astype(jnp.float32)           # [S, 4, Mp]
+
+    n_token_tiles = Mp // token_tile
+
+    def kernel(idx_ref, limb_ref, out_ref):
+        wt = pl.program_id(1)
+        word_base = wt * word_tile
+        word_ids = (word_base +
+                    jax.lax.broadcasted_iota(
+                        jnp.int32, (1, word_tile), 1))      # [1, WT]
+
+        def body(t, acc):
+            start = t * token_tile
+            ids = idx_ref[0, pl.ds(start, token_tile)]      # [TT]
+            lim = limb_ref[0, :, pl.ds(start, token_tile)]  # [4, TT]
+            onehot = (ids[:, None] == word_ids).astype(
+                jnp.float32)                                # [TT, WT]
+            return acc + jax.lax.dot_general(
+                lim, onehot, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)         # [4, WT]
+
+        acc = jax.lax.fori_loop(
+            0, n_token_tiles, body,
+            jnp.zeros((4, word_tile), dtype=jnp.float32))
+        word = acc.astype(jnp.uint32)
+        out_ref[0, :] = (word[0] | (word[1] << 8) |
+                         (word[2] << 16) | (word[3] << 24))
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(S, Wp // word_tile),
+        in_specs=[
+            pl.BlockSpec((1, Mp), lambda s, w: (s, 0)),
+            pl.BlockSpec((1, 4, Mp), lambda s, w: (s, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, word_tile), lambda s, w: (s, w)),
+        out_shape=jax.ShapeDtypeStruct((S, Wp), jnp.uint32),
+        interpret=interpret,
+    )(idx, limbs)
+    return out[:, :n_words]
+
+
+def pack_residual_blocks(res, orders, porders, params, n_words,
+                         backend=None, interpret=False):
+    """packs a batch of residual partition blocks into u32 word lanes
+
+    res: int [S, n] aligned residuals; orders/porders: int [S];
+    params: int [S, max_parts]; returns (words uint32 [S, n_words],
+    total_bits int64 [S]) — stream bit b lives in word b >> 5 at bit
+    31 - (b & 31) (MSB-first).  backend: "numpy" | "xla" | "pallas"
+    (default: "pallas" if enabled() else "numpy")."""
+    if backend is None:
+        backend = "pallas" if enabled() else "numpy"
+    (S, n) = res.shape
+    max_parts = params.shape[1]
+    if backend == "numpy":
+        (ends, payload, widths, total) = tokenize(
+            np, np.asarray(res), np.asarray(orders),
+            np.asarray(porders), np.asarray(params), n, max_parts)
+        (idx, val) = split_contributions(np, ends, payload, widths)
+        return (scatter_words_xla(np, idx, val, n_words),
+                np.asarray(total))
+    import jax
+    import jax.numpy as jnp
+    jax.config.update("jax_enable_x64", True)  # int64 token math
+    (ends, payload, widths, total) = tokenize(
+        jnp, jnp.asarray(res), jnp.asarray(orders),
+        jnp.asarray(porders), jnp.asarray(params), n, max_parts)
+    (idx, val) = split_contributions(jnp, ends, payload, widths)
+    if backend == "xla":
+        return (scatter_words_xla(jnp, idx, val, n_words), total)
+    return (scatter_words_pallas(idx, val, n_words,
+                                 interpret=interpret), total)
+
+
+def words_to_bytes(words, total_bits):
+    """converts one subframe's u32 word lanes to the byte stream
+    (zero-padded to a byte boundary), for comparison against serial
+    bit writers"""
+    data = np.asarray(words, dtype=">u4").tobytes()
+    return data[:(int(total_bits) + 7) // 8]
