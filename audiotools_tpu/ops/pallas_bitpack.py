@@ -68,10 +68,16 @@ def tokenize(xp, res, orders, porders, params, n, max_parts):
     params:  int32 [S, max_parts] Rice parameters (entries past the
              partition count ignored)
 
-    returns (ends int64 [S, T], payload int64 [S, T], widths int32
-    [S, T], total_bits int64 [S]) with T = 1 + max_parts + n; ends
+    returns (ends int32 [S, T], payload uint32 [S, T], widths int32
+    [S, T], total_bits int32 [S]) with T = 1 + max_parts + n; ends
     are exclusive bit offsets from the prefix sum; only the trailing
     ``widths`` bits of each token are nonzero and equal ``payload``.
+
+    All arithmetic is 32-bit: payload widths are <= 31 bits (5-bit
+    Rice parameters cap at 30) and block bit totals sit far below
+    2^31, so int32/uint32 suffice — which also keeps the device path
+    off the global ``jax_enable_x64`` switch (x64 + pallas_call hits
+    infinite recursion in jax 0.9.0's cache-key walker on TPU).
 
     Stream layout per subframe (matching the serial writers):
     ``[method(2) porder(4)] ([param(4|5)] [rice codes...]) * parts``
@@ -79,8 +85,9 @@ def tokenize(xp, res, orders, porders, params, n, max_parts):
     S = res.shape[0]
     T = 1 + max_parts + n
 
-    res = res.astype(xp.int64)
-    u = xp.where(res >= 0, res << 1, ((-res - 1) << 1) | 1)
+    res = res.astype(xp.int32)
+    # zigzag mod 2^32 (exact: FLAC residuals fit int32)
+    u = ((res << 1) ^ (res >> 31)).astype(xp.uint32)
 
     parts = (xp.ones(S, dtype=xp.int32) << porders)
     psize = (xp.full(S, n, dtype=xp.int32) >> porders)
@@ -106,15 +113,16 @@ def tokenize(xp, res, orders, porders, params, n, max_parts):
 
     r = xp.take_along_axis(
         params, xp.clip(group, 0, max_parts - 1), axis=1)  # [S, T]
-    r = r.astype(xp.int64)
+    r = r.astype(xp.int32)
     uj = xp.take_along_axis(u, res_pos.astype(xp.int32), axis=1)
     warmup = is_res & (res_pos < orders[:, None])
 
-    header_val = ((method << 4) | porders).astype(xp.int64)
+    header_val = ((method << 4) | porders).astype(xp.uint32)
 
-    stop = xp.int64(1) << r
-    res_payload = stop | (uj & (stop - 1))
-    res_len = (uj >> r) + 1 + r
+    stop = xp.uint32(1) << r.astype(xp.uint32)             # r <= 30
+    res_payload = stop | (uj & (stop - xp.uint32(1)))
+    res_len = ((uj >> r.astype(xp.uint32)).astype(xp.int32)
+               + 1 + r)
     res_width = (1 + r).astype(xp.int32)
 
     lengths = xp.where(
@@ -122,12 +130,13 @@ def tokenize(xp, res, orders, porders, params, n, max_parts):
         xp.where(is_param, plen[:, None],
                  xp.where(warmup, 0,
                           xp.where(is_res, res_len, 0)))).astype(
-                              xp.int64)
+                              xp.int32)
     payload = xp.where(
         is_header, header_val[:, None],
-        xp.where(is_param, r,
-                 xp.where(warmup, 0,
-                          xp.where(is_res, res_payload, 0))))
+        xp.where(is_param, r.astype(xp.uint32),
+                 xp.where(warmup, xp.uint32(0),
+                          xp.where(is_res, res_payload,
+                                   xp.uint32(0)))))
     widths = xp.where(
         is_header, 6,
         xp.where(is_param, plen[:, None],
@@ -135,7 +144,7 @@ def tokenize(xp, res, orders, porders, params, n, max_parts):
                           xp.where(is_res, res_width, 0)))).astype(
                               xp.int32)
 
-    ends = xp.cumsum(lengths, axis=1)
+    ends = xp.cumsum(lengths, axis=1).astype(xp.int32)
     total_bits = ends[:, -1]
     return (ends, payload, widths, total_bits)
 
@@ -145,43 +154,42 @@ def split_contributions(xp, ends, payload, widths):
 
     Token payloads occupy stream bits [e - c, e), MSB-first; each
     payload lands in word q1 = (e - 1) >> 5 and (when straddling)
-    q0 = q1 - 1.  Returns (idx int32 [S, 2T], val int64 [S, 2T])
-    where val holds the u32 word contribution; zero-width tokens
-    produce zero contributions at a harmless index."""
-    e = ends
-    c = widths.astype(xp.int64)
-    q1 = ((e - 1) >> 5).astype(xp.int32)
-    q1 = xp.maximum(q1, 0)
-    lo_bits = e - (q1.astype(xp.int64) << 5)               # in [1, 32]
-    lo_bits = xp.clip(lo_bits, 0, 32)
-    take = xp.minimum(lo_bits, c)
-    # mask of the low `take` bits without shifting by 64
-    mask = xp.where(take >= 63, xp.int64(-1),
-                    (xp.int64(1) << take) - 1)
-    lo_val = (payload & mask) << (32 - lo_bits)
-    hi_val = xp.where(c > take, payload >> take, 0)
+    q0 = q1 - 1.  Returns (idx int32 [S, 2T], val uint32 [S, 2T])
+    word contributions; zero-width tokens produce zero contributions
+    at a harmless index.  32-bit-safe: widths c <= 31, so every
+    shift amount stays in [0, 31]."""
+    e = ends                                               # int32
+    c = widths                                             # int32
+    q1 = xp.maximum((e - 1) >> 5, 0).astype(xp.int32)
+    lo_bits = xp.clip(e - (q1 << 5), 0, 32)                # in [1, 32]
+    take = xp.minimum(lo_bits, c).astype(xp.uint32)        # <= 31
+    mask = (xp.uint32(1) << take) - xp.uint32(1)
+    lo_val = (payload & mask) << (32 - lo_bits).astype(xp.uint32)
+    hi_val = xp.where(c > take.astype(xp.int32),
+                      payload >> take, xp.uint32(0))
     q0 = xp.maximum(q1 - 1, 0)
     dead = (c == 0)
-    lo_val = xp.where(dead, 0, lo_val)
+    lo_val = xp.where(dead, xp.uint32(0), lo_val)
     idx = xp.concatenate([q1, q0], axis=1)
-    val = xp.concatenate([lo_val, hi_val], axis=1) & 0xFFFFFFFF
+    val = xp.concatenate([lo_val, hi_val], axis=1)
     return (idx, val)
 
 
 def scatter_words_xla(xp, idx, val, n_words):
     """reference scatter: sum contributions into u32 words
 
-    payload bit ranges are disjoint, so add == or.  Works with numpy
-    and jax (jnp .at[].add lowers to XLA scatter-add)."""
+    payload bit ranges are disjoint, so add == or (no carries).
+    Works with numpy and jax (jnp .at[].add lowers to XLA
+    scatter-add)."""
     S = idx.shape[0]
-    out = xp.zeros((S, n_words), dtype=xp.int64)
+    out = xp.zeros((S, n_words), dtype=xp.uint32)
     if xp is np:
         rows = np.repeat(np.arange(S), idx.shape[1])
         np.add.at(out, (rows, idx.ravel()), val.ravel())
     else:
         rows = xp.repeat(xp.arange(S), idx.shape[1])
         out = out.at[rows, idx.ravel()].add(val.ravel())
-    return (out & 0xFFFFFFFF).astype(xp.uint32)
+    return out
 
 
 def scatter_words_pallas(idx, val, n_words, interpret=False,
@@ -206,7 +214,10 @@ def scatter_words_pallas(idx, val, n_words, interpret=False,
         pad = [(0, 0), (0, Mp - M)]
         idx = jnp.pad(idx, pad, constant_values=-1)
         val = jnp.pad(val, pad)
-    idx = idx.astype(jnp.int32)
+    # singleton sublane axis: TPU lowering requires the second-to-last
+    # block dim to divide 8 or equal the array dim, so per-subframe
+    # blocks are carried as [S, 1, ...] rather than rows of [S, ...]
+    idx = idx.astype(jnp.int32)[:, None, :]                 # [S, 1, Mp]
     # byte lanes as f32 (exact: values <= 255), token axis last so
     # the TPU lane dimension is 128-aligned
     v = val.astype(jnp.uint32)
@@ -223,8 +234,12 @@ def scatter_words_pallas(idx, val, n_words, interpret=False,
                         jnp.int32, (1, word_tile), 1))      # [1, WT]
 
         def body(t, acc):
-            start = t * token_tile
-            ids = idx_ref[0, pl.ds(start, token_tile)]      # [TT]
+            # explicit i32: under x64 the loop index and the literal
+            # lower to mixed widths, which Mosaic's muli rejects
+            start = jax.lax.mul(
+                jax.lax.convert_element_type(t, jnp.int32),
+                jax.lax.full((), token_tile, jnp.int32))
+            ids = idx_ref[0, 0, pl.ds(start, token_tile)]   # [TT]
             lim = limb_ref[0, :, pl.ds(start, token_tile)]  # [4, TT]
             onehot = (ids[:, None] == word_ids).astype(
                 jnp.float32)                                # [TT, WT]
@@ -235,22 +250,27 @@ def scatter_words_pallas(idx, val, n_words, interpret=False,
         acc = jax.lax.fori_loop(
             0, n_token_tiles, body,
             jnp.zeros((4, word_tile), dtype=jnp.float32))
-        word = acc.astype(jnp.uint32)
-        out_ref[0, :] = (word[0] | (word[1] << 8) |
-                         (word[2] << 16) | (word[3] << 24))
+        # int32 word assembly (Mosaic lacks f32->u32 casts); lane
+        # values are <= 255 so the i32 cast is exact, and shift/or
+        # keep the u32 bit pattern (sign only rides bit 31)
+        word = acc.astype(jnp.int32)
+        out_ref[0, 0, :] = (word[0] | (word[1] << 8) |
+                            (word[2] << 16) | (word[3] << 24))
 
     out = pl.pallas_call(
         kernel,
         grid=(S, Wp // word_tile),
         in_specs=[
-            pl.BlockSpec((1, Mp), lambda s, w: (s, 0)),
+            pl.BlockSpec((1, 1, Mp), lambda s, w: (s, 0, 0)),
             pl.BlockSpec((1, 4, Mp), lambda s, w: (s, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, word_tile), lambda s, w: (s, w)),
-        out_shape=jax.ShapeDtypeStruct((S, Wp), jnp.uint32),
+        out_specs=pl.BlockSpec((1, 1, word_tile),
+                               lambda s, w: (s, 0, w)),
+        out_shape=jax.ShapeDtypeStruct((S, 1, Wp), jnp.int32),
         interpret=interpret,
     )(idx, limbs)
-    return out[:, :n_words]
+    return jax.lax.bitcast_convert_type(
+        out[:, 0, :n_words], jnp.uint32)
 
 
 def pack_residual_blocks(res, orders, porders, params, n_words,
@@ -259,7 +279,7 @@ def pack_residual_blocks(res, orders, porders, params, n_words,
 
     res: int [S, n] aligned residuals; orders/porders: int [S];
     params: int [S, max_parts]; returns (words uint32 [S, n_words],
-    total_bits int64 [S]) — stream bit b lives in word b >> 5 at bit
+    total_bits int32 [S]) — stream bit b lives in word b >> 5 at bit
     31 - (b & 31) (MSB-first).  backend: "numpy" | "xla" | "pallas"
     (default: "pallas" if enabled() else "numpy")."""
     if backend is None:
@@ -273,12 +293,11 @@ def pack_residual_blocks(res, orders, porders, params, n_words,
         (idx, val) = split_contributions(np, ends, payload, widths)
         return (scatter_words_xla(np, idx, val, n_words),
                 np.asarray(total))
-    import jax
     import jax.numpy as jnp
-    jax.config.update("jax_enable_x64", True)  # int64 token math
     (ends, payload, widths, total) = tokenize(
-        jnp, jnp.asarray(res), jnp.asarray(orders),
-        jnp.asarray(porders), jnp.asarray(params), n, max_parts)
+        jnp, jnp.asarray(res, dtype=jnp.int32),
+        jnp.asarray(orders), jnp.asarray(porders),
+        jnp.asarray(params), n, max_parts)
     (idx, val) = split_contributions(jnp, ends, payload, widths)
     if backend == "xla":
         return (scatter_words_xla(jnp, idx, val, n_words), total)
