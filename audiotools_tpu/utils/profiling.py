@@ -27,26 +27,34 @@ def profiling_enabled():
 
 
 class StageTimers:
-    """wall-clock accumulators for named pipeline stages
+    """wall-clock + thread-CPU accumulators for named pipeline stages
 
     thread-safe enough for the encode pipeline's two threads: each
     stage name is only ever timed from one thread, and report() runs
-    after join()."""
+    after join().  Thread CPU (``time.thread_time``) distinguishes a
+    stage that BURNS the single core from one merely waiting behind
+    it: on the 1-core bench hosts wall times inflate with contention
+    while CPU times stay honest."""
 
     def __init__(self, name):
         self.name = name
         self.totals = {}
+        self.cpu = {}
         self.counts = {}
         self.t0 = time.perf_counter()
+        self.c0 = time.process_time()
 
     @contextlib.contextmanager
     def __call__(self, stage):
         start = time.perf_counter()
+        cstart = time.thread_time()
         try:
             yield
         finally:
             dt = time.perf_counter() - start
+            dc = time.thread_time() - cstart
             self.totals[stage] = self.totals.get(stage, 0.0) + dt
+            self.cpu[stage] = self.cpu.get(stage, 0.0) + dc
             self.counts[stage] = self.counts.get(stage, 0) + 1
 
     def add(self, stage, dt):
@@ -56,14 +64,19 @@ class StageTimers:
     def report(self, stream=None, extra=""):
         stream = stream or sys.stderr
         wall = time.perf_counter() - self.t0
-        lines = ["[ATPU_PROFILE] %s: wall %.1f ms %s" %
-                 (self.name, wall * 1e3, extra)]
+        cpu = time.process_time() - self.c0
+        lines = ["[ATPU_PROFILE] %s: wall %.1f ms, process CPU "
+                 "%.1f ms %s" % (self.name, wall * 1e3, cpu * 1e3,
+                                 extra)]
         for stage in sorted(self.totals, key=self.totals.get,
                             reverse=True):
             n = self.counts[stage]
             tot = self.totals[stage] * 1e3
-            lines.append("  %-24s %9.1f ms  (%4d calls, %7.2f ms/call)"
-                         % (stage, tot, n, tot / max(n, 1)))
+            c = self.cpu.get(stage, 0.0) * 1e3
+            lines.append("  %-24s %9.1f ms wall %9.1f ms cpu"
+                         "  (%4d calls, %6.2f/%6.2f ms/call)"
+                         % (stage, tot, c, n, tot / max(n, 1),
+                            c / max(n, 1)))
         print("\n".join(lines), file=stream, flush=True)
 
 
