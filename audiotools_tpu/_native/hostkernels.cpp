@@ -1626,12 +1626,182 @@ uint8_t atpu_crc8(const uint8_t* data, int64_t n, uint8_t initial) {
 
 // ------------------------------------------------------------ decoding --
 
+}  // extern "C"
+
 namespace {
 
-// decodes one subframe into samples[0..block_size), stride 1
-// returns 0 on success, negative error code otherwise
-int decode_subframe(BitReader& r, int block_size, int bps,
-                    int64_t* samples) {
+// Sliding-window bit reader for the FLAC frame decoder (reference
+// counterpart: src/decoders/flac.c bit readers).  Keeps a byte-swapped
+// 64-bit window of the stream and a consumed-bit count, so every
+// refill is one unaligned load + bswap and every read is two shifts —
+// no byte-at-a-time accumulator feeding.  After refill() at least
+// 57 bits are readable (when the stream has them); reads of up to
+// 57 bits are handled inline.
+struct FlacBR {
+    const uint8_t* data;
+    int64_t len;
+    int64_t byteoff;   // window start byte
+    uint64_t window;   // big-endian view of data[byteoff..byteoff+8)
+    int used;          // bits consumed from the window top, 0..64
+    bool error;
+
+    FlacBR(const uint8_t* d, int64_t n)
+        : data(d), len(n), byteoff(0), window(0), used(0),
+          error(false) { load(); }
+
+    inline void load() {
+        if (__builtin_expect(byteoff + 8 <= len, 1)) {
+            uint64_t w;
+            memcpy(&w, data + byteoff, 8);
+            window = __builtin_bswap64(w);
+        } else {
+            uint64_t w = 0;   // zero-pad past EOF; avail() guards use
+            for (int i = 0; i < 8; i++)
+                w = (w << 8) |
+                    (uint64_t)(byteoff + i < len ? data[byteoff + i] : 0);
+            window = w;
+        }
+    }
+    inline void refill() {
+        byteoff += used >> 3;
+        used &= 7;
+        load();
+    }
+    inline int64_t avail() const {
+        return (len - byteoff) * 8 - used;
+    }
+
+    inline uint64_t get(int n) {        // 0 <= n <= 57
+        if (n == 0) return 0;
+        refill();
+        if (__builtin_expect(avail() < n, 0)) { error = true; return 0; }
+        const uint64_t v = (window << used) >> (64 - n);
+        used += n;
+        return v;
+    }
+    inline int64_t get_signed(int n) {
+        if (n == 0) return 0;
+        const uint64_t v = get(n);
+        return (int64_t)(v << (64 - n)) >> (64 - n);
+    }
+    inline int64_t unary() {
+        int64_t count = 0;
+        for (;;) {
+            refill();
+            const int64_t av = avail();
+            if (av <= 0) { error = true; return 0; }
+            const uint64_t w = window << used;
+            if (w == 0) {               // rest of window is zeros
+                count += 64 - used;
+                if (count > av) { error = true; return 0; }
+                used = 64;
+                continue;
+            }
+            const int lz = __builtin_clzll(w);
+            if (lz >= av) { error = true; return 0; }
+            count += lz;
+            used += lz + 1;
+            return count;
+        }
+    }
+    inline void byte_align() {
+        used = (used + 7) & ~7;
+    }
+    inline int64_t byte_pos() const {
+        return byteoff + ((used + 7) >> 3);
+    }
+};
+
+// Rice-decodes n residuals with parameter k into out (zigzag undone).
+// The common token (unary quotient + k low bits) is consumed with one
+// clz inside the refilled window; the careful path handles long
+// quotients and the zero-padded EOF region.
+static inline void rice_run32(FlacBR& r, int32_t* out, int64_t n,
+                              int k) {
+    const int64_t safe_end = r.len - 16;
+    if (k == 0) {
+        for (int64_t i = 0; i < n; i++) {
+            if (__builtin_expect(r.byteoff <= safe_end, 1)) {
+                r.refill();
+                const uint64_t w = r.window << r.used;
+                const int lz = __builtin_clzll(w | 1);
+                if (__builtin_expect(w != 0 && r.used + lz + 1 <= 64,
+                                     1)) {
+                    r.used += lz + 1;
+                    const uint64_t u = (uint64_t)lz;
+                    out[i] = (int32_t)((u >> 1) ^ -(int64_t)(u & 1));
+                    continue;
+                }
+            }
+            const uint64_t u = (uint64_t)r.unary();
+            out[i] = (int32_t)((u >> 1) ^ -(int64_t)(u & 1));
+            if (r.error) return;
+        }
+        return;
+    }
+    for (int64_t i = 0; i < n; i++) {
+        if (__builtin_expect(r.byteoff <= safe_end, 1)) {
+            r.refill();
+            const uint64_t w = r.window << r.used;
+            const int lz = __builtin_clzll(w | 1);
+            const int total = lz + 1 + k;
+            if (__builtin_expect(w != 0 && r.used + total <= 64, 1)) {
+                const uint64_t u = ((uint64_t)lz << k) |
+                                   ((w << (lz + 1)) >> (64 - k));
+                r.used += total;
+                out[i] = (int32_t)((u >> 1) ^ -(int64_t)(u & 1));
+                continue;
+            }
+        }
+        const uint64_t q = (uint64_t)r.unary();
+        const uint64_t u = (q << k) | r.get(k);
+        out[i] = (int32_t)((u >> 1) ^ -(int64_t)(u & 1));
+        if (r.error) return;
+    }
+}
+
+template <int ORDER>
+static inline void synth_lpc_t(int32_t* s, int n, const int32_t* c,
+                               int shift) {
+    for (int i = ORDER; i < n; i++) {
+        int64_t p = 0;
+        for (int j = 0; j < ORDER; j++)
+            p += (int64_t)c[j] * s[i - 1 - j];
+        s[i] += (int32_t)(p >> shift);
+    }
+}
+
+static void synth_lpc32(int32_t* s, int n, const int32_t* c, int order,
+                        int shift) {
+    switch (order) {
+    case 1:  synth_lpc_t<1>(s, n, c, shift); return;
+    case 2:  synth_lpc_t<2>(s, n, c, shift); return;
+    case 3:  synth_lpc_t<3>(s, n, c, shift); return;
+    case 4:  synth_lpc_t<4>(s, n, c, shift); return;
+    case 5:  synth_lpc_t<5>(s, n, c, shift); return;
+    case 6:  synth_lpc_t<6>(s, n, c, shift); return;
+    case 7:  synth_lpc_t<7>(s, n, c, shift); return;
+    case 8:  synth_lpc_t<8>(s, n, c, shift); return;
+    case 9:  synth_lpc_t<9>(s, n, c, shift); return;
+    case 10: synth_lpc_t<10>(s, n, c, shift); return;
+    case 11: synth_lpc_t<11>(s, n, c, shift); return;
+    case 12: synth_lpc_t<12>(s, n, c, shift); return;
+    default:
+        for (int i = order; i < n; i++) {
+            int64_t p = 0;
+            for (int j = 0; j < order; j++)
+                p += (int64_t)c[j] * s[i - 1 - j];
+            s[i] += (int32_t)(p >> shift);
+        }
+    }
+}
+
+// decodes one subframe into samples[0..block_size), stride 1.
+// int32 sample plane (valid for bps <= 26: side channels and fixed-
+// order intermediate sums stay inside int32; LPC accumulates in
+// int64).  returns 0 on success, negative error code otherwise.
+int decode_subframe(FlacBR& r, int block_size, int bps,
+                    int32_t* samples) {
     if (r.get(1) != 0) return -2;            // reserved pad bit
     const int type = (int)r.get(6);
     int wasted = 0;
@@ -1641,14 +1811,14 @@ int decode_subframe(BitReader& r, int block_size, int bps,
     int order;
     bool lpc;
     if (type == 0) {                          // CONSTANT
-        const int64_t v = r.get_signed(ebps);
+        const int32_t v = (int32_t)r.get_signed(ebps);
         for (int i = 0; i < block_size; i++) samples[i] = v;
         if (wasted) for (int i = 0; i < block_size; i++)
             samples[i] <<= wasted;
         return r.error ? -1 : 0;
     } else if (type == 1) {                   // VERBATIM
         for (int i = 0; i < block_size; i++)
-            samples[i] = r.get_signed(ebps);
+            samples[i] = (int32_t)r.get_signed(ebps);
         if (wasted) for (int i = 0; i < block_size; i++)
             samples[i] <<= wasted;
         return r.error ? -1 : 0;
@@ -1662,16 +1832,17 @@ int decode_subframe(BitReader& r, int block_size, int bps,
         return -3;
     }
 
-    for (int i = 0; i < order; i++) samples[i] = r.get_signed(ebps);
+    for (int i = 0; i < order; i++)
+        samples[i] = (int32_t)r.get_signed(ebps);
 
-    int precision = 0, shift = 0;
-    int64_t coeff[32];
+    int shift = 0;
+    int32_t coeff[32];
     if (lpc) {
-        precision = (int)r.get(4) + 1;
+        const int precision = (int)r.get(4) + 1;
         shift = (int)r.get_signed(5);
         if (shift < 0) shift = 0;
         for (int i = 0; i < order; i++)
-            coeff[i] = r.get_signed(precision);
+            coeff[i] = (int32_t)r.get_signed(precision);
     }
 
     // residuals
@@ -1680,7 +1851,7 @@ int decode_subframe(BitReader& r, int block_size, int bps,
     const int porder = (int)r.get(4);
     const int param_bits = coding_method ? 5 : 4;
     const int escape = coding_method ? 31 : 15;
-    int64_t* res = samples + order;
+    int32_t* res = samples + order;
     int64_t produced = 0;
     const int64_t partitions = 1LL << porder;
     for (int64_t p = 0; p < partitions; p++) {
@@ -1693,27 +1864,18 @@ int decode_subframe(BitReader& r, int block_size, int bps,
                 for (int64_t i = 0; i < psize; i++) res[produced++] = 0;
             } else {
                 for (int64_t i = 0; i < psize; i++)
-                    res[produced++] = r.get_signed(raw);
+                    res[produced++] = (int32_t)r.get_signed(raw);
             }
         } else {
-            for (int64_t i = 0; i < psize; i++) {
-                const uint64_t msb = (uint64_t)r.unary();
-                const uint64_t u = (msb << param) | r.get(param);
-                res[produced++] = (u & 1) ? -((int64_t)(u >> 1)) - 1
-                                          : (int64_t)(u >> 1);
-            }
+            rice_run32(r, res + produced, psize, param);
+            produced += psize;
         }
         if (r.error) return -1;
     }
 
     // synthesis
     if (lpc) {
-        for (int i = order; i < block_size; i++) {
-            int64_t pred = 0;
-            for (int j = 0; j < order; j++)
-                pred += coeff[j] * samples[i - 1 - j];
-            samples[i] += (pred >> shift);
-        }
+        synth_lpc32(samples, block_size, coeff, order, shift);
     } else {
         switch (order) {
         case 0: break;
@@ -1745,6 +1907,8 @@ int decode_subframe(BitReader& r, int block_size, int bps,
 
 }  // namespace
 
+extern "C" {
+
 // Decodes FLAC frames from a buffer of frame data.
 //
 // data/data_len: raw frame bytes (past all metadata blocks); the call
@@ -1764,14 +1928,14 @@ int64_t atpu_flac_decode(const uint8_t* data,
                          int32_t* out_samples,
                          int64_t* consumed_bytes,
                          int32_t verify_crc) {
-    static thread_local int64_t* chan_buf = nullptr;
+    static thread_local int32_t* chan_buf = nullptr;
     static thread_local int64_t chan_buf_size = 0;
 
     int64_t total_frames = 0;
     int64_t consumed = 0;
 
     while (consumed < data_len) {
-        BitReader r(data + consumed, data_len - consumed);
+        FlacBR r(data + consumed, data_len - consumed);
 
         // frame header
         if (r.get(14) != 0x3FFE) break;
@@ -1846,7 +2010,7 @@ int64_t atpu_flac_decode(const uint8_t* data,
         const int64_t needed = (int64_t)block_size * channels;
         if (needed > chan_buf_size) {
             delete[] chan_buf;
-            chan_buf = new int64_t[needed * 2];
+            chan_buf = new int32_t[needed * 2];
             chan_buf_size = needed;
         }
 
@@ -1866,8 +2030,8 @@ int64_t atpu_flac_decode(const uint8_t* data,
                                  chan_buf + block_size);
             if (rc) return rc;
 
-            int64_t* c0 = chan_buf;
-            int64_t* c1 = chan_buf + block_size;
+            int32_t* c0 = chan_buf;
+            int32_t* c1 = chan_buf + block_size;
             if (assignment == 8) {            // left-side
                 for (int i = 0; i < block_size; i++)
                     c1[i] = c0[i] - c1[i];
@@ -1879,8 +2043,8 @@ int64_t atpu_flac_decode(const uint8_t* data,
                     const int64_t mid = c0[i];
                     const int64_t side = c1[i];
                     const int64_t sum = (mid << 1) | (side & 1);
-                    c0[i] = (sum + side) >> 1;
-                    c1[i] = (sum - side) >> 1;
+                    c0[i] = (int32_t)((sum + side) >> 1);
+                    c1[i] = (int32_t)((sum - side) >> 1);
                 }
             }
         }
@@ -1898,10 +2062,21 @@ int64_t atpu_flac_decode(const uint8_t* data,
 
         // interleave into output
         int32_t* out = out_samples + total_frames * channels;
-        for (int c = 0; c < channels; c++) {
-            const int64_t* src = chan_buf + (int64_t)c * block_size;
-            for (int i = 0; i < block_size; i++)
-                out[(int64_t)i * channels + c] = (int32_t)src[i];
+        if (channels == 2) {
+            const int32_t* c0 = chan_buf;
+            const int32_t* c1 = chan_buf + block_size;
+            for (int i = 0; i < block_size; i++) {
+                out[2 * i] = c0[i];
+                out[2 * i + 1] = c1[i];
+            }
+        } else if (channels == 1) {
+            memcpy(out, chan_buf, (size_t)block_size * 4);
+        } else {
+            for (int c = 0; c < channels; c++) {
+                const int32_t* src = chan_buf + (int64_t)c * block_size;
+                for (int i = 0; i < block_size; i++)
+                    out[(int64_t)i * channels + c] = src[i];
+            }
         }
 
         consumed += r.byte_pos();

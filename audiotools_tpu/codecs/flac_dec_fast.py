@@ -72,7 +72,8 @@ class FastFlacDecoder:
             self.channel_mask = self.CHANNEL_COUNT_MASKS.get(
                 self.channels, 0)
 
-        self.buffer = b""
+        self.buffer = bytearray()
+        self.buf_off = 0          # consumed prefix of self.buffer
         self.current_md5 = _native.MD5()
         self.decoded_frames = 0
         self.eof = False
@@ -86,22 +87,27 @@ class FastFlacDecoder:
             return pcm.empty_framelist(self.channels,
                                        self.bits_per_sample)
 
-        # keep the compressed buffer topped up
-        while len(self.buffer) < CHUNK_BYTES:
-            chunk = self.file.read(CHUNK_BYTES)
-            if not chunk:
-                break
-            self.buffer += chunk
+        # keep the compressed buffer topped up; consumed bytes are
+        # tracked by offset (no per-read reslice copies)
+        if len(self.buffer) - self.buf_off < CHUNK_BYTES:
+            if self.buf_off:
+                del self.buffer[:self.buf_off]
+                self.buf_off = 0
+            while len(self.buffer) < CHUNK_BYTES:
+                chunk = self.file.read(CHUNK_BYTES)
+                if not chunk:
+                    break
+                self.buffer += chunk
 
-        if not self.buffer:
+        if self.buf_off >= len(self.buffer):
             self._finish()
             return pcm.empty_framelist(self.channels,
                                        self.bits_per_sample)
 
         max_samples = max(pcm_frames, self.maximum_block_size or 65536)
         (samples, consumed) = _native.flac_decode(
-            self.buffer, self.bits_per_sample, self.channels,
-            max_samples)
+            memoryview(self.buffer)[self.buf_off:],
+            self.bits_per_sample, self.channels, max_samples)
 
         if consumed == 0:
             # no complete frame in buffer: either EOF or bad data
@@ -109,7 +115,7 @@ class FastFlacDecoder:
             return pcm.empty_framelist(self.channels,
                                        self.bits_per_sample)
 
-        self.buffer = self.buffer[consumed:]
+        self.buf_off += consumed
         framelist = pcm.FrameList._wrap(
             np.ascontiguousarray(samples), self.bits_per_sample)
         self.decoded_frames += framelist.frames
@@ -152,7 +158,8 @@ class FastFlacDecoder:
                 best = (sample_number, byte_offset)
 
         self.file.seek(self.frames_offset + best[1], 0)
-        self.buffer = b""
+        self.buffer = bytearray()
+        self.buf_off = 0
         self.eof = False
         self.decoded_frames = best[0]
         # the stream MD5 covers the whole file; after a partial
