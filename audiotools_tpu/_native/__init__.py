@@ -233,6 +233,15 @@ def _build_and_load():
     lib.atpu_crc16.restype = ctypes.c_uint16
     lib.atpu_crc16.argtypes = [ctypes.POINTER(ctypes.c_uint8),
                                ctypes.c_int64, ctypes.c_uint16]
+    lib.atpu_accuraterip_update.restype = None
+    lib.atpu_accuraterip_update.argtypes = [
+        ctypes.POINTER(ctypes.c_int32),   # samples [n, 2]
+        ctypes.c_int64,                   # n
+        ctypes.c_int64,                   # first_index (1-based)
+        ctypes.c_int64,                   # start_offset
+        ctypes.c_int64,                   # end_offset
+        ctypes.POINTER(ctypes.c_uint32),  # v1 accumulator
+        ctypes.POINTER(ctypes.c_uint32)]  # v2 accumulator
     lib.atpu_shn_encode.restype = ctypes.c_int64
     lib.atpu_shn_encode.argtypes = [
         ctypes.POINTER(ctypes.c_int32),   # samples [n, ch]
@@ -329,6 +338,24 @@ def get_lib():
 
 def _as_ptr(array, ctype):
     return array.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def accuraterip_update(samples, first_index, start_offset, end_offset,
+                       v1, v2):
+    """folds int32 [n, 2] samples into AccurateRip V1/V2 accumulators
+
+    returns the updated (v1, v2) 32-bit values"""
+    import numpy as np
+
+    lib = get_lib()
+    samples = np.ascontiguousarray(samples, dtype=np.int32)
+    c1 = ctypes.c_uint32(v1)
+    c2 = ctypes.c_uint32(v2)
+    lib.atpu_accuraterip_update(
+        _as_ptr(samples, ctypes.c_int32),
+        samples.shape[0], first_index, start_offset, end_offset,
+        ctypes.byref(c1), ctypes.byref(c2))
+    return (c1.value, c2.value)
 
 
 def pack_frames(vals, nbits, token_counts, header_token_counts):

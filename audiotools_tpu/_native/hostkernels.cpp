@@ -1624,6 +1624,34 @@ uint8_t atpu_crc8(const uint8_t* data, int64_t n, uint8_t initial) {
     return crc8_buf(data, n, initial);
 }
 
+// ------------------------------------------------- AccurateRip CRCs --
+// Offset-windowed multiply-accumulate CRCs over CD PCM (reference
+// src/accuraterip.c:44-326).  samples: int32 interleaved [n, 2],
+// 16-bit range.  first_index is the 1-based index of samples[0]
+// within the track; [start_offset, end_offset] is the inclusive
+// window (first-track skip / last-track stop).  Accumulates into
+// v1/v2 so chunked callers can fold this into a decode pass.
+void atpu_accuraterip_update(const int32_t* samples,
+                             int64_t n,
+                             int64_t first_index,
+                             int64_t start_offset,
+                             int64_t end_offset,
+                             uint32_t* v1,
+                             uint32_t* v2) {
+    uint32_t a1 = *v1, a2 = *v2;
+    for (int64_t i = 0; i < n; i++) {
+        const int64_t idx = first_index + i;
+        if (idx < start_offset || idx > end_offset) continue;
+        const uint32_t lo = (uint16_t)samples[2 * i];
+        const uint32_t hi = (uint16_t)samples[2 * i + 1];
+        const uint64_t p = (uint64_t)((hi << 16) | lo) * (uint64_t)idx;
+        a1 += (uint32_t)p;
+        a2 += (uint32_t)p + (uint32_t)(p >> 32);
+    }
+    *v1 = a1;
+    *v2 = a2;
+}
+
 // ------------------------------------------------------------ decoding --
 
 }  // extern "C"
@@ -1692,8 +1720,10 @@ struct FlacBR {
             if (av <= 0) { error = true; return 0; }
             const uint64_t w = window << used;
             if (w == 0) {               // rest of window is zeros
-                count += 64 - used;
-                if (count > av) { error = true; return 0; }
+                const int zeros = 64 - used;
+                // no 1-bit within the remaining real bits: truncated
+                if (zeros >= av) { error = true; return 0; }
+                count += zeros;
                 used = 64;
                 continue;
             }

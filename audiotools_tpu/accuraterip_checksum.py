@@ -82,15 +82,44 @@ class ChecksumV2(_ChecksumBase):
                                int(high.sum())) & 0xFFFFFFFF
 
 
+class AccurateRipCRC(_ChecksumBase):
+    """streaming V1+V2 in one pass via the native MAC kernel
+
+    feed int32 [n, 2] sample arrays directly (no FrameList wrap);
+    byte-identical to ChecksumV1/ChecksumV2 (the NumPy oracles above,
+    kept for cross-checking)."""
+
+    def __init__(self, is_first, is_last, sample_rate,
+                 total_pcm_frames):
+        super().__init__(is_first, is_last, sample_rate,
+                         total_pcm_frames)
+        self.v1 = 0
+        self.v2 = 0
+
+    def update_array(self, samples):
+        """samples: int32 [n, 2] in 16-bit range"""
+        from . import _native
+        (self.v1, self.v2) = _native.accuraterip_update(
+            samples, self.track_index, self.start_offset,
+            self.end_offset, self.v1, self.v2)
+        self.track_index += samples.shape[0]
+
+    def checksums(self):
+        return (self.v1 & 0xFFFFFFFF, self.v2 & 0xFFFFFFFF)
+
+
 def accuraterip_checksums(pcmreader, total_pcm_frames,
                           is_first=False, is_last=False,
                           sample_rate=44100):
     """computes (v1, v2) checksums over an entire PCMReader"""
-    v1 = ChecksumV1(is_first, is_last, sample_rate, total_pcm_frames)
-    v2 = ChecksumV2(is_first, is_last, sample_rate, total_pcm_frames)
+    crc = AccurateRipCRC(is_first, is_last, sample_rate,
+                         total_pcm_frames)
     frame = pcmreader.read(1 << 16)
     while len(frame) > 0:
-        v1.update(frame)
-        v2.update(frame)
+        if frame.channels != 2:
+            raise ValueError("FrameList must be 2 channels")
+        if frame.bits_per_sample != 16:
+            raise ValueError("FrameList must be 16 bits per sample")
+        crc.update_array(frame.samples)
         frame = pcmreader.read(1 << 16)
-    return (v1.checksum(), v2.checksum())
+    return crc.checksums()

@@ -787,7 +787,7 @@ def _undo_joint_stereo(samples):
     side_arr = np.asarray(samples[1], dtype=np.int64)
     right = side_arr - (mid_arr >> 1)
     left = mid_arr + right
-    return [left.tolist(), right.tolist()]
+    return [left, right]
 
 
 def _undo_extended_integers(zero_bits, one_bits, duplicate_bits,
@@ -804,7 +804,7 @@ def _undo_extended_integers(zero_bits, one_bits, duplicate_bits,
             arr = np.where(arr % 2 == 0,
                            arr << duplicate_bits,
                            (arr << duplicate_bits) + ones)
-        out.append(arr.tolist())
+        out.append(arr)
     return out
 
 # ---------------------------------------------------------------------------
