@@ -233,6 +233,17 @@ def _build_and_load():
     lib.atpu_crc16.restype = ctypes.c_uint16
     lib.atpu_crc16.argtypes = [ctypes.POINTER(ctypes.c_uint8),
                                ctypes.c_int64, ctypes.c_uint16]
+    lib.atpu_resample_fir.restype = None
+    lib.atpu_resample_fir.argtypes = [
+        ctypes.POINTER(ctypes.c_double),  # hist [n, ch]
+        ctypes.c_int64,                   # hist_len
+        ctypes.c_int32,                   # channels
+        ctypes.POINTER(ctypes.c_int64),   # starts [M]
+        ctypes.POINTER(ctypes.c_int32),   # q [M]
+        ctypes.POINTER(ctypes.c_double),  # bank [n_phases, taps]
+        ctypes.c_int32,                   # taps
+        ctypes.c_int64,                   # m_count
+        ctypes.POINTER(ctypes.c_double)]  # out [M, ch]
     lib.atpu_accuraterip_update.restype = None
     lib.atpu_accuraterip_update.argtypes = [
         ctypes.POINTER(ctypes.c_int32),   # samples [n, 2]
@@ -338,6 +349,31 @@ def get_lib():
 
 def _as_ptr(array, ctype):
     return array.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def resample_fir(hist, starts, q, bank):
+    """polyphase FIR: out[m] = bank[q[m]] . hist[starts[m]:+taps]
+
+    hist: float64 [n, ch]; starts: int64 [M]; q: int32 [M];
+    bank: float64 [n_phases, taps].  Returns float64 [M, ch]."""
+    import numpy as np
+
+    lib = get_lib()
+    hist = np.ascontiguousarray(hist, dtype=np.float64)
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    q = np.ascontiguousarray(q, dtype=np.int32)
+    bank = np.ascontiguousarray(bank, dtype=np.float64)
+    (n, ch) = hist.shape
+    (n_phases, taps) = bank.shape
+    m_count = starts.shape[0]
+    out = np.empty((m_count, ch), dtype=np.float64)
+    lib.atpu_resample_fir(
+        _as_ptr(hist, ctypes.c_double), n, ch,
+        _as_ptr(starts, ctypes.c_int64),
+        _as_ptr(q, ctypes.c_int32),
+        _as_ptr(bank, ctypes.c_double), taps, m_count,
+        _as_ptr(out, ctypes.c_double))
+    return out
 
 
 def accuraterip_update(samples, first_index, start_offset, end_offset,

@@ -1624,6 +1624,88 @@ uint8_t atpu_crc8(const uint8_t* data, int64_t n, uint8_t initial) {
     return crc8_buf(data, n, initial);
 }
 
+// ---------------------------------------------------- polyphase FIR --
+}  // extern "C"
+// Windowed-sinc resampler hot loop (reference counterpart:
+// src/samplerate/src_sinc.c:1207 calc_output).  For each output m,
+// out[m,:] = sum_t bank[q[m], t] * hist[starts[m] + t, :].
+// hist is interleaved float64 [n, ch]; bank rows are per-phase
+// coefficient vectors.  Channel-templated so the tap loop carries
+// fixed accumulator registers and vectorizes.
+namespace {
+
+template <int CH>
+static void resample_fir_t(const double* hist,
+                           const int64_t* starts,
+                           const int32_t* q,
+                           const double* bank,
+                           int taps,
+                           int64_t m_count,
+                           double* out) {
+    for (int64_t m = 0; m < m_count; m++) {
+        const double* h = hist + starts[m] * CH;
+        const double* b = bank + (int64_t)q[m] * taps;
+        // four independent accumulator chains per channel: the FMA
+        // latency chain otherwise serializes the tap loop (f64 adds
+        // cannot be reassociated by the compiler without fast-math,
+        // and this fixed grouping keeps output deterministic)
+        double a0[CH] = {}, a1[CH] = {}, a2[CH] = {}, a3[CH] = {};
+        double a4[CH] = {}, a5[CH] = {}, a6[CH] = {}, a7[CH] = {};
+        int t = 0;
+        for (; t + 8 <= taps; t += 8) {
+            for (int c = 0; c < CH; c++) {
+                a0[c] += b[t] * h[t * CH + c];
+                a1[c] += b[t + 1] * h[(t + 1) * CH + c];
+                a2[c] += b[t + 2] * h[(t + 2) * CH + c];
+                a3[c] += b[t + 3] * h[(t + 3) * CH + c];
+                a4[c] += b[t + 4] * h[(t + 4) * CH + c];
+                a5[c] += b[t + 5] * h[(t + 5) * CH + c];
+                a6[c] += b[t + 6] * h[(t + 6) * CH + c];
+                a7[c] += b[t + 7] * h[(t + 7) * CH + c];
+            }
+        }
+        for (; t < taps; t++)
+            for (int c = 0; c < CH; c++)
+                a0[c] += b[t] * h[t * CH + c];
+        for (int c = 0; c < CH; c++)
+            out[m * CH + c] = ((a0[c] + a1[c]) + (a2[c] + a3[c])) +
+                              ((a4[c] + a5[c]) + (a6[c] + a7[c]));
+    }
+}
+
+}  // namespace
+
+extern "C" void atpu_resample_fir(const double* hist,
+                                  int64_t hist_len,
+                                  int32_t channels,
+                                  const int64_t* starts,
+                                  const int32_t* q,
+                                  const double* bank,
+                                  int32_t taps,
+                                  int64_t m_count,
+                                  double* out) {
+    (void)hist_len;
+    switch (channels) {
+    case 1: resample_fir_t<1>(hist, starts, q, bank, taps, m_count,
+                              out); return;
+    case 2: resample_fir_t<2>(hist, starts, q, bank, taps, m_count,
+                              out); return;
+    default:
+        for (int64_t m = 0; m < m_count; m++) {
+            const double* h = hist + starts[m] * channels;
+            const double* b = bank + (int64_t)q[m] * taps;
+            for (int c = 0; c < channels; c++) {
+                double acc = 0.0;
+                for (int t = 0; t < taps; t++)
+                    acc += b[t] * h[t * channels + c];
+                out[m * channels + c] = acc;
+            }
+        }
+    }
+}
+
+extern "C" {
+
 // ------------------------------------------------- AccurateRip CRCs --
 // Offset-windowed multiply-accumulate CRCs over CD PCM (reference
 // src/accuraterip.c:44-326).  samples: int32 interleaved [n, 2],
