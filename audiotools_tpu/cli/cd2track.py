@@ -16,6 +16,14 @@ import sys
 
 from . import add_common_arguments
 from ..utils.messenger import Messenger
+from ..text import (DESC_CD2TRACK, HELP_CDROM, HELP_TYPE,
+                    HELP_QUALITY, HELP_DIR, HELP_FORMAT, HELP_JOINT,
+                    HELP_NO_MUSICBRAINZ, HELP_MUSICBRAINZ_SERVER,
+                    HELP_NO_FREEDB, HELP_FREEDB_SERVER,
+                    HELP_INTERACTIVE, ERR_UNSUPPORTED_TYPE,
+                    ERR_TRACK_NOT_FOUND, LAB_ACCURATERIP_DISC_ID,
+                    LAB_USING_METADATA, LAB_UNTITLED,
+                    LAB_TRACK_PROGRESS, LAB_RIPPED_TRACK)
 
 
 def _rip_track(cdda_path, track_number, sample_offset, output_class,
@@ -39,30 +47,39 @@ def _rip_track(cdda_path, track_number, sample_offset, output_class,
 def main(argv=None):
     parser = argparse.ArgumentParser(
         prog="cd2track",
-        description="extract audio tracks from a CD image")
+        description=DESC_CD2TRACK)
     add_common_arguments(parser)
     parser.add_argument("-c", "--cdrom", dest="cdrom", required=True,
-                        help="the CD image to rip (.cue or .toc)")
-    parser.add_argument("-t", "--type", dest="type", default="flac")
-    parser.add_argument("-q", "--quality", dest="quality", default="")
-    parser.add_argument("-d", "--dir", dest="dir", default=".")
-    parser.add_argument("--format", dest="format", default=None)
+                        help=HELP_CDROM)
+    parser.add_argument("-t", "--type", dest="type", default="flac",
+                        help=HELP_TYPE)
+    parser.add_argument("-q", "--quality", dest="quality", default="",
+                        help=HELP_QUALITY)
+    parser.add_argument("-d", "--dir", dest="dir", default=".",
+                        help=HELP_DIR)
+    parser.add_argument("--format", dest="format", default=None,
+                        help=HELP_FORMAT)
     parser.add_argument("--offset", dest="sample_offset", type=int,
                         default=0,
                         help="drive read offset, in PCM samples")
     parser.add_argument("-j", "--joint", dest="max_processes",
-                        type=int, default=None)
+                        type=int, default=None, help=HELP_JOINT)
+    parser.add_argument("-I", "--interactive", action="store_true",
+                        default=False, dest="interactive",
+                        help=HELP_INTERACTIVE)
     parser.add_argument("--no-musicbrainz", dest="use_musicbrainz",
                         action="store_false", default=True,
-                        help="skip the MusicBrainz metadata lookup")
+                        help=HELP_NO_MUSICBRAINZ)
     parser.add_argument("--musicbrainz-server",
                         dest="musicbrainz_server",
-                        default="musicbrainz.org")
+                        default="musicbrainz.org",
+                        help=HELP_MUSICBRAINZ_SERVER)
     parser.add_argument("--no-freedb", dest="use_freedb",
                         action="store_false", default=True,
-                        help="skip the FreeDB metadata lookup")
+                        help=HELP_NO_FREEDB)
     parser.add_argument("--freedb-server", dest="freedb_server",
-                        default="us.freedb.org")
+                        default="us.freedb.org",
+                        help=HELP_FREEDB_SERVER)
     parser.add_argument("tracks", nargs="*", type=int,
                         help="track numbers to rip (default: all)")
 
@@ -77,7 +94,7 @@ def main(argv=None):
     from ..audiofile import MetaData
 
     if options.type not in TYPE_MAP:
-        msg.error("unsupported audio type %r" % (options.type,))
+        msg.error(ERR_UNSUPPORTED_TYPE % {"type": options.type})
         return 1
     output_class = TYPE_MAP[options.type]
     quality = options.quality or None
@@ -92,11 +109,11 @@ def main(argv=None):
         range(1, len(cdda) + 1))
     for number in track_numbers:
         if not (1 <= number <= len(cdda)):
-            msg.error("track %d not found on disc" % (number,))
+            msg.error(ERR_TRACK_NOT_FOUND % {"track": number})
             return 1
 
-    msg.info("AccurateRip disc ID: %s" %
-             (str(cdda.accuraterip_disc_id()),))
+    msg.info(LAB_ACCURATERIP_DISC_ID %
+             {"id": str(cdda.accuraterip_disc_id())})
 
     # service lookup (reference cd2track:338-365): the first
     # returned choice wins non-interactively; the final choice is
@@ -110,9 +127,43 @@ def main(argv=None):
         use_musicbrainz=options.use_musicbrainz,
         use_freedb=options.use_freedb)
     disc_metadata = choices[0]
-    if len(choices) > 1:
+
+    # interactive mode: choose among service matches and edit the
+    # winner in the MetaDataFiller swivel editor (reference
+    # cd2track's -I flow over audiotools/ui.py:353)
+    if options.interactive:
+        from .. import ui
+        if not ui.AVAILABLE:
+            ui.not_available_message(msg)
+            return 1
+        import urwid
+        status = urwid.Text("")
+        filler = ui.MetaDataFiller(
+            ["track %d" % (i + 1,) for i in range(len(cdda))],
+            choices, status)
+        accepted = {"done": False}
+
+        def unhandled(key):
+            if key == "f1":
+                filler.select_previous_item()
+            elif key == "f2":
+                filler.select_next_item()
+            elif key == "enter":
+                accepted["done"] = True
+                raise urwid.ExitMainLoop()
+            elif key == "esc":
+                raise urwid.ExitMainLoop()
+
+        urwid.MainLoop(urwid.Frame(body=filler, footer=status),
+                       ui.urwid_style(),
+                       unhandled_input=unhandled).run()
+        if not accepted["done"]:
+            return 0
+        disc_metadata = list(filler.populated_metadata())
+    elif len(choices) > 1:
         album = disc_metadata[0].album_name
-        msg.info("Using metadata: %s" % (album or "(untitled)",))
+        msg.info(LAB_USING_METADATA %
+                 {"album": album or LAB_UNTITLED})
 
     os.makedirs(options.dir, exist_ok=True)
     queue = ExecProgressQueue(ProgressDisplay(msg))
@@ -131,8 +182,8 @@ def main(argv=None):
                 format=options.format))
         queue.execute(
             _rip_track,
-            progress_text="track %d" % (number,),
-            completion_output="ripped track %d" % (number,),
+            progress_text=LAB_TRACK_PROGRESS % {"track": number},
+            completion_output=LAB_RIPPED_TRACK % {"track": number},
             cdda_path=options.cdrom,
             track_number=number,
             sample_offset=options.sample_offset,

@@ -17,6 +17,17 @@ from . import audiofile_type, default_type, add_common_arguments
 from ..utils.messenger import Messenger, ProgressDisplay
 from ..utils.config import MAX_JOBS, FILENAME_FORMAT
 from ..parallel.queue import ExecProgressQueue, ExecQueueError
+from ..text import (DESC_TRACK2TRACK, HELP_TYPE, HELP_QUALITY,
+                    HELP_DIR, HELP_FORMAT, HELP_OUTPUT, HELP_JOINT,
+                    HELP_REPLAY_GAIN, HELP_NO_REPLAY_GAIN,
+                    HELP_METADATA_LOOKUP, HELP_USE_DEFAULT,
+                    HELP_INTERACTIVE, HELP_DEVICES, HELP_SAMPLE_RATE,
+                    HELP_CHANNELS, HELP_BITS_PER_SAMPLE,
+                    ERR_UNSUPPORTED_COMPRESSION, ERR_1_FILE_REQUIRED,
+                    ERR_ONE_OUTPUT_FILE, ERR_OUTPUT_IS_INPUT,
+                    ERR_OUTPUT_DUPLICATE_NAME, ERR_MAKEDIRS,
+                    LAB_T2T_USING_METADATA, LAB_UNTITLED,
+                    LAB_T2T_ADDING_REPLAY_GAIN, LAB_T2T_CONVERTED)
 
 
 def convert(destination_filename, destination_class, compression,
@@ -54,32 +65,32 @@ def convert(destination_filename, destination_class, compression,
 def main(argv=None):
     parser = argparse.ArgumentParser(
         prog="track2track",
-        description="convert audio files from one format to another")
+        description=DESC_TRACK2TRACK)
     add_common_arguments(parser)
-    parser.add_argument("-t", "--type", dest="type",
-                        help="the audio type to convert to")
+    parser.add_argument("-t", "--type", dest="type", help=HELP_TYPE)
     parser.add_argument("-q", "--quality", dest="quality", default="",
-                        help="the quality to store audio at")
+                        help=HELP_QUALITY)
     parser.add_argument("-d", "--dir", dest="dir", default=".",
-                        help="the directory to store converted files")
+                        help=HELP_DIR)
     parser.add_argument("--format", dest="format", default=None,
-                        help="the format string for new filenames")
+                        help=HELP_FORMAT)
     parser.add_argument("-o", "--output", dest="output", default=None,
-                        help="an output file (single input only)")
+                        help=HELP_OUTPUT)
     parser.add_argument("-j", "--joint", dest="max_processes",
-                        type=int, default=None,
-                        help="the maximum number of parallel jobs")
+                        type=int, default=None, help=HELP_JOINT)
+    parser.add_argument("-I", "--interactive", action="store_true",
+                        default=False, dest="interactive",
+                        help=HELP_INTERACTIVE)
     parser.add_argument("--replay-gain", action="store_true",
                         dest="add_replay_gain", default=False,
-                        help="add ReplayGain metadata to output files")
+                        help=HELP_REPLAY_GAIN)
     parser.add_argument("--no-replay-gain", action="store_false",
                         dest="add_replay_gain",
-                        help="do not add ReplayGain metadata")
+                        help=HELP_NO_REPLAY_GAIN)
     parser.add_argument("-M", "--metadata-lookup",
                         action="store_true", default=False,
                         dest="metadata_lookup",
-                        help="treat the input files as one album and "
-                             "look up metadata from online services")
+                        help=HELP_METADATA_LOOKUP)
     parser.add_argument("--no-musicbrainz", dest="use_musicbrainz",
                         action="store_false", default=True)
     parser.add_argument("--musicbrainz-server",
@@ -91,14 +102,15 @@ def main(argv=None):
                         default="us.freedb.org")
     parser.add_argument("-D", "--default", dest="use_default",
                         action="store_true", default=False,
-                        help="with -M, use the default blank choice "
-                             "instead of the first service match")
+                        help=HELP_USE_DEFAULT)
     parser.add_argument("--devices", type=int, default=None,
-                        help="shard encode batches over N accelerator "
-                             "devices (data-parallel frames on a Mesh)")
-    parser.add_argument("--sample-rate", type=int, default=None)
-    parser.add_argument("--channels", type=int, default=None)
-    parser.add_argument("--bits-per-sample", type=int, default=None)
+                        help=HELP_DEVICES)
+    parser.add_argument("--sample-rate", type=int, default=None,
+                        help=HELP_SAMPLE_RATE)
+    parser.add_argument("--channels", type=int, default=None,
+                        help=HELP_CHANNELS)
+    parser.add_argument("--bits-per-sample", type=int, default=None,
+                        help=HELP_BITS_PER_SAMPLE)
     parser.add_argument("filenames", nargs="+")
 
     options = parser.parse_args(argv)
@@ -115,21 +127,19 @@ def main(argv=None):
 
     if (options.quality and
             options.quality not in destination_class.COMPRESSION_MODES):
-        msg.error("\"%s\" is not a supported compression mode "
-                  "for type \"%s\"" %
-                  (options.quality, options.type))
+        msg.error(ERR_UNSUPPORTED_COMPRESSION %
+                  {"quality": options.quality, "type": options.type})
         return 1
     compression = options.quality or None
 
     audiofiles = open_files(options.filenames, messenger=msg)
     if len(audiofiles) == 0:
-        msg.error("you must specify at least 1 supported audio file")
+        msg.error(ERR_1_FILE_REQUIRED)
         return 1
 
     if options.output is not None:
         if len(audiofiles) != 1:
-            msg.error("you may specify only 1 input file for use "
-                      "with -o")
+            msg.error(ERR_ONE_OUTPUT_FILE)
             return 1
         track = audiofiles[0]
         try:
@@ -160,13 +170,10 @@ def main(argv=None):
         lookup_metadata = dict(zip(
             (t.filename for t in _sort(audiofiles)), chosen))
         if len(choices) > 1 and not options.use_default:
-            msg.info("Using metadata: %s" %
-                     (chosen[0].album_name or "(untitled)",))
+            msg.info(LAB_T2T_USING_METADATA %
+                     {"album": chosen[0].album_name or LAB_UNTITLED})
 
-    progress_display = ProgressDisplay(msg)
-    queue = ExecProgressQueue(progress_display)
-    output_filenames = []
-
+    track_metadatas = []
     for track in audiofiles:
         metadata = track.get_metadata()
         if lookup_metadata is not None:
@@ -180,34 +187,77 @@ def main(argv=None):
                                     getattr(looked_up, field))
                 else:
                     metadata = looked_up
-        filename = AudioFile.track_name(
-            track.filename, metadata,
-            options.format or FILENAME_FORMAT,
-            suffix=destination_class.SUFFIX)
-        destination = os.path.join(options.dir, filename)
+        track_metadatas.append(metadata)
+
+    # interactive mode: the OutputFiller wizard edits metadata and
+    # output parameters before conversion (reference track2track's
+    # -I flow over audiotools/ui.py:89)
+    output_specs = None
+    if options.interactive:
+        from .. import ui
+        if not ui.AVAILABLE:
+            ui.not_available_message(msg)
+            return 1
+        import urwid
+        from ..dispatch import Filename
+        from ..audiofile import MetaData as MD
+        filler = ui.OutputFiller(
+            track_labels=[str(t.filename) for t in audiofiles],
+            metadata_choices=[[m if m is not None else MD()
+                               for m in track_metadatas]],
+            input_filenames=[Filename(t.filename)
+                             for t in audiofiles],
+            output_directory=options.dir,
+            format_string=options.format or FILENAME_FORMAT,
+            output_class=destination_class,
+            quality=options.quality)
+        urwid.MainLoop(filler, ui.urwid_style(),
+                       unhandled_input=filler.handle_text).run()
+        if filler.cancelled():
+            return 0
+        output_specs = [(cls, str(path), qual, metadata)
+                        for (cls, path, qual, metadata)
+                        in filler.output_tracks()]
+
+    progress_display = ProgressDisplay(msg)
+    queue = ExecProgressQueue(progress_display)
+    output_filenames = []
+
+    for (i, track) in enumerate(audiofiles):
+        if output_specs is not None:
+            (destination_class, destination,
+             quality, metadata) = output_specs[i]
+            compression = quality or None
+        else:
+            metadata = track_metadatas[i]
+            filename = AudioFile.track_name(
+                track.filename, metadata,
+                options.format or FILENAME_FORMAT,
+                suffix=destination_class.SUFFIX)
+            destination = os.path.join(options.dir, filename)
         if os.path.abspath(destination) == \
                 os.path.abspath(track.filename):
-            msg.error("\"%s\" cannot be both input and output file" %
-                      (destination,))
+            msg.error(ERR_OUTPUT_IS_INPUT %
+                      {"filename": destination})
             return 1
         if destination in output_filenames:
-            msg.error("output file \"%s\" occurs more than once; "
-                      "use --format with distinguishing fields" %
-                      (destination,))
+            msg.error(ERR_OUTPUT_DUPLICATE_NAME)
             return 1
         try:
             os.makedirs(os.path.dirname(destination) or ".",
                         exist_ok=True)
         except OSError as err:
-            msg.error("unable to create directory for \"%s\": %s" %
-                      (destination, err.strerror or err))
+            msg.error(ERR_MAKEDIRS %
+                      {"filename": destination,
+                       "error": err.strerror or err})
             return 1
         output_filenames.append(destination)
         queue.execute(
             convert,
             progress_text=destination,
-            completion_output="%s -> %s" % (track.filename,
-                                            destination),
+            completion_output=(LAB_T2T_CONVERTED %
+                               {"source": track.filename,
+                                "destination": destination}),
             destination_filename=destination,
             destination_class=destination_class,
             compression=compression,
@@ -231,7 +281,7 @@ def main(argv=None):
     if (options.add_replay_gain and
             destination_class.supports_replay_gain()):
         from ..dispatch import open_files as reopen
-        msg.info("Adding ReplayGain metadata...")
+        msg.info(LAB_T2T_ADDING_REPLAY_GAIN)
         try:
             destination_class.add_replay_gain(output_filenames)
         except (ValueError, IOError) as err:

@@ -11,47 +11,62 @@ import sys
 
 from . import add_common_arguments
 from ..utils.messenger import Messenger
+from ..text import (DESC_TRACKTAG, HELP_TAG_NAME, HELP_TAG_ARTIST,
+                    HELP_TAG_PERFORMER, HELP_TAG_COMPOSER,
+                    HELP_TAG_CONDUCTOR, HELP_TAG_ALBUM,
+                    HELP_TAG_CATALOG, HELP_TAG_NUMBER,
+                    HELP_TAG_TRACK_TOTAL, HELP_TAG_ALBUM_NUMBER,
+                    HELP_TAG_ALBUM_TOTAL, HELP_TAG_ISRC,
+                    HELP_TAG_PUBLISHER, HELP_TAG_MEDIA,
+                    HELP_TAG_YEAR, HELP_TAG_DATE, HELP_TAG_COPYRIGHT,
+                    HELP_TAG_COMMENT, HELP_TAG_REMOVE,
+                    HELP_TAG_REMOVE_IMAGES, HELP_TAG_FRONT_COVER,
+                    HELP_REPLAY_GAIN, HELP_INTERACTIVE,
+                    ERR_1_FILE_REQUIRED, LAB_TRACKTAG_TAGGED)
 
 
 FIELD_OPTIONS = [
-    ("--name", "track_name"),
-    ("--artist", "artist_name"),
-    ("--performer", "performer_name"),
-    ("--composer", "composer_name"),
-    ("--conductor", "conductor_name"),
-    ("--album", "album_name"),
-    ("--catalog", "catalog"),
-    ("--number", "track_number"),
-    ("--track-total", "track_total"),
-    ("--album-number", "album_number"),
-    ("--album-total", "album_total"),
-    ("--ISRC", "ISRC"),
-    ("--publisher", "publisher"),
-    ("--media-type", "media"),
-    ("--year", "year"),
-    ("--date", "date"),
-    ("--copyright", "copyright"),
-    ("--comment", "comment"),
+    ("--name", "track_name", HELP_TAG_NAME),
+    ("--artist", "artist_name", HELP_TAG_ARTIST),
+    ("--performer", "performer_name", HELP_TAG_PERFORMER),
+    ("--composer", "composer_name", HELP_TAG_COMPOSER),
+    ("--conductor", "conductor_name", HELP_TAG_CONDUCTOR),
+    ("--album", "album_name", HELP_TAG_ALBUM),
+    ("--catalog", "catalog", HELP_TAG_CATALOG),
+    ("--number", "track_number", HELP_TAG_NUMBER),
+    ("--track-total", "track_total", HELP_TAG_TRACK_TOTAL),
+    ("--album-number", "album_number", HELP_TAG_ALBUM_NUMBER),
+    ("--album-total", "album_total", HELP_TAG_ALBUM_TOTAL),
+    ("--ISRC", "ISRC", HELP_TAG_ISRC),
+    ("--publisher", "publisher", HELP_TAG_PUBLISHER),
+    ("--media-type", "media", HELP_TAG_MEDIA),
+    ("--year", "year", HELP_TAG_YEAR),
+    ("--date", "date", HELP_TAG_DATE),
+    ("--copyright", "copyright", HELP_TAG_COPYRIGHT),
+    ("--comment", "comment", HELP_TAG_COMMENT),
 ]
 
 
 def main(argv=None):
     parser = argparse.ArgumentParser(
         prog="tracktag",
-        description="update audio file metadata")
+        description=DESC_TRACKTAG)
     add_common_arguments(parser)
-    for (flag, field) in FIELD_OPTIONS:
-        parser.add_argument(flag, dest=field, default=None)
+    for (flag, field, help_text) in FIELD_OPTIONS:
+        parser.add_argument(flag, dest=field, default=None,
+                            help=help_text)
     parser.add_argument("-r", "--replace", action="store_true",
-                        default=False,
-                        help="completely replace all metadata")
+                        default=False, help=HELP_TAG_REMOVE)
+    parser.add_argument("-I", "--interactive", action="store_true",
+                        default=False, dest="interactive",
+                        help=HELP_INTERACTIVE)
     parser.add_argument("--remove-images", action="store_true",
-                        default=False)
+                        default=False, help=HELP_TAG_REMOVE_IMAGES)
     parser.add_argument("--front-cover", dest="front_cover",
-                        default=None,
-                        help="an image file of the front cover")
+                        default=None, help=HELP_TAG_FRONT_COVER)
     parser.add_argument("--replay-gain", action="store_true",
-                        dest="add_replay_gain", default=False)
+                        dest="add_replay_gain", default=False,
+                        help=HELP_REPLAY_GAIN)
     parser.add_argument("filenames", nargs="+")
 
     options = parser.parse_args(argv)
@@ -63,7 +78,7 @@ def main(argv=None):
     integer_fields = {"track_number", "track_total", "album_number",
                       "album_total"}
     updates = {}
-    for (_flag, field) in FIELD_OPTIONS:
+    for (_flag, field, _help) in FIELD_OPTIONS:
         value = getattr(options, field)
         if value is not None:
             if field in integer_fields:
@@ -78,8 +93,60 @@ def main(argv=None):
     audiofiles = open_files(options.filenames, sorted=False,
                             messenger=msg)
     if len(audiofiles) == 0:
-        msg.error("you must specify at least 1 supported audio file")
+        msg.error(ERR_1_FILE_REQUIRED)
         return 1
+
+    # interactive mode: edit every track's metadata through the
+    # MetaDataFiller swivel editor (reference tracktag -I over
+    # audiotools/ui.py:353); command-line field options pre-seed the
+    # edited values
+    if options.interactive:
+        from .. import ui
+        if not ui.AVAILABLE:
+            ui.not_available_message(msg)
+            return 1
+        import urwid
+        seeded = []
+        for track in audiofiles:
+            metadata = track.get_metadata()
+            if metadata is None:
+                from ..audiofile import MetaData as MD
+                metadata = MD()
+            for (field, value) in updates.items():
+                setattr(metadata, field, value)
+            seeded.append(metadata)
+        status = urwid.Text("")
+        filler = ui.MetaDataFiller(
+            [str(t.filename) for t in audiofiles],
+            [seeded], status)
+        edited = {"done": False}
+
+        def unhandled(key):
+            if key == "f1":
+                filler.select_previous_item()
+            elif key == "f2":
+                filler.select_next_item()
+            elif key == "enter":
+                edited["done"] = True
+                raise urwid.ExitMainLoop()
+            elif key == "esc":
+                raise urwid.ExitMainLoop()
+
+        urwid.MainLoop(urwid.Frame(body=filler, footer=status),
+                       ui.urwid_style(),
+                       unhandled_input=unhandled).run()
+        if not edited["done"]:
+            return 0
+        for (track, metadata) in zip(audiofiles,
+                                     filler.populated_metadata()):
+            try:
+                track.set_metadata(metadata)
+                msg.info(LAB_TRACKTAG_TAGGED %
+                         {"filename": track.filename})
+            except (IOError, ValueError) as err:
+                msg.error("%s: %s" % (track.filename, err))
+                return 1
+        return 0
 
     for track in audiofiles:
         try:
