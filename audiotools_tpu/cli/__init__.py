@@ -22,12 +22,14 @@ except (ImportError, AttributeError, ValueError):
 def audiofile_type(messenger, type_name):
     """resolves a -t/--type argument to an AudioFile class"""
     from ..dispatch import TYPE_MAP
+    from ..text import ERR_UNSUPPORTED_AUDIO_TYPE, ERR_SUPPORTED_TYPES
     if type_name in TYPE_MAP:
         return TYPE_MAP[type_name]
     else:
-        messenger.error("unsupported audio type \"%s\"" % (type_name,))
-        messenger.info("supported types: %s" %
-                       ", ".join(sorted(TYPE_MAP.keys())))
+        messenger.error(ERR_UNSUPPORTED_AUDIO_TYPE %
+                        {"type": type_name})
+        messenger.info(ERR_SUPPORTED_TYPES %
+                       {"types": ", ".join(sorted(TYPE_MAP.keys()))})
         return None
 
 
@@ -38,10 +40,11 @@ def default_type():
 
 
 def add_common_arguments(parser):
+    from ..text import HELP_VERBOSITY
     parser.add_argument("-V", "--verbose", dest="verbosity",
                         default="normal",
                         choices=("normal", "quiet", "silent", "debug"),
-                        help="the verbosity level to execute at")
+                        help=HELP_VERBOSITY)
 
 
 def output_filename(track, destination_dir, output_format, suffix,

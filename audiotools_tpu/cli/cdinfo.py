@@ -11,15 +11,19 @@ import sys
 
 from . import add_common_arguments
 from ..utils.messenger import Messenger
+from ..text import (DESC_CDINFO, HELP_CDROM, LAB_CDINFO_TRACKS,
+                    LAB_CDINFO_LENGTH, LAB_CDINFO_FREEDB,
+                    LAB_CDINFO_MUSICBRAINZ, LAB_CDINFO_ACCURATERIP,
+                    LAB_CDINFO_HEADER)
 
 
 def main(argv=None):
     parser = argparse.ArgumentParser(
         prog="cdinfo",
-        description="display CD information")
+        description=DESC_CDINFO)
     add_common_arguments(parser)
     parser.add_argument("-c", "--cdrom", dest="cdrom", required=True,
-                        help="the CD image to inspect (.cue or .toc)")
+                        help=HELP_CDROM)
     options = parser.parse_args(argv)
     msg = Messenger("cdinfo", options)
 
@@ -31,15 +35,17 @@ def main(argv=None):
         msg.error(str(err))
         return 1
 
-    msg.output("Tracks : %d" % (len(cdda),))
-    msg.output("Length : %d:%2.2d" %
-               (cdda.length_in_seconds() // 60,
-                cdda.length_in_seconds() % 60))
-    msg.output("FreeDB ID      : %s" % (cdda.freedb_disc_id(),))
-    msg.output("MusicBrainz ID : %s" % (cdda.musicbrainz_disc_id(),))
-    msg.output("AccurateRip ID : %s" % (cdda.accuraterip_disc_id(),))
+    msg.output(LAB_CDINFO_TRACKS % {"count": len(cdda)})
+    msg.output(LAB_CDINFO_LENGTH %
+               {"minutes": cdda.length_in_seconds() // 60,
+                "seconds": cdda.length_in_seconds() % 60})
+    msg.output(LAB_CDINFO_FREEDB % {"id": cdda.freedb_disc_id()})
+    msg.output(LAB_CDINFO_MUSICBRAINZ %
+               {"id": cdda.musicbrainz_disc_id()})
+    msg.output(LAB_CDINFO_ACCURATERIP %
+               {"id": cdda.accuraterip_disc_id()})
     msg.output("")
-    msg.output("#  Offset   Length   Seconds")
+    msg.output(LAB_CDINFO_HEADER)
     for (i, (offset, length)) in enumerate(cdda.track_offsets(), 1):
         msg.output("%2.2d %8d %8d %7.7s" %
                    (i, offset, length, "%.1f" % (length / 75.0,)))

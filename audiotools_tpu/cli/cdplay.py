@@ -10,14 +10,18 @@ import time
 
 from . import add_common_arguments
 from ..utils.messenger import Messenger
+from ..text import (DESC_CDPLAY, HELP_CDROM, HELP_PLAY_OUTPUT,
+                    LAB_CDPLAY_TRACK, LAB_STOPPED)
 
 
 def main(argv=None):
     parser = argparse.ArgumentParser(
-        prog="cdplay", description="play CD audio")
+        prog="cdplay", description=DESC_CDPLAY)
     add_common_arguments(parser)
-    parser.add_argument("-c", "--cdrom", dest="cdrom", required=True)
-    parser.add_argument("-o", "--output", dest="output", default=None)
+    parser.add_argument("-c", "--cdrom", dest="cdrom", required=True,
+                        help=HELP_CDROM)
+    parser.add_argument("-o", "--output", dest="output", default=None,
+                        help=HELP_PLAY_OUTPUT)
     parser.add_argument("tracks", nargs="*", type=int)
     options = parser.parse_args(argv)
     msg = Messenger("cdplay", options)
@@ -36,7 +40,7 @@ def main(argv=None):
     try:
         for number in (options.tracks or
                        range(1, len(cdda) + 1)):
-            msg.info("playing track %d" % (number,))
+            msg.info(LAB_CDPLAY_TRACK % {"track": number})
             player.open(number)
             player.play()
             deadline = time.time() + 10
@@ -45,7 +49,7 @@ def main(argv=None):
             while player.state() != 0:
                 time.sleep(0.1)
     except KeyboardInterrupt:
-        msg.info("stopped")
+        msg.info(LAB_STOPPED)
     finally:
         player.close()
         cdda.close()

@@ -11,12 +11,15 @@ import sys
 
 from . import add_common_arguments
 from ..utils.messenger import Messenger, output_table
+from ..text import (DESC_CONFIG, ERR_UNSUPPORTED_AUDIO_TYPE,
+                    LAB_CONFIG_SYSTEM, LAB_CONFIG_DEFAULT_TYPE,
+                    LAB_CONFIG_MAX_JOBS, LAB_CONFIG_FORMATS)
 
 
 def main(argv=None):
     parser = argparse.ArgumentParser(
         prog="audiotools-config",
-        description="manage audiotools configuration")
+        description=DESC_CONFIG)
     add_common_arguments(parser)
     parser.add_argument("-t", "--type", dest="default_type",
                         default=None,
@@ -30,8 +33,8 @@ def main(argv=None):
 
     if options.default_type is not None:
         if options.default_type not in TYPE_MAP:
-            msg.error("unsupported audio type \"%s\"" %
-                      (options.default_type,))
+            msg.error(ERR_UNSUPPORTED_AUDIO_TYPE %
+                      {"type": options.default_type})
             return 1
         cfg.config.set_default("System", "default_type",
                                options.default_type)
@@ -40,11 +43,11 @@ def main(argv=None):
             cfg.config.write(f)
         return 0
 
-    msg.output("System:")
-    msg.output("  default type : %s" % (cfg.DEFAULT_TYPE,))
-    msg.output("  maximum jobs : %d" % (cfg.MAX_JOBS(),))
+    msg.output(LAB_CONFIG_SYSTEM)
+    msg.output(LAB_CONFIG_DEFAULT_TYPE % {"type": cfg.DEFAULT_TYPE})
+    msg.output(LAB_CONFIG_MAX_JOBS % {"jobs": cfg.MAX_JOBS()})
     msg.output("")
-    msg.output("Available Formats:")
+    msg.output(LAB_CONFIG_FORMATS)
 
     table = output_table()
     row = table.row()

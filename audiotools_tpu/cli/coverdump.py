@@ -10,15 +10,20 @@ import sys
 
 from . import add_common_arguments
 from ..utils.messenger import Messenger
+from ..text import (DESC_COVERDUMP, HELP_DIR,
+                    HELP_COVERDUMP_PREFIX, ERR_1_FILE_REQUIRED,
+                    ERR_NO_IMAGES_PLAIN, LAB_DUMPED_IMAGE)
 
 
 def main(argv=None):
     parser = argparse.ArgumentParser(
         prog="coverdump",
-        description="extract embedded cover art")
+        description=DESC_COVERDUMP)
     add_common_arguments(parser)
-    parser.add_argument("-d", "--dir", dest="dir", default=".")
-    parser.add_argument("-p", "--prefix", dest="prefix", default="")
+    parser.add_argument("-d", "--dir", dest="dir", default=".",
+                        help=HELP_DIR)
+    parser.add_argument("-p", "--prefix", dest="prefix", default="",
+                        help=HELP_COVERDUMP_PREFIX)
     parser.add_argument("filenames", nargs="+")
     options = parser.parse_args(argv)
     msg = Messenger("coverdump", options)
@@ -27,7 +32,7 @@ def main(argv=None):
 
     tracks = open_files(options.filenames, messenger=msg)
     if len(tracks) == 0:
-        msg.error("you must specify at least 1 supported audio file")
+        msg.error(ERR_1_FILE_REQUIRED)
         return 1
 
     os.makedirs(options.dir, exist_ok=True)
@@ -47,10 +52,10 @@ def main(argv=None):
                                      i, image.suffix()))
             with open(output, "wb") as f:
                 f.write(image.data)
-            msg.info("dumped %s" % (output,))
+            msg.info(LAB_DUMPED_IMAGE % {"output": output})
             dumped += 1
     if dumped == 0:
-        msg.error("no images found")
+        msg.error(ERR_NO_IMAGES_PLAIN)
         return 1
     return 0
 

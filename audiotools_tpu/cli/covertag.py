@@ -9,6 +9,11 @@ import sys
 
 from . import add_common_arguments
 from ..utils.messenger import Messenger
+from ..text import (DESC_COVERTAG, HELP_TAG_FRONT_COVER,
+                    HELP_TAG_BACK_COVER, HELP_TAG_LEAFLET,
+                    HELP_TAG_MEDIA_IMAGE, HELP_TAG_OTHER_IMAGE,
+                    HELP_TAG_REMOVE_IMAGES, ERR_1_FILE_REQUIRED,
+                    LAB_TRACKTAG_TAGGED)
 
 IMAGE_TYPES = {"front": 0, "back": 1, "leaflet": 2, "media": 3,
                "other": 4}
@@ -17,20 +22,25 @@ IMAGE_TYPES = {"front": 0, "back": 1, "leaflet": 2, "media": 3,
 def main(argv=None):
     parser = argparse.ArgumentParser(
         prog="covertag",
-        description="embed cover art into audio files")
+        description=DESC_COVERTAG)
     add_common_arguments(parser)
     parser.add_argument("--front-cover", action="append",
-                        dest="front", default=[])
+                        dest="front", default=[],
+                        help=HELP_TAG_FRONT_COVER)
     parser.add_argument("--back-cover", action="append",
-                        dest="back", default=[])
+                        dest="back", default=[],
+                        help=HELP_TAG_BACK_COVER)
     parser.add_argument("--leaflet", action="append",
-                        dest="leaflet", default=[])
+                        dest="leaflet", default=[],
+                        help=HELP_TAG_LEAFLET)
     parser.add_argument("--media", action="append",
-                        dest="media", default=[])
+                        dest="media", default=[],
+                        help=HELP_TAG_MEDIA_IMAGE)
     parser.add_argument("--other-image", action="append",
-                        dest="other", default=[])
+                        dest="other", default=[],
+                        help=HELP_TAG_OTHER_IMAGE)
     parser.add_argument("--remove-images", action="store_true",
-                        default=False)
+                        default=False, help=HELP_TAG_REMOVE_IMAGES)
     parser.add_argument("filenames", nargs="+")
     options = parser.parse_args(argv)
     msg = Messenger("covertag", options)
@@ -40,7 +50,7 @@ def main(argv=None):
 
     tracks = open_files(options.filenames, messenger=msg)
     if len(tracks) == 0:
-        msg.error("you must specify at least 1 supported audio file")
+        msg.error(ERR_1_FILE_REQUIRED)
         return 1
 
     new_images = []
@@ -74,7 +84,7 @@ def main(argv=None):
         except (IOError, ValueError) as err:
             msg.error("%s: %s" % (track.filename, err))
             return 1
-        msg.info("tagged %s" % (track.filename,))
+        msg.info(LAB_TRACKTAG_TAGGED % {"filename": track.filename})
     return 0
 
 

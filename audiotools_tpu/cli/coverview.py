@@ -11,11 +11,13 @@ import sys
 
 from . import add_common_arguments
 from ..utils.messenger import Messenger
+from ..text import (DESC_COVERVIEW, ERR_NO_IMAGES,
+                    LAB_VIEWER_UNAVAILABLE)
 
 
 def main(argv=None):
     parser = argparse.ArgumentParser(
-        prog="coverview", description="view embedded cover art")
+        prog="coverview", description=DESC_COVERVIEW)
     add_common_arguments(parser)
     parser.add_argument("filename")
     options = parser.parse_args(argv)
@@ -31,7 +33,7 @@ def main(argv=None):
     metadata = track.get_metadata()
     images = metadata.images() if metadata is not None else []
     if not images:
-        msg.error("no images found in %s" % (options.filename,))
+        msg.error(ERR_NO_IMAGES % {"filename": options.filename})
         return 1
 
     import os
@@ -47,8 +49,7 @@ def main(argv=None):
             root.mainloop()
             return 0
         except Exception as err:
-            msg.info("viewer unavailable (%s); listing instead" %
-                     (err,))
+            msg.info(LAB_VIEWER_UNAVAILABLE % {"error": err})
 
     for (i, image) in enumerate(images):
         msg.output("%d: %s %dx%d %s (%d bytes)" %

@@ -11,21 +11,29 @@ import sys
 
 from . import add_common_arguments
 from ..utils.messenger import Messenger
+from ..text import (DESC_DVDA2TRACK, HELP_AUDIO_TS,
+                    HELP_DVDA_TITLE, HELP_TYPE, HELP_QUALITY,
+                    HELP_DIR, ERR_UNSUPPORTED_TYPE,
+                    LAB_DVDA_EXTRACTED)
 
 
 def main(argv=None):
     parser = argparse.ArgumentParser(
         prog="dvda2track",
-        description="extract DVD-Audio tracks to files")
+        description=DESC_DVDA2TRACK)
     add_common_arguments(parser)
     parser.add_argument("-A", "--audio-ts", dest="audio_ts",
-                        required=True)
-    parser.add_argument("--title", dest="title", type=int, default=1)
+                        required=True, help=HELP_AUDIO_TS)
+    parser.add_argument("--title", dest="title", type=int, default=1,
+                        help=HELP_DVDA_TITLE)
     parser.add_argument("--titleset", dest="titleset", type=int,
                         default=1)
-    parser.add_argument("-t", "--type", dest="type", default="flac")
-    parser.add_argument("-q", "--quality", dest="quality", default="")
-    parser.add_argument("-d", "--dir", dest="dir", default=".")
+    parser.add_argument("-t", "--type", dest="type", default="flac",
+                        help=HELP_TYPE)
+    parser.add_argument("-q", "--quality", dest="quality", default="",
+                        help=HELP_QUALITY)
+    parser.add_argument("-d", "--dir", dest="dir", default=".",
+                        help=HELP_DIR)
     parser.add_argument("tracks", nargs="*", type=int)
     options = parser.parse_args(argv)
     msg = Messenger("dvda2track", options)
@@ -36,7 +44,7 @@ def main(argv=None):
     from ..audiofile import MetaData
 
     if options.type not in TYPE_MAP:
-        msg.error("unsupported audio type %r" % (options.type,))
+        msg.error(ERR_UNSUPPORTED_TYPE % {"type": options.type})
         return 1
     output_class = TYPE_MAP[options.type]
 
@@ -77,7 +85,7 @@ def main(argv=None):
             except (IOError, ValueError) as err:
                 msg.error(str(err))
                 return 1
-            msg.info("extracted track %d" % (position,))
+            msg.info(LAB_DVDA_EXTRACTED % {"track": position})
         else:
             remaining = frames
             while remaining > 0:

@@ -9,15 +9,15 @@ import sys
 
 from . import add_common_arguments
 from ..utils.messenger import Messenger
+from ..text import DESC_DVDAINFO, HELP_AUDIO_TS
 
 
 def main(argv=None):
     parser = argparse.ArgumentParser(
-        prog="dvdainfo", description="display DVD-Audio information")
+        prog="dvdainfo", description=DESC_DVDAINFO)
     add_common_arguments(parser)
     parser.add_argument("-A", "--audio-ts", dest="audio_ts",
-                        required=True,
-                        help="path to the disc's AUDIO_TS directory")
+                        required=True, help=HELP_AUDIO_TS)
     options = parser.parse_args(argv)
     msg = Messenger("dvdainfo", options)
 

@@ -17,20 +17,22 @@ import sys
 
 from . import add_common_arguments
 from ..utils.messenger import Messenger
+from ..text import (DESC_TRACK2CD, HELP_CDROM, HELP_T2CD_IMAGE,
+                    HELP_SPEED, ERR_1_FILE_REQUIRED,
+                    LAB_T2CD_WROTE, ERR_T2CD_NO_BURNER_IMAGE)
 
 
 def main(argv=None):
     parser = argparse.ArgumentParser(
         prog="track2cd",
-        description="burn audio tracks to CD (or a cue/bin image)")
+        description=DESC_TRACK2CD)
     add_common_arguments(parser)
     parser.add_argument("-c", "--cdrom", dest="cdrom",
-                        default="/dev/cdrom")
+                        default="/dev/cdrom", help=HELP_CDROM)
     parser.add_argument("--image", dest="image", default=None,
-                        help="write a cue/bin image to this basename "
-                             "instead of burning")
+                        help=HELP_T2CD_IMAGE)
     parser.add_argument("-s", "--speed", dest="speed", type=int,
-                        default=20)
+                        default=20, help=HELP_SPEED)
     parser.add_argument("filenames", nargs="+")
     options = parser.parse_args(argv)
     msg = Messenger("track2cd", options)
@@ -41,7 +43,7 @@ def main(argv=None):
 
     tracks = open_files(options.filenames, messenger=msg)
     if len(tracks) == 0:
-        msg.error("you must specify at least 1 supported audio file")
+        msg.error(ERR_1_FILE_REQUIRED)
         return 1
 
     base = options.image or "track2cd_image"
@@ -76,7 +78,7 @@ def main(argv=None):
             cue.write("  TRACK %2.2d AUDIO\n" % (i,))
             cue.write("    INDEX 01 %2.2d:%2.2d:%2.2d\n" %
                       (minutes, seconds, frames))
-    msg.info("wrote %s + %s" % (cue_path, bin_path))
+    msg.info(LAB_T2CD_WROTE % {"cue": cue_path, "bin": bin_path})
 
     if options.image is not None:
         return 0
@@ -94,8 +96,7 @@ def main(argv=None):
              "speed=%d" % (options.speed,), bin_path])
         return result.returncode
     else:
-        msg.error("no CD burning binary found (cdrdao/cdrecord); "
-                  "image retained at %s" % (cue_path,))
+        msg.error(ERR_T2CD_NO_BURNER_IMAGE % {"cue": cue_path})
         return 1
 
 

@@ -11,19 +11,25 @@ import sys
 
 from . import audiofile_type, default_type, add_common_arguments
 from ..utils.messenger import Messenger, SingleProgressDisplay
+from ..text import (DESC_TRACKCAT, HELP_TYPE, HELP_QUALITY,
+                    HELP_CAT_OUTPUT, HELP_CUESHEET,
+                    ERR_1_FILE_REQUIRED, ERR_TRACKCAT_SAMPLE_RATES,
+                    ERR_TRACKCAT_CHANNELS, ERR_TRACKCAT_BPS)
 
 
 def main(argv=None):
     parser = argparse.ArgumentParser(
         prog="trackcat",
-        description="concatenate audio files into a single file")
+        description=DESC_TRACKCAT)
     add_common_arguments(parser)
-    parser.add_argument("-t", "--type", dest="type", default=None)
-    parser.add_argument("-q", "--quality", dest="quality", default="")
+    parser.add_argument("-t", "--type", dest="type", default=None,
+                        help=HELP_TYPE)
+    parser.add_argument("-q", "--quality", dest="quality", default="",
+                        help=HELP_QUALITY)
     parser.add_argument("-o", "--output", dest="output",
-                        required=True)
+                        required=True, help=HELP_CAT_OUTPUT)
     parser.add_argument("--cue", dest="cuesheet", default=None,
-                        help="a cuesheet to embed in the output file")
+                        help=HELP_CUESHEET)
     parser.add_argument("filenames", nargs="+")
 
     options = parser.parse_args(argv)
@@ -35,17 +41,17 @@ def main(argv=None):
     audiofiles = open_files(options.filenames, sorted=False,
                             messenger=msg)
     if len(audiofiles) == 0:
-        msg.error("you must specify at least 1 supported audio file")
+        msg.error(ERR_1_FILE_REQUIRED)
         return 1
 
     if len({f.sample_rate() for f in audiofiles}) != 1:
-        msg.error("all audio files must have the same sample rate")
+        msg.error(ERR_TRACKCAT_SAMPLE_RATES)
         return 1
     if len({f.channels() for f in audiofiles}) != 1:
-        msg.error("all audio files must have the same channel count")
+        msg.error(ERR_TRACKCAT_CHANNELS)
         return 1
     if len({f.bits_per_sample() for f in audiofiles}) != 1:
-        msg.error("all audio files must have the same bits per sample")
+        msg.error(ERR_TRACKCAT_BPS)
         return 1
 
     if options.type is None:

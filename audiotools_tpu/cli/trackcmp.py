@@ -13,6 +13,8 @@ from . import add_common_arguments
 from ..utils.messenger import Messenger, ProgressDisplay
 from ..utils.config import MAX_JOBS
 from ..parallel.queue import ExecProgressQueue, ExecQueueError
+from ..text import (DESC_TRACKCMP, HELP_JOINT, LAB_TRACKCMP_OK,
+                    LAB_TRACKCMP_MISMATCH)
 
 
 def compare(filename1, filename2, progress=None):
@@ -37,21 +39,23 @@ def compare(filename1, filename2, progress=None):
 def report(result):
     (filename1, filename2, mismatch) = result
     if mismatch is None:
-        return "%s <> %s : OK" % (filename1, filename2)
+        return LAB_TRACKCMP_OK % {"file1": filename1,
+                                  "file2": filename2}
     elif isinstance(mismatch, str):
         return "%s <> %s : %s" % (filename1, filename2, mismatch)
     else:
-        return ("%s <> %s : differ at PCM frame %d" %
-                (filename1, filename2, mismatch + 1))
+        return LAB_TRACKCMP_MISMATCH % {"file1": filename1,
+                                        "file2": filename2,
+                                        "frame": mismatch + 1}
 
 
 def main(argv=None):
     parser = argparse.ArgumentParser(
         prog="trackcmp",
-        description="compare audio files for equality")
+        description=DESC_TRACKCMP)
     add_common_arguments(parser)
     parser.add_argument("-j", "--joint", dest="max_processes",
-                        type=int, default=None)
+                        type=int, default=None, help=HELP_JOINT)
     parser.add_argument("filenames", nargs="+")
 
     options = parser.parse_args(argv)

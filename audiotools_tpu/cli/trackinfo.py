@@ -10,27 +10,30 @@ import sys
 
 from . import add_common_arguments
 from ..utils.messenger import Messenger, output_table
+from ..text import (DESC_TRACKINFO, HELP_INFO_NO_METADATA,
+                    HELP_INFO_LOW_LEVEL, HELP_INFO_BITRATE,
+                    HELP_INFO_PERCENTAGE,
+                    HELP_INFO_CHANNEL_ASSIGNMENT,
+                    LAB_INFO_ATTRIBS, LAB_INFO_CHANNELS,
+                    LAB_INFO_CHANNEL, LAB_INFO_CHANNEL_UNDEFINED)
 
 
 def main(argv=None):
     parser = argparse.ArgumentParser(
         prog="trackinfo",
-        description="display information about audio files")
+        description=DESC_TRACKINFO)
     add_common_arguments(parser)
     parser.add_argument("-n", "--no-metadata", action="store_true",
-                        dest="no_metadata",
-                        help="show only technical information")
+                        dest="no_metadata", help=HELP_INFO_NO_METADATA)
     parser.add_argument("-L", "--low-level", action="store_true",
-                        dest="low_level",
-                        help="show low-level metadata")
+                        dest="low_level", help=HELP_INFO_LOW_LEVEL)
     parser.add_argument("-b", "--bitrate", action="store_true",
-                        help="show the average bitrate")
+                        help=HELP_INFO_BITRATE)
     parser.add_argument("-%", "--percentage", action="store_true",
-                        dest="percentage",
-                        help="show the percentage ratio vs raw PCM")
+                        dest="percentage", help=HELP_INFO_PERCENTAGE)
     parser.add_argument("-C", "--channel-assignment",
                         action="store_true", dest="channel_assignment",
-                        help="show channel assignments")
+                        help=HELP_INFO_CHANNEL_ASSIGNMENT)
     parser.add_argument("filenames", nargs="+")
 
     options = parser.parse_args(argv)
@@ -65,13 +68,14 @@ def main(argv=None):
             msg.output("%3.3s%%: %s" % (pct, filename))
             continue
 
-        msg.output("%s: %d:%2.2d, %dch, %dHz, %d-bit, %s" %
-                   (filename,
-                    int(seconds) // 60, int(seconds) % 60,
-                    track.channels(),
-                    track.sample_rate(),
-                    track.bits_per_sample(),
-                    track.NAME))
+        msg.output(LAB_INFO_ATTRIBS %
+                   {"filename": filename,
+                    "minutes": int(seconds) // 60,
+                    "seconds": int(seconds) % 60,
+                    "channels": track.channels(),
+                    "sample_rate": track.sample_rate(),
+                    "bits_per_sample": track.bits_per_sample(),
+                    "name": track.NAME})
 
         if not options.no_metadata:
             metadata = track.get_metadata()
@@ -83,15 +87,17 @@ def main(argv=None):
             msg.output("")
 
         if options.channel_assignment:
-            msg.output("Assigned Channels:")
+            msg.output(LAB_INFO_CHANNELS)
             mask = track.channel_mask()
             if mask.defined():
                 for (i, channel) in enumerate(mask.channels()):
-                    msg.output("channel %d -> %s" %
-                               (i + 1, channel.replace("_", " ")))
+                    msg.output(LAB_INFO_CHANNEL %
+                               {"channel": i + 1,
+                                "name": channel.replace("_", " ")})
             else:
                 for i in range(track.channels()):
-                    msg.output("channel %d -> undefined" % (i + 1,))
+                    msg.output(LAB_INFO_CHANNEL_UNDEFINED %
+                               {"channel": i + 1})
 
     return 0
 

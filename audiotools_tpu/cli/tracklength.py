@@ -11,12 +11,13 @@ import sys
 
 from . import add_common_arguments
 from ..utils.messenger import Messenger
+from ..text import DESC_TRACKLENGTH, LAB_TRACKLENGTH_TOTAL
 
 
 def main(argv=None):
     parser = argparse.ArgumentParser(
         prog="tracklength",
-        description="display the total length of audio files")
+        description=DESC_TRACKLENGTH)
     add_common_arguments(parser)
     parser.add_argument("filenames", nargs="+")
 
@@ -36,7 +37,9 @@ def main(argv=None):
     hours = int(total_seconds) // 3600
     minutes = (int(total_seconds) // 60) % 60
     seconds = int(round(total_seconds)) % 60
-    msg.output("%d:%2.2d:%2.2d" % (hours, minutes, seconds))
+    msg.output(LAB_TRACKLENGTH_TOTAL % {"hours": hours,
+                                        "minutes": minutes,
+                                        "seconds": seconds})
     return 0
 
 

@@ -15,20 +15,23 @@ import sys
 
 from . import add_common_arguments
 from ..utils.messenger import Messenger
+from ..text import (DESC_TRACKLINT, HELP_LINT_FIX, HELP_LINT_DB,
+                    HELP_LINT_UNDO, ERR_UNDO_REQUIRES_DB,
+                    LAB_RESTORED, LAB_NO_BACKUP, LAB_FIXED,
+                    LAB_LINT_MESSAGE)
 
 
 def main(argv=None):
     parser = argparse.ArgumentParser(
         prog="tracklint",
-        description="check and fix metadata problems")
+        description=DESC_TRACKLINT)
     add_common_arguments(parser)
     parser.add_argument("--fix", action="store_true", default=False,
-                        help="perform the suggested fixes")
+                        help=HELP_LINT_FIX)
     parser.add_argument("--db", dest="db", default=None,
-                        help="undo database file for storing "
-                             "reversible backups")
+                        help=HELP_LINT_DB)
     parser.add_argument("--undo", action="store_true", default=False,
-                        help="undo performed fixes (requires --db)")
+                        help=HELP_LINT_UNDO)
     parser.add_argument("filenames", nargs="+")
 
     options = parser.parse_args(argv)
@@ -38,7 +41,7 @@ def main(argv=None):
     from .. import InvalidFile
 
     if options.undo and options.db is None:
-        msg.error("--undo requires --db")
+        msg.error(ERR_UNDO_REQUIRES_DB)
         return 1
 
     undo_db = None
@@ -52,11 +55,12 @@ def main(argv=None):
             for filename in options.filenames:
                 try:
                     if undo_db.undo(filename):
-                        msg.info("* %s: restored" % (filename,))
+                        msg.info(LAB_RESTORED %
+                                 {"filename": filename})
                         undone += 1
                     else:
-                        msg.info("* %s: no stored backup" %
-                                 (filename,))
+                        msg.info(LAB_NO_BACKUP %
+                                 {"filename": filename})
                 except IOError as err:
                     msg.error(str(err))
                     return 1
@@ -77,7 +81,9 @@ def main(argv=None):
                 continue
             had_problems = True
             for fix in fixes:
-                msg.info("* %s: %s" % (track.filename, fix))
+                msg.info(LAB_LINT_MESSAGE %
+                         {"filename": track.filename,
+                          "message": fix})
             if options.fix:
                 if undo_db is not None:
                     import tempfile
@@ -92,7 +98,7 @@ def main(argv=None):
                         os.unlink(backup)
                 else:
                     track.set_metadata(cleaned)
-                msg.info("* %s: fixed" % (track.filename,))
+                msg.info(LAB_FIXED % {"filename": track.filename})
         return 0
     finally:
         if undo_db is not None:

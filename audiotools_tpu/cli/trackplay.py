@@ -13,18 +13,20 @@ import time
 
 from . import add_common_arguments
 from ..utils.messenger import Messenger
+from ..text import (DESC_TRACKPLAY, HELP_PLAY_OUTPUT,
+                    HELP_PLAY_SHUFFLE, ERR_1_FILE_REQUIRED,
+                    LAB_PLAYING, LAB_STOPPED)
 
 
 def main(argv=None):
     parser = argparse.ArgumentParser(
         prog="trackplay",
-        description="play audio tracks")
+        description=DESC_TRACKPLAY)
     add_common_arguments(parser)
     parser.add_argument("-o", "--output", dest="output", default=None,
-                        help="the audio output to use "
-                             "(ALSA, OSS, NULL)")
+                        help=HELP_PLAY_OUTPUT)
     parser.add_argument("--shuffle", action="store_true",
-                        default=False)
+                        default=False, help=HELP_PLAY_SHUFFLE)
     parser.add_argument("filenames", nargs="+")
     options = parser.parse_args(argv)
     msg = Messenger("trackplay", options)
@@ -34,7 +36,7 @@ def main(argv=None):
 
     tracks = open_files(options.filenames, messenger=msg)
     if len(tracks) == 0:
-        msg.error("you must specify at least 1 supported audio file")
+        msg.error(ERR_1_FILE_REQUIRED)
         return 1
     if options.shuffle:
         import random
@@ -49,7 +51,7 @@ def main(argv=None):
     player = Player(output)
     try:
         for track in tracks:
-            msg.info("playing %s" % (track.filename,))
+            msg.info(LAB_PLAYING % {"filename": track.filename})
             player.open(track)
             player.play()
             # wait for the worker to start playing (command queue is
@@ -60,7 +62,7 @@ def main(argv=None):
             while player.state() != 0:
                 time.sleep(0.1)
     except KeyboardInterrupt:
-        msg.info("stopped")
+        msg.info(LAB_STOPPED)
     finally:
         player.close()
     return 0

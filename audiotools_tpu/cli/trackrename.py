@@ -12,16 +12,18 @@ import sys
 from . import add_common_arguments
 from ..utils.messenger import Messenger
 from ..utils.config import FILENAME_FORMAT
+from ..text import (DESC_TRACKRENAME, HELP_FORMAT,
+                    ERR_1_FILE_REQUIRED, ERR_TRACKRENAME_COLLISION,
+                    LAB_TRACKRENAME_RENAMED)
 
 
 def main(argv=None):
     parser = argparse.ArgumentParser(
         prog="trackrename",
-        description="rename audio files based on metadata")
+        description=DESC_TRACKRENAME)
     add_common_arguments(parser)
     parser.add_argument("--format", dest="format",
-                        default=FILENAME_FORMAT,
-                        help="the format string for new filenames")
+                        default=FILENAME_FORMAT, help=HELP_FORMAT)
     parser.add_argument("filenames", nargs="+")
 
     options = parser.parse_args(argv)
@@ -32,7 +34,7 @@ def main(argv=None):
     audiofiles = open_files(options.filenames, sorted=False,
                             messenger=msg)
     if len(audiofiles) == 0:
-        msg.error("you must specify at least 1 supported audio file")
+        msg.error(ERR_1_FILE_REQUIRED)
         return 1
 
     for track in audiofiles:
@@ -45,10 +47,13 @@ def main(argv=None):
             if os.path.abspath(new_path) != \
                     os.path.abspath(track.filename):
                 if os.path.exists(new_path):
-                    msg.error("\"%s\" already exists" % (new_path,))
+                    msg.error(ERR_TRACKRENAME_COLLISION %
+                              {"source": new_path})
                     return 1
                 os.rename(track.filename, new_path)
-                msg.output("%s -> %s" % (track.filename, new_path))
+                msg.output(LAB_TRACKRENAME_RENAMED %
+                           {"source": track.filename,
+                            "destination": new_path})
         except (IOError, ValueError) as err:
             msg.error("%s: %s" % (track.filename, err))
             return 1

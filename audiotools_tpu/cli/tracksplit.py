@@ -13,20 +13,26 @@ import sys
 from . import audiofile_type, default_type, add_common_arguments
 from ..utils.messenger import Messenger, ProgressDisplay
 from ..utils.config import FILENAME_FORMAT
+from ..text import (DESC_TRACKSPLIT, HELP_TYPE, HELP_QUALITY,
+                    HELP_DIR, HELP_FORMAT, HELP_CUESHEET,
+                    ERR_TRACKSPLIT_NO_CUESHEET, LAB_T2T_CONVERTED)
 
 
 def main(argv=None):
     parser = argparse.ArgumentParser(
         prog="tracksplit",
-        description="split an audio image into tracks by cuesheet")
+        description=DESC_TRACKSPLIT)
     add_common_arguments(parser)
-    parser.add_argument("-t", "--type", dest="type", default=None)
-    parser.add_argument("-q", "--quality", dest="quality", default="")
-    parser.add_argument("-d", "--dir", dest="dir", default=".")
+    parser.add_argument("-t", "--type", dest="type", default=None,
+                        help=HELP_TYPE)
+    parser.add_argument("-q", "--quality", dest="quality", default="",
+                        help=HELP_QUALITY)
+    parser.add_argument("-d", "--dir", dest="dir", default=".",
+                        help=HELP_DIR)
     parser.add_argument("--format", dest="format",
-                        default=None)
+                        default=None, help=HELP_FORMAT)
     parser.add_argument("--cue", dest="cuesheet", default=None,
-                        help="the cuesheet to use for splitting")
+                        help=HELP_CUESHEET)
     parser.add_argument("filename", nargs=1)
 
     options = parser.parse_args(argv)
@@ -51,7 +57,7 @@ def main(argv=None):
     else:
         sheet = track.get_cuesheet()
         if sheet is None:
-            msg.error("no cuesheet found in input file; use --cue")
+            msg.error(ERR_TRACKSPLIT_NO_CUESHEET)
             return 1
 
     if options.type is None:
@@ -87,7 +93,9 @@ def main(argv=None):
                 total_pcm_frames=pcm_lengths[i])
             new_track.set_metadata(metadata)
             output_tracks.append(destination)
-            msg.output("%s -> %s" % (track.filename, destination))
+            msg.output(LAB_T2T_CONVERTED %
+                       {"source": track.filename,
+                        "destination": destination})
         except Exception as err:
             msg.error(str(err))
             return 1

@@ -14,6 +14,10 @@ from . import add_common_arguments
 from ..utils.messenger import Messenger, ProgressDisplay
 from ..utils.config import MAX_JOBS
 from ..parallel.queue import ExecProgressQueue, ExecQueueError
+from ..text import (DESC_TRACKVERIFY, HELP_JOINT,
+                    HELP_VERIFY_ACCURATERIP,
+                    LAB_ACCURATERIP_MATCH, LAB_ACCURATERIP_MISMATCH,
+                    LAB_ACCURATERIP_NOT_FOUND)
 
 
 def verify(filename, accuraterip, progress=None):
@@ -53,13 +57,13 @@ def report(result):
 def main(argv=None):
     parser = argparse.ArgumentParser(
         prog="trackverify",
-        description="verify audio files for correctness")
+        description=DESC_TRACKVERIFY)
     add_common_arguments(parser)
     parser.add_argument("-j", "--joint", dest="max_processes",
-                        type=int, default=None)
+                        type=int, default=None, help=HELP_JOINT)
     parser.add_argument("--accuraterip", action="store_true",
                         default=False,
-                        help="compute AccurateRip checksums")
+                        help=HELP_VERIFY_ACCURATERIP)
     parser.add_argument("filenames", nargs="+")
 
     options = parser.parse_args(argv)
@@ -101,15 +105,15 @@ def main(argv=None):
                         in entries
                         if crc in checksums or crc2 in checksums]
                 if hits:
-                    msg.info("%s : AccurateRip match "
-                             "(confidence %d)" %
-                             (filename, max(hits)))
+                    msg.info(LAB_ACCURATERIP_MATCH %
+                             {"filename": filename,
+                              "confidence": max(hits)})
                 elif entries:
-                    msg.info("%s : AccurateRip MISMATCH" %
-                             (filename,))
+                    msg.info(LAB_ACCURATERIP_MISMATCH %
+                             {"filename": filename})
                 else:
-                    msg.info("%s : not present in "
-                             "AccurateRip database" % (filename,))
+                    msg.info(LAB_ACCURATERIP_NOT_FOUND %
+                             {"filename": filename})
 
     return 0 if all(r[1] == "OK" for r in results) else 1
 

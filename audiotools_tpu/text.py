@@ -154,6 +154,12 @@ HELP_INFO_BITRATE = _("display the file's bitrate")
 HELP_INFO_PERCENTAGE = _("display the wasted-space percentage")
 HELP_INFO_CHANNEL_ASSIGNMENT = _("display the file's channel "
                                  "assignment")
+LAB_INFO_ATTRIBS = _("%(filename)s: %(minutes)d:%(seconds)2.2d, "
+                     "%(channels)dch, %(sample_rate)dHz, "
+                     "%(bits_per_sample)d-bit, %(name)s")
+LAB_INFO_CHANNELS = _("Assigned Channels:")
+LAB_INFO_CHANNEL = _("channel %(channel)d -> %(name)s")
+LAB_INFO_CHANNEL_UNDEFINED = _("channel %(channel)d -> undefined")
 
 # ---- tracklength --------------------------------------------------------------
 DESC_TRACKLENGTH = _("display the total length of audio files")
@@ -211,6 +217,7 @@ LAB_TRACKVERIFY_SUCCESS_RATE = _("%(success)d of %(total)d files OK "
                                  "(%(rate).1f%%)")
 LAB_ACCURATERIP_MATCH = _("%(filename)s : AccurateRip confidence "
                           "%(confidence)d")
+LAB_ACCURATERIP_MISMATCH = _("%(filename)s : AccurateRip MISMATCH")
 LAB_ACCURATERIP_NOT_FOUND = _("%(filename)s : not present in "
                               "AccurateRip database")
 
@@ -265,6 +272,7 @@ ERR_NO_AUDIO_TS = _("you must specify the disc's AUDIO_TS directory "
 ERR_INVALID_TITLE = _("title %(title)d not found on disc")
 LAB_DVDA_TITLE = _("Title %(title)d")
 LAB_DVDA_TRACK = _("title %(title)d - track %(track)2.2d")
+LAB_DVDA_EXTRACTED = _("extracted track %(track)d")
 
 # ---- track2cd ---------------------------------------------------------------------------
 DESC_TRACK2CD = _("burn audio files to CD or build a disc image")
@@ -273,6 +281,11 @@ HELP_T2CD_IMAGE = _("write a disc image to the given path instead "
                     "of burning")
 ERR_T2CD_NO_BURNER = _("no CD burning backend is available; use "
                        "--image to build cue/bin files")
+ERR_T2CD_NO_BURNER_IMAGE = _("no CD burning binary found "
+                             "(cdrdao/cdrecord); image retained at "
+                             "%(cue)s")
+LAB_T2CD_WROTE = _("wrote %(cue)s + %(bin)s")
+HELP_SPEED = _("the speed to burn the CD at")
 
 # ---- coverdump / covertag / coverview ------------------------------------------------------
 DESC_COVERDUMP = _("extract cover art from an audio file")
