@@ -17,6 +17,64 @@ import os
 import numpy as np
 
 
+def init_distributed(coordinator_address=None, num_processes=None,
+                     process_id=None):
+    """joins this process into a multi-host mesh over DCN
+
+    the TPU-native analog of the reference farm spanning machines:
+    every host runs the same program, ``jax.distributed`` stitches
+    their devices into one global mesh, and the sharded encode steps
+    below work unchanged (XLA routes the one replicated reduction
+    over DCN).  Arguments default to the ATPU_COORDINATOR /
+    ATPU_NUM_PROCESSES / ATPU_PROCESS_ID environment variables so CLI
+    tools can join a fleet without code changes.
+
+    On CPU backends the gloo collectives implementation is selected
+    (required for cross-process CPU collectives; it is also how the
+    2-process dryrun in tests/test_multihost.py runs without TPUs)."""
+    import jax
+
+    if coordinator_address is None:
+        coordinator_address = os.environ.get("ATPU_COORDINATOR")
+    if coordinator_address is None:
+        raise ValueError("no coordinator address configured")
+    if num_processes is None:
+        num_processes = int(os.environ["ATPU_NUM_PROCESSES"])
+    if process_id is None:
+        process_id = int(os.environ["ATPU_PROCESS_ID"])
+
+    try:
+        jax.config.update("jax_cpu_collectives_implementation",
+                          "gloo")
+    except Exception:
+        pass
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id)
+
+
+def host_local_to_global(mesh, local_array, axis_name="blocks"):
+    """assembles per-host block shards into one global sharded array
+
+    local_array is this host's contiguous slice along the leading
+    axis; hosts are laid out in mesh order."""
+    from jax.experimental import multihost_utils
+    from jax.sharding import PartitionSpec as P
+
+    return multihost_utils.host_local_array_to_global_array(
+        local_array, mesh, P(axis_name))
+
+
+def global_to_host_local(mesh, global_array, axis_name="blocks"):
+    """fetches this host's slice of a globally sharded array"""
+    from jax.experimental import multihost_utils
+    from jax.sharding import PartitionSpec as P
+
+    return multihost_utils.global_array_to_host_local_array(
+        global_array, mesh, P(axis_name))
+
+
 def jax_devices(platform=None, max_devices=None):
     """returns the JAX devices to use, honoring ATPU_JAX_PLATFORM"""
     import jax
