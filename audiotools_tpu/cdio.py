@@ -115,16 +115,174 @@ class CDImage:
         self.__file__.close()
 
 
+class NRGImage:
+    """a Nero NRG disc image with the same sector API as CDImage
+
+    reference counterpart: ``cdio_open_nrg`` behind
+    ``src/cdiomodule.c:352`` (libcdio's NRG image backend).  The NRG
+    layout is footer-based: the file ends with ``NER5`` + a 64-bit
+    big-endian chunk-area offset (v2; v1 uses ``NERO`` + 32-bit), and
+    the chunk area is a sequence of (4-byte id, 32-bit BE length,
+    payload) records terminated by ``END!``.  Audio DAO images carry
+    the cue entries in ``CUEX``/``CUES`` and the per-track byte
+    ranges + sector size in ``DAOX``/``DAOI``."""
+
+    def __init__(self, image_path):
+        self.__file__ = open(image_path, "rb")
+        f = self.__file__
+        f.seek(0, 2)
+        file_size = f.tell()
+        if file_size >= 12:
+            f.seek(-12, 2)
+            tail = f.read(12)
+        else:
+            raise ValueError("invalid NRG image (too short)")
+        if tail[0:4] == b"NER5":
+            chunk_offset = int.from_bytes(tail[4:12], "big")
+            self.__version__ = 2
+        elif tail[4:8] == b"NERO":
+            chunk_offset = int.from_bytes(tail[8:12], "big")
+            self.__version__ = 1
+        else:
+            raise ValueError("invalid NRG image (no NERO/NER5 footer)")
+
+        chunks = []
+        f.seek(chunk_offset, 0)
+        while True:
+            header = f.read(8)
+            if len(header) < 8:
+                break
+            chunk_id = header[0:4]
+            length = int.from_bytes(header[4:8], "big")
+            if chunk_id == b"END!":
+                break
+            chunks.append((chunk_id, f.read(length)))
+
+        cue_entries = []        # (track, index, lba)
+        dao_tracks = []         # (sector_size, index0, index1, end)
+        for (chunk_id, payload) in chunks:
+            if chunk_id in (b"CUEX", b"CUES"):
+                for i in range(0, len(payload) - 7, 8):
+                    track_bcd = payload[i + 1]
+                    index = payload[i + 2]
+                    lba = int.from_bytes(payload[i + 4:i + 8], "big",
+                                         signed=True)
+                    if chunk_id == b"CUES":
+                        # v1 stores positions relative to the
+                        # session lead-in (150 sectors before 0)
+                        lba -= 150
+                    if track_bcd in (0x00, 0xAA):
+                        continue   # lead-in / lead-out
+                    track = ((track_bcd >> 4) * 10 +
+                             (track_bcd & 0x0F))
+                    cue_entries.append((track, index, lba))
+            elif chunk_id in (b"DAOX", b"DAOI"):
+                entry_size = 42 if chunk_id == b"DAOX" else 30
+                word = 8 if chunk_id == b"DAOX" else 4
+                pos = 22
+                while pos + entry_size <= len(payload):
+                    entry = payload[pos:pos + entry_size]
+                    sector_size = int.from_bytes(entry[12:14], "big")
+                    offs = entry[18:]
+                    index0 = int.from_bytes(offs[0:word], "big")
+                    index1 = int.from_bytes(offs[word:2 * word],
+                                            "big")
+                    end = int.from_bytes(offs[2 * word:3 * word],
+                                         "big")
+                    dao_tracks.append((sector_size, index0, index1,
+                                       end))
+                    pos += entry_size
+
+        if not dao_tracks:
+            raise ValueError("NRG image carries no DAO audio tracks")
+        self.__sector_size__ = dao_tracks[0][0] or SECTOR_BYTES
+
+        # track start LBAs from the cue (INDEX 01 entries), byte
+        # ranges from the DAO table
+        starts = sorted(lba for (_track, index, lba) in cue_entries
+                        if index == 1)
+        if len(starts) != len(dao_tracks):
+            # fall back to byte offsets alone
+            origin = dao_tracks[0][2]
+            starts = [(index1 - origin) // self.__sector_size__
+                      for (_ss, _i0, index1, _end) in dao_tracks]
+        self.__offsets__ = starts
+        total_bytes = dao_tracks[-1][3] - dao_tracks[0][2]
+        total_sectors = (starts[0] +
+                         total_bytes // self.__sector_size__)
+        self.__lengths__ = []
+        for (i, start) in enumerate(starts):
+            if i + 1 < len(starts):
+                self.__lengths__.append(starts[i + 1] - start)
+            else:
+                self.__lengths__.append(total_sectors - start)
+        self.__total_sectors__ = total_sectors
+        # byte position of disc LBA 0
+        self.__origin__ = (dao_tracks[0][2] -
+                           starts[0] * self.__sector_size__)
+        self.__position__ = 0
+
+    def total_tracks(self):
+        return len(self.__offsets__)
+
+    def track_offsets(self, track_number):
+        return self.__offsets__[track_number - 1]
+
+    def track_lengths(self, track_number):
+        return self.__lengths__[track_number - 1]
+
+    def first_sector(self):
+        return 0
+
+    def last_sector(self):
+        return self.__total_sectors__ - 1
+
+    def seek(self, sector):
+        sector = max(min(sector, self.__total_sectors__), 0)
+        self.__position__ = sector
+        self.__file__.seek(self.__origin__ +
+                           sector * self.__sector_size__, 0)
+        return sector
+
+    def read_sector(self):
+        data = self.__file__.read(self.__sector_size__)
+        self.__position__ += 1
+        # 2448-byte sectors carry 96 bytes of subchannel data after
+        # the audio payload
+        return data[:SECTOR_BYTES]
+
+    def set_speed(self, speed):
+        """drive read speed: a no-op for images"""
+
+    def length_in_seconds(self):
+        return self.__total_sectors__ // SECTORS_PER_SECOND
+
+    def close(self):
+        self.__file__.close()
+
+
 def identify_cdrom(path):
-    """returns a CDImage for a cue/toc path
-    (reference cdiomodule.h:184-188; device nodes need libcdio
-    hardware support, absent here)"""
+    """returns a CDImage/NRGImage for a cue/toc/nrg path
+    (reference cdiomodule.h:184-188 + cdio_is_nrg at
+    cdiomodule.c:583; device nodes need libcdio hardware support,
+    absent here)"""
     suffix = os.path.splitext(path)[1].lower()
     if suffix in (".cue", ".toc"):
         return CDImage(path)
+    if suffix == ".nrg":
+        return NRGImage(path)
+    # sniff an NRG footer regardless of extension, like cdio_is_nrg
+    try:
+        with open(path, "rb") as f:
+            f.seek(-12, 2)
+            tail = f.read(12)
+        if tail[0:4] == b"NER5" or tail[4:8] == b"NERO":
+            return NRGImage(path)
+    except (IOError, OSError):
+        pass
     raise ValueError(
         "physical CD-ROM devices are not supported in this build; "
-        "use a cue/toc disc image")
+        "use a cue/toc/nrg disc image")
 
 
 class CDDA:

@@ -72,9 +72,16 @@ class DVDAudio:
     SECTOR_SIZE = SECTOR_SIZE
     PTS_PER_SECOND = PTS_PER_SECOND
 
-    def __init__(self, audio_ts_path, cdrom_device=None):
+    def __init__(self, audio_ts_path, cdrom_device=None,
+                 cppm_decoder=None):
+        """cppm_decoder: an optional cppm.CPPMDecoder for
+        CPPM-protected discs (reference aob.c routes sectors through
+        cppm_decrypt when the drive reports protection; building the
+        decoder needs drive authentication — see
+        cppm.authenticate_drive)"""
         self.audio_ts_path = audio_ts_path
         self.cdrom_device = cdrom_device
+        self.cppm_decoder = cppm_decoder
         self.files = {name.upper(): os.path.join(audio_ts_path, name)
                       for name in os.listdir(audio_ts_path)}
 
@@ -406,6 +413,15 @@ class DVDATitleReader:
                 data = self.__file__.read(SECTOR_SIZE)
                 self.__sector__ += 1
                 if len(data) == SECTOR_SIZE:
+                    decoder = getattr(self.title.dvdaudio,
+                                      "cppm_decoder", None)
+                    if decoder is not None:
+                        # preserve the CCI byte: zeroing it is a
+                        # player-side copy-control action (reference
+                        # cppm.c:567), not part of audio extraction
+                        (data, _was_encrypted) = \
+                            decoder.decrypt_block(data,
+                                                  preserve_cci=True)
                     return data
             self.__file__.close()
             self.__file__ = None

@@ -178,7 +178,79 @@ class ALSAAudioOutput(AudioOutput):
             self.handle = None
 
 
-AUDIO_OUTPUT = (ALSAAudioOutput, OSSAudioOutput, NULLAudioOutput)
+class PulseAudioOutput(AudioOutput):
+    """a sink over libpulse-simple via ctypes (role of
+    src/output/pulseaudio.c:582 — the reference drives the async
+    libpulse mainloop from C; the synchronous simple API carries the
+    same PCM path with the stream format re-negotiated per track)"""
+
+    NAME = "PulseAudio"
+
+    @classmethod
+    def available(cls):
+        import ctypes.util
+        return ctypes.util.find_library("pulse-simple") is not None
+
+    def __init__(self, stream_name="audiotools"):
+        AudioOutput.__init__(self)
+        import ctypes
+        import ctypes.util
+        path = ctypes.util.find_library("pulse-simple")
+        if path is None:
+            raise ValueError("libpulse-simple unavailable")
+        self.lib = ctypes.CDLL(path)
+        self.lib.pa_simple_new.restype = ctypes.c_void_p
+        self.stream_name = stream_name.encode("utf-8")
+        self.handle = None
+
+    def set_format(self, sample_rate, channels, channel_mask,
+                   bits_per_sample):
+        import ctypes
+        AudioOutput.set_format(self, sample_rate, channels,
+                               channel_mask, bits_per_sample)
+        self.close()
+
+        class SampleSpec(ctypes.Structure):
+            _fields_ = [("format", ctypes.c_int),
+                        ("rate", ctypes.c_uint32),
+                        ("channels", ctypes.c_uint8)]
+
+        spec = SampleSpec(3, sample_rate, channels)  # PA_SAMPLE_S16LE
+        error = ctypes.c_int(0)
+        handle = self.lib.pa_simple_new(
+            None,                              # default server
+            self.stream_name,
+            1,                                 # PA_STREAM_PLAYBACK
+            None,                              # default device
+            b"playback",
+            ctypes.byref(spec),
+            None,                              # default channel map
+            None,                              # default buffering
+            ctypes.byref(error))
+        if not handle:
+            raise ValueError("unable to connect to PulseAudio "
+                             "(error %d)" % (error.value,))
+        self.handle = ctypes.c_void_p(handle)
+
+    def play(self, framelist):
+        import ctypes
+        if self.handle is not None:
+            data = framelist.to_bytes(False, True)
+            error = ctypes.c_int(0)
+            self.lib.pa_simple_write(self.handle, data, len(data),
+                                     ctypes.byref(error))
+
+    def close(self):
+        import ctypes
+        if self.handle is not None:
+            error = ctypes.c_int(0)
+            self.lib.pa_simple_drain(self.handle, ctypes.byref(error))
+            self.lib.pa_simple_free(self.handle)
+            self.handle = None
+
+
+AUDIO_OUTPUT = (PulseAudioOutput, ALSAAudioOutput, OSSAudioOutput,
+                NULLAudioOutput)
 
 
 def available_outputs():

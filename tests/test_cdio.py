@@ -179,3 +179,130 @@ def test_metadata_lookup_offline(tmp_path):
     assert default[0].track_number == 1
     assert default[1].track_number == 2
     cdda.close()
+
+
+def make_nrg(tmp_path, seconds=8):
+    """builds a v2 (NER5) NRG image: raw audio sectors followed by a
+    CUEX + DAOX + SINF + END! chunk area and the 12-byte footer"""
+    n = seconds * SR
+    t = np.arange(n)
+    arr = np.clip(np.stack([8000 * np.sin(2 * np.pi * 440 * t / SR),
+                            7000 * np.sin(2 * np.pi * 550 * t / SR)],
+                           axis=1), -32768, 32767).astype(np.int16)
+    audio = arr.astype("<i2").tobytes()
+    total_sectors = len(audio) // 2352
+    track_starts = [0, 5 * 75]      # sectors
+    track_ends = track_starts[1:] + [total_sectors]
+
+    def chunk(cid, payload):
+        return cid + len(payload).to_bytes(4, "big") + payload
+
+    def bcd(v):
+        return ((v // 10) << 4) | (v % 10)
+
+    cuex = b""
+    for (i, start) in enumerate(track_starts, 1):
+        cuex += bytes([0x01, bcd(i), 0x00, 0x00]) + \
+            start.to_bytes(4, "big", signed=True)
+        cuex += bytes([0x01, bcd(i), 0x01, 0x00]) + \
+            start.to_bytes(4, "big", signed=True)
+    cuex += bytes([0x01, 0xAA, 0x01, 0x00]) + \
+        total_sectors.to_bytes(4, "big", signed=True)
+
+    daox = (b"\x00" * 4 + b"\x00" * 13 + b"\x00" +
+            (0x0600).to_bytes(2, "big") + bytes([1, 2]))
+    for (start, end) in zip(track_starts, track_ends):
+        daox += (b"\x00" * 12 +                      # ISRC
+                 (2352).to_bytes(2, "big") +         # sector size
+                 (0x0700).to_bytes(2, "big") +       # mode: audio
+                 b"\x00" * 2 +
+                 (start * 2352).to_bytes(8, "big") +  # index0
+                 (start * 2352).to_bytes(8, "big") +  # index1
+                 (end * 2352).to_bytes(8, "big"))     # track end
+
+    chunks = (chunk(b"CUEX", cuex) + chunk(b"DAOX", daox) +
+              chunk(b"SINF", (2).to_bytes(4, "big")) +
+              chunk(b"END!", b""))
+    nrg_path = str(tmp_path / "disc.nrg")
+    with open(nrg_path, "wb") as f:
+        f.write(audio)
+        chunk_offset = f.tell()
+        f.write(chunks)
+        f.write(b"NER5" + chunk_offset.to_bytes(8, "big"))
+    return (nrg_path, arr.astype(np.int32))
+
+
+def test_nrg_image_sector_api(tmp_path):
+    from audiotools_tpu.cdio import NRGImage
+    (nrg, arr) = make_nrg(tmp_path)
+    image = NRGImage(nrg)
+    assert image.total_tracks() == 2
+    assert image.track_offsets(1) == 0
+    assert image.track_offsets(2) == 5 * 75
+    assert image.track_lengths(1) == 5 * 75
+    assert image.track_lengths(2) == 3 * 75
+    image.seek(1)
+    sector = image.read_sector()
+    assert len(sector) == 2352
+    got = np.frombuffer(sector, dtype="<i2").reshape(-1, 2)
+    assert np.array_equal(got, arr[SECTOR_FRAMES:2 * SECTOR_FRAMES])
+    image.close()
+
+
+def test_nrg_matches_cue_equivalent(tmp_path):
+    """the same disc as cue/bin and as NRG decodes identically and
+    carries the same disc IDs"""
+    (cue, _arr) = make_image(tmp_path)
+    (nrg, _arr2) = make_nrg(tmp_path)
+    cdda_cue = CDDA(cue)
+    cdda_nrg = CDDA(nrg)
+    assert len(cdda_cue) == len(cdda_nrg)
+    assert cdda_cue.track_offsets() == cdda_nrg.track_offsets()
+    assert (str(cdda_cue.freedb_disc_id()) ==
+            str(cdda_nrg.freedb_disc_id()))
+    assert (str(cdda_cue.accuraterip_disc_id()) ==
+            str(cdda_nrg.accuraterip_disc_id()))
+    for number in (1, 2):
+        def drain_track(reader):
+            out = []
+            fl = reader.read(1 << 16)
+            while fl.frames:
+                out.append(fl.samples)
+                fl = reader.read(1 << 16)
+            return np.concatenate(out)
+        assert np.array_equal(drain_track(cdda_cue[number]),
+                              drain_track(cdda_nrg[number]))
+    cdda_cue.close()
+    cdda_nrg.close()
+
+
+def test_nrg_sniffed_without_extension(tmp_path):
+    """identify_cdrom detects the NER5 footer regardless of suffix"""
+    from audiotools_tpu.cdio import identify_cdrom, NRGImage
+    (nrg, _arr) = make_nrg(tmp_path)
+    renamed = str(tmp_path / "disc.image")
+    os.rename(nrg, renamed)
+    image = identify_cdrom(renamed)
+    assert isinstance(image, NRGImage)
+    image.close()
+
+
+def test_cd2track_reads_nrg(tmp_path):
+    """the cd2track CLI accepts an NRG image"""
+    import subprocess
+    (nrg, arr) = make_nrg(tmp_path)
+    out_dir = str(tmp_path / "out")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env.setdefault("ATPU_FLAC_BACKEND", "numpy")
+    env.setdefault("JAX_PLATFORMS", "cpu")
+    result = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "cd2track"),
+         "-c", nrg, "-t", "wav", "-d", out_dir, "1"],
+        capture_output=True, text=True, env=env, timeout=300)
+    assert result.returncode == 0, result.stderr[-1000:]
+    from audiotools_tpu.formats.wav import WaveAudio
+    wavs = sorted(os.listdir(out_dir))
+    assert len(wavs) == 1
+    track = WaveAudio(os.path.join(out_dir, wavs[0]))
+    assert track.total_frames() == 5 * SR

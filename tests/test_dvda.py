@@ -464,3 +464,85 @@ def test_dvda_24bit_pcm(tmp_path):
     got = np.concatenate(out)
     assert got.shape[0] == n
     assert np.array_equal(got, arr)
+
+
+def test_dvda_cppm_protected_decode(audio_ts, tmp_path):
+    """a CPPM-scrambled AUDIO_TS decodes identically once the
+    DVDAudio is given a CPPMDecoder (reference aob.c sector
+    decryption over cppm.c)"""
+    import shutil
+    (audio_ts, _arr) = audio_ts
+    from audiotools_tpu import cppm
+    from audiotools_tpu.dvda import DVDAudio, SECTOR_SIZE
+    from tests.test_cppm import synthetic_cipher, make_pack
+
+    # reference (clear) decode
+    clear = DVDAudio(audio_ts)
+    title = clear[0][0]
+    reader = title.to_pcm()
+    want = []
+    fl = reader.read(65536)
+    while fl.frames:
+        want.append(np.asarray(fl.samples))
+        fl = reader.read(65536)
+    want = np.concatenate(want)
+
+    # scramble every AOB sector in a copy of the disc
+    cipher = synthetic_cipher(seed=31)
+    rng = np.random.default_rng(37)
+    media_key = int(rng.integers(0, 1 << 56))
+    id_album = int(rng.integers(0, 1 << 63))
+    decoder = cppm.CPPMDecoder(media_key, id_album, cipher)
+
+    protected_dir = tmp_path / "PROT_TS"
+    shutil.copytree(audio_ts, protected_dir)
+    aob_path = str(protected_dir / "ATS_01_1.AOB")
+    data = bytearray(open(aob_path, "rb").read())
+    scrambled_sectors = 0
+    for pos in range(0, len(data), SECTOR_SIZE):
+        sector = bytearray(data[pos:pos + SECTOR_SIZE])
+        if sector[0:4] != b"\x00\x00\x01\xba":
+            continue
+        # derive the content key the way the decoder will, then
+        # D-CBC-encrypt the payload and set the scrambling bits
+        k_au = cipher.g(id_album, media_key) & cppm.MASK56
+        k_i = k_au
+        for offset in (24, 32, 40, 48):
+            d_kc = int.from_bytes(sector[offset:offset + 8], "big")
+            k_i = cipher.g(d_kc, k_i) & cppm.MASK56
+        d_kc = int.from_bytes(sector[84:92], "big")
+        k_c = cipher.g(d_kc, k_i) & cppm.MASK56
+        start = cppm.BLOCK_SIZE - cppm.ENCRYPTED_SIZE
+        sector[start:] = cipher.dcbc_enc(bytes(sector[start:]), k_c)
+        sector[20] = (sector[20] & 0xCF) | 0x10
+        data[pos:pos + SECTOR_SIZE] = sector
+        scrambled_sectors += 1
+    assert scrambled_sectors > 0
+    open(aob_path, "wb").write(bytes(data))
+
+    # without the decoder the scrambled payload is garbage
+    protected = DVDAudio(str(protected_dir))
+    got_garbled = None
+    try:
+        reader = protected[0][0].to_pcm()
+        out = []
+        fl = reader.read(65536)
+        while fl.frames:
+            out.append(np.asarray(fl.samples))
+            fl = reader.read(65536)
+        got_garbled = np.concatenate(out) if out else None
+    except (ValueError, IOError):
+        pass
+    if got_garbled is not None:
+        assert not np.array_equal(got_garbled, want)
+
+    # with the decoder the title decodes bit-exactly
+    unlocked = DVDAudio(str(protected_dir), cppm_decoder=decoder)
+    reader = unlocked[0][0].to_pcm()
+    out = []
+    fl = reader.read(65536)
+    while fl.frames:
+        out.append(np.asarray(fl.samples))
+        fl = reader.read(65536)
+    got = np.concatenate(out)
+    assert np.array_equal(got, want)
