@@ -102,7 +102,7 @@ struct BitWriter {
           overflow(false) {}
 
     inline void flush_bytes() {
-        if (pos + 8 > limit) {
+        if (__builtin_expect(pos + 8 > limit, 0)) {
             // slow guarded path near the end of the buffer; bad
             // decision arrays must error, never scribble
             while (bits >= 8) {
@@ -118,17 +118,18 @@ struct BitWriter {
             acc &= (bits ? ((1ULL << bits) - 1) : 0);
             return;
         }
-        while (bits >= 32) {
-            bits -= 32;
-            uint32_t v = __builtin_bswap32((uint32_t)(acc >> bits));
-            __builtin_memcpy(out + pos, &v, 4);
-            pos += 4;
-        }
-        while (bits >= 8) {
-            bits -= 8;
-            out[pos++] = (uint8_t)(acc >> bits);
-        }
-        acc &= (bits ? ((1ULL << bits) - 1) : 0);
+        // one top-aligned 8-byte store drains every full byte (the
+        // 1-2 scratch bytes past the new pos are rewritten by later
+        // flushes; capacity was checked above)
+        if (bits == 0) return;
+        const int nbytes = bits >> 3;
+        const int rem = bits & 7;
+        uint64_t v = (bits == 64) ? acc : (acc << (64 - bits));
+        v = __builtin_bswap64(v);
+        __builtin_memcpy(out + pos, &v, 8);
+        pos += nbytes;
+        bits = rem;
+        acc &= (rem ? ((1ULL << rem) - 1) : 0);
     }
 
     // writes a token: nbits total, low bits of val are the payload,

