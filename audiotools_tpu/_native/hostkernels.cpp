@@ -3364,15 +3364,35 @@ struct LEReader {
     int bits = 0;
     bool error = false;
     LEReader(const uint8_t* d, int64_t n) : data(d), len(n) {}
+    // bulk refill: one 8-byte little-endian load appends every whole
+    // byte that fits (vs the byte-at-a-time feed loop, which costs a
+    // loop iteration per byte on the residual-decode hot path)
+    inline void refill_bulk() {
+        if (__builtin_expect(pos + 8 <= len, 1)) {
+            const int take = (64 - bits) >> 3;
+            if (take) {
+                uint64_t w;
+                memcpy(&w, data + pos, 8);
+                const int tb = take * 8;
+                if (tb < 64) w &= (1ULL << tb) - 1;
+                acc |= w << bits;
+                pos += take;
+                bits += tb;
+            }
+        }
+    }
     inline uint64_t get(int nbits) {
-        while (bits < nbits) {
-            if (pos >= len) { error = true; return 0; }
-            acc |= ((uint64_t)data[pos++]) << bits;
-            bits += 8;
+        if (__builtin_expect(bits < nbits, 0)) {
+            refill_bulk();
+            while (bits < nbits) {
+                if (pos >= len) { error = true; return 0; }
+                acc |= ((uint64_t)data[pos++]) << bits;
+                bits += 8;
+            }
         }
         const uint64_t v = acc & ((nbits >= 64) ? ~0ULL
                                                 : ((1ULL << nbits) - 1));
-        acc >>= nbits;
+        acc = (nbits >= 64) ? 0 : (acc >> nbits);
         bits -= nbits;
         return v;
     }
@@ -3381,32 +3401,41 @@ struct LEReader {
         uint32_t count = 0;
         for (;;) {
             if (bits == 0) {
-                if (pos >= len) { error = true; return count; }
-                acc = data[pos++];
-                bits = 8;
+                refill_bulk();
+                if (bits == 0) {
+                    if (pos >= len) { error = true; return count; }
+                    acc = data[pos++];
+                    bits = 8;
+                }
             }
             if ((acc & 1) == 0) {
                 acc >>= 1;
                 bits -= 1;
                 return count;
             }
-            // count trailing ones
-            int tz = __builtin_ctzll(~acc | (1ULL << bits));
-            if (tz >= bits) {
+            // count trailing ones (bits may be up to 64 after a bulk
+            // refill: guard ~acc == 0 AND the tz+1 == 64 shift, which
+            // is UB and leaves acc unshifted on x86)
+            const uint64_t inv = ~acc;
+            if (inv == 0 || __builtin_ctzll(inv) >= bits) {
                 count += bits;
                 acc = 0;
                 bits = 0;
             } else {
+                const int tz = __builtin_ctzll(inv);
                 count += tz;
-                acc >>= (tz + 1);
+                acc = (tz + 1 >= 64) ? 0 : (acc >> (tz + 1));
                 bits -= (tz + 1);
                 return count;
             }
         }
     }
     inline void byte_align() {
-        acc = 0;
-        bits = 0;
+        // drop only the partial byte: bulk refills may have whole
+        // unread bytes buffered in acc
+        const int drop = bits & 7;
+        acc >>= drop;
+        bits -= drop;
     }
     inline int64_t byte_pos() const { return pos - bits / 8; }
 };
@@ -4471,10 +4500,9 @@ int32_t atpu_wv_correlate(int64_t* ch0,
                     // using the ring of recent outputs)
                     ring[rpos] = s[i];
                     s[i] = cor;
-                    rpos = (rpos + 1) % term;
-                    (void)0;
+                    rpos += 1;
+                    if (rpos == term) rpos = 0;  // % is a div/sample
                     weight += update_weight(source, cor, delta);
-                    (void)cor;
                 }
                 for (int j = 0; j < term; j++) {
                     const int64_t idx = n - term + j;
@@ -4720,6 +4748,42 @@ int32_t atpu_wv_decorrelate(int64_t* ch0,
                             const int64_t* dec1) {
     using namespace wv;
     if (term == 17 || term == 18) {
+        // the per-channel recurrences are independent: with two
+        // channels, run them interleaved in one loop so the
+        // out-of-order core overlaps the two weight-adaptation chains
+        if (channel_count == 2) {
+            int64_t wA = weights[0], wB = weights[1];
+            int64_t a0 = dec0[1], a1 = dec0[0];
+            int64_t b0 = dec1[1], b1 = dec1[0];
+            if (term == 18) {
+                for (int64_t i = 0; i < n; i++) {
+                    const int64_t tA = (3 * a1 - a0) >> 1;
+                    const int64_t tB = (3 * b1 - b0) >> 1;
+                    const int64_t cA = ch0[i];
+                    const int64_t cB = ch1[i];
+                    const int64_t dA = apply_weight(wA, tA) + cA;
+                    const int64_t dB = apply_weight(wB, tB) + cB;
+                    wA += update_weight(tA, cA, delta);
+                    wB += update_weight(tB, cB, delta);
+                    a0 = a1; a1 = dA; ch0[i] = dA;
+                    b0 = b1; b1 = dB; ch1[i] = dB;
+                }
+            } else {
+                for (int64_t i = 0; i < n; i++) {
+                    const int64_t tA = 2 * a1 - a0;
+                    const int64_t tB = 2 * b1 - b0;
+                    const int64_t cA = ch0[i];
+                    const int64_t cB = ch1[i];
+                    const int64_t dA = apply_weight(wA, tA) + cA;
+                    const int64_t dB = apply_weight(wB, tB) + cB;
+                    wA += update_weight(tA, cA, delta);
+                    wB += update_weight(tB, cB, delta);
+                    a0 = a1; a1 = dA; ch0[i] = dA;
+                    b0 = b1; b1 = dB; ch1[i] = dB;
+                }
+            }
+            return 0;
+        }
         for (int c = 0; c < channel_count; c++) {
             int64_t* s = (c == 0) ? ch0 : ch1;
             const int64_t* dec = (c == 0) ? dec0 : dec1;
@@ -4748,6 +4812,34 @@ int32_t atpu_wv_decorrelate(int64_t* ch0,
             ring = new int64_t[term * 2];
             ring_cap = term;
         }
+        if (channel_count == 2) {
+            // interleaved channel pair, shared ring (two slots per
+            // position); wrap via compare (a runtime % is a divide
+            // per sample)
+            int64_t wA = weights[0], wB = weights[1];
+            for (int j = 0; j < term; j++) {
+                ring[j * 2] = dec0[j];
+                ring[j * 2 + 1] = dec1[j];
+            }
+            int rpos = 0;
+            for (int64_t i = 0; i < n; i++) {
+                const int64_t sA = ring[rpos * 2];
+                const int64_t sB = ring[rpos * 2 + 1];
+                const int64_t cA = ch0[i];
+                const int64_t cB = ch1[i];
+                const int64_t dA = apply_weight(wA, sA) + cA;
+                const int64_t dB = apply_weight(wB, sB) + cB;
+                wA += update_weight(sA, cA, delta);
+                wB += update_weight(sB, cB, delta);
+                ring[rpos * 2] = dA;
+                ring[rpos * 2 + 1] = dB;
+                rpos += 1;
+                if (rpos == term) rpos = 0;
+                ch0[i] = dA;
+                ch1[i] = dB;
+            }
+            return 0;
+        }
         for (int c = 0; c < channel_count; c++) {
             int64_t* s = (c == 0) ? ch0 : ch1;
             const int64_t* dec = (c == 0) ? dec0 : dec1;
@@ -4760,7 +4852,8 @@ int32_t atpu_wv_decorrelate(int64_t* ch0,
                 const int64_t dv = apply_weight(weight, source) + cor;
                 weight += update_weight(source, cor, delta);
                 ring[rpos] = dv;
-                rpos = (rpos + 1) % term;
+                rpos += 1;
+                if (rpos == term) rpos = 0;
                 s[i] = dv;
             }
         }

@@ -728,7 +728,10 @@ def _decorrelate_channels(residuals, terms, deltas, weights,
 
 def _decorrelation_pass_2ch(correlated, term, delta, weights,
                             dec_samples):
-    if _use_native() and (-3 <= term <= -1):
+    if _use_native() and ((-3 <= term <= -1) or (17 <= term <= 18) or
+                          (1 <= term <= 8)):
+        # one call for both channels: positive-term recurrences are
+        # independent, and the kernel runs the two chains interleaved
         (c0, c1) = _native_decorrelate(correlated, 2, term, delta,
                                        weights, dec_samples)
         return [c0, c1]
