@@ -21,6 +21,8 @@
 #include <cstdint>
 #include <cstring>
 #include <vector>
+#include <cstdio>
+#include <cstdlib>
 
 #if defined(__AVX512F__)
 #include <immintrin.h>
@@ -831,6 +833,37 @@ int64_t atpu_flac_emit_frames(const int64_t* frame_numbers,
 // the emitter derives everything else — variant samples (L/R/mid/side
 // from the interleaved input blocks), wasted-bit shifts, and exact
 // int64 residuals — so the host Python layer does no per-sample work.
+// env-gated (ATPU_EMIT_PROF) cycle accounting for the emit hot path;
+// zero overhead when off (checked once per process)
+static inline uint64_t emit_rdtsc() {
+    unsigned lo, hi;
+    __asm__ __volatile__("rdtsc" : "=a"(lo), "=d"(hi));
+    return ((uint64_t)hi << 32) | lo;
+}
+static bool emit_prof_on() {
+    static const bool on = (getenv("ATPU_EMIT_PROF") != nullptr);
+    return on;
+}
+enum { EP_DECODE, EP_HEADER, EP_VARIANT, EP_RESID, EP_ZZ, EP_PACK,
+       EP_CRC, EP_N };
+static uint64_t emit_prof_cyc[EP_N];
+extern "C" void atpu_emit_prof_dump() {
+    static const char* names[EP_N] = {"decode", "header", "variant",
+                                      "resid", "zigzag", "pack",
+                                      "crc"};
+    for (int i = 0; i < EP_N; i++) {
+        fprintf(stderr, "[emit_prof] %-8s %8.2f Mcyc\n", names[i],
+                emit_prof_cyc[i] / 1e6);
+        emit_prof_cyc[i] = 0;
+    }
+}
+#define EP_T(slot, stmt) do { \
+    if (emit_prof_on()) { \
+        const uint64_t t0_ = emit_rdtsc(); \
+        stmt; \
+        emit_prof_cyc[slot] += emit_rdtsc() - t0_; \
+    } else { stmt; } } while (0)
+
 int64_t atpu_flac_emit_frames2(const int32_t* blocks,    // [F,max_block,ch]
                                const int64_t* frame_numbers,
                                const int32_t* block_sizes,
@@ -886,9 +919,20 @@ int64_t atpu_flac_emit_frames2(const int32_t* blocks,    // [F,max_block,ch]
     // int64 path on the (pathological-decision-array) overflow case
     const bool res32_ok = (stream_bps + 1 + 5) <= 31;
 
+    const bool prof = emit_prof_on();
+    uint64_t tp = prof ? emit_rdtsc() : 0;
+    auto mark = [&](int slot) {
+        if (prof) {
+            const uint64_t now = emit_rdtsc();
+            emit_prof_cyc[slot] += now - tp;
+            tp = now;
+        }
+    };
+
     for (int64_t f = 0; f < n_frames; f++) {
         const int64_t frame_start = (f == 0) ? 0 : out_lens[f - 1];
         BitWriter w(out, frame_start, out_capacity);
+        mark(EP_CRC);
         const int block_size = block_sizes[f];
         const int32_t* prow;
         if (compact) {
@@ -919,6 +963,7 @@ int64_t atpu_flac_emit_frames2(const int32_t* blocks,    // [F,max_block,ch]
         } else {
             prow = packed + f * row_width;
         }
+        mark(EP_DECODE);
         const int assignment = prow[0];
         const int32_t* frame_pcm =
             blocks + f * (int64_t)max_block * stream_channels;
@@ -1001,6 +1046,7 @@ int64_t atpu_flac_emit_frames2(const int32_t* blocks,    // [F,max_block,ch]
         int64_t pos = w.pos;
         out[pos] = crc8_buf(out + frame_start, pos - frame_start, 0);
         pos += 1;
+        mark(EP_HEADER);
 
         // ---- subframes ----
         int n_subframes;
@@ -1044,6 +1090,7 @@ int64_t atpu_flac_emit_frames2(const int32_t* blocks,    // [F,max_block,ch]
                 break;
             }
         }
+        mark(EP_VARIANT);
 
         BitWriter w2(out, pos, out_capacity);
         for (int s = 0; s < n_subframes; s++) {
@@ -1065,6 +1112,7 @@ int64_t atpu_flac_emit_frames2(const int32_t* blocks,    // [F,max_block,ch]
             } else {
                 samp = samp_buf + (int64_t)s * max_block;
             }
+            mark(EP_VARIANT);
 
             int sub_bps = stream_bps;
             if ((assignment == 8 && s == 1) ||
@@ -1125,6 +1173,7 @@ int64_t atpu_flac_emit_frames2(const int32_t* blocks,    // [F,max_block,ch]
                                            qlp, shift, res_buf);
             }
 
+            mark(EP_RESID);
             // residual block
             const int n_partitions = 1 << porder;
             int coding_method = 0;
@@ -1141,6 +1190,7 @@ int64_t atpu_flac_emit_frames2(const int32_t* blocks,    // [F,max_block,ch]
                 // common case at param <= 14), halving the length of
                 // the serial accumulator dependency chain
                 zigzag32(res32_buf, order, block_size, zz_buf);
+                mark(EP_ZZ);
                 for (int p = 0; p < n_partitions; p++) {
                     const int param = params[p];
                     w2.put(param, coding_method ? 5 : 4);
@@ -1150,20 +1200,88 @@ int64_t atpu_flac_emit_frames2(const int32_t* blocks,    // [F,max_block,ch]
                         (uint32_t)((1ULL << param) - 1);
                     const uint64_t stop = 1ULL << param;
                     int i = start;
-                    for (; i + 2 <= end; i += 2) {
-                        const uint32_t u1 = zz_buf[i];
-                        const uint32_t u2 = zz_buf[i + 1];
-                        const int64_t l1 =
-                            (int64_t)(u1 >> param) + 1 + param;
-                        const int64_t l2 =
-                            (int64_t)(u2 >> param) + 1 + param;
-                        if (__builtin_expect(l1 + l2 <= 64, 1)) {
-                            w2.put(((stop | (u1 & lsb_mask)) << l2) |
-                                       (stop | (u2 & lsb_mask)),
-                                   l1 + l2);
-                        } else {
-                            w2.put(stop | (u1 & lsb_mask), l1);
-                            w2.put(stop | (u2 & lsb_mask), l2);
+                    // branchless fast path: every token pair does ONE
+                    // unconditional top-aligned 8-byte drain, so the
+                    // flush cadence carries no data-dependent branch
+                    // (the old lazy-flush loop mispredicted on every
+                    // accumulator fill, ~4x the pack cost).  Worst
+                    // case bytes: <= 8 per token + the 8-byte store
+                    // overhang; fall back to the guarded loop when
+                    // the partition might not fit.
+                    const int64_t worst =
+                        (int64_t)(end - start) * 8 + 16;
+                    if (!w2.overflow && w2.pos + worst <= w2.limit) {
+                        w2.flush_bytes();       // leaves bits < 8
+                        uint64_t acc = w2.acc;
+                        int bits = w2.bits;
+                        int64_t pos = w2.pos;
+                        bool bailed = false;
+                        for (; i + 2 <= end; i += 2) {
+                            const uint32_t u1 = zz_buf[i];
+                            const uint32_t u2 = zz_buf[i + 1];
+                            const int l1 = (int)(u1 >> param) + 1 +
+                                           param;
+                            const int l2 = (int)(u2 >> param) + 1 +
+                                           param;
+                            const int L = l1 + l2;
+                            if (__builtin_expect(L <= 56, 1)) {
+                                acc = (acc << L) |
+                                      (((stop | (u1 & lsb_mask))
+                                        << l2) |
+                                       (stop | (u2 & lsb_mask)));
+                                bits += L;
+                            } else {
+                                // rare long-unary pair: restore the
+                                // writer and take the guarded path
+                                w2.acc = acc;
+                                w2.bits = bits;
+                                w2.pos = pos;
+                                w2.put(stop | (u1 & lsb_mask), l1);
+                                w2.put(stop | (u2 & lsb_mask), l2);
+                                w2.flush_bytes();
+                                if (w2.overflow) {
+                                    // put() maintains w2 itself from
+                                    // here; locals are stale
+                                    bailed = true;
+                                    break;
+                                }
+                                acc = w2.acc;
+                                bits = w2.bits;
+                                pos = w2.pos;
+                                continue;
+                            }
+                            // unconditional drain of full bytes
+                            // (bits is 2..63 here; scratch bytes past
+                            // the new pos get rewritten next drain)
+                            uint64_t v = __builtin_bswap64(
+                                acc << ((64 - bits) & 63));
+                            __builtin_memcpy(out + pos, &v, 8);
+                            pos += bits >> 3;
+                            bits &= 7;
+                            acc &= (bits ? ((1ULL << bits) - 1) : 0);
+                        }
+                        if (!bailed) {
+                            w2.acc = acc;
+                            w2.bits = bits;
+                            w2.pos = pos;
+                        }
+                    } else {
+                        for (; i + 2 <= end; i += 2) {
+                            const uint32_t u1 = zz_buf[i];
+                            const uint32_t u2 = zz_buf[i + 1];
+                            const int64_t l1 =
+                                (int64_t)(u1 >> param) + 1 + param;
+                            const int64_t l2 =
+                                (int64_t)(u2 >> param) + 1 + param;
+                            if (__builtin_expect(l1 + l2 <= 64, 1)) {
+                                w2.put(((stop | (u1 & lsb_mask))
+                                        << l2) |
+                                           (stop | (u2 & lsb_mask)),
+                                       l1 + l2);
+                            } else {
+                                w2.put(stop | (u1 & lsb_mask), l1);
+                                w2.put(stop | (u2 & lsb_mask), l2);
+                            }
                         }
                     }
                     for (; i < end; i++) {
@@ -1172,6 +1290,7 @@ int64_t atpu_flac_emit_frames2(const int32_t* blocks,    // [F,max_block,ch]
                                (int64_t)(u >> param) + 1 + param);
                     }
                 }
+                mark(EP_PACK);
             } else {
                 for (int p = 0; p < n_partitions; p++) {
                     const int param = params[p];
@@ -1259,7 +1378,8 @@ int32_t atpu_flac_qplan(const int32_t* blocks,   // [B, n, ch]
                 dst[i] = blk[i * ch + c];
         }
 
-        // exactness sideband over the exact samples (unit-stride)
+        // exactness sideband over the exact samples (unit-stride);
+        // the mid/side OR-ne pass shares the L/R loads
         if (stereo_trial && ch == 2) {
             const int32_t* Lb = chan_buf;
             const int32_t* Rb = chan_buf + n;
