@@ -1063,9 +1063,57 @@ int64_t atpu_flac_emit_frames2(const int32_t* blocks,    // [F,max_block,ch]
             const int w1 = prow[1 + W + 1];
             int32_t* d0 = samp_buf;
             int32_t* d1 = samp_buf + max_block;
+            int i = 0;
+#ifdef ATPU_AVX512
+            // deinterleave 16 stereo pairs per step with two
+            // cross-register permutes, then the variant math runs
+            // 16-wide (the scalar loop below keeps the tail + the
+            // non-AVX build)
+            {
+                alignas(64) static const int32_t EVEN[16] = {
+                    0, 2, 4, 6, 8, 10, 12, 14,
+                    16, 18, 20, 22, 24, 26, 28, 30};
+                alignas(64) static const int32_t ODD[16] = {
+                    1, 3, 5, 7, 9, 11, 13, 15,
+                    17, 19, 21, 23, 25, 27, 29, 31};
+                const __m512i evp =
+                    _mm512_load_si512((const __m512i*)EVEN);
+                const __m512i odp =
+                    _mm512_load_si512((const __m512i*)ODD);
+                const __m128i sh0 = _mm_cvtsi64_si128(w0);
+                const __m128i sh1 = _mm_cvtsi64_si128(w1);
+                for (; i + 16 <= block_size; i += 16) {
+                    const __m512i a = _mm512_loadu_si512(
+                        (const __m512i*)(frame_pcm + (int64_t)i * 2));
+                    const __m512i b = _mm512_loadu_si512(
+                        (const __m512i*)(frame_pcm +
+                                         (int64_t)i * 2 + 16));
+                    const __m512i L = _mm512_permutex2var_epi32(
+                        a, evp, b);
+                    const __m512i R = _mm512_permutex2var_epi32(
+                        a, odp, b);
+                    const __m512i S = _mm512_sub_epi32(L, R);
+                    __m512i v0, v1;
+                    if (assignment == 8) {
+                        v0 = _mm512_sra_epi32(L, sh0);
+                        v1 = _mm512_sra_epi32(S, sh1);
+                    } else if (assignment == 9) {
+                        v0 = _mm512_sra_epi32(S, sh0);
+                        v1 = _mm512_sra_epi32(R, sh1);
+                    } else {
+                        v0 = _mm512_sra_epi32(
+                            _mm512_srai_epi32(
+                                _mm512_add_epi32(L, R), 1), sh0);
+                        v1 = _mm512_sra_epi32(S, sh1);
+                    }
+                    _mm512_storeu_si512((__m512i*)(d0 + i), v0);
+                    _mm512_storeu_si512((__m512i*)(d1 + i), v1);
+                }
+            }
+#endif
             switch (assignment) {
             case 8:                               // L / side
-                for (int i = 0; i < block_size; i++) {
+                for (; i < block_size; i++) {
                     const int32_t L = frame_pcm[(int64_t)i * 2];
                     const int32_t R = frame_pcm[(int64_t)i * 2 + 1];
                     d0[i] = L >> w0;
@@ -1073,7 +1121,7 @@ int64_t atpu_flac_emit_frames2(const int32_t* blocks,    // [F,max_block,ch]
                 }
                 break;
             case 9:                               // side / R
-                for (int i = 0; i < block_size; i++) {
+                for (; i < block_size; i++) {
                     const int32_t L = frame_pcm[(int64_t)i * 2];
                     const int32_t R = frame_pcm[(int64_t)i * 2 + 1];
                     d0[i] = (L - R) >> w0;
@@ -1081,7 +1129,7 @@ int64_t atpu_flac_emit_frames2(const int32_t* blocks,    // [F,max_block,ch]
                 }
                 break;
             default:                              // mid / side
-                for (int i = 0; i < block_size; i++) {
+                for (; i < block_size; i++) {
                     const int32_t L = frame_pcm[(int64_t)i * 2];
                     const int32_t R = frame_pcm[(int64_t)i * 2 + 1];
                     d0[i] = ((L + R) >> 1) >> w0;
