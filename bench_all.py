@@ -112,6 +112,16 @@ def config3_alac_wavpack():
         t_enc = t_dec = 0.0
         ok = True
         with tempfile.TemporaryDirectory() as td:
+            # warm each (channels, bps) program class outside the timed
+            # region (same methodology as bench.py / config 5: one
+            # short encode per class loads the XLA executable onto the
+            # device; a steady-state library session pays this once per
+            # process, not per file)
+            for (label, arr, bps) in cases:
+                wpath = os.path.join(td,
+                                     "warm_" + label + "." + cls.SUFFIX)
+                cls.from_pcm(wpath,
+                             reader_for(arr[:SR * 2], bps)).to_pcm()
             for (label, arr, bps) in cases:
                 path = os.path.join(td, label + "." + cls.SUFFIX)
                 t0 = time.perf_counter()
