@@ -355,18 +355,19 @@ def encode_flac_fast(file_or_path,
         return arrays
 
     def prepare(blocks):
-        """host half of a batch submission: the qpack scan (with the
-        stream MD5 folded in — one cache-hot pass instead of a
-        separate one) and wire assembly.  Returns the payload the
-        submit thread turns into a device dispatch — the main thread
-        never blocks on the tunnel."""
+        """host half of a batch submission: the qpack scan and wire
+        assembly.  Returns the payload the submit thread turns into a
+        device dispatch — the main thread never blocks on the tunnel.
+        The stream MD5 is NOT folded in here: it runs on its own
+        ordered worker thread (see md5_loop) so its ~17 ms/batch of
+        serial-by-spec hashing rides under tunnel waits instead of
+        lengthening the read->qpack->submit critical chain."""
         if backend == "jax":
             if use_qpack:
-                with prof("qpack+md5"):
+                with prof("qpack"):
                     (qwords, k, t, x0, orv, cflags) = \
                         _native.flac_qpack(
-                            blocks, bps, qguard, stereo_trial,
-                            md5=stream_md5)
+                            blocks, bps, qguard, stereo_trial)
                     meta = np.concatenate(
                         [t, x0, orv, cflags.astype(np.int32)],
                         axis=1).astype(np.int32)
@@ -386,8 +387,7 @@ def encode_flac_fast(file_or_path,
             # same spec, no wire format: analysis sees (x >> t) << t
             # plus the exact sideband
             (_qw, _k, t, _x0, orv, cflags) = _native.flac_qpack(
-                blocks, bps, qguard, stereo_trial,
-                md5=stream_md5)
+                blocks, bps, qguard, stereo_trial)
             return ("np_q", qpack.quantize(np, blocks, t), orv, cflags)
         return ("np", blocks)
 
@@ -596,6 +596,29 @@ def encode_flac_fast(file_or_path,
                 writer_error.append(err)
                 done.set()
 
+    # stream MD5 worker: hashing is serial BY SPEC (STREAMINFO hashes
+    # the PCM in stream order), but it needn't run on the main
+    # thread's critical chain — a single worker consuming an ordered
+    # queue preserves the order while the ~17 ms/batch of MD5 CPU
+    # overlaps tunnel waits.  The native kernel releases the GIL.
+    md5_queue = queue_mod.Queue(maxsize=max(pipeline_depth, 2))
+
+    def md5_loop():
+        while True:
+            item = md5_queue.get()
+            if item is None:
+                return
+            if writer_error:
+                continue                  # drain after a failure
+            try:
+                with prof("md5"):
+                    stream_md5.update_pcm(item, bps)
+            except BaseException as err:  # noqa: B902
+                writer_error.append(err)
+
+    md5_worker = threading.Thread(target=md5_loop, daemon=True)
+    md5_worker.start()
+
     writer = threading.Thread(target=writer_loop, daemon=True)
     writer.start()
     submitters = []
@@ -643,10 +666,9 @@ def encode_flac_fast(file_or_path,
                          submitted_frames))
                     submit_queue.put((payload, slot, done))
                 submitted_frames += n_full
-                if not use_qpack:
-                    stream_md5.update_pcm(full, bps)
+                md5_queue.put(full)
             if tail.shape[0] or not n_full:
-                stream_md5.update_pcm(tail, bps)
+                md5_queue.put(tail)
 
             if tail.shape[0]:
                 # final short block: independent scalar oracle path
@@ -670,6 +692,8 @@ def encode_flac_fast(file_or_path,
                 worker.join()
             writer_queue.put(None)
             writer.join()
+            md5_queue.put(None)
+            md5_worker.join()
     check_writer()
     prof.report(extra="(%d frames)" % frame_number)
 
