@@ -115,8 +115,6 @@ def encode_mdat_fast(file, pcmreader,
     mdat_start = file.tell()
     file.write(b"\x00" * 4 + b"mdat")
 
-    pending = None     # (handle, blocks, ns, padded) in flight
-
     def submit(blocks, ns):
         upload = blocks
         if backend == "jax" and blocks.shape[0] < batch_frames:
@@ -135,52 +133,119 @@ def encode_mdat_fast(file, pcmreader,
                           backend)
         return (handle, blocks, ns, upload.shape[0])
 
-    def finish(entry):
-        (handle, blocks, ns, padded) = entry
-        packed = _fetch(handle, padded, len(layout))[:blocks.shape[0]]
-        (data, lens) = _native.alac_emit_framesets(
-            blocks, ns, layout, packed,
-            block_size, initial_history, history_multiplier,
-            maximum_k, interlacing_shift,
-            min_interlacing_leftweight, max_interlacing_leftweight,
-            bps)
+    # four-stage overlap (FLAC pipeline shape, scaled down): the main
+    # thread reads + dispatches, a fetch worker syncs device handles
+    # (~70 ms tunnel RTT/batch), an emit worker runs the
+    # adaptive-entropy serializer (~70 ms CPU/batch, GIL-released),
+    # and the main thread writes results in submission order.  Each
+    # stage is a single thread consuming an ordered queue, so order is
+    # preserved end to end while the two big stage costs overlap.
+    import queue as queue_mod
+    import threading
+
+    depth = max(int(os.environ.get("ATPU_ALAC_PIPELINE", "3")), 1)
+    work_queue = queue_mod.Queue(maxsize=depth)
+    fetched_queue = queue_mod.Queue(maxsize=depth)
+    # unbounded: the in_flight counter already bounds results in
+    # normal operation, and after a worker error the main thread stops
+    # draining — a bounded queue would wedge the error-path drain
+    # (emit blocks on put -> fetch blocks -> the final put(None)
+    # never lands)
+    result_queue = queue_mod.Queue()
+    worker_error = []
+
+    def fetch_loop():
+        while True:
+            entry = work_queue.get()
+            if entry is None:
+                fetched_queue.put(None)
+                return
+            if worker_error:
+                fetched_queue.put(False)  # keep slots aligned
+                continue
+            try:
+                (handle, blocks, ns, padded) = entry
+                packed = _fetch(handle, padded,
+                                len(layout))[:blocks.shape[0]]
+                fetched_queue.put((packed, blocks, ns))
+            except BaseException as err:  # noqa: B902
+                worker_error.append(err)
+                fetched_queue.put(False)
+
+    def emit_loop():
+        while True:
+            item = fetched_queue.get()
+            if item is None:
+                return
+            if item is False or worker_error:
+                result_queue.put(None)    # keep result slots aligned
+                continue
+            try:
+                (packed, blocks, ns) = item
+                result_queue.put(_native.alac_emit_framesets(
+                    blocks, ns, layout, packed,
+                    block_size, initial_history, history_multiplier,
+                    maximum_k, interlacing_shift,
+                    min_interlacing_leftweight,
+                    max_interlacing_leftweight, bps))
+            except BaseException as err:  # noqa: B902
+                worker_error.append(err)
+                result_queue.put(None)
+
+    fetcher = threading.Thread(target=fetch_loop, daemon=True)
+    fetcher.start()
+    worker = threading.Thread(target=emit_loop, daemon=True)
+    worker.start()
+    in_flight = 0
+
+    def drain_one():
+        nonlocal in_flight
+        result = result_queue.get()
+        in_flight -= 1
+        if worker_error:
+            raise worker_error[0]
+        (data, lens) = result
         file.write(data)
         frame_byte_sizes.extend(int(v) for v in lens)
 
-    while True:
-        framelist = reader.read(block_size * batch_frames)
-        if framelist.frames == 0:
-            break
-        total_pcm_frames += framelist.frames
-        samples = framelist.samples
-        n_full = samples.shape[0] // block_size
-        if n_full:
-            blocks = np.ascontiguousarray(
-                samples[:n_full * block_size].reshape(
-                    n_full, block_size, channels))
-            entry = submit(blocks,
-                           np.full(n_full, block_size, dtype=np.int32))
-            # serialize the previous batch while this one analyzes
-            if pending is not None:
-                finish(pending)
-            pending = entry
-        tail = samples[n_full * block_size:]
-        if tail.shape[0]:
-            if pending is not None:
-                finish(pending)
-                pending = None
-            # zero-pad the tail to a full block for ANALYSIS (the
-            # emitter codes only the true ns samples; the oracle
-            # applies the same padded-analysis spec) so tails reuse
-            # the steady-state compiled shape
-            tail_blocks = np.zeros((1, block_size, channels),
-                                   dtype=np.int32)
-            tail_blocks[0, :tail.shape[0]] = tail
-            finish(submit(tail_blocks,
-                          np.asarray([tail.shape[0]],
-                                     dtype=np.int32)))
-    if pending is not None:
-        finish(pending)
+    try:
+        while True:
+            framelist = reader.read(block_size * batch_frames)
+            if framelist.frames == 0:
+                break
+            total_pcm_frames += framelist.frames
+            samples = framelist.samples
+            n_full = samples.shape[0] // block_size
+            if n_full:
+                blocks = np.ascontiguousarray(
+                    samples[:n_full * block_size].reshape(
+                        n_full, block_size, channels))
+                entry = submit(blocks,
+                               np.full(n_full, block_size,
+                                       dtype=np.int32))
+                work_queue.put(entry)
+                in_flight += 1
+                while in_flight >= depth:
+                    drain_one()
+            tail = samples[n_full * block_size:]
+            if tail.shape[0]:
+                # zero-pad the tail to a full block for ANALYSIS (the
+                # emitter codes only the true ns samples; the oracle
+                # applies the same padded-analysis spec) so tails
+                # reuse the steady-state compiled shape
+                tail_blocks = np.zeros((1, block_size, channels),
+                                       dtype=np.int32)
+                tail_blocks[0, :tail.shape[0]] = tail
+                work_queue.put(submit(
+                    tail_blocks,
+                    np.asarray([tail.shape[0]], dtype=np.int32)))
+                in_flight += 1
+        while in_flight > 0:
+            drain_one()
+    finally:
+        work_queue.put(None)
+        fetcher.join()
+        worker.join()
 
     end = file.tell()
     file.seek(mdat_start)
