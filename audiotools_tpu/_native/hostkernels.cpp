@@ -1896,9 +1896,15 @@ void atpu_accuraterip_update(const int32_t* samples,
                              uint32_t* v1,
                              uint32_t* v2) {
     uint32_t a1 = *v1, a2 = *v2;
-    for (int64_t i = 0; i < n; i++) {
+    // hoist the offset-window test to the loop bounds: the inner
+    // multiply-accumulate is then branchless and auto-vectorizes
+    // (sums are mod-2^32 commutative, so lane order is free)
+    int64_t i0 = start_offset - first_index;
+    if (i0 < 0) i0 = 0;
+    int64_t i1 = end_offset - first_index + 1;
+    if (i1 > n) i1 = n;
+    for (int64_t i = i0; i < i1; i++) {
         const int64_t idx = first_index + i;
-        if (idx < start_offset || idx > end_offset) continue;
         const uint32_t lo = (uint16_t)samples[2 * i];
         const uint32_t hi = (uint16_t)samples[2 * i + 1];
         const uint64_t p = (uint64_t)((hi << 16) | lo) * (uint64_t)idx;

@@ -68,7 +68,7 @@ def default_workers():
     wall time blocked on the device link or in GIL-released native
     kernels, so more threads than cores is the point (A/B-measured;
     ATPU_FARM_WORKERS overrides)."""
-    return int(os.environ.get("ATPU_FARM_WORKERS", "4"))
+    return int(os.environ.get("ATPU_FARM_WORKERS", "6"))
 
 
 def transcode(jobs, workers=None, progress=None):
