@@ -9,6 +9,8 @@ AlbumMetaData (:3356), Image (:3392), ReplayGain (:3522), AudioFile
 
 from __future__ import annotations
 
+from . import text
+
 import os
 
 from .pcmstream import (ChannelMask, FRAMELIST_SIZE, pcm_frame_cmp,
@@ -66,24 +68,24 @@ class MetaData:
                    "copyright",
                    "comment")
 
-    FIELD_NAMES = {"track_name": "Track Name",
-                   "track_number": "Track Number",
-                   "track_total": "Track Total",
-                   "album_name": "Album Name",
-                   "artist_name": "Artist Name",
-                   "performer_name": "Performer Name",
-                   "composer_name": "Composer Name",
-                   "conductor_name": "Conductor Name",
-                   "media": "Media",
-                   "ISRC": "ISRC",
-                   "catalog": "Catalog Number",
-                   "copyright": "Copyright",
-                   "publisher": "Publisher",
-                   "year": "Release Year",
-                   "date": "Recording Date",
-                   "album_number": "Album Number",
-                   "album_total": "Album Total",
-                   "comment": "Comment"}
+    FIELD_NAMES = {"track_name": text.METADATA_TRACK_NAME,
+                   "track_number": text.METADATA_TRACK_NUMBER,
+                   "track_total": text.METADATA_TRACK_TOTAL,
+                   "album_name": text.METADATA_ALBUM_NAME,
+                   "artist_name": text.METADATA_ARTIST_NAME,
+                   "performer_name": text.METADATA_PERFORMER_NAME,
+                   "composer_name": text.METADATA_COMPOSER_NAME,
+                   "conductor_name": text.METADATA_CONDUCTOR_NAME,
+                   "media": text.METADATA_MEDIA,
+                   "ISRC": text.METADATA_ISRC,
+                   "catalog": text.METADATA_CATALOG,
+                   "copyright": text.METADATA_COPYRIGHT,
+                   "publisher": text.METADATA_PUBLISHER,
+                   "year": text.METADATA_YEAR,
+                   "date": text.METADATA_DATE,
+                   "album_number": text.METADATA_ALBUM_NUMBER,
+                   "album_total": text.METADATA_ALBUM_TOTAL,
+                   "comment": text.METADATA_COMMENT}
 
     def __init__(self,
                  track_name=None,

@@ -10,6 +10,8 @@ drives need libcdio hardware support.
 
 from __future__ import annotations
 
+from .. import text
+
 import argparse
 import os
 import sys
@@ -61,7 +63,7 @@ def main(argv=None):
                         help=HELP_FORMAT)
     parser.add_argument("--offset", dest="sample_offset", type=int,
                         default=0,
-                        help="drive read offset, in PCM samples")
+                        help=text.HELP_READ_OFFSET)
     parser.add_argument("-j", "--joint", dest="max_processes",
                         type=int, default=None, help=HELP_JOINT)
     parser.add_argument("-I", "--interactive", action="store_true",
@@ -81,7 +83,7 @@ def main(argv=None):
                         default="us.freedb.org",
                         help=HELP_FREEDB_SERVER)
     parser.add_argument("tracks", nargs="*", type=int,
-                        help="track numbers to rip (default: all)")
+                        help=text.HELP_CD_TRACKS)
 
     options = parser.parse_args(argv)
     msg = Messenger("cd2track", options)

@@ -13,7 +13,9 @@ from . import add_common_arguments
 from ..utils.messenger import Messenger, output_table
 from ..text import (DESC_CONFIG, ERR_UNSUPPORTED_AUDIO_TYPE,
                     LAB_CONFIG_SYSTEM, LAB_CONFIG_DEFAULT_TYPE,
-                    LAB_CONFIG_MAX_JOBS, LAB_CONFIG_FORMATS)
+                    LAB_CONFIG_MAX_JOBS, LAB_CONFIG_FORMATS,
+                    LAB_CONFIG_QUALITY, LAB_CONFIG_QUALITY_DEFAULT,
+                    HELP_CONFIG_TYPE)
 
 
 def main(argv=None):
@@ -23,7 +25,7 @@ def main(argv=None):
     add_common_arguments(parser)
     parser.add_argument("-t", "--type", dest="default_type",
                         default=None,
-                        help="set the default audio type")
+                        help=HELP_CONFIG_TYPE)
 
     options = parser.parse_args(argv)
     msg = Messenger("audiotools-config", options)
@@ -60,6 +62,34 @@ def main(argv=None):
         row.add_column(("yes" if audio_type.available() else "no") +
                        " ")
         row.add_column(audio_type.DESCRIPTION)
+    for line in table.format():
+        msg.output(line)
+
+    # per-type quality modes (reference audiotools-config's quality
+    # listing): every compression mode, with a description where the
+    # format publishes one and a marker on the default
+    msg.output("")
+    msg.output(LAB_CONFIG_QUALITY)
+    table = output_table()
+    row = table.row()
+    for heading in ["type ", "quality ", "description"]:
+        row.add_column(heading)
+    for audio_type in AVAILABLE_TYPES:
+        if audio_type.COMPRESSION_MODES == ("",):
+            modes = [""]
+        else:
+            modes = [m for m in audio_type.COMPRESSION_MODES
+                     if (m in audio_type.COMPRESSION_DESCRIPTIONS or
+                         m == audio_type.DEFAULT_COMPRESSION)]
+        for mode in modes:
+            row = table.row()
+            row.add_column(audio_type.NAME + " ")
+            label = mode if mode else "(none)"
+            if mode == audio_type.DEFAULT_COMPRESSION:
+                label = LAB_CONFIG_QUALITY_DEFAULT % {"mode": label}
+            row.add_column(label + " ")
+            row.add_column(
+                audio_type.COMPRESSION_DESCRIPTIONS.get(mode, ""))
     for line in table.format():
         msg.output(line)
 

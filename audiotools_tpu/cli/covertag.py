@@ -4,6 +4,8 @@ Rebuild of the reference ``covertag`` tool."""
 
 from __future__ import annotations
 
+from .. import text
+
 import argparse
 import sys
 
@@ -82,7 +84,8 @@ def main(argv=None):
         try:
             track.set_metadata(metadata)
         except (IOError, ValueError) as err:
-            msg.error("%s: %s" % (track.filename, err))
+            msg.error(text.ERR_FILE_MESSAGE %
+                      {"filename": track.filename, "message": err})
             return 1
         msg.info(LAB_TRACKTAG_TAGGED % {"filename": track.filename})
     return 0

@@ -6,6 +6,8 @@ display is available."""
 
 from __future__ import annotations
 
+from .. import text
+
 import argparse
 import sys
 
@@ -52,9 +54,11 @@ def main(argv=None):
             msg.info(LAB_VIEWER_UNAVAILABLE % {"error": err})
 
     for (i, image) in enumerate(images):
-        msg.output("%d: %s %dx%d %s (%d bytes)" %
-                   (i, image.type_string(), image.width,
-                    image.height, image.mime_type, len(image.data)))
+        msg.output(text.LAB_COVER_LINE %
+                   {"index": i, "type": image.type_string(),
+                    "width": image.width, "height": image.height,
+                    "mime": image.mime_type,
+                    "size": len(image.data)})
     return 0
 
 

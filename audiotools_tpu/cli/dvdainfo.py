@@ -4,6 +4,8 @@ Rebuild of the reference ``dvdainfo`` tool."""
 
 from __future__ import annotations
 
+from .. import text
+
 import argparse
 import sys
 
@@ -30,7 +32,7 @@ def main(argv=None):
         return 1
 
     for (t, titles) in enumerate(dvda.titlesets, 1):
-        msg.output("Titleset %d:" % (t,))
+        msg.output(text.LAB_DVDA_TITLESET % {"titleset": t})
         for title in titles:
             stream = {0xA0: "PCM", 0xA1: "MLP"}.get(
                 title.stream_id, "unknown")

@@ -27,7 +27,8 @@ from ..text import (DESC_TRACK2TRACK, HELP_TYPE, HELP_QUALITY,
                     ERR_ONE_OUTPUT_FILE, ERR_OUTPUT_IS_INPUT,
                     ERR_OUTPUT_DUPLICATE_NAME, ERR_MAKEDIRS,
                     LAB_T2T_USING_METADATA, LAB_UNTITLED,
-                    LAB_T2T_ADDING_REPLAY_GAIN, LAB_T2T_CONVERTED)
+                    LAB_T2T_CONVERTED)
+from .. import text
 
 
 def convert(destination_filename, destination_class, compression,
@@ -281,12 +282,13 @@ def main(argv=None):
     if (options.add_replay_gain and
             destination_class.supports_replay_gain()):
         from ..dispatch import open_files as reopen
-        msg.info(LAB_T2T_ADDING_REPLAY_GAIN)
+        msg.info(text.RG_ADDING_REPLAYGAIN_WAIT)
         try:
             destination_class.add_replay_gain(output_filenames)
         except (ValueError, IOError) as err:
             msg.error(str(err))
             return 1
+        msg.info(text.RG_REPLAYGAIN_ADDED)
 
     return 0
 

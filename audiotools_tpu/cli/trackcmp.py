@@ -5,6 +5,8 @@ Rebuild of the reference ``trackcmp`` (pcm_frame_cmp in a job queue).
 
 from __future__ import annotations
 
+from .. import text
+
 import argparse
 import os
 import sys
@@ -71,12 +73,12 @@ def main(argv=None):
             if os.path.isfile(other):
                 pairs.append((os.path.join(paths[0], name), other))
             else:
-                msg.output("%s: missing" % (other,))
+                msg.output(text.LAB_CMP_MISSING % {"filename": other})
     elif len(paths) % 2 == 0:
         pairs = [(paths[i], paths[i + 1])
                  for i in range(0, len(paths), 2)]
     else:
-        msg.error("you must specify pairs of files or 2 directories")
+        msg.error(text.ERR_PAIRS_REQUIRED)
         return 1
 
     progress_display = ProgressDisplay(msg)

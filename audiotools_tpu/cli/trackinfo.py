@@ -5,6 +5,8 @@ Rebuild of the reference ``trackinfo`` tool.
 
 from __future__ import annotations
 
+from .. import text
+
 import argparse
 import sys
 
@@ -48,7 +50,8 @@ def main(argv=None):
         try:
             track = open_track(filename)
         except (UnsupportedFile, InvalidFile, IOError) as err:
-            msg.error("%s: %s" % (filename, err))
+            msg.error(text.ERR_FILE_MESSAGE %
+                      {"filename": filename, "message": err})
             continue
 
         seconds = float(track.seconds_length())
@@ -56,16 +59,20 @@ def main(argv=None):
             try:
                 bitrate = (os.path.getsize(filename) * 8) / \
                     (seconds * 1000) if seconds else 0
-                msg.output("%4.4s kbps: %s" % (int(bitrate), filename))
+                msg.output(text.LAB_BITRATE_LINE %
+                           {"bitrate": int(bitrate),
+                            "filename": filename})
             except ZeroDivisionError:
-                msg.output("%4.4s kbps: %s" % ("0", filename))
+                msg.output(text.LAB_BITRATE_LINE %
+                           {"bitrate": "0", "filename": filename})
             continue
         if options.percentage:
             raw = (track.total_frames() * track.channels() *
                    track.bits_per_sample() // 8)
             pct = (os.path.getsize(filename) * 100 // raw) if raw \
                 else 0
-            msg.output("%3.3s%%: %s" % (pct, filename))
+            msg.output(text.LAB_PERCENTAGE_LINE %
+                       {"percent": pct, "filename": filename})
             continue
 
         msg.output(LAB_INFO_ATTRIBS %

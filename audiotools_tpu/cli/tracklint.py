@@ -10,6 +10,8 @@ them back with ``--undo``.
 
 from __future__ import annotations
 
+from .. import text
+
 import argparse
 import sys
 
@@ -72,7 +74,9 @@ def main(argv=None):
             try:
                 metadata = track.get_metadata()
             except (IOError, ValueError) as err:
-                msg.error("%s: %s" % (track.filename, err))
+                msg.error(text.ERR_FILE_MESSAGE %
+                          {"filename": track.filename,
+                           "message": err})
                 continue
             if metadata is None:
                 continue

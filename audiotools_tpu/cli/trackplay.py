@@ -14,7 +14,8 @@ import time
 from . import add_common_arguments
 from ..utils.messenger import Messenger
 from ..text import (DESC_TRACKPLAY, HELP_PLAY_OUTPUT,
-                    HELP_PLAY_SHUFFLE, ERR_1_FILE_REQUIRED,
+                    HELP_PLAY_SHUFFLE, HELP_PLAY_REPEAT,
+                    ERR_1_FILE_REQUIRED,
                     LAB_PLAYING, LAB_STOPPED)
 
 
@@ -27,6 +28,8 @@ def main(argv=None):
                         help=HELP_PLAY_OUTPUT)
     parser.add_argument("--shuffle", action="store_true",
                         default=False, help=HELP_PLAY_SHUFFLE)
+    parser.add_argument("--repeat", action="store_true",
+                        default=False, help=HELP_PLAY_REPEAT)
     parser.add_argument("filenames", nargs="+")
     options = parser.parse_args(argv)
     msg = Messenger("trackplay", options)
@@ -50,6 +53,7 @@ def main(argv=None):
 
     player = Player(output)
     try:
+      while True:
         for track in tracks:
             msg.info(LAB_PLAYING % {"filename": track.filename})
             player.open(track)
@@ -61,6 +65,8 @@ def main(argv=None):
                 time.sleep(0.05)
             while player.state() != 0:
                 time.sleep(0.1)
+        if not options.repeat:
+            break
     except KeyboardInterrupt:
         msg.info(LAB_STOPPED)
     finally:

@@ -5,6 +5,8 @@ Rebuild of the reference ``trackrename`` tool.
 
 from __future__ import annotations
 
+from .. import text
+
 import argparse
 import os
 import sys
@@ -55,7 +57,8 @@ def main(argv=None):
                            {"source": track.filename,
                             "destination": new_path})
         except (IOError, ValueError) as err:
-            msg.error("%s: %s" % (track.filename, err))
+            msg.error(text.ERR_FILE_MESSAGE %
+                      {"filename": track.filename, "message": err})
             return 1
 
     return 0

@@ -6,6 +6,8 @@ field removal, cover art embedding, and ReplayGain application.
 
 from __future__ import annotations
 
+from .. import text as text_err
+
 import argparse
 import sys
 
@@ -85,7 +87,8 @@ def main(argv=None):
                 try:
                     updates[field] = int(value)
                 except ValueError:
-                    msg.error("invalid value for %s" % (field,))
+                    msg.error(text_err.ERR_INVALID_FIELD_VALUE %
+                              {"field": field})
                     return 1
             else:
                 updates[field] = value
@@ -144,7 +147,9 @@ def main(argv=None):
                 msg.info(LAB_TRACKTAG_TAGGED %
                          {"filename": track.filename})
             except (IOError, ValueError) as err:
-                msg.error("%s: %s" % (track.filename, err))
+                msg.error(text_err.ERR_FILE_MESSAGE %
+                          {"filename": track.filename,
+                           "message": err})
                 return 1
         return 0
 
@@ -168,15 +173,24 @@ def main(argv=None):
 
             track.set_metadata(metadata)
         except (IOError, ValueError) as err:
-            msg.error("%s: %s" % (track.filename, err))
+            msg.error(text_err.ERR_FILE_MESSAGE %
+                          {"filename": track.filename,
+                           "message": err})
             return 1
 
     if options.add_replay_gain:
+        from .. import text as text_mod
         classes = {f.__class__ for f in audiofiles}
+        added = False
         for cls in classes:
             if cls.supports_replay_gain():
+                if not added:
+                    msg.info(text_mod.RG_ADDING_REPLAYGAIN_WAIT)
                 cls.add_replay_gain([f.filename for f in audiofiles
                                      if f.__class__ is cls])
+                added = True
+        if added:
+            msg.info(text_mod.RG_REPLAYGAIN_ADDED)
 
     return 0
 

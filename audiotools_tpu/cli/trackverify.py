@@ -17,7 +17,9 @@ from ..parallel.queue import ExecProgressQueue, ExecQueueError
 from ..text import (DESC_TRACKVERIFY, HELP_JOINT,
                     HELP_VERIFY_ACCURATERIP,
                     LAB_ACCURATERIP_MATCH, LAB_ACCURATERIP_MISMATCH,
-                    LAB_ACCURATERIP_NOT_FOUND)
+                    LAB_ACCURATERIP_NOT_FOUND,
+                    LAB_TRACKVERIFY_OK,
+                    LAB_TRACKVERIFY_FAILED)
 
 
 def verify(filename, accuraterip, progress=None):
@@ -48,10 +50,15 @@ def verify(filename, accuraterip, progress=None):
 
 def report(result):
     (filename, status, checksums) = result
+    if status == "OK":
+        line = LAB_TRACKVERIFY_OK % {"filename": filename}
+    else:
+        line = LAB_TRACKVERIFY_FAILED % {"filename": filename,
+                                         "error": status}
     if checksums is not None:
-        return "%s : %s (AccurateRip v1=%08X v2=%08X)" % \
-            (filename, status, checksums[0], checksums[1])
-    return "%s : %s" % (filename, status)
+        line += " (AccurateRip v1=%08X v2=%08X)" % (checksums[0],
+                                                    checksums[1])
+    return line
 
 
 def main(argv=None):

@@ -11,6 +11,8 @@ the reference (flac.c:195-207).
 
 from __future__ import annotations
 
+from .. import text
+
 import numpy as np
 
 from .. import pcm
@@ -132,7 +134,7 @@ class FastFlacDecoder:
             self.eof = True
             if ((self.md5sum != b"\x00" * 16) and
                     (self.current_md5.digest() != self.md5sum)):
-                raise ValueError("MD5 mismatch at end of stream")
+                raise ValueError(text.ERR_FLAC_MD5_MISMATCH)
 
     def seekable(self):
         return not self.closed

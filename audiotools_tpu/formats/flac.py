@@ -12,6 +12,8 @@ WAVEFORMATEXTENSIBLE_CHANNEL_MASK vorbis-comment channel masks.
 
 from __future__ import annotations
 
+from .. import text
+
 import io
 import struct
 
@@ -218,7 +220,7 @@ class Flac_SEEKTABLE:
         cleaned = []
         for point in seekpoints:
             if len(cleaned) and (point[0] <= cleaned[-1][0]):
-                fixes.append("removed misordered seekpoint")
+                fixes.append(text.CLEAN_FLAC_REMOVE_SEEKPOINT)
             else:
                 cleaned.append(point)
         return (Flac_SEEKTABLE(cleaned), fixes)
@@ -770,7 +772,7 @@ class FlacMetaData(MetaData):
             if block.BLOCK_ID == Flac_VORBISCOMMENT.BLOCK_ID:
                 if block.BLOCK_ID in seen:
                     fixes_performed.append(
-                        "removed duplicate Vorbis comment block")
+                        text.CLEAN_FLAC_MULTIPLE_VORBISCOMMENT)
                     continue
                 (cleaned, fixes) = block.clean()
                 cleaned = Flac_VORBISCOMMENT(cleaned.comment_strings,
@@ -780,14 +782,14 @@ class FlacMetaData(MetaData):
             elif block.BLOCK_ID == Flac_SEEKTABLE.BLOCK_ID:
                 if block.BLOCK_ID in seen:
                     fixes_performed.append(
-                        "removed duplicate seektable")
+                        text.CLEAN_FLAC_MULTIPLE_SEEKTABLE)
                     continue
                 (cleaned, fixes) = block.clean()
                 fixes_performed.extend(fixes)
                 new_blocks.append(cleaned)
             elif (block.BLOCK_ID == Flac_STREAMINFO.BLOCK_ID and
                     block.BLOCK_ID in seen):
-                fixes_performed.append("removed duplicate STREAMINFO")
+                fixes_performed.append(text.CLEAN_FLAC_MULTIPLE_STREAMINFO)
                 continue
             else:
                 new_blocks.append(block)
@@ -856,8 +858,8 @@ class FlacAudio(WaveContainer, AiffContainer):
     NAME = SUFFIX
     DESCRIPTION = "Free Lossless Audio Codec"
     COMPRESSION_MODES = tuple(map(str, range(0, 9)))
-    COMPRESSION_DESCRIPTIONS = {"0": "least amount of compression",
-                                "8": "most amount of compression"}
+    COMPRESSION_DESCRIPTIONS = {"0": text.COMP_FLAC_0,
+                                "8": text.COMP_FLAC_8}
     DEFAULT_COMPRESSION = "8"
 
     # the reference's exact per-mode options (flac.py:1718-1764)
@@ -911,7 +913,7 @@ class FlacAudio(WaveContainer, AiffContainer):
                     f.seek(0, 0)
                     skipped = skip_id3v2_comment(f)
                     if skipped == 0 or f.read(4) != b"fLaC":
-                        raise InvalidFLAC("invalid FLAC file")
+                        raise InvalidFLAC(text.ERR_FLAC_INVALID_FILE)
                     self.__stream_offset__ = skipped + 4
                 else:
                     self.__stream_offset__ = 4
@@ -979,7 +981,7 @@ class FlacAudio(WaveContainer, AiffContainer):
         with open(self.filename, "rb") as f:
             f.seek(self.__stream_offset__ - 4, 0)
             if f.read(4) != b"fLaC":
-                raise IOError("invalid FLAC file")
+                raise IOError(text.ERR_FLAC_INVALID_FILE)
             return FlacMetaData.parse(BitstreamReader(f, False))
 
     def update_metadata(self, metadata):
@@ -993,7 +995,7 @@ class FlacAudio(WaveContainer, AiffContainer):
         with open(self.filename, "rb") as f:
             stream_prefix = f.read(self.__stream_offset__ - 4)
             if f.read(4) != b"fLaC":
-                raise IOError("invalid FLAC file")
+                raise IOError(text.ERR_FLAC_INVALID_FILE)
             reader = BitstreamReader(f, False)
             last = 0
             while last != 1:

@@ -12,6 +12,8 @@ availability).
 
 from __future__ import annotations
 
+from .. import text
+
 import struct
 import time
 
@@ -83,6 +85,7 @@ class ALACAudio(AudioFile):
     DESCRIPTION = "Apple Lossless"
     DEFAULT_COMPRESSION = ""
     COMPRESSION_MODES = ("",)
+    COMPRESSION_DESCRIPTIONS = {"": text.COMP_ALAC}
     BINARIES = tuple()
 
     BLOCK_SIZE = 4096

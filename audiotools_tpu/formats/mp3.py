@@ -10,6 +10,8 @@ system libraries like the reference's ``BINARIES`` checks.
 
 from __future__ import annotations
 
+from .. import text
+
 import os
 
 import numpy as np
@@ -47,8 +49,8 @@ class MP3Audio(AudioFile):
     DESCRIPTION = "MPEG-1 Audio Layer III"
     DEFAULT_COMPRESSION = "2"
     COMPRESSION_MODES = tuple(map(str, range(0, 10)))
-    COMPRESSION_DESCRIPTIONS = {"0": "high quality, larger files",
-                                "9": "low quality, smaller files"}
+    COMPRESSION_DESCRIPTIONS = {"0": text.COMP_LAME_0,
+                                "9": text.COMP_LAME_9}
 
     def __init__(self, filename):
         AudioFile.__init__(self, filename)
@@ -223,8 +225,8 @@ class MP2Audio(MP3Audio):
     DEFAULT_COMPRESSION = str(192)
     COMPRESSION_MODES = tuple(map(str, (64, 96, 112, 128, 160, 192,
                                         224, 256, 320, 384)))
-    COMPRESSION_DESCRIPTIONS = {"64": "smallest files",
-                                "384": "highest quality"}
+    COMPRESSION_DESCRIPTIONS = {"64": text.COMP_TWOLAME_64,
+                                "384": text.COMP_TWOLAME_384}
 
     @classmethod
     def available(cls, system_binaries=None):

@@ -9,6 +9,8 @@ resamples non-48 kHz input through the polyphase Resampler.
 
 from __future__ import annotations
 
+from .. import text
+
 import struct
 
 from ..audiofile import AudioFile, MetaData
@@ -29,8 +31,8 @@ class OpusAudio(AudioFile):
     DESCRIPTION = "Opus Audio Codec"
     DEFAULT_COMPRESSION = "10"
     COMPRESSION_MODES = tuple(map(str, range(0, 11)))
-    COMPRESSION_DESCRIPTIONS = {"0": "fastest encode",
-                                "10": "best quality"}
+    COMPRESSION_DESCRIPTIONS = {"0": text.COMP_OPUS_0,
+                                "10": text.COMP_OPUS_10}
 
     def __init__(self, filename):
         from ..ogg import PageReader, PacketReader

@@ -9,6 +9,8 @@ foreign-chunk passthrough through from_wave/from_aiff.
 
 from __future__ import annotations
 
+from .. import text
+
 import struct
 
 from .. import EncodingError, InvalidFile
@@ -27,6 +29,7 @@ class ShortenAudio(WaveContainer, AiffContainer):
     NAME = SUFFIX
     DESCRIPTION = "Shorten"
     COMPRESSION_MODES = ("",)
+    COMPRESSION_DESCRIPTIONS = {"": text.COMP_SHN}
     DEFAULT_COMPRESSION = ""
 
     def __init__(self, filename):

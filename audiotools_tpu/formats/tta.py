@@ -7,6 +7,8 @@ skipping, and from_pcm with seektable back-patching.
 
 from __future__ import annotations
 
+from .. import text
+
 import struct
 
 from .. import EncodingError, InvalidFile
@@ -42,6 +44,7 @@ class TrueAudio(AudioFile):
     NAME = SUFFIX
     DESCRIPTION = "True Audio"
     COMPRESSION_MODES = ("",)
+    COMPRESSION_DESCRIPTIONS = {"": text.COMP_TTA}
     DEFAULT_COMPRESSION = ""
 
     def __init__(self, filename):
@@ -53,7 +56,7 @@ class TrueAudio(AudioFile):
                 self.__stream_offset__ = skip_id3v2_comment(f)
                 header = f.read(22)
                 if len(header) < 22 or header[0:4] != b"TTA1":
-                    raise InvalidTTA("invalid TTA signature")
+                    raise InvalidTTA(text.ERR_TTA_INVALID_SIGNATURE)
                 (format_, self.__channels__,
                  self.__bits_per_sample__,
                  self.__sample_rate__,

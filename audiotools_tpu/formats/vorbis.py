@@ -9,6 +9,8 @@ page layer.
 
 from __future__ import annotations
 
+from .. import text
+
 import struct
 
 from ..audiofile import AudioFile, MetaData
@@ -61,8 +63,8 @@ class VorbisAudio(AudioFile):
     DESCRIPTION = "Ogg Vorbis"
     DEFAULT_COMPRESSION = "3"
     COMPRESSION_MODES = tuple(str(i) for i in range(0, 11))
-    COMPRESSION_DESCRIPTIONS = {"0": "smallest files",
-                                "10": "highest quality"}
+    COMPRESSION_DESCRIPTIONS = {"0": text.COMP_VORBIS_0,
+                                "10": text.COMP_VORBIS_10}
 
     def __init__(self, filename):
         from ..ogg import PageReader, PacketReader

@@ -9,6 +9,8 @@ header/footer recovery and from_wave passthrough.
 
 from __future__ import annotations
 
+from .. import text
+
 import struct
 
 from .. import EncodingError, InvalidFile
@@ -56,8 +58,8 @@ class WavPackAudio(ApeTaggedAudio, WaveContainer):
     COMPRESSION_MODES = ("veryfast", "fast", "standard", "high",
                          "veryhigh")
     COMPRESSION_DESCRIPTIONS = {
-        "veryfast": "fastest encode/decode, worst compression",
-        "veryhigh": "slowest encode/decode, best compression"}
+        "veryfast": text.COMP_WAVPACK_VERYFAST,
+        "veryhigh": text.COMP_WAVPACK_VERYHIGH}
 
     __options__ = {"veryfast": {"block_size": 44100,
                                 "correlation_passes": 1},

@@ -9,6 +9,8 @@ for formats which append APEv2 tags (WavPack, TTA, Monkey's Audio).
 
 from __future__ import annotations
 
+from .. import text
+
 import re
 import struct
 
@@ -475,7 +477,8 @@ class ApeTag(MetaData):
         for tag in self.tags:
             if tag.key.upper() in used_tags:
                 fixes_performed.append(
-                    "removed duplicate tag %s" % (tag.key,))
+                    text.CLEAN_REMOVE_DUPLICATE_TAG %
+                    {"field": tag.key})
                 continue
             used_tags.add(tag.key.upper())
             if tag.type == 0:
@@ -483,13 +486,13 @@ class ApeTag(MetaData):
                 fix1 = text.rstrip()
                 if fix1 != text:
                     fixes_performed.append(
-                        "removed trailing whitespace from %s" %
-                        (tag.key,))
+                        text.CLEAN_REMOVE_TRAILING_WHITESPACE %
+                        {"field": tag.key})
                 fix2 = fix1.lstrip()
                 if fix2 != fix1:
                     fixes_performed.append(
-                        "removed leading whitespace from %s" %
-                        (tag.key,))
+                        text.CLEAN_REMOVE_LEADING_WHITESPACE %
+                        {"field": tag.key})
                 if tag.key in self.INTEGER_ITEMS:
                     if "/" in fix2:
                         (number, total) = fix2.split("/", 1)
@@ -501,13 +504,14 @@ class ApeTag(MetaData):
                         fix3 = fix2.lstrip("0")
                     if fix3 != fix2:
                         fixes_performed.append(
-                            "removed leading zeroes from %s" %
-                            (tag.key,))
+                            text.CLEAN_REMOVE_LEADING_ZEROES %
+                            {"field": tag.key})
                 else:
                     fix3 = fix2
                 if len(fix3) == 0:
                     fixes_performed.append(
-                        "removed empty field %s" % (tag.key,))
+                        text.CLEAN_REMOVE_EMPTY_TAG %
+                        {"field": tag.key})
                 else:
                     tag_items.append(ApeTagItem.string(tag.key, fix3))
             else:

@@ -12,6 +12,8 @@ trailing ID3v1 tag (reference ``id3.py:2302``).
 
 from __future__ import annotations
 
+from .. import text
+
 import re
 
 from ..audiofile import MetaData, Image
@@ -580,7 +582,7 @@ class ID3v22Comment(MetaData):
         the 'ID3' marker"""
         (tag, major, minor, flags) = reader.parse("3b 8u 8u 8u")
         if tag != b"ID3":
-            raise ValueError("invalid ID3 header")
+            raise ValueError(text.ERR_ID3_INVALID_HEADER)
         if major != cls.VERSION:
             raise ValueError("invalid major version")
         total_size = remaining = decode_syncsafe32(reader.read(32))
@@ -674,8 +676,9 @@ class ID3v22Comment(MetaData):
                     stripped = s.strip()
                     if stripped != s:
                         fixes.append(
-                            "stripped whitespace from %s" %
-                            (frame.id.decode("ascii", "replace"),))
+                            text.CLEAN_STRIP_WHITESPACE %
+                            {"field": frame.id.decode(
+                                "ascii", "replace")})
                         changed = True
                     # remove leading zeroes from integer-bearing pairs
                     if frame.id in (self.ATTRIBUTE_MAP["track_number"],
@@ -686,14 +689,16 @@ class ID3v22Comment(MetaData):
                             for part in stripped.split("/"))
                         if fixed != stripped:
                             fixes.append(
-                                "removed leading zeroes from %s" %
-                                (frame.id.decode("ascii", "replace"),))
+                                text.CLEAN_REMOVE_LEADING_ZEROES %
+                                {"field": frame.id.decode(
+                                    "ascii", "replace")})
                             changed = True
                         stripped = fixed
                     strings.append(stripped)
                 if all(not s for s in strings):
-                    fixes.append("removed empty field %s" %
-                                 (frame.id.decode("ascii", "replace"),))
+                    fixes.append(text.CLEAN_REMOVE_EMPTY_TAG %
+                                 {"field": frame.id.decode(
+                                     "ascii", "replace")})
                     continue
                 if changed:
                     new_frames.append(ID3TextFrame(
@@ -742,7 +747,7 @@ class ID3v23Comment(ID3v22Comment):
     def parse(cls, reader):
         (tag, major, minor, flags) = reader.parse("3b 8u 8u 8u")
         if tag != b"ID3":
-            raise ValueError("invalid ID3 header")
+            raise ValueError(text.ERR_ID3_INVALID_HEADER)
         if major != cls.VERSION:
             raise ValueError("invalid major version")
         total_size = remaining = decode_syncsafe32(reader.read(32))

@@ -8,6 +8,8 @@ written to the last 128 bytes of a file.
 
 from __future__ import annotations
 
+from .. import text
+
 from ..audiofile import MetaData
 
 
@@ -167,7 +169,7 @@ class ID3v1Comment(MetaData):
             value = self.__dict__[key]
             stripped = value.strip()
             if stripped != value:
-                fixes.append("stripped whitespace from %s" % (attr,))
+                fixes.append(text.CLEAN_STRIP_WHITESPACE % {"field": attr})
             fields[attr] = stripped
         return (ID3v1Comment(track_name=fields["track_name"],
                              artist_name=fields["artist_name"],

@@ -8,6 +8,8 @@ bit depth and palette size without decoding pixels.
 
 from __future__ import annotations
 
+from .. import text
+
 import struct
 
 
@@ -53,7 +55,7 @@ def image_metrics(data):
     elif header[0:4] in (b"II*\x00", b"MM\x00*"):
         return __TIFF__.parse(data)
     else:
-        raise InvalidImage("unknown image type")
+        raise InvalidImage(text.ERR_IMAGE_UNKNOWN_TYPE)
 
 
 class __JPEG__(__ImageMetrics__):

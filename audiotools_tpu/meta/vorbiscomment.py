@@ -9,6 +9,8 @@ and clean() whitespace/zero fixes.
 
 from __future__ import annotations
 
+from .. import text
+
 import re
 
 from ..audiofile import MetaData
@@ -325,16 +327,16 @@ class VorbisComment(MetaData):
             attr = reverse_attr_map[key.upper()]
             if len(value.strip()) == 0:
                 fixes_performed.append(
-                    "removed empty field %s" % (key,))
+                    text.CLEAN_REMOVE_EMPTY_TAG % {"field": key})
                 continue
             fix1 = value.rstrip()
             if fix1 != value:
                 fixes_performed.append(
-                    "removed trailing whitespace from %s" % (key,))
+                    text.CLEAN_REMOVE_TRAILING_WHITESPACE % {"field": key})
             fix2 = fix1.lstrip()
             if fix2 != fix1:
                 fixes_performed.append(
-                    "removed leading whitespace from %s" % (key,))
+                    text.CLEAN_REMOVE_LEADING_WHITESPACE % {"field": key})
 
             if attr in ("track_number", "album_number"):
                 match = re.match(r'(.*?)\s*/\s*(.*)', fix2)
@@ -343,18 +345,18 @@ class VorbisComment(MetaData):
                                       match.group(2).lstrip("0"))
                     if fix3 != fix2:
                         fixes_performed.append(
-                            "removed leading whitespace/zeroes from %s" %
-                            (key,))
+                            text.CLEAN_REMOVE_LEADING_WHITESPACE_ZEROES %
+                            {"field": key})
                 else:
                     fix3 = fix2.lstrip("0")
                     if fix3 != fix2:
                         fixes_performed.append(
-                            "removed leading zeroes from %s" % (key,))
+                            text.CLEAN_REMOVE_LEADING_ZEROES % {"field": key})
             elif attr in ("track_total", "album_total"):
                 fix3 = fix2.lstrip("0")
                 if fix3 != fix2:
                     fixes_performed.append(
-                        "removed leading zeroes from %s" % (key,))
+                        text.CLEAN_REMOVE_LEADING_ZEROES % {"field": key})
             else:
                 fix3 = fix2
 

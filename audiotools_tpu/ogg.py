@@ -11,6 +11,8 @@ zeroed), and up to 255 lacing segments of up to 255 bytes.
 
 from __future__ import annotations
 
+from . import text
+
 import struct
 
 from . import _native
@@ -91,7 +93,7 @@ class Page:
         (magic, version, header_type, granule, serial, sequence,
          crc, n_segments) = struct.unpack("<4sBBqIIIB", data[:27])
         if magic != b"OggS":
-            raise ValueError("invalid Ogg page marker")
+            raise ValueError(text.ERR_OGG_INVALID_PAGE)
         if version != 0:
             raise ValueError("unsupported Ogg page version")
         if len(data) < 27 + n_segments:
@@ -104,7 +106,7 @@ class Page:
             check = (data[:22] + b"\x00\x00\x00\x00" +
                      data[26:total])
             if ogg_crc(check) != crc:
-                raise ValueError("Ogg page checksum mismatch")
+                raise ValueError(text.ERR_OGG_CHECKSUM_MISMATCH)
         segments = []
         pos = 27 + n_segments
         for length in lacing:
@@ -128,7 +130,7 @@ class PageReader:
         if len(header) < 27:
             raise IOError("end of Ogg stream")
         if header[:4] != b"OggS":
-            raise ValueError("invalid Ogg page marker")
+            raise ValueError(text.ERR_OGG_INVALID_PAGE)
         n_segments = header[26]
         lacing = self.file.read(n_segments)
         if len(lacing) < n_segments:

@@ -56,6 +56,20 @@ class ChannelMask:
 
     MASK_TO_SPEAKER = {v: k for (k, v) in SPEAKER_TO_MASK.items()}
 
+    @classmethod
+    def _speaker_labels(cls):
+        """attribute name -> translatable display label (text.MASK_*);
+        built lazily so importing pcmstream never requires text"""
+        labels = getattr(cls, "_speaker_labels_cache", None)
+        if labels is None:
+            from . import text
+            labels = {field: getattr(text, "MASK_" + field.upper(),
+                                     field)
+                      for field in cls.SPEAKER_TO_MASK}
+            labels["low_frequency"] = text.MASK_LFE
+            cls._speaker_labels_cache = labels
+        return labels
+
     def __init__(self, mask):
         mask = int(mask)
         for (speaker, speaker_mask) in self.SPEAKER_TO_MASK.items():
@@ -68,7 +82,8 @@ class ChannelMask:
                       if getattr(self, field)])
 
     def __str__(self):
-        return ", ".join([self.MASK_TO_SPEAKER[key] for key in
+        labels = self._speaker_labels()
+        return ", ".join([labels[self.MASK_TO_SPEAKER[key]] for key in
                           sorted(self.MASK_TO_SPEAKER.keys())
                           if getattr(self, self.MASK_TO_SPEAKER[key])])
 

@@ -14,6 +14,8 @@ synthesis).  Implements the PCMReader protocol.
 
 from __future__ import annotations
 
+from .. import text
+
 from hashlib import md5
 
 import numpy as np
@@ -91,7 +93,7 @@ class FlacDecoder:
             # verify MD5 at end of stream
             if ((self.md5sum != b"\x00" * 16) and
                     (self.md5sum != self.current_md5sum.digest())):
-                raise ValueError("MD5 mismatch at end of stream")
+                raise ValueError(text.ERR_FLAC_MD5_MISMATCH)
             return pcm.empty_framelist(self.channels, self.bits_per_sample)
 
         if self.total_frames == 0:

@@ -12,6 +12,8 @@ Rice coder (k0/k1 with running sums), per-frame CRC-32, and the
 
 from __future__ import annotations
 
+from .. import text
+
 import numpy as np
 
 from .. import pcm
@@ -302,7 +304,7 @@ class TTADecoder:
         self.reader.pop_callback()
         header_crc = self.reader.read(32)
         if signature != b"TTA1":
-            raise ValueError("invalid TTA signature")
+            raise ValueError(text.ERR_TTA_INVALID_SIGNATURE)
         if format_ != 1:
             raise ValueError("invalid TTA format")
         if header_crc != int(crc):
@@ -377,7 +379,7 @@ class TTADecoder:
         self.reader.pop_callback()
         frame_crc = self.reader.read(32)
         if frame_crc != int(crc):
-            raise ValueError("invalid CRC32 in frame")
+            raise ValueError(text.ERR_TTA_INVALID_CRC)
 
         correlated = np.stack(
             [fixed_unpredict(self.bits_per_sample,

@@ -78,9 +78,6 @@ LAB_PLAY_STATUS = _("Track %(track_number)d/%(track_total)d "
                     "%(total_minutes)d:%(total_seconds)2.2d] "
                     "%(channels)dch %(sample_rate)dHz "
                     "%(bits_per_sample)d-bit")
-LAB_PLAY_BUTTON = _("Play")
-LAB_PAUSE_BUTTON = _("Pause")
-LAB_STOP_BUTTON = _("Stop")
 LAB_X_OF_Y = _("%(x)d of %(y)d")
 LAB_TRACK_X_OF_Y = _("track %(x)d of %(y)d")
 
@@ -116,7 +113,6 @@ HELP_ALBUM_TOTAL = _("the total albums of this disc's set")
 # ---- track2track -----------------------------------------------------------
 DESC_TRACK2TRACK = _("convert audio files from one format to another")
 LAB_T2T_USING_METADATA = _("Using metadata: %(album)s")
-LAB_T2T_ADDING_REPLAY_GAIN = _("Adding ReplayGain metadata...")
 LAB_T2T_CONVERTED = _("%(source)s -> %(destination)s")
 LAB_UNTITLED = _("(untitled)")
 
@@ -326,3 +322,141 @@ ERR_TTA_INVALID_CRC = _("invalid CRC32 in frame")
 ERR_WAVPACK_INVALID_BLOCK = _("invalid WavPack block")
 ERR_SHN_INVALID_MAGIC = _("invalid Shorten magic number")
 ERR_ALAC_INVALID_ATOM = _("required atom not found")
+
+# ---- channel mask speaker names ---------------------------------------------
+# displayed by ChannelMask.__str__ (trackinfo's channel layout row)
+MASK_FRONT_LEFT = _("front_left")
+MASK_FRONT_RIGHT = _("front_right")
+MASK_FRONT_CENTER = _("front_center")
+MASK_LFE = _("low_frequency")
+MASK_BACK_LEFT = _("back_left")
+MASK_BACK_RIGHT = _("back_right")
+MASK_FRONT_LEFT_OF_CENTER = _("front_left_of_center")
+MASK_FRONT_RIGHT_OF_CENTER = _("front_right_of_center")
+MASK_BACK_CENTER = _("back_center")
+MASK_SIDE_LEFT = _("side_left")
+MASK_SIDE_RIGHT = _("side_right")
+MASK_TOP_CENTER = _("top_center")
+MASK_TOP_FRONT_LEFT = _("top_front_left")
+MASK_TOP_FRONT_CENTER = _("top_front_center")
+MASK_TOP_FRONT_RIGHT = _("top_front_right")
+MASK_TOP_BACK_LEFT = _("top_back_left")
+MASK_TOP_BACK_CENTER = _("top_back_center")
+MASK_TOP_BACK_RIGHT = _("top_back_right")
+
+# ---- metadata field labels ---------------------------------------------------
+# user-facing names of the MetaData fields (tracktag options,
+# trackinfo rows, the TUI's metadata-fill widgets)
+METADATA_TRACK_NAME = _("Track Name")
+METADATA_TRACK_NUMBER = _("Track Number")
+METADATA_TRACK_TOTAL = _("Track Total")
+METADATA_ALBUM_NAME = _("Album Name")
+METADATA_ARTIST_NAME = _("Artist Name")
+METADATA_PERFORMER_NAME = _("Performer Name")
+METADATA_COMPOSER_NAME = _("Composer Name")
+METADATA_CONDUCTOR_NAME = _("Conductor Name")
+METADATA_MEDIA = _("Media")
+METADATA_ISRC = _("ISRC")
+METADATA_CATALOG = _("Catalog Number")
+METADATA_COPYRIGHT = _("Copyright")
+METADATA_PUBLISHER = _("Publisher")
+METADATA_YEAR = _("Release Year")
+METADATA_DATE = _("Recording Date")
+METADATA_ALBUM_NUMBER = _("Album Number")
+METADATA_ALBUM_TOTAL = _("Album Total")
+METADATA_COMMENT = _("Comment")
+METADATA_SUFFIX = _("suffix")
+METADATA_ALBUM_TRACK_NUMBER = _("album/track number")
+METADATA_BASENAME = _("base filename")
+
+# ---- metadata clean() fix messages ------------------------------------------
+# emitted by MetaData.clean() implementations and shown by tracklint
+CLEAN_REMOVE_DUPLICATE_TAG = _("removed duplicate tag %(field)s")
+CLEAN_REMOVE_TRAILING_WHITESPACE = _("removed trailing whitespace "
+                                     "from %(field)s")
+CLEAN_REMOVE_LEADING_WHITESPACE = _("removed leading whitespace "
+                                    "from %(field)s")
+CLEAN_REMOVE_LEADING_WHITESPACE_ZEROES = _("removed leading "
+                                           "whitespace/zeroes "
+                                           "from %(field)s")
+CLEAN_REMOVE_LEADING_ZEROES = _("removed leading zeroes from "
+                                "%(field)s")
+CLEAN_REMOVE_EMPTY_TAG = _("removed empty field %(field)s")
+CLEAN_STRIP_WHITESPACE = _("stripped whitespace from %(field)s")
+CLEAN_FIX_TAG_FORMATTING = _("fixed formatting of %(field)s")
+CLEAN_FIX_IMAGE_FIELDS = _("fixed embedded image metadata fields")
+CLEAN_REMOVE_DUPLICATE_ID3V2 = _("removed duplicate ID3v2 tag")
+CLEAN_FLAC_REMOVE_SEEKPOINT = _("removed misordered seekpoint")
+CLEAN_FLAC_REORDER_SEEKPOINTS = _("reordered seektable seekpoints")
+CLEAN_FLAC_MULTIPLE_STREAMINFO = _("removed duplicate STREAMINFO")
+CLEAN_FLAC_MULTIPLE_VORBISCOMMENT = _("removed duplicate Vorbis "
+                                      "comment block")
+CLEAN_FLAC_MULTIPLE_SEEKTABLE = _("removed duplicate seektable")
+CLEAN_FLAC_REMOVE_ID3V2 = _("removed ID3v2 tag")
+CLEAN_FLAC_REMOVE_ID3V1 = _("removed ID3v1 tag")
+CLEAN_FLAC_POPULATE_MD5 = _("populated empty MD5SUM")
+CLEAN_FLAC_ADD_CHANNELMASK = _("added WAVEFORMATEXTENSIBLE_CHANNEL_MASK")
+CLEAN_WAV_MULTIPLE_FMT_CHUNKS = _("removed duplicate fmt chunk")
+CLEAN_WAV_MULTIPLE_DATA_CHUNKS = _("removed duplicate data chunk")
+CLEAN_WAV_REORDERED_DATA_CHUNK = _("moved data chunk after fmt chunk")
+CLEAN_AIFF_MULTIPLE_COMM_CHUNKS = _("removed duplicate COMM chunk")
+CLEAN_AIFF_MULTIPLE_SSND_CHUNKS = _("removed duplicate SSND chunk")
+CLEAN_AIFF_REORDERED_SSND_CHUNK = _("moved SSND chunk after COMM "
+                                    "chunk")
+
+# ---- compression mode descriptions ---------------------------------------------
+# shown by audiotools-config's quality table (reference
+# audiotools/text.py COMP_* block); formats publish them via
+# COMPRESSION_DESCRIPTIONS
+COMP_FLAC_0 = _("least amount of compression")
+COMP_FLAC_8 = _("most amount of compression")
+COMP_WAVPACK_VERYFAST = _("fastest encode/decode, worst compression")
+COMP_WAVPACK_VERYHIGH = _("slowest encode/decode, best compression")
+COMP_LAME_0 = _("high quality, larger files")
+COMP_LAME_9 = _("low quality, smaller files")
+COMP_TWOLAME_64 = _("smallest files")
+COMP_TWOLAME_384 = _("highest quality")
+COMP_VORBIS_0 = _("smallest files")
+COMP_VORBIS_10 = _("highest quality")
+COMP_OPUS_0 = _("fastest encode")
+COMP_OPUS_10 = _("best quality")
+COMP_TTA = _("fixed compression (True Audio has one mode)")
+COMP_SHN = _("fixed compression (Shorten has one mode)")
+COMP_ALAC = _("fixed compression (Apple Lossless has one mode)")
+
+# ---- ReplayGain pass labels ------------------------------------------------
+RG_ADDING_REPLAYGAIN = _("Adding ReplayGain")
+RG_APPLYING_REPLAYGAIN = _("Applying ReplayGain")
+RG_ADDING_REPLAYGAIN_TO_ALBUM = _("Adding ReplayGain to album "
+                                  "%(album)d")
+RG_APPLYING_REPLAYGAIN_TO_ALBUM = _("Applying ReplayGain to album "
+                                    "%(album)d")
+RG_ADDING_REPLAYGAIN_WAIT = _("Adding ReplayGain metadata; this may "
+                              "take some time")
+RG_APPLYING_REPLAYGAIN_WAIT = _("Applying ReplayGain; this may take "
+                                "some time")
+RG_REPLAYGAIN_ADDED = _("ReplayGain added")
+RG_REPLAYGAIN_ADDED_TO_ALBUM = _("ReplayGain added to album "
+                                 "%(album)d")
+RG_REPLAYGAIN_APPLIED = _("ReplayGain applied")
+RG_REPLAYGAIN_APPLIED_TO_ALBUM = _("ReplayGain applied to album "
+                                   "%(album)d")
+
+# ---- audiotools-config (quality table) --------------------------------------
+LAB_CONFIG_QUALITY = _("Quality Modes:")
+LAB_CONFIG_QUALITY_DEFAULT = _("%(mode)s (default)")
+HELP_CONFIG_TYPE = _("set the default audio type")
+
+# ---- misc CLI strings hoisted from the tools --------------------------------
+HELP_READ_OFFSET = _("drive read offset, in PCM samples")
+HELP_CD_TRACKS = _("track numbers to rip (default: all)")
+ERR_FILE_MESSAGE = _("%(filename)s: %(message)s")
+ERR_INVALID_FIELD_VALUE = _("invalid value for %(field)s")
+ERR_PAIRS_REQUIRED = _("you must specify pairs of files or 2 "
+                       "directories")
+LAB_CMP_MISSING = _("%(filename)s: missing")
+LAB_DVDA_TITLESET = _("Titleset %(titleset)d:")
+LAB_COVER_LINE = _("%(index)d: %(type)s %(width)dx%(height)d "
+                   "%(mime)s (%(size)d bytes)")
+LAB_BITRATE_LINE = _("%(bitrate)4.4s kbps: %(filename)s")
+LAB_PERCENTAGE_LINE = _("%(percent)3.3s%%: %(filename)s")

@@ -146,7 +146,8 @@ def show_available_qualities(msg, audiotype):
     msg.info(LAB_AVAILABLE_QUALITIES % (audiotype.NAME,))
     msg.info("")
     if len(audiotype.COMPRESSION_MODES) <= 1:
-        msg.info("(no quality settings)")
+        from .text import LAB_NO_QUALITY_SETTINGS
+        msg.info(LAB_NO_QUALITY_SETTINGS)
         return
     for mode in audiotype.COMPRESSION_MODES:
         desc = audiotype.COMPRESSION_DESCRIPTIONS.get(mode, "")
