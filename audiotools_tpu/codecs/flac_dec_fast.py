@@ -91,6 +91,7 @@ class FastFlacDecoder:
 
         # keep the compressed buffer topped up; consumed bytes are
         # tracked by offset (no per-read reslice copies)
+        file_exhausted = False
         if len(self.buffer) - self.buf_off < CHUNK_BYTES:
             if self.buf_off:
                 del self.buffer[:self.buf_off]
@@ -98,6 +99,7 @@ class FastFlacDecoder:
             while len(self.buffer) < CHUNK_BYTES:
                 chunk = self.file.read(CHUNK_BYTES)
                 if not chunk:
+                    file_exhausted = True
                     break
                 self.buffer += chunk
 
@@ -113,7 +115,23 @@ class FastFlacDecoder:
             md5=self.current_md5)
 
         if consumed == 0:
-            # no complete frame in buffer: either EOF or bad data
+            if not file_exhausted:
+                # a single frame can straddle the chunk boundary:
+                # top up and retry before judging the bytes bad
+                chunk = self.file.read(CHUNK_BYTES)
+                if chunk:
+                    self.buffer += chunk
+                    return self.read(pcm_frames)
+            # no complete frame in buffer.  Trailing garbage (or a
+            # frame that stopped parsing) must NOT pass as EOF — for
+            # streams whose STREAMINFO MD5 is zeroed the MD5 check
+            # below would never catch the truncation
+            if (len(self.buffer) - self.buf_off > 0 and
+                    (not self.total_frames or
+                     self.decoded_frames < self.total_frames)):
+                raise ValueError(
+                    "corrupt FLAC stream: undecodable bytes at "
+                    "frame %d" % (self.decoded_frames,))
             self._finish()
             return pcm.empty_framelist(self.channels,
                                        self.bits_per_sample)
