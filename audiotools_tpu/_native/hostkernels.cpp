@@ -1514,33 +1514,146 @@ int32_t atpu_flac_qplan(const int32_t* blocks,   // [B, n, ch]
 // width k into little-endian uint32 lanes ([B, ch, W] with
 // W = ceil((n-1)*k/32) + 1, caller-zeroed) — same words as
 // ops/qpack.py pack().
+// packs one scratch row of k-bit tokens into little-endian uint32
+// lanes.  For the word-aligned grid widths (32 % k == 0: k = 4/8/16,
+// the common cases) this is an exact per-word OR chain with no
+// carried accumulator state — fully unrolled, no data-dependent
+// branches; other widths use a 64-bit accumulator drain.
+static void pack_row(const uint32_t* zz, int64_t m, int32_t k,
+                     uint32_t* out) {
+    if (k > 0 && 32 % k == 0) {
+        const int G = 32 / k;              // values per word
+        const int64_t full = m / G;
+        for (int64_t w = 0; w < full; w++) {
+            const uint32_t* v = zz + w * (int64_t)G;
+            uint32_t word = 0;
+            for (int g = 0; g < G; g++)
+                word |= v[g] << (g * k);
+            out[w] = word;
+        }
+        uint32_t word = 0;
+        for (int64_t i = full * G; i < m; i++)
+            word |= zz[i] << ((i - full * G) * k);
+        if (m > full * G)
+            out[full] = word;
+    } else {
+        uint64_t acc = 0;
+        int accbits = 0;
+        for (int64_t i = 0; i < m; i++) {
+            acc |= (uint64_t)zz[i] << accbits;
+            accbits += k;
+            if (accbits >= 32) {
+                *out++ = (uint32_t)acc;
+                acc >>= 32;
+                accbits -= 32;
+            }
+        }
+        if (accbits > 0)
+            *out = (uint32_t)acc;
+    }
+}
+
 void atpu_flac_qpack_bits(const int32_t* blocks,   // [B, n, ch]
                           int64_t B, int64_t n, int64_t ch,
                           const int32_t* t, int32_t k,
                           uint32_t* packed, int64_t W) {
+    // two passes per (block, channel): a quantize + zigzag-first-
+    // difference pass into a scratch row (AVX deinterleave for
+    // stereo; shift/sub/xor auto-vectorizes elsewhere), then the
+    // pack_row bit pack above.
+    static thread_local uint32_t* zz_all = nullptr;
+    static thread_local int64_t zz_cap = 0;
+    if (n * ch > zz_cap) {
+        delete[] zz_all;
+        zz_all = new uint32_t[n * ch];
+        zz_cap = n * ch;
+    }
     for (int64_t b = 0; b < B; b++) {
         const int32_t* blk = blocks + b * n * ch;
+#ifdef ATPU_AVX512
+        if (ch == 2) {
+            // both channels' quantized zigzag diffs in ONE pass over
+            // the interleaved PCM: two cross-register permutes
+            // deinterleave 16 pairs/step (the emitter's pattern), so
+            // the strided loads that kept the scalar loop serial
+            // become wide unit-stride ones
+            alignas(64) static const int32_t EVEN[16] = {
+                0, 2, 4, 6, 8, 10, 12, 14,
+                16, 18, 20, 22, 24, 26, 28, 30};
+            alignas(64) static const int32_t ODD[16] = {
+                1, 3, 5, 7, 9, 11, 13, 15,
+                17, 19, 21, 23, 25, 27, 29, 31};
+            const __m512i evp = _mm512_load_si512((const __m512i*)EVEN);
+            const __m512i odp = _mm512_load_si512((const __m512i*)ODD);
+            const __m128i sh0 = _mm_cvtsi64_si128(t[b * 2]);
+            const __m128i sh1 = _mm_cvtsi64_si128(t[b * 2 + 1]);
+            const int tt0 = t[b * 2], tt1 = t[b * 2 + 1];
+            uint32_t* z0 = zz_all;
+            uint32_t* z1 = zz_all + n;
+            int32_t p0 = blk[0] >> tt0;
+            int32_t p1 = blk[1] >> tt1;
+            int64_t i = 1;
+            for (; i + 16 <= n; i += 16) {
+                const __m512i a = _mm512_loadu_si512(
+                    (const __m512i*)(blk + i * 2));
+                const __m512i bb = _mm512_loadu_si512(
+                    (const __m512i*)(blk + i * 2 + 16));
+                const __m512i q0 = _mm512_sra_epi32(
+                    _mm512_permutex2var_epi32(a, evp, bb), sh0);
+                const __m512i q1 = _mm512_sra_epi32(
+                    _mm512_permutex2var_epi32(a, odp, bb), sh1);
+                // previous-quantized vector: lane j-1 of q, lane -1
+                // from the carried scalar
+                const __m512i pr0 = _mm512_alignr_epi32(
+                    q0, _mm512_set1_epi32(p0), 15);
+                const __m512i pr1 = _mm512_alignr_epi32(
+                    q1, _mm512_set1_epi32(p1), 15);
+                const __m512i d0 = _mm512_sub_epi32(q0, pr0);
+                const __m512i d1 = _mm512_sub_epi32(q1, pr1);
+                const __m512i u0 = _mm512_xor_si512(
+                    _mm512_slli_epi32(d0, 1), _mm512_srai_epi32(d0, 31));
+                const __m512i u1 = _mm512_xor_si512(
+                    _mm512_slli_epi32(d1, 1), _mm512_srai_epi32(d1, 31));
+                _mm512_storeu_si512((__m512i*)(z0 + i - 1), u0);
+                _mm512_storeu_si512((__m512i*)(z1 + i - 1), u1);
+                p0 = (int32_t)_mm_cvtsi128_si32(
+                    _mm512_castsi512_si128(_mm512_alignr_epi32(
+                        q0, q0, 15)));
+                p1 = (int32_t)_mm_cvtsi128_si32(
+                    _mm512_castsi512_si128(_mm512_alignr_epi32(
+                        q1, q1, 15)));
+            }
+            for (; i < n; i++) {
+                const int32_t xq0 = blk[i * 2] >> tt0;
+                const int32_t xq1 = blk[i * 2 + 1] >> tt1;
+                const int32_t d0 = xq0 - p0, d1 = xq1 - p1;
+                p0 = xq0; p1 = xq1;
+                z0[i - 1] = ((uint32_t)d0 << 1) ^ (uint32_t)(d0 >> 31);
+                z1[i - 1] = ((uint32_t)d1 << 1) ^ (uint32_t)(d1 >> 31);
+            }
+            for (int64_t c = 0; c < 2; c++) {
+                const uint32_t* zz = zz_all + c * n;
+                const int64_t m = n - 1;
+                uint32_t* out = packed + (b * 2 + c) * W;
+                pack_row(zz, m, k, out);
+            }
+            continue;
+        }
+#endif
         for (int64_t c = 0; c < ch; c++) {
             const int tt = t[b * ch + c];
-            uint32_t* out = packed + (b * ch + c) * W;
-            uint64_t acc = 0;
-            int accbits = 0;
-            int32_t prev = blk[c] >> tt;
+            const int32_t* src = blk + c;
+            uint32_t* zz = zz_all;
+            int32_t prev = src[0] >> tt;
             for (int64_t i = 1; i < n; i++) {
-                const int32_t xq = blk[i * ch + c] >> tt;
-                const int64_t d = (int64_t)xq - prev;
+                const int32_t xq = src[i * ch] >> tt;
+                const int32_t d = xq - prev;   // fits int32: k <= 31
                 prev = xq;
-                const uint64_t u = (uint64_t)((d << 1) ^ (d >> 63));
-                acc |= u << accbits;
-                accbits += k;
-                if (accbits >= 32) {
-                    *out++ = (uint32_t)acc;
-                    acc >>= 32;
-                    accbits -= 32;
-                }
+                zz[i - 1] = ((uint32_t)d << 1) ^ (uint32_t)(d >> 31);
             }
-            if (accbits > 0)
-                *out = (uint32_t)acc;
+            const int64_t m = n - 1;
+            uint32_t* out = packed + (b * ch + c) * W;
+            pack_row(zz, m, k, out);
         }
     }
 }

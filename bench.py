@@ -130,9 +130,10 @@ def main():
         run_encode(warm_bytes, backend)         # jit compile + caches
         signal.alarm(0)
         best = None
-        # best-of-N: tunnel weather swings +-20% between trials
+        # best-of-N: tunnel weather swings +-20% between trials (6
+        # trials sample it better; each costs ~1 s warm)
         for _trial in range(int(os.environ.get("ATPU_BENCH_TRIALS",
-                                               "4"))):
+                                               "6"))):
             (data, dt) = run_encode(arr_bytes, backend)
             if best is None or dt < best[1]:
                 best = (data, dt)
