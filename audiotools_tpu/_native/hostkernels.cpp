@@ -1419,6 +1419,116 @@ int32_t atpu_flac_qplan(const int32_t* blocks,   // [B, n, ch]
     for (int64_t b = 0; b < B; b++) {
         const int32_t* blk = blocks + b * n * ch;
 
+#ifdef ATPU_AVX512
+        // stereo fast path: ONE pass over the interleaved PCM does
+        // the deinterleave (cross-register permutes) AND the L/R/M/S
+        // OR-ne sideband — the loads are shared, and the reductions
+        // run 16-wide
+        if (stereo_trial && ch == 2 && n >= 32) {
+            alignas(64) static const int32_t EVEN[16] = {
+                0, 2, 4, 6, 8, 10, 12, 14,
+                16, 18, 20, 22, 24, 26, 28, 30};
+            alignas(64) static const int32_t ODD[16] = {
+                1, 3, 5, 7, 9, 11, 13, 15,
+                17, 19, 21, 23, 25, 27, 29, 31};
+            const __m512i evp =
+                _mm512_load_si512((const __m512i*)EVEN);
+            const __m512i odp =
+                _mm512_load_si512((const __m512i*)ODD);
+            const int32_t L0s = blk[0];
+            const int32_t R0s = blk[1];
+            const __m512i L0v = _mm512_set1_epi32(L0s);
+            const __m512i R0v = _mm512_set1_epi32(R0s);
+            const __m512i M0v = _mm512_set1_epi32((L0s + R0s) >> 1);
+            const __m512i S0v = _mm512_set1_epi32(L0s - R0s);
+            __m512i orL = _mm512_setzero_si512();
+            __m512i orR = orL, orM = orL, orS = orL;
+            __m512i neL = orL, neR = orL, neM = orL, neS = orL;
+            int32_t* dstL = chan_buf;
+            int32_t* dstR = chan_buf + n;
+            int64_t i = 0;
+            for (; i + 16 <= n; i += 16) {
+                const __m512i a = _mm512_loadu_si512(
+                    (const __m512i*)(blk + i * 2));
+                const __m512i bb = _mm512_loadu_si512(
+                    (const __m512i*)(blk + i * 2 + 16));
+                const __m512i L = _mm512_permutex2var_epi32(
+                    a, evp, bb);
+                const __m512i R = _mm512_permutex2var_epi32(
+                    a, odp, bb);
+                const __m512i M = _mm512_srai_epi32(
+                    _mm512_add_epi32(L, R), 1);
+                const __m512i S = _mm512_sub_epi32(L, R);
+                _mm512_storeu_si512((__m512i*)(dstL + i), L);
+                _mm512_storeu_si512((__m512i*)(dstR + i), R);
+                orL = _mm512_or_si512(orL, L);
+                orR = _mm512_or_si512(orR, R);
+                orM = _mm512_or_si512(orM, M);
+                orS = _mm512_or_si512(orS, S);
+                neL = _mm512_or_si512(neL, _mm512_xor_si512(L, L0v));
+                neR = _mm512_or_si512(neR, _mm512_xor_si512(R, R0v));
+                neM = _mm512_or_si512(neM, _mm512_xor_si512(M, M0v));
+                neS = _mm512_or_si512(neS, _mm512_xor_si512(S, S0v));
+            }
+            int32_t oL = (int32_t)_mm512_reduce_or_epi32(orL);
+            int32_t oR = (int32_t)_mm512_reduce_or_epi32(orR);
+            int32_t oM = (int32_t)_mm512_reduce_or_epi32(orM);
+            int32_t oS = (int32_t)_mm512_reduce_or_epi32(orS);
+            int32_t nL = (int32_t)_mm512_reduce_or_epi32(neL);
+            int32_t nR = (int32_t)_mm512_reduce_or_epi32(neR);
+            int32_t nM = (int32_t)_mm512_reduce_or_epi32(neM);
+            int32_t nS = (int32_t)_mm512_reduce_or_epi32(neS);
+            for (; i < n; i++) {
+                const int32_t L = blk[i * 2];
+                const int32_t R = blk[i * 2 + 1];
+                const int32_t M = (L + R) >> 1;
+                const int32_t S = L - R;
+                dstL[i] = L; dstR[i] = R;
+                oL |= L; oR |= R; oM |= M; oS |= S;
+                nL |= (L ^ L0s); nR |= (R ^ R0s);
+                nM |= (M ^ ((L0s + R0s) >> 1));
+                nS |= (S ^ (L0s - R0s));
+            }
+            or_out[b * V + 0] = oL; or_out[b * V + 1] = oR;
+            or_out[b * V + 2] = oM; or_out[b * V + 3] = oS;
+            const_out[b * V + 0] = (nL == 0);
+            const_out[b * V + 1] = (nR == 0);
+            const_out[b * V + 2] = (nM == 0);
+            const_out[b * V + 3] = (nS == 0);
+
+            if (md5_state != nullptr)
+                atpu_md5_update_pcm(md5_state, blk, n * 2, bps / 8, 1);
+
+            for (int64_t c = 0; c < 2; c++) {
+                const int32_t* xb = chan_buf + c * n;
+                x0_out[b * 2 + c] = xb[0];
+                int t = 0;
+                if (n > 2) {
+                    uint64_t sum2 = 0;
+                    for (int64_t j = 2; j < n; j++) {
+                        const int32_t d2 = xb[j] - 2 * xb[j - 1] +
+                                           xb[j - 2];
+                        sum2 += (uint32_t)(d2 < 0 ? -d2 : d2);
+                    }
+                    const uint64_t mean = sum2 / (uint64_t)(n - 2);
+                    t = bit_length_u64(mean) - 1 - guard;
+                    if (t < 0) t = 0;
+                    if (t > cap) t = cap;
+                }
+                t_out[b * 2 + c] = t;
+                uint32_t wid = 0;
+                int32_t prev = xb[0] >> t;
+                for (int64_t j = 1; j < n; j++) {
+                    const int32_t xq = xb[j] >> t;
+                    const int32_t d = xq - prev;
+                    prev = xq;
+                    wid |= ((uint32_t)d << 1) ^ (uint32_t)(d >> 31);
+                }
+                if ((uint64_t)wid > max_u) max_u = wid;
+            }
+            continue;
+        }
+#endif
         // deinterleave once (the only strided pass)
         for (int64_t c = 0; c < ch; c++) {
             int32_t* dst = chan_buf + c * n;
