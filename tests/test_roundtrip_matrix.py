@@ -26,22 +26,23 @@ def _formats():
     from audiotools_tpu.formats.shn import ShortenAudio
     from audiotools_tpu.formats.m4a import ALACAudio
     return {
-        "wav": (WaveAudio, (8, 16, 24), (1, 2, 4, 6)),
-        "aiff": (AiffAudio, (8, 16, 24), (1, 2, 4, 6)),
+        "wav": (WaveAudio, (8, 16, 24), (1, 2, 3, 4, 5, 6, 8)),
+        "aiff": (AiffAudio, (8, 16, 24), (1, 2, 3, 4, 5, 6, 8)),
         "au": (AuAudio, (8, 16, 24), (1, 2)),
-        "flac": (FlacAudio, (8, 16, 24), (1, 2, 4, 6)),
+        "flac": (FlacAudio, (8, 16, 24), (1, 2, 3, 4, 5, 6, 8)),
         "oggflac": (OggFlacAudio, (16,), (1, 2)),
-        "tta": (TrueAudio, (8, 16, 24), (1, 2, 4, 6)),
-        "wavpack": (WavPackAudio, (16, 24), (1, 2, 4, 6)),
+        "tta": (TrueAudio, (8, 16, 24), (1, 2, 3, 4, 5, 6, 8)),
+        "wavpack": (WavPackAudio, (8, 16, 24), (1, 2, 3, 4, 5, 6, 8)),
         "shn": (ShortenAudio, (8, 16), (1, 2)),
-        "alac": (ALACAudio, (16, 24), (1, 2, 4, 6)),
+        "alac": (ALACAudio, (16, 24), (1, 2, 3, 4, 5, 6, 8)),
     }
 
 
 def make_stream(channels, bits_per_sample, mask=None):
     lim = (1 << (bits_per_sample - 2)) - 1
     if mask is None:
-        mask = {1: 0x4, 2: 0x3, 4: 0x33, 6: 0x3F}[channels]
+        mask = {1: 0x4, 2: 0x3, 3: 0x7, 4: 0x33, 5: 0x37,
+                6: 0x3F, 8: 0x63F}[channels]
     specs = [(lim // (c + 1), 220 * (c + 1)) for c in range(channels)]
     return sines.Simple_Sine(N, SR, mask, bits_per_sample, *specs)
 
@@ -66,8 +67,17 @@ CASES = [(name, bps, ch)
 @pytest.mark.parametrize("name,bps,ch", CASES)
 def test_lossless_roundtrip(tmp_path, name, bps, ch):
     (cls, _bpss, _chs) = _formats()[name]
-    # ALAC constrains channel masks to its layout table
-    mask = 0x0107 if (name == "alac" and ch == 4) else None
+    mask = None
+    if name == "flac" and ch == 8:
+        # FLAC defines no 8-channel WAVE mask (reference flac.py:1781
+        # whitelist); >6 channels encode with an undefined mask, like
+        # the reference's from_pcm does for maskless readers
+        mask = 0
+    elif name == "alac" and ch == 4:
+        # ALAC constrains channel masks to its layout table
+        mask = 0x0107
+    elif name == "alac" and ch == 8:
+        mask = 0x00FF
     stream = make_stream(ch, bps, mask)
     reference = decode_all(make_stream(ch, bps, mask))
     path = str(tmp_path / ("t." + cls.SUFFIX))
