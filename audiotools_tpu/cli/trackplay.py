@@ -52,6 +52,39 @@ def main(argv=None):
         return 1
 
     player = Player(output)
+
+    # interactive urwid player (reference trackplay's TrackplayGUI
+    # over ui.PlayerGUI); falls back to the line-oriented loop when
+    # urwid or a tty is unavailable
+    from .. import ui
+    if ui.AVAILABLE and sys.stdout.isatty() and sys.stdin.isatty():
+        import urwid
+
+        def entries():
+            for track in tracks:
+                meta = track.get_metadata()
+                label = (meta.track_name if (meta is not None and
+                                             meta.track_name)
+                         else track.filename)
+                yield (label, track.seconds_length(), track)
+
+        gui = ui.PlayerGUI(player, list(entries()),
+                           sum(t.seconds_length() for t in tracks))
+        loop = urwid.MainLoop(gui, ui.urwid_style(),
+                              unhandled_input=lambda key:
+                              _gui_keys(gui, key))
+
+        def tick(loop_, _data):
+            gui.update_status()
+            loop_.set_alarm_in(0.25, tick)
+
+        loop.set_alarm_in(0.25, tick)
+        try:
+            loop.run()
+        finally:
+            player.close()
+        return 0
+
     try:
       while True:
         for track in tracks:
@@ -72,6 +105,22 @@ def main(argv=None):
     finally:
         player.close()
     return 0
+
+
+def _gui_keys(gui, key):
+    """global key bindings for the urwid player (reference
+    trackplay:195-213)"""
+    import urwid
+    if key in ("q", "Q", "esc"):
+        raise urwid.ExitMainLoop()
+    elif key == " ":
+        gui.play_pause()
+    elif key in ("n", "N"):
+        gui.next_track()
+    elif key in ("p", "P"):
+        gui.previous_track()
+    elif key in ("s", "S"):
+        gui.stop()
 
 
 if __name__ == "__main__":

@@ -460,3 +460,9 @@ LAB_COVER_LINE = _("%(index)d: %(type)s %(width)dx%(height)d "
                    "%(mime)s (%(size)d bytes)")
 LAB_BITRATE_LINE = _("%(bitrate)4.4s kbps: %(filename)s")
 LAB_PERCENTAGE_LINE = _("%(percent)3.3s%%: %(filename)s")
+
+# ---- player GUI (ui.PlayerGUI) ----------------------------------------------
+LAB_PLAY_BUTTON = _("Play")
+LAB_PAUSE_BUTTON = _("Pause")
+LAB_STOP_BUTTON = _("Stop")
+LAB_PLAY_TRACK = _("Track")

@@ -1094,6 +1094,124 @@ if AVAILABLE:
             return (cls, filename, quality,
                     list(self.metadata.populated_metadata())[0])
 
+    class PlayerGUI(urwid.Frame):
+        """interactive player frame (reference ui.py:2178): metadata
+        rows, a progress bar, play/pause + previous/next buttons and a
+        track list of radio buttons.
+
+        player is a Player-compatible object (open/play/
+        toggle_play_pause/stop/progress/state); tracks is a list of
+        (label, seconds, audiofile) tuples."""
+
+        def __init__(self, player, tracks, total_seconds):
+            from .text import (LAB_PLAY_BUTTON, LAB_PAUSE_BUTTON,
+                               LAB_STOP_BUTTON, LAB_PLAY_TRACK,
+                               METADATA_TRACK_NAME)
+            from .player import PLAYER_PLAYING
+
+            self._playing_state = PLAYER_PLAYING
+            self._play_label = LAB_PLAY_BUTTON
+            self._pause_label = LAB_PAUSE_BUTTON
+            self.player = player
+            self.tracks = list(tracks)
+            self.track_index = -1
+            self.track_name = urwid.Text("")
+            self.track_number = urwid.Text("")
+            self.progress = urwid.ProgressBar("pg normal",
+                                              "pg complete", 0, 100)
+            self.play_pause_button = urwid.Button(
+                LAB_PLAY_BUTTON, on_press=self.play_pause)
+            self.stop_button = urwid.Button(
+                LAB_STOP_BUTTON, on_press=self.stop)
+            previous_button = urwid.Button(
+                LAB_PREVIOUS_BUTTON, on_press=self.previous_track)
+            next_button = urwid.Button(
+                LAB_NEXT_BUTTON, on_press=self.next_track)
+
+            group = []
+            self.track_buttons = [
+                urwid.RadioButton(group, label, state=False,
+                                  on_state_change=self.select_track,
+                                  user_data=index)
+                for (index, (label, _seconds, _track))
+                in enumerate(self.tracks)]
+
+            header = urwid.Pile([
+                urwid.Columns([
+                    ("fixed", len(METADATA_TRACK_NAME) + 3,
+                     urwid.Text(("label",
+                                 "%s : " % (METADATA_TRACK_NAME,)),
+                                align="right")),
+                    ("weight", 1, self.track_name)]),
+                urwid.Columns([
+                    ("fixed", len(LAB_PLAY_TRACK) + 3,
+                     urwid.Text(("label", "%s : " % (LAB_PLAY_TRACK,)),
+                                align="right")),
+                    ("weight", 1, self.track_number)]),
+                self.progress,
+                urwid.Columns([previous_button,
+                               self.play_pause_button,
+                               self.stop_button,
+                               next_button])])
+            urwid.Frame.__init__(
+                self,
+                body=urwid.ListBox(
+                    urwid.SimpleFocusListWalker(self.track_buttons)),
+                header=header)
+
+        def select_track(self, _radio, selected, index):
+            if selected:
+                self._open_index(index)
+                self.player.play()
+
+        def _open_index(self, index):
+            (label, _seconds, track) = self.tracks[index]
+            self.track_index = index
+            self.track_name.set_text(label)
+            self.track_number.set_text(
+                "%d/%d" % (index + 1, len(self.tracks)))
+            self.player.open(track)
+
+        def play_pause(self, _button=None):
+            if self.track_index < 0:
+                self._open_index(0)
+                self.track_buttons[0].set_state(True,
+                                                do_callback=False)
+            self.player.toggle_play_pause()
+
+        def stop(self, _button=None):
+            self.player.stop()
+
+        def previous_track(self, _button=None):
+            if self.track_index > 0:
+                self.track_buttons[self.track_index - 1].set_state(
+                    True)
+
+        def next_track(self, _button=None):
+            if 0 <= self.track_index < len(self.tracks) - 1:
+                self.track_buttons[self.track_index + 1].set_state(
+                    True)
+            else:
+                self.player.stop()
+
+        def update_status(self):
+            """poll hook (run on a MainLoop alarm): progress bar +
+            play/pause button label + end-of-track auto-advance"""
+            (sent, total) = self.player.progress()
+            if total:
+                self.progress.set_completion(
+                    min(100 * sent // total, 100))
+            playing = (self.player.state() == self._playing_state)
+            label = (self._pause_label if playing
+                     else self._play_label)
+            try:
+                self.play_pause_button.set_label(label)
+            except AttributeError:
+                self.play_pause_button.label = label
+            if (total and sent >= total and self.track_index >= 0 and
+                    playing):
+                self.next_track()
+
     def urwid_style():
         """the shared palette (reference ui.py:2470)"""
         return [("label", "default,bold", "default"),

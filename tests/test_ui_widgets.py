@@ -318,3 +318,82 @@ def test_player_tty_progress_line():
     assert "2/9" in line
     assert "0:30" in line
     assert "1:00" in line
+
+
+class _FakePlayer:
+    """records command calls; a Player-compatible stand-in"""
+
+    def __init__(self):
+        self.calls = []
+        self._progress = (0, 100)
+        self._state = 0
+
+    def open(self, track):
+        self.calls.append(("open", track))
+
+    def play(self):
+        self.calls.append(("play", None))
+        self._state = 2
+
+    def toggle_play_pause(self):
+        self.calls.append(("toggle", None))
+        self._state = 2 if self._state != 2 else 1
+
+    def stop(self):
+        self.calls.append(("stop", None))
+        self._state = 0
+
+    def progress(self):
+        return self._progress
+
+    def state(self):
+        return self._state
+
+
+def _player_gui():
+    player = _FakePlayer()
+    tracks = [("one", 10, "t1"), ("two", 20, "t2"), ("three", 5, "t3")]
+    return (player, ui.PlayerGUI(player, tracks, 35))
+
+
+def test_player_gui_select_track_opens_and_plays():
+    (player, gui) = _player_gui()
+    gui.track_buttons[1].set_state(True)
+    assert ("open", "t2") in player.calls
+    assert ("play", None) in player.calls
+    assert gui.track_index == 1
+    assert gui.track_number.get_text()[0] == "2/3"
+
+
+def test_player_gui_play_pause_from_idle_opens_first():
+    (player, gui) = _player_gui()
+    gui.play_pause()
+    assert ("open", "t1") in player.calls
+    assert ("toggle", None) in player.calls
+    assert gui.track_index == 0
+
+
+def test_player_gui_next_previous_navigation():
+    (player, gui) = _player_gui()
+    gui.track_buttons[0].set_state(True)
+    gui.next_track()
+    assert gui.track_index == 1
+    gui.next_track()
+    assert gui.track_index == 2
+    gui.next_track()                      # past the end -> stop
+    assert ("stop", None) in player.calls
+    gui.previous_track()
+    assert gui.track_index == 1
+
+
+def test_player_gui_status_updates_progress_and_label():
+    (player, gui) = _player_gui()
+    gui.track_buttons[0].set_state(True)   # opens + plays
+    player._progress = (50, 100)
+    gui.update_status()
+    assert gui.progress.current == 50
+    assert gui.play_pause_button.label == "Pause"
+    # end of track auto-advances
+    player._progress = (100, 100)
+    gui.update_status()
+    assert gui.track_index == 1
