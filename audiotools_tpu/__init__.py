@@ -147,3 +147,64 @@ def calculate_replay_gain(tracks, progress=None):
     (reference __init__.py:2845)"""
     from .replaygain import calculate_replay_gain_values
     return calculate_replay_gain_values(tracks, progress)
+
+
+# ---- reference package-root API parity --------------------------------------
+# names the reference exports from ``audiotools`` directly
+# (reference __init__.py); kept importable from the package root so a
+# reference user finds them where they expect
+from .audiofile import (  # noqa: F401,E402
+    DummyAudioFile,
+    InvalidFilenameFormat,
+    UnsupportedTracknameField,
+    build_timestamp,
+    parse_timestamp,
+    read_sheet,
+)
+from .dispatch import (  # noqa: F401,E402
+    DuplicateFile,
+    DuplicateOutputFile,
+    OutputFileIsInput,
+    UnknownAudioType,
+    AmbiguousAudioType,
+    filename_to_type,
+)
+from .utils.messenger import (  # noqa: F401,E402
+    Messenger,
+    SilentMessenger,
+    ProgressDisplay,
+    SingleProgressDisplay,
+    ReplayGainProgressDisplay,
+    ProgressRow,
+    DummyOutput,
+    output_table,
+    output_table_row,
+    output_table_blank,
+    output_table_divider,
+    output_text,
+    output_list,
+    output_progress,
+)
+from .utils.helpers import (  # noqa: F401,E402
+    get_umask,
+    khz,
+    at_a_time,
+    iter_first,
+    iter_last,
+    most_numerous,
+    ignore_sigint,
+)
+from .pcmstream import stripped_pcm_cmp  # noqa: F401,E402
+from .sheets.cue import SheetException  # noqa: F401,E402
+from .meta.image import InvalidImage  # noqa: F401,E402
+from .cdio import CDTrackLog  # noqa: F401,E402
+from .services.lookup import accuraterip_sheet_lookup  # noqa: F401,E402
+from .replaygain import applicable_replay_gain  # noqa: F401,E402
+
+# the reference re-exports these stdlib names for its tools; kept as
+# thin aliases (the tools here use argparse natively)
+from optparse import (  # noqa: F401,E402
+    OptionParser,
+    OptionGroup,
+)
+from configparser import RawConfigParser  # noqa: F401,E402

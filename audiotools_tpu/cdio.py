@@ -393,3 +393,22 @@ class CDTrackReader:
 
     def close(self):
         self.closed = True
+
+
+class CDTrackLog(dict):
+    """CD-reading log counters keyed by paranoia callback code,
+    formatted like cdda2wav's summary line (reference
+    __init__.py:4979).  Image-backed reads never jitter, so image rips
+    log all zeroes — the structure exists for the drive backend."""
+
+    def __str__(self):
+        fields = {"edge": self.get(2, 0),
+                  "atom": self.get(3, 0),
+                  "skip": self.get(6, 0),
+                  "drift": self.get(7, 0),
+                  "drop": self.get(10, 0),
+                  "dup": self.get(11, 0),
+                  "rderr": self.get(12, 0)}
+        return ", ".join("%d %s" % (fields[name], name)
+                         for name in ("rderr", "skip", "atom", "edge",
+                                      "drop", "dup", "drift"))

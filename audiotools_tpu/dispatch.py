@@ -373,3 +373,48 @@ TYPE_MAP = {track_type.NAME: track_type
             if track_type.available()}
 
 DEFAULT_TYPE = "flac"
+
+
+class UnknownAudioType(Exception):
+    """raised by filename_to_type for an unrecognized suffix
+    (reference __init__.py:1815)"""
+
+    def __init__(self, suffix):
+        Exception.__init__(self, "unknown audio type %r" % (suffix,))
+        self.suffix = suffix
+
+    def error_msg(self, messenger):
+        from .text import ERR_UNSUPPORTED_AUDIO_TYPE
+        messenger.error(ERR_UNSUPPORTED_AUDIO_TYPE %
+                        {"type": self.suffix})
+
+
+class AmbiguousAudioType(UnknownAudioType):
+    """raised by filename_to_type when a suffix maps to several
+    audio types (reference __init__.py:1823)"""
+
+    def __init__(self, suffix, type_list):
+        Exception.__init__(
+            self, "ambiguous audio type %r" % (suffix,))
+        self.suffix = suffix
+        self.type_list = type_list
+
+
+def filename_to_type(path):
+    """returns the AudioFile class matching the path's suffix
+    (reference __init__.py:1834); raises UnknownAudioType or
+    AmbiguousAudioType"""
+    import os as os_mod
+
+    (_base, ext) = os_mod.path.splitext(path)
+    if len(ext) > 0:
+        ext = ext[1:]
+        suffix_map = {}
+        for audio_type in TYPE_MAP.values():
+            suffix_map.setdefault(audio_type.SUFFIX, []).append(
+                audio_type)
+        if ext in suffix_map:
+            if len(suffix_map[ext]) == 1:
+                return suffix_map[ext][0]
+            raise AmbiguousAudioType(ext, suffix_map[ext])
+    raise UnknownAudioType(ext)

@@ -781,3 +781,23 @@ def resampled_frame_count(initial_frame_count,
                            Decimal(initial_sample_rate))
         return int(new_frame_count.quantize(Decimal("1."),
                                             rounding=ROUND_DOWN))
+
+
+def stripped_pcm_cmp(pcmreader1, pcmreader2):
+    """returns True if the streams match after stripping leading and
+    trailing null bytes (reference __init__.py:2413 — the comparison
+    used when one tool pads streams with silence)"""
+    if ((pcmreader1.sample_rate != pcmreader2.sample_rate) or
+            (pcmreader1.channels != pcmreader2.channels) or
+            (pcmreader1.bits_per_sample != pcmreader2.bits_per_sample)):
+        return False
+
+    import io as io_mod
+    from hashlib import sha1
+
+    digests = []
+    for reader in (pcmreader1, pcmreader2):
+        data = io_mod.BytesIO()
+        transfer_framelist_data(reader, data.write)
+        digests.append(sha1(data.getvalue().strip(b"\x00")).digest())
+    return digests[0] == digests[1]

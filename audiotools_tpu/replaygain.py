@@ -286,3 +286,17 @@ def calculate_replay_gain_values(tracks, progress=None):
     (album_gain, album_peak) = rg.album_gain()
     for (track, gain, peak) in gains:
         yield (track, gain, peak, album_gain, album_peak)
+
+
+def applicable_replay_gain(tracks):
+    """returns True if ReplayGain can be applied to the AudioFiles
+    (reference __init__.py:2823): all tracks must share one supported
+    sample rate and a 1- or 2-channel layout"""
+    sample_rates = {track.sample_rate() for track in tracks}
+    if len(sample_rates) != 1 or sample_rates.pop() not in (
+            48000, 44100, 32000, 24000, 22050, 16000, 12000, 11025,
+            8000, 18900, 37800, 56000, 64000, 88200, 96000, 112000,
+            128000, 144000, 176400, 192000):
+        return False
+    channels = {track.channels() for track in tracks}
+    return len(channels) == 1 and channels.pop() in (1, 2)

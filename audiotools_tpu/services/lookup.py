@@ -217,3 +217,31 @@ def accuraterip_lookup(sorted_tracks,
         ARDiscID(track_numbers, track_offsets, lead_out_offset,
                  freedb_disc_id),
         accuraterip_server, accuraterip_port)
+
+
+def accuraterip_sheet_lookup(sheet, total_pcm_frames, sample_rate,
+                             accuraterip_server="www.accuraterip.com",
+                             accuraterip_port=80):
+    """AccurateRip lookup from a Sheet (reference __init__.py:5204):
+    the sheet's index offsets stand in for CD track offsets.
+
+    returns {track_number: [(confidence, crc, crc2), ...]}
+    (may be a dict of empty lists offline / when not found)"""
+    from .accuraterip import DiscID as ARDiscID
+    from .accuraterip import perform_lookup
+    from .freedb import DiscID as FreeDBDiscID
+
+    tracks = list(sheet.tracks())
+    track_numbers = [t.number() for t in tracks]
+    track_offsets = [max(int(i.offset() * 75) for i in t.indexes())
+                     for t in tracks]
+    lead_out_offset = (total_pcm_frames * 75) // sample_rate
+    freedb_disc_id = FreeDBDiscID(
+        offsets=[o + 150 for o in track_offsets],
+        total_length=(total_pcm_frames * 75) // sample_rate,
+        track_count=len(tracks))
+
+    return perform_lookup(
+        ARDiscID(track_numbers, track_offsets, lead_out_offset,
+                 freedb_disc_id),
+        accuraterip_server, accuraterip_port)

@@ -255,3 +255,203 @@ class SingleProgressDisplay(ProgressDisplay):
         if (now - self.last_updated) > 0.25:
             self.row.update(current, total)
             self.last_updated = now
+
+
+class DummyOutput:
+    """a writable FILE-like object which generates no output
+    (reference __init__.py:298)"""
+
+    def isatty(self):
+        return False
+
+    def write(self, s):
+        return
+
+    def flush(self):
+        return
+
+    def close(self):
+        return
+
+
+_ANSI_FG = {"black": 30, "red": 31, "green": 32, "yellow": 33,
+            "blue": 34, "magenta": 35, "cyan": 36, "white": 37}
+_ANSI_BG = {"black": 40, "red": 41, "green": 42, "yellow": 43,
+            "blue": 44, "magenta": 45, "cyan": 46, "white": 47}
+_ANSI_STYLE = {"bold": 1, "underline": 4, "blink": 5, "inverse": 7}
+
+
+class output_text:
+    """a display-formatted text unit (reference __init__.py:487):
+    knows its terminal display width (double-width CJK aware) and can
+    render itself with ANSI color/style codes when the target is a
+    tty"""
+
+    def __init__(self, string, fg_color=None, bg_color=None,
+                 style=None):
+        import unicodedata
+        self.__string__ = unicodedata.normalize("NFC", str(string))
+        self.__char_widths__ = tuple(
+            2 if unicodedata.east_asian_width(char) in ("W", "F")
+            else 1
+            for char in self.__string__)
+        self.set_format(fg_color, bg_color, style)
+
+    def __str__(self):
+        return self.__string__
+
+    def __repr__(self):
+        return "output_text(%r)" % (self.__string__,)
+
+    def __len__(self):
+        """the DISPLAY width in terminal cells, not the character
+        count (double-width characters count twice)"""
+        return sum(self.__char_widths__)
+
+    def set_format(self, fg_color=None, bg_color=None, style=None):
+        if fg_color is not None and fg_color not in _ANSI_FG:
+            raise ValueError("unsupported fg_color %r" % (fg_color,))
+        if bg_color is not None and bg_color not in _ANSI_BG:
+            raise ValueError("unsupported bg_color %r" % (bg_color,))
+        if style is not None and style not in _ANSI_STYLE:
+            raise ValueError("unsupported style %r" % (style,))
+        self.__fg_color__ = fg_color
+        self.__bg_color__ = bg_color
+        self.__style__ = style
+
+    def has_formatting(self):
+        return (self.__fg_color__ is not None or
+                self.__bg_color__ is not None or
+                self.__style__ is not None)
+
+    def __open_codes__(self):
+        codes = []
+        if self.__style__ is not None:
+            codes.append(_ANSI_STYLE[self.__style__])
+        if self.__fg_color__ is not None:
+            codes.append(_ANSI_FG[self.__fg_color__])
+        if self.__bg_color__ is not None:
+            codes.append(_ANSI_BG[self.__bg_color__])
+        return "\033[%sm" % (";".join(map(str, codes)),)
+
+    def format(self, is_tty=False):
+        """renders the text; ANSI codes only when is_tty and the
+        text has formatting"""
+        if is_tty and self.has_formatting():
+            return "%s%s\033[0m" % (self.__open_codes__(),
+                                    self.__string__)
+        return self.__string__
+
+    def head(self, display_characters):
+        """a new output_text truncated to at most the given display
+        width (whole characters only, so double-width characters may
+        leave it one cell short)"""
+        total = 0
+        chars = []
+        for (char, width) in zip(self.__string__,
+                                 self.__char_widths__):
+            if total + width > display_characters:
+                break
+            chars.append(char)
+            total += width
+        return output_text("".join(chars), self.__fg_color__,
+                           self.__bg_color__, self.__style__)
+
+    def tail(self, display_characters):
+        """a new output_text truncated (from the front) to at most
+        the given display width"""
+        total = 0
+        chars = []
+        for (char, width) in zip(reversed(self.__string__),
+                                 reversed(self.__char_widths__)):
+            if total + width > display_characters:
+                break
+            chars.append(char)
+            total += width
+        return output_text("".join(reversed(chars)),
+                           self.__fg_color__, self.__bg_color__,
+                           self.__style__)
+
+
+class output_list(output_text):
+    """multiple output_text units formatted together
+    (reference __init__.py:748)"""
+
+    def __init__(self, output_texts, fg_color=None, bg_color=None,
+                 style=None):
+        self.__output_texts__ = [
+            t if isinstance(t, output_text) else output_text(t)
+            for t in output_texts]
+        self.set_format(fg_color, bg_color, style)
+
+    def __str__(self):
+        return "".join(str(t) for t in self.__output_texts__)
+
+    def __repr__(self):
+        return "output_list(%r)" % (self.__output_texts__,)
+
+    def __len__(self):
+        return sum(len(t) for t in self.__output_texts__)
+
+    def format(self, is_tty=False):
+        if is_tty and self.has_formatting():
+            return "%s%s\033[0m" % (
+                self.__open_codes__(),
+                "".join(t.format(False)
+                        for t in self.__output_texts__))
+        return "".join(t.format(is_tty)
+                       for t in self.__output_texts__)
+
+
+def output_progress(s, current, total):
+    """returns "[current/total]  s" when total > 1, else s unchanged
+    (reference __init__.py:5252)"""
+    if total > 1:
+        return "[%*d/%d]  %s" % (len(str(total)), current, total, s)
+    return s
+
+
+class ReplayGainProgressDisplay(ProgressDisplay):
+    """ProgressDisplay specialized for ReplayGain passes
+    (reference __init__.py:1191): one auto-updating row on a tty, a
+    wait/done message pair otherwise"""
+
+    def __init__(self, messenger, lossless_replay_gain=True):
+        import sys as sys_mod
+        import time as time_mod
+        from ..text import (RG_ADDING_REPLAYGAIN,
+                            RG_APPLYING_REPLAYGAIN)
+
+        ProgressDisplay.__init__(self, messenger)
+        self.lossless_replay_gain = lossless_replay_gain
+        self.__time__ = time_mod
+        self.__last_updated__ = 0.0
+        self.__tty__ = sys_mod.stdout.isatty()
+        self.row = self.add_row(RG_ADDING_REPLAYGAIN
+                                if lossless_replay_gain
+                                else RG_APPLYING_REPLAYGAIN)
+
+    def initial_message(self):
+        if not self.__tty__:
+            from ..text import (RG_ADDING_REPLAYGAIN_WAIT,
+                                RG_APPLYING_REPLAYGAIN_WAIT)
+            self.messenger.info(RG_ADDING_REPLAYGAIN_WAIT
+                                if self.lossless_replay_gain
+                                else RG_APPLYING_REPLAYGAIN_WAIT)
+
+    def update(self, current, total):
+        if self.__tty__:
+            now = self.__time__.time()
+            if now - self.__last_updated__ >= 0.25:
+                self.row.update(current, total)
+                self.display_rows()
+                self.__last_updated__ = now
+
+    def final_message(self):
+        from ..text import (RG_REPLAYGAIN_ADDED,
+                            RG_REPLAYGAIN_APPLIED)
+        if self.__tty__:
+            self.clear_rows()
+        self.messenger.info(RG_REPLAYGAIN_ADDED
+                            if self.lossless_replay_gain
+                            else RG_REPLAYGAIN_APPLIED)
