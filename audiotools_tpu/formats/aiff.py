@@ -74,6 +74,38 @@ def parse_comm(reader_or_bytes):
             sample_rate, channel_mask)
 
 
+class AIFF_Chunk:
+    """one AIFF chunk: id + raw data (role of reference aiff.py's
+    AIFF_Chunk / AIFF_File_Chunk; big-endian sizes)"""
+
+    def __init__(self, chunk_id, chunk_data):
+        self.id = chunk_id
+        self.__data__ = chunk_data
+
+    def __repr__(self):
+        return "AIFF_Chunk(%r)" % (self.id,)
+
+    def size(self):
+        return len(self.__data__)
+
+    def total_size(self):
+        size = len(self.__data__)
+        return 8 + size + (size % 2)
+
+    def data(self):
+        return self.__data__
+
+    def verify(self):
+        return True
+
+    def write(self, f):
+        f.write(struct.pack(">4sI", self.id, len(self.__data__)))
+        f.write(self.__data__)
+        if len(self.__data__) % 2:
+            f.write(b"\x00")
+        return self.total_size()
+
+
 class AiffAudio(AiffContainer):
     """an Audio Interchange File Format file"""
 
@@ -243,6 +275,32 @@ class AiffAudio(AiffContainer):
                 pcmreader.close()
             except Exception:
                 pass
+
+    def chunks(self):
+        """yields AIFF_Chunk objects for every chunk in the file"""
+        with open(self.filename, "rb") as f:
+            for (chunk_id, chunk_size, offset) in self.__chunks__(f):
+                f.seek(offset, 0)
+                yield AIFF_Chunk(chunk_id, f.read(chunk_size))
+
+    @classmethod
+    def aiff_from_chunks(cls, filename, chunk_iter):
+        """builds a new AIFF file from an iterator of
+        AIFF_Chunk-compatible objects"""
+        try:
+            f = open(filename, "wb")
+        except IOError as err:
+            raise EncodingError(str(err))
+        try:
+            f.write(struct.pack(">4sI4s", b"FORM", 4, b"AIFF"))
+            total = 4
+            for chunk in chunk_iter:
+                total += chunk.write(f)
+            f.seek(4, 0)
+            f.write(struct.pack(">I", total))
+        finally:
+            f.close()
+        return cls(filename)
 
     def has_foreign_aiff_chunks(self):
         return set(self.__chunk_ids__) != {b"COMM", b"SSND"}

@@ -6,6 +6,8 @@ big-endian signed linear PCM behind a ``.snd`` header.
 
 from __future__ import annotations
 
+from .. import text
+
 import struct
 
 from .. import EncodingError, InvalidFile, UnsupportedBitsPerSample
@@ -136,6 +138,21 @@ class AuAudio(AudioFile):
                 pcmreader.close()
             except Exception:
                 pass
+
+    def pcm_split(self):
+        """returns the (header, footer) bytes pair around the PCM
+        data (reference au.py:180; Sun AU has no footer)"""
+        import struct as struct_mod
+        with open(self.filename, "rb") as f:
+            (magic, data_offset) = struct_mod.unpack(">4sI",
+                                                     f.read(8))
+            if magic != b".snd":
+                raise ValueError(text.ERR_AU_INVALID_HEADER
+                                 if hasattr(text, "ERR_AU_INVALID_HEADER")
+                                 else "invalid Sun AU header")
+            f.seek(0, 0)
+            header = f.read(data_offset)
+        return (header, b"")
 
     @classmethod
     def track_name(cls, file_path, track_metadata=None, format=None,

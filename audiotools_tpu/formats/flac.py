@@ -976,6 +976,23 @@ class FlacAudio(WaveContainer, AiffContainer):
             {1: 0x0004, 2: 0x0003, 3: 0x0007, 4: 0x0033,
              5: 0x0037, 6: 0x003F}.get(self.channels(), 0))
 
+    def metadata_length(self):
+        """returns the length of all FLAC metadata blocks in bytes,
+        not including the 4-byte "fLaC" header
+        (reference flac.py:1554)"""
+        with open(self.filename, "rb") as f:
+            f.seek(self.__stream_offset__ - 4, 0)
+            if f.read(4) != b"fLaC":
+                raise InvalidFLAC(text.ERR_FLAC_INVALID_FILE)
+            reader = BitstreamReader(f, False)
+            counter = 0
+            stop = 0
+            while stop == 0:
+                (stop, _block_id, length) = reader.parse("1u 7u 24u")
+                counter += 4 + length
+                reader.skip_bytes(length)
+            return counter
+
     def get_metadata(self):
         """returns a FlacMetaData object, or None"""
         with open(self.filename, "rb") as f:

@@ -75,6 +75,43 @@ def build_fmt(channels, sample_rate, bits_per_sample, channel_mask):
                 b"\x01\x00" + EXTENSIBLE_GUID)
 
 
+class RIFF_Chunk:
+    """one RIFF WAVE chunk: id + raw data
+    (role of reference wav.py:30 RIFF_Chunk / :86 RIFF_File_Chunk —
+    data is materialized eagerly, which the chunk sizes here permit)"""
+
+    def __init__(self, chunk_id, chunk_data):
+        self.id = chunk_id
+        self.__data__ = chunk_data
+
+    def __repr__(self):
+        return "RIFF_Chunk(%r)" % (self.id,)
+
+    def size(self):
+        """the chunk's data size in bytes, not counting the pad"""
+        return len(self.__data__)
+
+    def total_size(self):
+        """the chunk's total size including header and padding"""
+        size = len(self.__data__)
+        return 8 + size + (size % 2)
+
+    def data(self):
+        return self.__data__
+
+    def verify(self):
+        return True
+
+    def write(self, f):
+        """writes the full chunk (header, data, pad) to a stream;
+        returns the bytes written"""
+        f.write(struct.pack("<4sI", self.id, len(self.__data__)))
+        f.write(self.__data__)
+        if len(self.__data__) % 2:
+            f.write(b"\x00")
+        return self.total_size()
+
+
 class WaveReader(PCMReader):
     """a PCMReader for reading the data chunk of a wave file"""
 
@@ -257,6 +294,33 @@ class WaveAudio(WaveContainer):
                 pcmreader.close()
             except Exception:
                 pass
+
+    def chunks(self):
+        """yields RIFF_Chunk objects for every chunk in the file
+        (reference wav.py:839)"""
+        with open(self.filename, "rb") as f:
+            for (chunk_id, chunk_size, offset) in self.__chunks__(f):
+                f.seek(offset, 0)
+                yield RIFF_Chunk(chunk_id, f.read(chunk_size))
+
+    @classmethod
+    def wave_from_chunks(cls, filename, chunk_iter):
+        """builds a new RIFF WAVE file from an iterator of
+        RIFF_Chunk-compatible objects (reference wav.py:896)"""
+        try:
+            f = open(filename, "wb")
+        except IOError as err:
+            raise EncodingError(str(err))
+        try:
+            f.write(struct.pack("<4sI4s", b"RIFF", 4, b"WAVE"))
+            total = 4
+            for chunk in chunk_iter:
+                total += chunk.write(f)
+            f.seek(4, 0)
+            f.write(struct.pack("<I", total))
+        finally:
+            f.close()
+        return cls(filename)
 
     def has_foreign_wave_chunks(self):
         """returns True if the file has chunks other than fmt/data"""

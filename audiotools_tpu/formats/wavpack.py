@@ -174,6 +174,69 @@ class WavPackAudio(ApeTaggedAudio, WaveContainer):
             pos += csize + (csize % 2)
         return False
 
+    def blocks(self, reader=None):
+        """yields (block_data_size, BitstreamReader) pairs, one per
+        WavPack block (reference wavpack.py:248); reader defaults to
+        the start of this file"""
+        from ..bitstream import BitstreamReader
+
+        if reader is None:
+            f = open(self.filename, "rb")
+            reader = BitstreamReader(f, True)
+        try:
+            while True:
+                try:
+                    (wvpk, block_size) = reader.parse("4b 32u 192p")
+                except IOError:
+                    return
+                if wvpk != b"wvpk":
+                    return
+                yield (block_size - 24,
+                       reader.substream(block_size - 24))
+        finally:
+            pass
+
+    def sub_blocks(self, reader=None):
+        """yields (function, nondecoder, data_size, BitstreamReader)
+        per sub-block across all blocks (reference wavpack.py:280)"""
+        for (block_size, block_data) in self.blocks(reader):
+            while block_size > 0:
+                (function, nondecoder, size_1_less, large) = \
+                    block_data.parse("5u 1u 1u 1u")
+                if large:
+                    sub_size = block_data.read(24)
+                    block_size -= 4
+                else:
+                    sub_size = block_data.read(8)
+                    block_size -= 2
+                if size_1_less:
+                    yield (function, nondecoder, sub_size * 2 - 1,
+                           block_data.substream(sub_size * 2 - 1))
+                    block_data.skip(8)
+                else:
+                    yield (function, nondecoder, sub_size * 2,
+                           block_data.substream(sub_size * 2))
+                block_size -= sub_size * 2
+
+    def fmt_chunk(self, reader=None):
+        """returns the embedded RIFF fmt chunk as a BitstreamReader
+        (reference wavpack.py:507)"""
+        for (function, nondecoder, _size, data) in \
+                self.sub_blocks(reader):
+            if function == 1 and nondecoder:
+                (riff, wave) = data.parse("4b 32p 4b")
+                if riff != b"RIFF" or wave != b"WAVE":
+                    raise InvalidWavPack("invalid embedded RIFF")
+                while True:
+                    (chunk_id, chunk_size) = data.parse("4b 32u")
+                    if chunk_id == b"fmt ":
+                        return data.substream(chunk_size)
+                    elif chunk_id == b"data":
+                        raise InvalidWavPack("no fmt chunk stored")
+                    else:
+                        data.skip_bytes(chunk_size)
+        raise InvalidWavPack("no fmt chunk stored")
+
     def wave_header_footer(self):
         """returns the (header, footer) RIFF bytes stored in sub blocks"""
         from ..ref.wavpack import (Block_Header, _walk_sub_blocks,

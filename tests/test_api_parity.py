@@ -152,3 +152,74 @@ def test_dummy_output_interface():
     out.flush()
     assert not out.isatty()
     out.close()
+
+
+def test_format_level_parity(tmp_path):
+    """chunk/block-level public APIs on the container formats"""
+    import io
+    from audiotools_tpu import pcm
+    from audiotools_tpu.pcmstream import PCMReader
+    from audiotools_tpu.formats.wav import WaveAudio, RIFF_Chunk
+    from audiotools_tpu.formats.aiff import AiffAudio, AIFF_Chunk
+    from audiotools_tpu.formats.wavpack import WavPackAudio
+    from audiotools_tpu.formats.flac import FlacAudio
+    from audiotools_tpu.formats.au import AuAudio
+
+    arr = (np.arange(20000, dtype=np.int32) % 3001 - 1500).reshape(
+        -1, 2)
+
+    def reader():
+        raw = pcm.FrameList._wrap(arr, 16).to_bytes(False, True)
+        return PCMReader(io.BytesIO(raw), 44100, 2, 3, 16)
+
+    # WAV chunk round trip
+    w = WaveAudio.from_pcm(str(tmp_path / "a.wav"), reader())
+    chunks = list(w.chunks())
+    assert [c.id for c in chunks] == [b"fmt ", b"data"]
+    w2 = WaveAudio.wave_from_chunks(str(tmp_path / "b.wav"), chunks)
+    assert (open(w.filename, "rb").read() ==
+            open(w2.filename, "rb").read())
+
+    # AIFF chunk round trip
+    a = AiffAudio.from_pcm(str(tmp_path / "a.aiff"), reader())
+    chunks = list(a.chunks())
+    assert [c.id for c in chunks] == [b"COMM", b"SSND"]
+    a2 = AiffAudio.aiff_from_chunks(str(tmp_path / "b.aiff"), chunks)
+    assert (open(a.filename, "rb").read() ==
+            open(a2.filename, "rb").read())
+
+    # WavPack container introspection
+    v = WavPackAudio.from_pcm(str(tmp_path / "a.wv"), reader())
+    assert len(list(v.blocks())) >= 1
+    functions = {f for (f, _n, _s, _d) in v.sub_blocks()}
+    assert 1 in functions                  # embedded RIFF header
+    fmt = v.fmt_chunk()
+    from audiotools_tpu.formats.wav import parse_fmt
+    (ch, sr, bps, _mask) = parse_fmt(fmt.read_bytes(16))
+    assert (ch, sr, bps) == (2, 44100, 16)
+
+    # FLAC metadata_length
+    f = FlacAudio.from_pcm(str(tmp_path / "a.flac"), reader())
+    assert f.metadata_length() > 34        # STREAMINFO + padding
+
+    # AU pcm_split
+    au = AuAudio.from_pcm(str(tmp_path / "a.au"), reader())
+    (header, footer) = au.pcm_split()
+    assert header.startswith(b".snd") and footer == b""
+
+
+def test_mp3_frame_length_values():
+    from audiotools_tpu.formats.mp3 import MP3Audio
+
+    class _M(MP3Audio):
+        def __init__(self):
+            pass
+
+    m = _M()
+    # MPEG-1 layer III 128 kbps @ 44100 -> 417 (+1 with padding)
+    assert m.frame_length(3, 1, 9, 0, 0) == 417
+    assert m.frame_length(3, 1, 9, 0, 1) == 418
+    # MPEG-1 layer I 256 kbps @ 48000 -> 256 bytes
+    assert m.frame_length(3, 3, 8, 1, 0) == 256
+    with pytest.raises(ValueError):
+        m.frame_length(3, 1, 0, 0, 0)     # free-format bitrate
