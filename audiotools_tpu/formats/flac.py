@@ -556,6 +556,25 @@ class Flac_PICTURE(Image):
                 "height=%r)" % (self.picture_type, self.mime_type,
                                 self.width, self.height))
 
+    def clean(self):
+        """returns a (Flac_PICTURE, fixes) pair with the metadata
+        fields corrected from the actual image data
+        (reference flac.py Flac_PICTURE.clean)"""
+        from ..meta.image import image_metrics
+
+        img = image_metrics(self.data)
+        if ((self.mime_type != img.mime_type) or
+                (self.width != img.width) or
+                (self.height != img.height) or
+                (self.color_depth != img.bits_per_pixel) or
+                (self.color_count != img.color_count)):
+            return (Flac_PICTURE(self.picture_type, img.mime_type,
+                                 self.description, img.width,
+                                 img.height, img.bits_per_pixel,
+                                 img.color_count, self.data),
+                    [text.CLEAN_FIX_IMAGE_FIELDS])
+        return (self, [])
+
     @classmethod
     def parse(cls, reader):
         picture_type = reader.read(32)

@@ -440,6 +440,23 @@ class ID3v22Comment(MetaData):
         self.__dict__["frames"] = [f for f in self.frames
                                    if f.id != frame_id]
 
+    def keys(self):
+        """returns the distinct frame IDs present
+        (reference id3.py:1252 dict-style access)"""
+        seen = []
+        for frame in self.frames:
+            if frame.id not in seen:
+                seen.append(frame.id)
+        return seen
+
+    def values(self):
+        """returns the frame lists per distinct frame ID"""
+        return [self[key] for key in self.keys()]
+
+    def items(self):
+        """returns (frame_id, frame_list) pairs"""
+        return [(key, self[key]) for key in self.keys()]
+
     # ---- field access -------------------------------------------------
 
     def __getattr__(self, attr):
