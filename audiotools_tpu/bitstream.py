@@ -139,6 +139,14 @@ class _ByteSource:
     def seek(self, pos):
         self.file.seek(pos, 0)
 
+    def append(self, data):
+        """appends bytes to the END of the underlying stream
+        (in-memory sources only; used by substream_append)"""
+        pos = self.file.tell()
+        self.file.seek(0, 2)
+        self.file.write(data)
+        self.file.seek(pos, 0)
+
     def close(self):
         try:
             self.file.close()
@@ -355,6 +363,35 @@ class BitstreamReader:
         """returns a BitstreamReader over the next byte_count bytes"""
         return BitstreamReader(self.read_bytes(byte_count),
                                self.little_endian)
+
+    def substream_append(self, substream, byte_count):
+        """appends byte_count further bytes from this stream to the
+        given substream (reference mod_bitstream.h:273)"""
+        substream.source.append(self.read_bytes(byte_count))
+
+    def skip_unary(self, stop_bit):
+        """skips bits up to and including the next stop bit
+        (reference mod_bitstream.c:417)"""
+        self.unary(stop_bit)
+
+    def unread(self, bit):
+        """pushes one bit back into the stream
+        (reference mod_bitstream.h:208); it becomes the next bit
+        read.  Only whole-byte capacity exists, so unreading is
+        valid only when fewer than 8 bits of the current byte
+        remain (the same restriction as the reference)"""
+        if bit not in (0, 1):
+            raise ValueError("unread bit must be 0 or 1")
+        if self.state_bits >= 8:
+            raise IOError("maximum unread bits reached")
+        if self.little_endian:
+            # next LE read takes the low bit of state
+            self.state = (self.state << 1) | bit
+            self.state_bits += 1
+        else:
+            # next BE read takes bit (state_bits - 1); push above it
+            self.state |= bit << self.state_bits
+            self.state_bits += 1
 
     # --- callbacks -------------------------------------------------------
     def add_callback(self, callback):
@@ -679,6 +716,18 @@ class BitstreamRecorder(_WriterCore):
         self.state = 0
         self.state_bits = 0
         self._bits_written = 0
+
+    def split(self, target, remainder, byte_count):
+        """copies the first byte_count recorded bytes to target and
+        the rest to remainder (either may be None)
+        (reference mod_bitstream.h:757); returns byte_count"""
+        head = bytes(self._bytes[:byte_count])
+        tail = bytes(self._bytes[byte_count:])
+        if target is not None:
+            target.write_bytes(head)
+        if remainder is not None:
+            remainder.write_bytes(tail)
+        return len(head)
 
     def copy(self, writer):
         """writes our recorded data to another writer"""
