@@ -22,6 +22,9 @@ from . import pcm
 
 (PLAYER_STOPPED, PLAYER_PAUSED, PLAYER_PLAYING) = range(3)
 
+# ReplayGain application modes (reference player.py:22-24)
+(RG_NO_REPLAYGAIN, RG_TRACK_GAIN, RG_ALBUM_GAIN) = range(3)
+
 
 class AudioOutput:
     """the base class for playback sinks"""
@@ -56,6 +59,18 @@ class AudioOutput:
     def play(self, framelist):
         """plays a FrameList"""
         raise NotImplementedError()
+
+    def get_volume(self):
+        """returns the current volume as a float in [0.0, 1.0]
+
+        the base class keeps a software volume applied by scaling
+        samples in play() paths that honor it; hardware-mixer
+        backends override with the real control"""
+        return getattr(self, "_volume", 1.0)
+
+    def set_volume(self, volume):
+        """sets the current volume to a float in [0.0, 1.0]"""
+        self._volume = min(max(float(volume), 0.0), 1.0)
 
     def pause(self):
         pass
@@ -374,6 +389,35 @@ class Player:
     def current_output_description(self):
         return self.__output__.NAME
 
+    def current_output_name(self):
+        """returns the current output's NAME string
+        (reference player.py:141)"""
+        return self.__output__.NAME
+
+    def set_output(self, output):
+        """switches playback to another AudioOutput object
+        (reference player.py:85); stops current playback"""
+        self.__commands__.put(("set_output", output))
+
+    def set_replay_gain(self, replay_gain):
+        """sets the ReplayGain mode applied at the NEXT play():
+        RG_NO_REPLAYGAIN, RG_TRACK_GAIN or RG_ALBUM_GAIN
+        (reference player.py:76)"""
+        self.__commands__.put(("set_replay_gain", replay_gain))
+
+    def get_volume(self):
+        """returns the output's volume as a float in [0.0, 1.0]"""
+        return self.__output__.get_volume()
+
+    def set_volume(self, volume):
+        """sets the output's volume to a float in [0.0, 1.0]"""
+        self.__output__.set_volume(volume)
+
+    def change_volume(self, delta):
+        """adjusts the volume by delta; returns the new volume"""
+        self.set_volume(self.get_volume() + delta)
+        return self.get_volume()
+
     # ---- worker ----------------------------------------------------------
 
     def __handle__(self, command, payload):
@@ -386,12 +430,35 @@ class Player:
                 self.__frames_played__ = 0
                 self.__total_frames__ = payload.total_frames()
             self.__state__ = PLAYER_STOPPED
+        elif command == "set_output":
+            if self.__pcmreader__ is not None:
+                self.__pcmreader__.close()
+                self.__pcmreader__ = None
+            self.__state__ = PLAYER_STOPPED
+            self.__output__.close()
+            self.__output__ = payload
+        elif command == "set_replay_gain":
+            self.__replay_gain__ = payload
         elif command in ("play", "toggle") and \
                 self.__state__ != PLAYER_PLAYING:
             if self.__audiofile__ is None:
                 return
             if self.__pcmreader__ is None:
                 reader = self.__audiofile__.to_pcm()
+                rg_mode = getattr(self, "__replay_gain__",
+                                  RG_NO_REPLAYGAIN)
+                if rg_mode in (RG_TRACK_GAIN, RG_ALBUM_GAIN):
+                    gain = self.__audiofile__.replay_gain()
+                    if gain is not None:
+                        from .replaygain import ReplayGainReader
+                        if rg_mode == RG_TRACK_GAIN:
+                            reader = ReplayGainReader(
+                                reader, gain.track_gain,
+                                gain.track_peak)
+                        else:
+                            reader = ReplayGainReader(
+                                reader, gain.album_gain,
+                                gain.album_peak)
                 self.__pcmreader__ = ThreadedPCMReader(reader)
                 self.__output__.set_format(
                     reader.sample_rate, reader.channels,
@@ -444,6 +511,116 @@ class Player:
             self.__output__.play(framelist)
             with self.__lock__:
                 self.__frames_played__ += framelist.frames
+
+
+class AudioPlayer:
+    """the synchronous playback core (reference player.py:167): the
+    threaded Player drives the same operations through its command
+    queue; this class exposes them directly for callers that run
+    their own loop (output_audio() pumps one buffer at a time)."""
+
+    def __init__(self, audio_output, next_track_callback=lambda: None):
+        self.__state__ = PLAYER_STOPPED
+        self.__audio_output__ = audio_output
+        self.__next_track_callback__ = next_track_callback
+        self.__audiofile__ = None
+        self.__pcmreader__ = None
+        self.__buffer_size__ = 1
+        self.__replay_gain__ = RG_NO_REPLAYGAIN
+        self.__current_frames__ = 0
+        self.__total_frames__ = 1
+
+    def set_audiofile(self, audiofile):
+        """sets the AudioFile to play"""
+        self.__audiofile__ = audiofile
+
+    def set_replay_gain(self, replay_gain):
+        """RG_NO_REPLAYGAIN, RG_TRACK_GAIN or RG_ALBUM_GAIN; takes
+        effect at the next play()"""
+        self.__replay_gain__ = replay_gain
+
+    def state(self):
+        return self.__state__
+
+    def progress(self):
+        """returns (current frames, total frames)"""
+        return (self.__current_frames__, self.__total_frames__)
+
+    def stop(self):
+        if self.__state__ == PLAYER_STOPPED:
+            return
+        if self.__state__ == PLAYER_PAUSED:
+            self.__audio_output__.resume()
+        self.__state__ = PLAYER_STOPPED
+        if self.__pcmreader__ is not None:
+            self.__pcmreader__.close()
+            self.__pcmreader__ = None
+        self.__current_frames__ = 0
+        self.__total_frames__ = 1
+
+    def pause(self):
+        if self.__state__ == PLAYER_PLAYING:
+            self.__audio_output__.pause()
+            self.__state__ = PLAYER_PAUSED
+
+    def play(self):
+        from .pcmstream import BufferedPCMReader
+
+        if self.__state__ == PLAYER_PLAYING:
+            return
+        elif self.__state__ == PLAYER_PAUSED:
+            self.__audio_output__.resume()
+            self.__state__ = PLAYER_PLAYING
+        elif (self.__state__ == PLAYER_STOPPED and
+              self.__audiofile__ is not None):
+            pcmreader = self.__audiofile__.to_pcm()
+            if self.__replay_gain__ in (RG_TRACK_GAIN, RG_ALBUM_GAIN):
+                gain = self.__audiofile__.replay_gain()
+                if gain is not None:
+                    from .replaygain import ReplayGainReader
+                    if self.__replay_gain__ == RG_TRACK_GAIN:
+                        pcmreader = ReplayGainReader(
+                            pcmreader, gain.track_gain,
+                            gain.track_peak)
+                    else:
+                        pcmreader = ReplayGainReader(
+                            pcmreader, gain.album_gain,
+                            gain.album_peak)
+            self.__pcmreader__ = BufferedPCMReader(pcmreader)
+            self.__buffer_size__ = max(
+                int(round(0.25 * pcmreader.sample_rate)), 256)
+            if not self.__audio_output__.compatible(
+                    pcmreader.sample_rate, pcmreader.channels,
+                    int(pcmreader.channel_mask),
+                    pcmreader.bits_per_sample):
+                self.__audio_output__.set_format(
+                    pcmreader.sample_rate, pcmreader.channels,
+                    int(pcmreader.channel_mask),
+                    pcmreader.bits_per_sample)
+            self.__current_frames__ = 0
+            self.__total_frames__ = self.__audiofile__.total_frames()
+            self.__state__ = PLAYER_PLAYING
+
+    def output_audio(self):
+        """while playing, pumps one buffer of audio to the output;
+        calls next_track_callback and stops at end of stream"""
+        if self.__state__ == PLAYER_PLAYING:
+            framelist = self.__pcmreader__.read(self.__buffer_size__)
+            if framelist.frames > 0:
+                self.__current_frames__ += framelist.frames
+                self.__audio_output__.play(framelist)
+            else:
+                self.__next_track_callback__()
+                self.stop()
+
+    def run(self):
+        """a minimal synchronous loop: pumps audio until stopped"""
+        import time as time_mod
+        while self.__state__ != PLAYER_STOPPED:
+            if self.__state__ == PLAYER_PLAYING:
+                self.output_audio()
+            else:
+                time_mod.sleep(0.05)
 
 
 class CDPlayer(Player):

@@ -223,3 +223,52 @@ def test_mp3_frame_length_values():
     assert m.frame_length(3, 3, 8, 1, 0) == 256
     with pytest.raises(ValueError):
         m.frame_length(3, 1, 0, 0, 0)     # free-format bitrate
+
+
+def test_audioplayer_sync_core(tmp_path):
+    """the synchronous AudioPlayer plays a track to EOF through the
+    NULL output and fires the next-track callback"""
+    import io
+    from audiotools_tpu.player import (AudioPlayer, NULLAudioOutput,
+                                       PLAYER_STOPPED, PLAYER_PLAYING)
+    from audiotools_tpu.formats.wav import WaveAudio
+    from audiotools_tpu import pcm
+    from audiotools_tpu.pcmstream import PCMReader
+
+    arr = (np.arange(8820, dtype=np.int32) % 2001 - 1000).reshape(
+        -1, 2)
+    raw = pcm.FrameList._wrap(arr, 16).to_bytes(False, True)
+    w = WaveAudio.from_pcm(str(tmp_path / "a.wav"),
+                           PCMReader(io.BytesIO(raw), 44100, 2, 3, 16))
+    done = []
+    out = NULLAudioOutput()
+    out.realtime = False            # no pacing in tests
+    player = AudioPlayer(out, next_track_callback=lambda:
+                         done.append(1))
+    player.set_audiofile(w)
+    player.play()
+    assert player.state() == PLAYER_PLAYING
+    guard = 0
+    while player.state() == PLAYER_PLAYING and guard < 1000:
+        player.output_audio()
+        guard += 1
+    assert player.state() == PLAYER_STOPPED
+    assert done == [1]
+
+
+def test_player_volume_and_replay_gain_api():
+    from audiotools_tpu.player import (Player, NULLAudioOutput,
+                                       RG_TRACK_GAIN)
+
+    out = NULLAudioOutput()
+    out.realtime = False
+    player = Player(out)
+    try:
+        assert player.get_volume() == 1.0
+        assert abs(player.change_volume(-0.25) - 0.75) < 1e-9
+        player.set_volume(0.5)
+        assert player.get_volume() == 0.5
+        player.set_replay_gain(RG_TRACK_GAIN)   # accepted silently
+        assert player.current_output_name() == "NULL"
+    finally:
+        player.close()
