@@ -40,11 +40,15 @@ def default_type():
 
 
 def add_common_arguments(parser):
-    from ..text import HELP_VERBOSITY
+    from ..text import HELP_VERBOSITY, HELP_VERSION
+    from .. import VERSION
     parser.add_argument("-V", "--verbose", dest="verbosity",
                         default="normal",
                         choices=("normal", "quiet", "silent", "debug"),
                         help=HELP_VERBOSITY)
+    parser.add_argument("--version", action="version",
+                        version="Python Audio Tools (TPU) %s"
+                        % (VERSION,), help=HELP_VERSION)
 
 
 def output_filename(track, destination_dir, output_format, suffix,
@@ -54,3 +58,31 @@ def output_filename(track, destination_dir, output_format, suffix,
     basename = AudioFile.track_name(track.filename, metadata,
                                     output_format, suffix=suffix)
     return os.path.join(destination_dir, basename)
+
+
+def add_lookup_arguments(parser):
+    """adds the metadata-lookup option family shared by
+    track2track/trackcat/tracksplit/cd2track/dvda2track/tracktag
+    (reference internal_lookup_options)"""
+    from ..text import (HELP_METADATA_LOOKUP, HELP_USE_DEFAULT,
+                        HELP_INTERACTIVE)
+    parser.add_argument("-M", "--metadata-lookup",
+                        action="store_true", default=False,
+                        dest="metadata_lookup",
+                        help=HELP_METADATA_LOOKUP)
+    parser.add_argument("--musicbrainz-server",
+                        dest="musicbrainz_server",
+                        default="musicbrainz.org")
+    parser.add_argument("--musicbrainz-port", type=int,
+                        dest="musicbrainz_port", default=80)
+    parser.add_argument("--no-musicbrainz", dest="use_musicbrainz",
+                        action="store_false", default=True)
+    parser.add_argument("--freedb-server", dest="freedb_server",
+                        default="us.freedb.org")
+    parser.add_argument("--freedb-port", type=int,
+                        dest="freedb_port", default=80)
+    parser.add_argument("--no-freedb", dest="use_freedb",
+                        action="store_false", default=True)
+    parser.add_argument("-D", "--default", dest="use_default",
+                        action="store_true", default=False,
+                        help=HELP_USE_DEFAULT)

@@ -76,12 +76,32 @@ def main(argv=None):
                         dest="musicbrainz_server",
                         default="musicbrainz.org",
                         help=HELP_MUSICBRAINZ_SERVER)
+    parser.add_argument("--musicbrainz-port", type=int,
+                        dest="musicbrainz_port", default=80)
     parser.add_argument("--no-freedb", dest="use_freedb",
                         action="store_false", default=True,
                         help=HELP_NO_FREEDB)
     parser.add_argument("--freedb-server", dest="freedb_server",
                         default="us.freedb.org",
                         help=HELP_FREEDB_SERVER)
+    parser.add_argument("--freedb-port", type=int,
+                        dest="freedb_port", default=80)
+    parser.add_argument("-D", "--default", dest="use_default",
+                        action="store_true", default=False)
+    parser.add_argument("-M", "--metadata-lookup",
+                        action="store_true", default=True,
+                        dest="metadata_lookup")
+    parser.add_argument("-s", "--speed", dest="speed", type=int,
+                        default=None, help=text.HELP_SPEED
+                        if hasattr(text, "HELP_SPEED") else None)
+    parser.add_argument("--album-number", type=int,
+                        dest="album_number", default=None)
+    parser.add_argument("--album-total", type=int,
+                        dest="album_total", default=None)
+    parser.add_argument("--replay-gain", action="store_true",
+                        dest="add_replay_gain", default=False)
+    parser.add_argument("--no-replay-gain", action="store_false",
+                        dest="add_replay_gain")
     parser.add_argument("tracks", nargs="*", type=int,
                         help=text.HELP_CD_TRACKS)
 
@@ -106,6 +126,8 @@ def main(argv=None):
     except (IOError, ValueError) as err:
         msg.error(str(err))
         return 1
+    if options.speed is not None:
+        cdda.set_speed(options.speed)
 
     track_numbers = options.tracks or list(
         range(1, len(cdda) + 1))
@@ -125,10 +147,18 @@ def main(argv=None):
     choices = metadata_lookup(
         cdda,
         musicbrainz_server=options.musicbrainz_server,
+        musicbrainz_port=options.musicbrainz_port,
         freedb_server=options.freedb_server,
+        freedb_port=options.freedb_port,
         use_musicbrainz=options.use_musicbrainz,
         use_freedb=options.use_freedb)
-    disc_metadata = choices[0]
+    disc_metadata = choices[-1] if options.use_default else choices[0]
+    if options.album_number is not None:
+        for metadata in disc_metadata:
+            metadata.album_number = options.album_number
+    if options.album_total is not None:
+        for metadata in disc_metadata:
+            metadata.album_total = options.album_total
 
     # interactive mode: choose among service matches and edit the
     # winner in the MetaDataFiller swivel editor (reference
@@ -196,10 +226,17 @@ def main(argv=None):
     cdda.close()
 
     try:
-        queue.run(options.max_processes or MAX_JOBS())
+        results = queue.run(options.max_processes or MAX_JOBS())
     except (IOError, ValueError) as err:
         msg.error(str(err))
         return 1
+
+    if (options.add_replay_gain and
+            output_class.supports_replay_gain() and results):
+        msg.info(text.RG_ADDING_REPLAYGAIN_WAIT)
+        output_class.add_replay_gain(
+            [r for r in results if isinstance(r, str)])
+        msg.info(text.RG_REPLAYGAIN_ADDED)
     return 0
 
 

@@ -41,6 +41,8 @@ def main(argv=None):
     parser.add_argument("--other-image", action="append",
                         dest="other", default=[],
                         help=HELP_TAG_OTHER_IMAGE)
+    parser.add_argument("-r", "--replace", action="store_true",
+                        default=False, dest="replace")
     parser.add_argument("--remove-images", action="store_true",
                         default=False, help=HELP_TAG_REMOVE_IMAGES)
     parser.add_argument("filenames", nargs="+")
@@ -76,7 +78,7 @@ def main(argv=None):
         if metadata is None:
             from ..audiofile import MetaData
             metadata = MetaData()
-        if options.remove_images:
+        if options.remove_images or options.replace:
             for image in list(metadata.images()):
                 metadata.delete_image(image)
         for image in new_images:

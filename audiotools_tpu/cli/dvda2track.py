@@ -9,7 +9,7 @@ import argparse
 import os
 import sys
 
-from . import add_common_arguments
+from . import add_common_arguments, add_lookup_arguments
 from ..utils.messenger import Messenger
 from ..text import (DESC_DVDA2TRACK, HELP_AUDIO_TS,
                     HELP_DVDA_TITLE, HELP_TYPE, HELP_QUALITY,
@@ -34,6 +34,25 @@ def main(argv=None):
                         help=HELP_QUALITY)
     parser.add_argument("-d", "--dir", dest="dir", default=".",
                         help=HELP_DIR)
+    parser.add_argument("--format", dest="format", default=None)
+    # physical drive for CPPM key exchange (reference dvda2track -c;
+    # hardware-gated here like cppm.CPPMDecoder)
+    parser.add_argument("-c", "--cdrom", dest="cdrom", default=None)
+    parser.add_argument("--track-start", dest="track_start",
+                        type=int, default=1)
+    parser.add_argument("--track-total", dest="track_total",
+                        type=int, default=None)
+    parser.add_argument("--album-number", type=int,
+                        dest="album_number", default=None)
+    parser.add_argument("--album-total", type=int,
+                        dest="album_total", default=None)
+    parser.add_argument("--replay-gain", action="store_true",
+                        dest="add_replay_gain", default=False)
+    parser.add_argument("--no-replay-gain", action="store_false",
+                        dest="add_replay_gain")
+    parser.add_argument("-I", "--interactive", action="store_true",
+                        default=False, dest="interactive")
+    add_lookup_arguments(parser)
     parser.add_argument("tracks", nargs="*", type=int)
     options = parser.parse_args(argv)
     msg = Messenger("dvda2track", options)
@@ -67,21 +86,30 @@ def main(argv=None):
         return 1
 
     # tracks are consecutive PTS windows of the title's PCM stream
+    output_filenames = []
     position = 1
     for track in title.tracks:
         frames = track.total_frames()
         if position in track_numbers:
+            track_meta = MetaData(
+                track_number=(position + options.track_start - 1),
+                track_total=(options.track_total or len(title)))
+            if options.album_number is not None:
+                track_meta.album_number = options.album_number
+            if options.album_total is not None:
+                track_meta.album_total = options.album_total
             filename = os.path.join(
                 options.dir,
                 output_class.track_name(
                     file_path="track%2.2d" % (position,),
-                    track_metadata=MetaData(track_number=position,
-                                            track_total=len(title)),
-                    format=None))
+                    track_metadata=track_meta,
+                    format=options.format))
             try:
-                output_class.from_pcm(
+                new_track = output_class.from_pcm(
                     filename, LimitedPCMReader(reader, frames),
                     compression=options.quality or None)
+                new_track.set_metadata(track_meta)
+                output_filenames.append(filename)
             except (IOError, ValueError) as err:
                 msg.error(str(err))
                 return 1
@@ -94,6 +122,14 @@ def main(argv=None):
                     break
                 remaining -= fl.frames
         position += 1
+
+    if (options.add_replay_gain and
+            output_class.supports_replay_gain() and
+            output_filenames):
+        from .. import text as text_mod
+        msg.info(text_mod.RG_ADDING_REPLAYGAIN_WAIT)
+        output_class.add_replay_gain(output_filenames)
+        msg.info(text_mod.RG_REPLAYGAIN_ADDED)
     return 0
 
 

@@ -18,6 +18,7 @@ import sys
 from . import add_common_arguments
 from ..utils.messenger import Messenger
 from ..text import (DESC_TRACK2CD, HELP_CDROM, HELP_T2CD_IMAGE,
+                    HELP_T2CD_CUESHEET,
                     HELP_SPEED, ERR_1_FILE_REQUIRED,
                     LAB_T2CD_WROTE, ERR_T2CD_NO_BURNER_IMAGE)
 
@@ -33,6 +34,10 @@ def main(argv=None):
                         help=HELP_T2CD_IMAGE)
     parser.add_argument("-s", "--speed", dest="speed", type=int,
                         default=20, help=HELP_SPEED)
+    parser.add_argument("--cue", dest="cuesheet", default=None,
+                        help=HELP_T2CD_CUESHEET)
+    parser.add_argument("-j", "--joint", dest="max_processes",
+                        type=int, default=None)
     parser.add_argument("filenames", nargs="+")
     options = parser.parse_args(argv)
     msg = Messenger("track2cd", options)
@@ -46,28 +51,52 @@ def main(argv=None):
         msg.error(ERR_1_FILE_REQUIRED)
         return 1
 
+    # a single album image + --cue burns with the sheet's track
+    # boundaries (reference track2cd's cuesheet mode)
+    cuesheet = None
+    if options.cuesheet is not None:
+        from ..audiofile import read_sheet
+        from ..sheets.cue import SheetException
+        try:
+            cuesheet = read_sheet(options.cuesheet)
+        except (SheetException, IOError) as err:
+            msg.error(str(err))
+            return 1
+
     base = options.image or "track2cd_image"
     bin_path = base + ".bin"
     cue_path = base + ".cue"
 
-    # build the image: 44.1kHz/2ch/16-bit PCM, sector-padded tracks
+    # build the image: 44.1kHz/2ch/16-bit PCM, sector-padded tracks.
+    # With --cue and a single album image, the sheet's pcm_lengths
+    # carve the track boundaries instead of file boundaries.
+    def write_track(out, reader):
+        if ((reader.sample_rate != 44100) or
+                (reader.channels != 2) or
+                (reader.bits_per_sample != 16)):
+            reader = PCMConverter(reader, 44100, 2, 0x3, 16)
+        framelist = reader.read(65536)
+        while framelist.frames:
+            out.write(framelist.to_bytes(False, True))
+            framelist = reader.read(65536)
+        out.write(b"\x00" * ((-out.tell()) % 2352))
+
     offsets = []
     with open(bin_path, "wb") as out:
-        for track in tracks:
-            start = out.tell()
-            offsets.append(start // 2352)
-            reader = track.to_pcm()
-            if ((reader.sample_rate != 44100) or
-                    (reader.channels != 2) or
-                    (reader.bits_per_sample != 16)):
-                reader = PCMConverter(reader, 44100, 2, 0x3, 16)
-            framelist = reader.read(65536)
-            while framelist.frames:
-                out.write(framelist.to_bytes(False, True))
-                framelist = reader.read(65536)
-            reader.close()
-            pad = (-out.tell()) % 2352
-            out.write(b"\x00" * pad)
+        if cuesheet is not None and len(tracks) == 1:
+            from ..pcmstream import pcm_split
+            album = tracks[0]
+            lengths = list(cuesheet.pcm_lengths(
+                album.total_frames(), album.sample_rate()))
+            for sub_reader in pcm_split(album.to_pcm(), lengths):
+                offsets.append(out.tell() // 2352)
+                write_track(out, sub_reader)
+        else:
+            for track in tracks:
+                offsets.append(out.tell() // 2352)
+                reader = track.to_pcm()
+                write_track(out, reader)
+                reader.close()
 
     with open(cue_path, "w") as cue:
         cue.write('FILE "%s" BINARY\n' % (os.path.basename(bin_path),))

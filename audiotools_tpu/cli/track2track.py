@@ -13,7 +13,8 @@ import argparse
 import os
 import sys
 
-from . import audiofile_type, default_type, add_common_arguments
+from . import (audiofile_type, default_type,
+               add_common_arguments, add_lookup_arguments)
 from ..utils.messenger import Messenger, ProgressDisplay
 from ..utils.config import MAX_JOBS, FILENAME_FORMAT
 from ..parallel.queue import ExecProgressQueue, ExecQueueError
@@ -88,22 +89,7 @@ def main(argv=None):
     parser.add_argument("--no-replay-gain", action="store_false",
                         dest="add_replay_gain",
                         help=HELP_NO_REPLAY_GAIN)
-    parser.add_argument("-M", "--metadata-lookup",
-                        action="store_true", default=False,
-                        dest="metadata_lookup",
-                        help=HELP_METADATA_LOOKUP)
-    parser.add_argument("--no-musicbrainz", dest="use_musicbrainz",
-                        action="store_false", default=True)
-    parser.add_argument("--musicbrainz-server",
-                        dest="musicbrainz_server",
-                        default="musicbrainz.org")
-    parser.add_argument("--no-freedb", dest="use_freedb",
-                        action="store_false", default=True)
-    parser.add_argument("--freedb-server", dest="freedb_server",
-                        default="us.freedb.org")
-    parser.add_argument("-D", "--default", dest="use_default",
-                        action="store_true", default=False,
-                        help=HELP_USE_DEFAULT)
+    add_lookup_arguments(parser)
     parser.add_argument("--devices", type=int, default=None,
                         help=HELP_DEVICES)
     parser.add_argument("--sample-rate", type=int, default=None,
@@ -163,7 +149,9 @@ def main(argv=None):
         choices = track_metadata_lookup(
             audiofiles,
             musicbrainz_server=options.musicbrainz_server,
+            musicbrainz_port=options.musicbrainz_port,
             freedb_server=options.freedb_server,
+            freedb_port=options.freedb_port,
             use_musicbrainz=options.use_musicbrainz,
             use_freedb=options.use_freedb)
         chosen = choices[-1] if options.use_default else choices[0]

@@ -9,7 +9,8 @@ from __future__ import annotations
 import argparse
 import sys
 
-from . import audiofile_type, default_type, add_common_arguments
+from . import (audiofile_type, default_type,
+               add_common_arguments, add_lookup_arguments)
 from ..utils.messenger import Messenger, SingleProgressDisplay
 from ..text import (DESC_TRACKCAT, HELP_TYPE, HELP_QUALITY,
                     HELP_CAT_OUTPUT, HELP_CUESHEET,
@@ -28,6 +29,10 @@ def main(argv=None):
                         help=HELP_QUALITY)
     parser.add_argument("-o", "--output", dest="output",
                         required=True, help=HELP_CAT_OUTPUT)
+    parser.add_argument("-I", "--interactive",
+                        action="store_true", default=False,
+                        dest="interactive")
+    add_lookup_arguments(parser)
     parser.add_argument("--cue", dest="cuesheet", default=None,
                         help=HELP_CUESHEET)
     parser.add_argument("filenames", nargs="+")
@@ -82,6 +87,29 @@ def main(argv=None):
         except SheetException as err:
             msg.error(str(err))
             return 1
+
+    # album metadata for the combined image (reference trackcat -M:
+    # treat the inputs as one CD and keep the album-level fields of
+    # the chosen service entry)
+    if options.metadata_lookup:
+        from ..services.lookup import track_metadata_lookup
+        from ..audiofile import MetaData
+        choices = track_metadata_lookup(
+            audiofiles,
+            musicbrainz_server=options.musicbrainz_server,
+            musicbrainz_port=options.musicbrainz_port,
+            freedb_server=options.freedb_server,
+            freedb_port=options.freedb_port,
+            use_musicbrainz=options.use_musicbrainz,
+            use_freedb=options.use_freedb)
+        chosen = choices[-1] if options.use_default else choices[0]
+        if chosen:
+            first = chosen[0]
+            encoded.set_metadata(MetaData(
+                album_name=first.album_name,
+                artist_name=first.artist_name,
+                year=first.year,
+                track_total=len(chosen)))
 
     return 0
 

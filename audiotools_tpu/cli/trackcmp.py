@@ -58,6 +58,8 @@ def main(argv=None):
     add_common_arguments(parser)
     parser.add_argument("-j", "--joint", dest="max_processes",
                         type=int, default=None, help=HELP_JOINT)
+    parser.add_argument("-S", "--no-summary", action="store_true",
+                        dest="no_summary", default=False)
     parser.add_argument("filenames", nargs="+")
 
     options = parser.parse_args(argv)
@@ -95,6 +97,10 @@ def main(argv=None):
     except (ExecQueueError, IOError, ValueError) as err:
         msg.error(str(err))
         return 1
+
+    if not options.no_summary and results:
+        matches = sum(1 for r in results if r[2] is None)
+        msg.output("%d/%d OK" % (matches, len(results)))
 
     return 0 if all(r[2] is None for r in results) else 1
 

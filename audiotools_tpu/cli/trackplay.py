@@ -30,6 +30,15 @@ def main(argv=None):
                         default=False, help=HELP_PLAY_SHUFFLE)
     parser.add_argument("--repeat", action="store_true",
                         default=False, help=HELP_PLAY_REPEAT)
+    parser.add_argument("-I", "--interactive",
+                        action="store_true", default=False,
+                        dest="interactive")
+    parser.add_argument("-T", "--track-replaygain",
+                        action="store_true", default=False,
+                        dest="track_replaygain")
+    parser.add_argument("-A", "--album-replaygain",
+                        action="store_true", default=False,
+                        dest="album_replaygain")
     parser.add_argument("filenames", nargs="+")
     options = parser.parse_args(argv)
     msg = Messenger("trackplay", options)
@@ -52,12 +61,22 @@ def main(argv=None):
         return 1
 
     player = Player(output)
+    if options.track_replaygain or options.album_replaygain:
+        from ..player import RG_TRACK_GAIN, RG_ALBUM_GAIN
+        player.set_replay_gain(RG_TRACK_GAIN
+                               if options.track_replaygain
+                               else RG_ALBUM_GAIN)
 
     # interactive urwid player (reference trackplay's TrackplayGUI
     # over ui.PlayerGUI); falls back to the line-oriented loop when
     # urwid or a tty is unavailable
     from .. import ui
-    if ui.AVAILABLE and sys.stdout.isatty() and sys.stdin.isatty():
+    if options.interactive and not ui.AVAILABLE:
+        ui.not_available_message(msg)
+        return 1
+    if ui.AVAILABLE and (options.interactive or
+                         (sys.stdout.isatty() and
+                          sys.stdin.isatty())):
         import urwid
 
         def entries():

@@ -26,6 +26,8 @@ def main(argv=None):
     add_common_arguments(parser)
     parser.add_argument("--format", dest="format",
                         default=FILENAME_FORMAT, help=HELP_FORMAT)
+    parser.add_argument("-I", "--interactive", action="store_true",
+                        default=False, dest="interactive")
     parser.add_argument("filenames", nargs="+")
 
     options = parser.parse_args(argv)
@@ -52,6 +54,12 @@ def main(argv=None):
                     msg.error(ERR_TRACKRENAME_COLLISION %
                               {"source": new_path})
                     return 1
+                if options.interactive:
+                    # confirm each rename (reference trackrename -I)
+                    answer = input("%s -> %s ? [y/N] " %
+                                   (track.filename, new_path))
+                    if answer.strip().lower() not in ("y", "yes"):
+                        continue
                 os.rename(track.filename, new_path)
                 msg.output(LAB_TRACKRENAME_RENAMED %
                            {"source": track.filename,

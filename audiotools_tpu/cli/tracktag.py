@@ -11,7 +11,7 @@ from .. import text as text_err
 import argparse
 import sys
 
-from . import add_common_arguments
+from . import add_common_arguments, add_lookup_arguments
 from ..utils.messenger import Messenger
 from ..text import (DESC_TRACKTAG, HELP_TAG_NAME, HELP_TAG_ARTIST,
                     HELP_TAG_PERFORMER, HELP_TAG_COMPOSER,
@@ -24,6 +24,9 @@ from ..text import (DESC_TRACKTAG, HELP_TAG_NAME, HELP_TAG_ARTIST,
                     HELP_TAG_COMMENT, HELP_TAG_REMOVE,
                     HELP_TAG_REMOVE_IMAGES, HELP_TAG_FRONT_COVER,
                     HELP_REPLAY_GAIN, HELP_INTERACTIVE,
+                    HELP_TAG_COMMENT_FILE,
+                    ERR_TRACKTAG_COMMENT_IOERROR,
+                    ERR_TRACKTAG_COMMENT_NOT_UTF8,
                     ERR_1_FILE_REQUIRED, LAB_TRACKTAG_TAGGED)
 
 
@@ -69,6 +72,17 @@ def main(argv=None):
     parser.add_argument("--replay-gain", action="store_true",
                         dest="add_replay_gain", default=False,
                         help=HELP_REPLAY_GAIN)
+    parser.add_argument("-j", "--joint", dest="max_processes",
+                        type=int, default=None)
+    parser.add_argument("--comment-file", dest="comment_file",
+                        default=None, help=HELP_TAG_COMMENT_FILE)
+    # per-field removal switches (reference tracktag --remove-*):
+    # the flag name matches the setter flag's name
+    for (flag, field, _help) in FIELD_OPTIONS:
+        parser.add_argument("--remove-" + flag[2:],
+                            dest="remove_" + field,
+                            action="store_true", default=False)
+    add_lookup_arguments(parser)
     parser.add_argument("filenames", nargs="+")
 
     options = parser.parse_args(argv)
@@ -93,11 +107,53 @@ def main(argv=None):
             else:
                 updates[field] = value
 
+    removals = [field for (_flag, field, _help) in FIELD_OPTIONS
+                if getattr(options, "remove_" + field)]
+
+    if options.comment_file is not None:
+        try:
+            with open(options.comment_file, "rb") as f:
+                comment_bytes = f.read()
+        except IOError:
+            msg.error(ERR_TRACKTAG_COMMENT_IOERROR %
+                      {"filename": options.comment_file})
+            return 1
+        try:
+            updates["comment"] = comment_bytes.decode("utf-8")
+        except UnicodeDecodeError:
+            msg.error(ERR_TRACKTAG_COMMENT_NOT_UTF8 %
+                      {"filename": options.comment_file})
+            return 1
+
     audiofiles = open_files(options.filenames, sorted=False,
                             messenger=msg)
     if len(audiofiles) == 0:
         msg.error(ERR_1_FILE_REQUIRED)
         return 1
+
+    # album-wide metadata lookup pre-pass (reference tracktag -M):
+    # looked-up fields seed each track's metadata; explicit
+    # command-line fields still win
+    if options.metadata_lookup:
+        from ..services.lookup import track_metadata_lookup
+        from ..dispatch import sorted_tracks as _sort
+        choices = track_metadata_lookup(
+            audiofiles,
+            musicbrainz_server=options.musicbrainz_server,
+            musicbrainz_port=options.musicbrainz_port,
+            freedb_server=options.freedb_server,
+            freedb_port=options.freedb_port,
+            use_musicbrainz=options.use_musicbrainz,
+            use_freedb=options.use_freedb)
+        chosen = choices[-1] if options.use_default else choices[0]
+        for (track, looked_up) in zip(_sort(audiofiles), chosen):
+            existing = track.get_metadata()
+            if existing is not None:
+                for field in existing.FIELDS:
+                    if getattr(looked_up, field) is None:
+                        setattr(looked_up, field,
+                                getattr(existing, field))
+            track.set_metadata(looked_up)
 
     # interactive mode: edit every track's metadata through the
     # MetaDataFiller swivel editor (reference tracktag -I over
@@ -161,6 +217,8 @@ def main(argv=None):
                 metadata = track.get_metadata()
                 if metadata is None:
                     metadata = MetaData()
+                for field in removals:
+                    delattr(metadata, field)
                 for (field, value) in updates.items():
                     setattr(metadata, field, value)
 

@@ -71,14 +71,38 @@ def main(argv=None):
     parser.add_argument("--accuraterip", action="store_true",
                         default=False,
                         help=HELP_VERIFY_ACCURATERIP)
+    parser.add_argument("-t", "--type", action="append",
+                        dest="accept_list", default=None,
+                        metavar="type")
+    parser.add_argument("--cue", dest="cuesheet", default=None)
+    parser.add_argument("-S", "--no-summary", action="store_true",
+                        dest="no_summary", default=False)
     parser.add_argument("filenames", nargs="+")
 
     options = parser.parse_args(argv)
     msg = Messenger("trackverify", options)
 
+    # -t restricts verification to the named types (reference
+    # trackverify's accept_list)
+    filenames = options.filenames
+    if options.accept_list:
+        from ..dispatch import file_type, TYPE_MAP
+        accept = set(options.accept_list)
+        kept = []
+        for filename in filenames:
+            try:
+                with open(filename, "rb") as f:
+                    cls = file_type(f)
+            except IOError:
+                kept.append(filename)   # unreadable: reported below
+                continue
+            if cls is not None and cls.NAME in accept:
+                kept.append(filename)
+        filenames = kept
+
     progress_display = ProgressDisplay(msg)
     queue = ExecProgressQueue(progress_display)
-    for filename in options.filenames:
+    for filename in filenames:
         queue.execute(verify,
                       progress_text=filename,
                       completion_output=report,
@@ -121,6 +145,51 @@ def main(argv=None):
                 else:
                     msg.info(LAB_ACCURATERIP_NOT_FOUND %
                              {"filename": filename})
+
+    # cuesheet check (reference trackverify:397-430): the named (or
+    # embedded) cuesheet's track lengths must match the file
+    if options.cuesheet is not None and results:
+        from ..dispatch import open as open_track
+        from ..audiofile import read_sheet
+        from ..sheets.cue import SheetException
+        try:
+            sheet = read_sheet(options.cuesheet)
+            track = open_track(filenames[0])
+            lengths = list(sheet.pcm_lengths(track.total_frames(),
+                                             track.sample_rate()))
+            if sum(lengths) != track.total_frames() or                     any(length <= 0 for length in lengths):
+                msg.error("cuesheet does not match file length")
+                return 1
+        except (SheetException, IOError, ValueError) as err:
+            msg.error(str(err))
+            return 1
+
+    if not options.no_summary and results:
+        from ..utils.messenger import output_table
+        from ..dispatch import file_type as _ft
+        from ..text import LAB_TRACKVERIFY_RESULTS
+        msg.output(LAB_TRACKVERIFY_RESULTS)
+        msg.output("")
+        by_format = {}
+        for (filename, status, _checksums) in results:
+            suffix = filename.rsplit(".", 1)[-1].lower()
+            (ok, bad) = by_format.get(suffix, (0, 0))
+            if status == "OK":
+                by_format[suffix] = (ok + 1, bad)
+            else:
+                by_format[suffix] = (ok, bad + 1)
+        table = output_table()
+        row = table.row()
+        for heading in ["format ", "success ", "failure"]:
+            row.add_column(heading)
+        for suffix in sorted(by_format):
+            (ok, bad) = by_format[suffix]
+            row = table.row()
+            row.add_column(suffix + " ")
+            row.add_column("%d " % (ok,))
+            row.add_column("%d" % (bad,))
+        for line in table.format():
+            msg.output(line)
 
     return 0 if all(r[1] == "OK" for r in results) else 1
 

@@ -98,7 +98,8 @@ def parse_musicbrainz_xml(xml_text, track_count):
 
 
 def metadata_lookup(cdda, musicbrainz_server="musicbrainz.org",
-                    freedb_server="us.freedb.org",
+                    musicbrainz_port=80,
+                    freedb_server="us.freedb.org", freedb_port=80,
                     use_musicbrainz=True, use_freedb=True):
     """generates MetaData choices for a CDDA disc
     (reference __init__.py:5039): returns metadata[choice][track]
@@ -110,14 +111,16 @@ def metadata_lookup(cdda, musicbrainz_server="musicbrainz.org",
         from . import musicbrainz
         response = musicbrainz.perform_lookup(
             musicbrainz.disc_id(cdda),
-            musicbrainz_server=musicbrainz_server)
+            musicbrainz_server=musicbrainz_server,
+            musicbrainz_port=musicbrainz_port)
         if response:
             choices.extend(parse_musicbrainz_xml(response,
                                                  track_count))
     if use_freedb:
         from . import freedb
         response = freedb.perform_lookup(
-            freedb.disc_id(cdda), freedb_server=freedb_server)
+            freedb.disc_id(cdda), freedb_server=freedb_server,
+            freedb_port=freedb_port)
         if response:
             parsed = parse_xmcd(response, track_count)
             if parsed is not None:
@@ -132,7 +135,9 @@ def metadata_lookup(cdda, musicbrainz_server="musicbrainz.org",
 
 def track_metadata_lookup(audiofiles,
                           musicbrainz_server="musicbrainz.org",
+                          musicbrainz_port=80,
                           freedb_server="us.freedb.org",
+                          freedb_port=80,
                           use_musicbrainz=True, use_freedb=True):
     """treats a list of AudioFile objects as a single CD and
     generates MetaData choices from the lookup services
@@ -158,7 +163,8 @@ def track_metadata_lookup(audiofiles,
                          last_track_number=track_count,
                          lead_out_offset=lead_out_offset,
                          offsets=offsets),
-                musicbrainz_server=musicbrainz_server)
+                musicbrainz_server=musicbrainz_server,
+                musicbrainz_port=musicbrainz_port)
             if response:
                 choices.extend(parse_musicbrainz_xml(response,
                                                      track_count))
@@ -168,7 +174,61 @@ def track_metadata_lookup(audiofiles,
                 FreeDBDiscID(offsets=offsets,
                              total_length=sum(track_frames) - 1,
                              track_count=track_count),
-                freedb_server=freedb_server)
+                freedb_server=freedb_server,
+                freedb_port=freedb_port)
+            if response:
+                parsed = parse_xmcd(response, track_count)
+                if parsed is not None:
+                    choices.append(parsed)
+
+    choices.append([MetaData(track_number=i + 1,
+                             track_total=track_count)
+                    for i in range(track_count)])
+    return choices
+
+
+def sheet_metadata_lookup(sheet, total_pcm_frames, sample_rate,
+                          musicbrainz_server="musicbrainz.org",
+                          musicbrainz_port=80,
+                          freedb_server="us.freedb.org",
+                          freedb_port=80,
+                          use_musicbrainz=True, use_freedb=True):
+    """generates MetaData choices for an album image + cuesheet
+    (role of the reference tracksplit's metadata_lookup call,
+    tracksplit:259: the sheet's track layout is the disc geometry);
+    returns metadata[choice][track] ending with a blank default"""
+    from .freedb import DiscID as FreeDBDiscID
+    from .musicbrainz import DiscID as MBDiscID
+
+    tracks = list(sheet.tracks())
+    track_count = len(tracks)
+    total_cd_frames = (total_pcm_frames * 75) // sample_rate
+    offsets = [150 + int(max(i.offset() for i in t.indexes()) * 75)
+               for t in tracks]
+    lead_out_offset = 150 + total_cd_frames
+
+    choices = []
+    if track_count:
+        if use_musicbrainz:
+            from . import musicbrainz
+            response = musicbrainz.perform_lookup(
+                MBDiscID(first_track_number=1,
+                         last_track_number=track_count,
+                         lead_out_offset=lead_out_offset,
+                         offsets=offsets),
+                musicbrainz_server=musicbrainz_server,
+                musicbrainz_port=musicbrainz_port)
+            if response:
+                choices.extend(parse_musicbrainz_xml(response,
+                                                     track_count))
+        if use_freedb:
+            from . import freedb
+            response = freedb.perform_lookup(
+                FreeDBDiscID(offsets=offsets,
+                             total_length=total_cd_frames - 1,
+                             track_count=track_count),
+                freedb_server=freedb_server,
+                freedb_port=freedb_port)
             if response:
                 parsed = parse_xmcd(response, track_count)
                 if parsed is not None:
