@@ -79,9 +79,16 @@ def config1_flac_decode():
                      max_residual_partition_order=6, mid_side=True,
                      exhaustive_model_search=True, backend="numpy")
     data = buf.getvalue()
-    t0 = time.perf_counter()
-    got = drain(FastFlacDecoder(io.BytesIO(data)))
-    dt = time.perf_counter() - t0
+    # steady-state methodology (same as configs 2/5): one warm pass,
+    # then best-of-3 — the 1-core box's scheduler noise swings single
+    # host-CPU passes by ~15%
+    drain(FastFlacDecoder(io.BytesIO(data)))
+    dt = None
+    for _trial in range(3):
+        t0 = time.perf_counter()
+        got = drain(FastFlacDecoder(io.BytesIO(data)))
+        trial_dt = time.perf_counter() - t0
+        dt = trial_dt if dt is None else min(dt, trial_dt)
     ok = np.array_equal(got, arr)
     emit(1, "flac_decode_realtime_x",
          (arr.shape[0] / SR) / dt if ok else 0.0, "x",
