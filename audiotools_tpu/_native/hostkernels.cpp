@@ -2071,6 +2071,55 @@ static void resample_fir_t(const double* hist,
     }
 }
 
+#ifdef ATPU_AVX512
+// stereo FIR: interleaved [L,R]x4 lanes with pairwise-duplicated
+// coefficients (one permute + FMA covers 4 taps x 2 channels).
+// Summation order differs from the scalar path's 8-chain grouping —
+// like the NumPy fallback, which already sums tap-at-a-time; the
+// resampler's contract is filter quality (SNR/band tests), not
+// bit-reproducible f64 rounding across backends.
+static void resample_fir_stereo_avx(const double* hist,
+                                    const int64_t* starts,
+                                    const int32_t* q,
+                                    const double* bank,
+                                    int taps,
+                                    int64_t m_count,
+                                    double* out) {
+    alignas(64) static const int64_t DUP[8] = {0, 0, 1, 1, 2, 2, 3, 3};
+    const __m512i dup = _mm512_load_si512((const __m512i*)DUP);
+    for (int64_t m = 0; m < m_count; m++) {
+        const double* h = hist + starts[m] * 2;
+        const double* b = bank + (int64_t)q[m] * taps;
+        __m512d acc0 = _mm512_setzero_pd();
+        __m512d acc1 = _mm512_setzero_pd();
+        int t = 0;
+        for (; t + 8 <= taps; t += 8) {
+            const __m512d b0 = _mm512_permutexvar_pd(
+                dup, _mm512_castpd256_pd512(
+                    _mm256_loadu_pd(b + t)));
+            const __m512d b1 = _mm512_permutexvar_pd(
+                dup, _mm512_castpd256_pd512(
+                    _mm256_loadu_pd(b + t + 4)));
+            acc0 = _mm512_fmadd_pd(
+                b0, _mm512_loadu_pd(h + t * 2), acc0);
+            acc1 = _mm512_fmadd_pd(
+                b1, _mm512_loadu_pd(h + t * 2 + 8), acc1);
+        }
+        const __m512d acc = _mm512_add_pd(acc0, acc1);
+        alignas(64) double lanes[8];
+        _mm512_store_pd(lanes, acc);
+        double L = ((lanes[0] + lanes[2]) + (lanes[4] + lanes[6]));
+        double R = ((lanes[1] + lanes[3]) + (lanes[5] + lanes[7]));
+        for (; t < taps; t++) {
+            L += b[t] * h[t * 2];
+            R += b[t] * h[t * 2 + 1];
+        }
+        out[m * 2] = L;
+        out[m * 2 + 1] = R;
+    }
+}
+#endif  // ATPU_AVX512
+
 }  // namespace
 
 extern "C" void atpu_resample_fir(const double* hist,
@@ -2083,6 +2132,13 @@ extern "C" void atpu_resample_fir(const double* hist,
                                   int64_t m_count,
                                   double* out) {
     (void)hist_len;
+#ifdef ATPU_AVX512
+    if (channels == 2 && taps >= 8) {
+        resample_fir_stereo_avx(hist, starts, q, bank, taps, m_count,
+                                out);
+        return;
+    }
+#endif
     switch (channels) {
     case 1: resample_fir_t<1>(hist, starts, q, bank, taps, m_count,
                               out); return;
