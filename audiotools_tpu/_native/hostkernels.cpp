@@ -4894,6 +4894,88 @@ int32_t atpu_wv_correlate(int64_t* ch0,
                           int64_t* corr1) {
     using namespace wv;
     if (term >= 1 || term == 17 || term == 18) {
+        // two-channel 17/18: the per-channel recurrences are
+        // independent — interleave them so the out-of-order core
+        // overlaps the two weight-adaptation chains (the same
+        // treatment as atpu_wv_decorrelate's decode side)
+        if (channel_count == 2 && (term == 17 || term == 18)) {
+            int64_t wA = weights[0], wB = weights[1];
+            int64_t a2 = corr0[1], a1 = corr0[0];
+            int64_t b2 = corr1[1], b1 = corr1[0];
+            int64_t lastA = 0, prevA = 0, lastB = 0, prevB = 0;
+            for (int64_t i = 0; i < n; i++) {
+                const int64_t tA = (term == 18)
+                    ? ((3 * a1 - a2) >> 1) : (2 * a1 - a2);
+                const int64_t tB = (term == 18)
+                    ? ((3 * b1 - b2) >> 1) : (2 * b1 - b2);
+                const int64_t xA = ch0[i];
+                const int64_t xB = ch1[i];
+                const int64_t cA = xA - apply_weight(wA, tA);
+                const int64_t cB = xB - apply_weight(wB, tB);
+                wA += update_weight(tA, cA, delta);
+                wB += update_weight(tB, cB, delta);
+                a2 = a1; a1 = xA; ch0[i] = cA;
+                b2 = b1; b1 = xB; ch1[i] = cB;
+                prevA = lastA; lastA = cA;
+                prevB = lastB; lastB = cB;
+            }
+            if (n >= 2) {
+                corr0[0] = lastA; corr0[1] = prevA;
+                corr1[0] = lastB; corr1[1] = prevB;
+            } else if (n == 1) {
+                corr0[1] = corr0[0]; corr0[0] = lastA;
+                corr1[1] = corr1[0]; corr1[0] = lastB;
+            }
+            weights[0] = wA;
+            weights[1] = wB;
+            return 0;
+        }
+        if (channel_count == 2 && term >= 1 && term <= 8) {
+            // interleaved ring for terms 1..8, mirroring the decode
+            // side's shared two-slot ring
+            static thread_local int64_t* ring2 = nullptr;
+            static thread_local int64_t ring2_cap = 0;
+            if (term > ring2_cap) {
+                delete[] ring2;
+                ring2 = new int64_t[term * 2];
+                ring2_cap = term;
+            }
+            for (int j = 0; j < term; j++) {
+                ring2[j * 2] = corr0[j];
+                ring2[j * 2 + 1] = corr1[j];
+            }
+            int64_t wA = weights[0], wB = weights[1];
+            int rpos = 0;
+            for (int64_t i = 0; i < n; i++) {
+                const int64_t sA = ring2[rpos * 2];
+                const int64_t sB = ring2[rpos * 2 + 1];
+                const int64_t xA = ch0[i];
+                const int64_t xB = ch1[i];
+                const int64_t cA = xA - apply_weight(wA, sA);
+                const int64_t cB = xB - apply_weight(wB, sB);
+                ring2[rpos * 2] = xA;
+                ring2[rpos * 2 + 1] = xB;
+                ch0[i] = cA;
+                ch1[i] = cB;
+                rpos += 1;
+                if (rpos == term) rpos = 0;
+                wA += update_weight(sA, cA, delta);
+                wB += update_weight(sB, cB, delta);
+            }
+            for (int j = 0; j < term; j++) {
+                const int64_t idx = n - term + j;
+                if (idx >= 0) {
+                    corr0[j] = ch0[idx];
+                    corr1[j] = ch1[idx];
+                } else {
+                    corr0[j] = corr0[(term + idx) % term];
+                    corr1[j] = corr1[(term + idx) % term];
+                }
+            }
+            weights[0] = wA;
+            weights[1] = wB;
+            return 0;
+        }
         for (int c = 0; c < channel_count; c++) {
             int64_t* s = (c == 0) ? ch0 : ch1;
             int64_t* hist = (c == 0) ? corr0 : corr1;
