@@ -54,6 +54,17 @@ from . import lpc as lpc_ops
 PACKED_SCALARS = 6
 
 
+def _scope(xp, name):
+    """jax.named_scope(name) for the jax backend (stage names appear
+    in XLA profiles / HLO dumps, SURVEY.md par.5's tracing hook); a
+    null context for the NumPy oracle backend"""
+    if xp is np:
+        import contextlib
+        return contextlib.nullcontext()
+    import jax
+    return jax.named_scope(name)
+
+
 def packed_width(max_lpc_order, max_parts):
     """per-subframe width of the packed decision layout"""
     return PACKED_SCALARS + max(max_lpc_order, 1) + max_parts
@@ -297,18 +308,22 @@ def analyze_subframes(xp, X, bps, n, max_lpc_order, qlp_precision,
     # ---- LPC analysis --------------------------------------------------
     use_lpc = K > 0 and n > K + 1
     if use_lpc:
-        autocorr = lpc_ops.windowed_autocorr(
-            xp, Xs, window, K)                             # [S, K+1] f64
+        with _scope(xp, "flac.autocorr"):
+            autocorr = lpc_ops.windowed_autocorr(
+                xp, Xs, window, K)                         # [S, K+1] f64
         degenerate = xp.all(autocorr == 0.0, axis=1)
-        (coeffs, errors) = lpc_ops.levinson(xp, autocorr, K)
-        (qlp, shifts) = lpc_ops.quantize_all_orders(
-            xp, coeffs, qlp_precision)                     # [S,K,K],[S,K]
+        with _scope(xp, "flac.levinson"):
+            (coeffs, errors) = lpc_ops.levinson(xp, autocorr, K)
+        with _scope(xp, "flac.quantize"):
+            (qlp, shifts) = lpc_ops.quantize_all_orders(
+                xp, coeffs, qlp_precision)                 # [S,K,K],[S,K]
         # degenerate rows -> order 1, coeff 0, shift 0
         qlp = xp.where(degenerate[:, None, None], 0, qlp)
         shifts = xp.where(degenerate[:, None], 0, shifts)
-        lpc_res = lpc_ops.lpc_residuals(
-            xp, Xs, qlp, shifts, max_bps, qlp_precision,
-            clip_bits=max_bps + 4)                         # [S, K, n]
+        with _scope(xp, "flac.lpc_residuals"):
+            lpc_res = lpc_ops.lpc_residuals(
+                xp, Xs, qlp, shifts, max_bps, qlp_precision,
+                clip_bits=max_bps + 4)                     # [S, K, n]
     else:
         degenerate = xp.ones(S, dtype=bool)
         errors = xp.zeros((S, max(K, 1)), dtype=xp.float64)
@@ -331,6 +346,8 @@ def analyze_subframes(xp, X, bps, n, max_lpc_order, qlp_precision,
         C = 1
 
     # ---- Rice partition search ----------------------------------------
+    rice_scope = _scope(xp, "flac.rice_search")
+    rice_scope.__enter__()
     abs_res = xp.abs(cand_res)                             # [S, C, n] i32
     u = xp.where(cand_res >= 0,
                  cand_res << 1,
@@ -395,6 +412,8 @@ def analyze_subframes(xp, X, bps, n, max_lpc_order, qlp_precision,
     method1 = xp.any(chosen_params > 14, axis=2)           # [S, C]
     rice_bits = rice_bits + xp.where(
         method1, _exp2i(xp, chosen_porder), 0.0)
+
+    rice_scope.__exit__(None, None, None)
 
     # ---- candidate subframe sizes -------------------------------------
     wasted_f = wasted.astype(xp.float64)
