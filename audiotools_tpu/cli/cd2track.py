@@ -89,11 +89,10 @@ def main(argv=None):
     parser.add_argument("-D", "--default", dest="use_default",
                         action="store_true", default=False)
     parser.add_argument("-M", "--metadata-lookup",
-                        action="store_true", default=True,
+                        action="store_true", default=False,
                         dest="metadata_lookup")
     parser.add_argument("-s", "--speed", dest="speed", type=int,
-                        default=None, help=text.HELP_SPEED
-                        if hasattr(text, "HELP_SPEED") else None)
+                        default=None, help=text.HELP_READ_SPEED)
     parser.add_argument("--album-number", type=int,
                         dest="album_number", default=None)
     parser.add_argument("--album-total", type=int,
@@ -127,7 +126,13 @@ def main(argv=None):
         msg.error(str(err))
         return 1
     if options.speed is not None:
-        cdda.set_speed(options.speed)
+        # image-backed CDDA has no drive speed; delegate when the
+        # underlying backend supports it (physical drives)
+        set_speed = getattr(cdda, "set_speed",
+                            getattr(getattr(cdda, "cdda", None),
+                                    "set_speed", None))
+        if set_speed is not None:
+            set_speed(options.speed)
 
     track_numbers = options.tracks or list(
         range(1, len(cdda) + 1))
@@ -144,14 +149,19 @@ def main(argv=None):
     # always the track-numbers-only default, so this degrades
     # cleanly offline
     from ..services.lookup import metadata_lookup
-    choices = metadata_lookup(
-        cdda,
-        musicbrainz_server=options.musicbrainz_server,
-        musicbrainz_port=options.musicbrainz_port,
-        freedb_server=options.freedb_server,
-        freedb_port=options.freedb_port,
-        use_musicbrainz=options.use_musicbrainz,
-        use_freedb=options.use_freedb)
+    if options.metadata_lookup:
+        choices = metadata_lookup(
+            cdda,
+            musicbrainz_server=options.musicbrainz_server,
+            musicbrainz_port=options.musicbrainz_port,
+            freedb_server=options.freedb_server,
+            freedb_port=options.freedb_port,
+            use_musicbrainz=options.use_musicbrainz,
+            use_freedb=options.use_freedb)
+    else:
+        from ..audiofile import MetaData as _MD
+        choices = [[_MD(track_number=i + 1, track_total=len(cdda))
+                    for i in range(len(cdda))]]
     disc_metadata = choices[-1] if options.use_default else choices[0]
     if options.album_number is not None:
         for metadata in disc_metadata:

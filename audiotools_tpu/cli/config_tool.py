@@ -95,6 +95,19 @@ def main(argv=None):
         ("id3_digit_padding", "ID3", "pad"),
         ("id3v1_version", "ID3", "id3v1"),
     ]
+    if options.interactive:
+        # line-oriented interactive editor (the reference's -I is an
+        # urwid frame; this build's interactive fallbacks are prompt
+        # flows, ui.py's gating philosophy)
+        current = cfg.DEFAULT_TYPE
+        answer = input("default type [%s]: " % (current,)).strip()
+        if answer:
+            options.default_type = answer
+        quality = input("default quality for %s []: " %
+                        (options.default_type or current,)).strip()
+        if quality:
+            options.quality = quality
+
     changed = False
     if options.default_type is not None:
         if options.default_type not in TYPE_MAP:

@@ -79,6 +79,58 @@ def main(argv=None):
         range(1, len(title) + 1))
     os.makedirs(options.dir, exist_ok=True)
 
+    # metadata lookup (reference dvda2track's -M): the title's track
+    # lengths stand in for CD track lengths when building the disc ID
+    lookup_metadatas = None
+    if options.metadata_lookup:
+        from ..services.lookup import (parse_musicbrainz_xml,
+                                       parse_xmcd)
+        from ..services.freedb import DiscID as FreeDBDiscID
+        from ..services.musicbrainz import DiscID as MBDiscID
+        from ..services import musicbrainz, freedb
+
+        sample_rate = title.tracks[0].sample_rate()
+        track_frames = [(t.total_frames() * 75) // sample_rate
+                        for t in title.tracks]
+        offsets = [150 + sum(track_frames[0:i])
+                   for i in range(len(track_frames))]
+        lead_out = 150 + sum(track_frames)
+        choices = []
+        if options.use_musicbrainz:
+            response = musicbrainz.perform_lookup(
+                MBDiscID(first_track_number=1,
+                         last_track_number=len(track_frames),
+                         lead_out_offset=lead_out,
+                         offsets=offsets),
+                musicbrainz_server=options.musicbrainz_server,
+                musicbrainz_port=options.musicbrainz_port)
+            if response:
+                choices.extend(parse_musicbrainz_xml(
+                    response, len(track_frames)))
+        if options.use_freedb:
+            response = freedb.perform_lookup(
+                FreeDBDiscID(offsets=offsets,
+                             total_length=sum(track_frames) - 1,
+                             track_count=len(track_frames)),
+                freedb_server=options.freedb_server,
+                freedb_port=options.freedb_port)
+            if response:
+                parsed = parse_xmcd(response, len(track_frames))
+                if parsed is not None:
+                    choices.append(parsed)
+        choices.append([MetaData(track_number=i + 1,
+                                 track_total=len(track_frames))
+                        for i in range(len(track_frames))])
+        if options.interactive:
+            from .. import ui
+            if not ui.AVAILABLE:
+                ui.not_available_message(msg)
+                return 1
+            lookup_metadatas = ui.select_metadata(choices, msg)
+        else:
+            lookup_metadatas = (choices[-1] if options.use_default
+                                else choices[0])
+
     try:
         reader = BufferedPCMReader(title.to_pcm())
     except ValueError as err:
@@ -91,9 +143,17 @@ def main(argv=None):
     for track in title.tracks:
         frames = track.total_frames()
         if position in track_numbers:
-            track_meta = MetaData(
-                track_number=(position + options.track_start - 1),
-                track_total=(options.track_total or len(title)))
+            if (lookup_metadatas is not None and
+                    position - 1 < len(lookup_metadatas)):
+                track_meta = lookup_metadatas[position - 1]
+                track_meta.track_number = (position +
+                                           options.track_start - 1)
+                track_meta.track_total = (options.track_total or
+                                          len(title))
+            else:
+                track_meta = MetaData(
+                    track_number=(position + options.track_start - 1),
+                    track_total=(options.track_total or len(title)))
             if options.album_number is not None:
                 track_meta.album_number = options.album_number
             if options.album_total is not None:

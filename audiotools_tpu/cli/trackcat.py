@@ -102,7 +102,15 @@ def main(argv=None):
             freedb_port=options.freedb_port,
             use_musicbrainz=options.use_musicbrainz,
             use_freedb=options.use_freedb)
-        chosen = choices[-1] if options.use_default else choices[0]
+        if options.interactive:
+            from .. import ui
+            if not ui.AVAILABLE:
+                ui.not_available_message(msg)
+                return 1
+            chosen = ui.select_metadata(choices, msg)
+        else:
+            chosen = (choices[-1] if options.use_default
+                      else choices[0])
         if chosen:
             first = chosen[0]
             encoded.set_metadata(MetaData(

@@ -89,6 +89,9 @@ def main(argv=None):
 
         gui = ui.PlayerGUI(player, list(entries()),
                            sum(t.seconds_length() for t in tracks))
+        # end-of-track notices from the worker thread set a flag the
+        # alarm tick consumes (urwid widgets are not thread-safe)
+        player.set_next_track_callback(gui.on_track_finished)
         loop = urwid.MainLoop(gui, ui.urwid_style(),
                               unhandled_input=lambda key:
                               _gui_keys(gui, key))

@@ -98,8 +98,15 @@ def main(argv=None):
             freedb_port=options.freedb_port,
             use_musicbrainz=options.use_musicbrainz,
             use_freedb=options.use_freedb)
-        lookup_metadatas = (choices[-1] if options.use_default
-                            else choices[0])
+        if options.interactive:
+            from .. import ui
+            if not ui.AVAILABLE:
+                ui.not_available_message(msg)
+                return 1
+            lookup_metadatas = ui.select_metadata(choices, msg)
+        else:
+            lookup_metadatas = (choices[-1] if options.use_default
+                                else choices[0])
 
     os.makedirs(options.dir, exist_ok=True)
     output_tracks = []

@@ -180,9 +180,10 @@ class WavPackAudio(ApeTaggedAudio, WaveContainer):
         the start of this file"""
         from ..bitstream import BitstreamReader
 
+        own_file = None
         if reader is None:
-            f = open(self.filename, "rb")
-            reader = BitstreamReader(f, True)
+            own_file = open(self.filename, "rb")
+            reader = BitstreamReader(own_file, True)
         try:
             while True:
                 try:
@@ -194,7 +195,8 @@ class WavPackAudio(ApeTaggedAudio, WaveContainer):
                 yield (block_size - 24,
                        reader.substream(block_size - 24))
         finally:
-            pass
+            if own_file is not None:
+                own_file.close()
 
     def sub_blocks(self, reader=None):
         """yields (function, nondecoder, data_size, BitstreamReader)
@@ -234,7 +236,9 @@ class WavPackAudio(ApeTaggedAudio, WaveContainer):
                     elif chunk_id == b"data":
                         raise InvalidWavPack("no fmt chunk stored")
                     else:
-                        data.skip_bytes(chunk_size)
+                        # RIFF chunks are word-aligned: odd sizes
+                        # carry a pad byte
+                        data.skip_bytes(chunk_size + (chunk_size % 2))
         raise InvalidWavPack("no fmt chunk stored")
 
     def wave_header_footer(self):

@@ -346,74 +346,72 @@ def analyze_subframes(xp, X, bps, n, max_lpc_order, qlp_precision,
         C = 1
 
     # ---- Rice partition search ----------------------------------------
-    rice_scope = _scope(xp, "flac.rice_search")
-    rice_scope.__enter__()
-    abs_res = xp.abs(cand_res)                             # [S, C, n] i32
-    u = xp.where(cand_res >= 0,
-                 cand_res << 1,
-                 ((-cand_res - 1) << 1) | 1)               # [S, C, n] i32
+    with _scope(xp, "flac.rice_search"):
+        abs_res = xp.abs(cand_res)                             # [S, C, n] i32
+        u = xp.where(cand_res >= 0,
+                     cand_res << 1,
+                     ((-cand_res - 1) << 1) | 1)               # [S, C, n] i32
 
-    orders_f = cand_orders.astype(xp.float64)
-    pmax = porders[-1]
-    parts_max = 1 << pmax
+        orders_f = cand_orders.astype(xp.float64)
+        pmax = porders[-1]
+        parts_max = 1 << pmax
 
-    # per-partition |residual| sums: computed exactly once at the
-    # finest partition level, coarser levels by (exact f64) pairing;
-    # |residual| <= 2^(max_bps + 5) (order-4 fixed diffs dominate)
-    res_bits = max_bps + 5
-    seg_abs_by_p = [None] * (pmax + 1)
-    seg_abs_by_p[pmax] = exact_i32_sum(
-        xp, xp.reshape(abs_res, (S, C, parts_max, n >> pmax)),
-        chunk=sum_chunk_for(res_bits))
-    for p in range(pmax - 1, -1, -1):
-        fine = seg_abs_by_p[p + 1]
-        seg_abs_by_p[p] = fine[:, :, 0::2] + fine[:, :, 1::2]
+        # per-partition |residual| sums: computed exactly once at the
+        # finest partition level, coarser levels by (exact f64) pairing;
+        # |residual| <= 2^(max_bps + 5) (order-4 fixed diffs dominate)
+        res_bits = max_bps + 5
+        seg_abs_by_p = [None] * (pmax + 1)
+        seg_abs_by_p[pmax] = exact_i32_sum(
+            xp, xp.reshape(abs_res, (S, C, parts_max, n >> pmax)),
+            chunk=sum_chunk_for(res_bits))
+        for p in range(pmax - 1, -1, -1):
+            fine = seg_abs_by_p[p + 1]
+            seg_abs_by_p[p] = fine[:, :, 0::2] + fine[:, :, 1::2]
 
-    rice_totals = []        # per porder: [S, C] f64
-    rice_params_by_p = []   # per porder: [S, C, parts] int32
-    for porder in porders:
-        parts = 1 << porder
-        psize = n >> porder
-        seg_abs = seg_abs_by_p[porder]                     # [S,C,parts]
-        counts = xp.full((S, C, parts), float(psize), dtype=xp.float64)
-        counts = _set_first_part(xp, counts, psize - orders_f)
-        # r = min(smallest r with count*2^r >= sum, max_rice)
-        r = xp.zeros((S, C, parts), dtype=xp.int32)
-        for rr in range(max_rice):
-            r = r + ((counts * float(1 << rr)) < seg_abs).astype(
-                xp.int32)
-        # sum(u >> r) per partition (int32 shifts, exact f64 totals);
-        # u <= 2^(max_bps + 6) (zigzag doubles the residual bound)
-        msb = xp.reshape(u, (S, C, parts, psize)) >> r[:, :, :, None]
-        msb_sum = exact_i32_sum(xp, msb,
-                                chunk=sum_chunk_for(res_bits + 1))
-        part_bits = 4.0 + msb_sum + counts * (1.0 + r.astype(
-            xp.float64))
-        rice_totals.append(xp.sum(part_bits, axis=2))
-        rice_params_by_p.append(r)
-    rice_totals = xp.stack(rice_totals, axis=2)            # [S, C, P]
-    best_porder_idx = xp.argmin(rice_totals, axis=2).astype(
-        xp.int32)                                          # first min
-    rice_bits = xp.min(rice_totals, axis=2)                # [S, C]
+        rice_totals = []        # per porder: [S, C] f64
+        rice_params_by_p = []   # per porder: [S, C, parts] int32
+        for porder in porders:
+            parts = 1 << porder
+            psize = n >> porder
+            seg_abs = seg_abs_by_p[porder]                     # [S,C,parts]
+            counts = xp.full((S, C, parts), float(psize), dtype=xp.float64)
+            counts = _set_first_part(xp, counts, psize - orders_f)
+            # r = min(smallest r with count*2^r >= sum, max_rice)
+            r = xp.zeros((S, C, parts), dtype=xp.int32)
+            for rr in range(max_rice):
+                r = r + ((counts * float(1 << rr)) < seg_abs).astype(
+                    xp.int32)
+            # sum(u >> r) per partition (int32 shifts, exact f64 totals);
+            # u <= 2^(max_bps + 6) (zigzag doubles the residual bound)
+            msb = xp.reshape(u, (S, C, parts, psize)) >> r[:, :, :, None]
+            msb_sum = exact_i32_sum(xp, msb,
+                                    chunk=sum_chunk_for(res_bits + 1))
+            part_bits = 4.0 + msb_sum + counts * (1.0 + r.astype(
+                xp.float64))
+            rice_totals.append(xp.sum(part_bits, axis=2))
+            rice_params_by_p.append(r)
+        rice_totals = xp.stack(rice_totals, axis=2)            # [S, C, P]
+        best_porder_idx = xp.argmin(rice_totals, axis=2).astype(
+            xp.int32)                                          # first min
+        rice_bits = xp.min(rice_totals, axis=2)                # [S, C]
 
-    # gather chosen rice params (pad each porder's params to max parts)
-    padded_params = xp.stack(
-        [xp.pad(p, [(0, 0), (0, 0), (0, parts_max - p.shape[2])])
-         for p in rice_params_by_p], axis=2)               # [S,C,P,maxp]
-    chosen_params = xp.take_along_axis(
-        padded_params, best_porder_idx[:, :, None, None],
-        axis=2)[:, :, 0]                                   # [S, C, maxp]
-    porder_values = xp.asarray(porders, dtype=xp.int32)
-    chosen_porder = porder_values[best_porder_idx]         # [S, C]
+        # gather chosen rice params (pad each porder's params to max parts)
+        padded_params = xp.stack(
+            [xp.pad(p, [(0, 0), (0, 0), (0, parts_max - p.shape[2])])
+             for p in rice_params_by_p], axis=2)               # [S,C,P,maxp]
+        chosen_params = xp.take_along_axis(
+            padded_params, best_porder_idx[:, :, None, None],
+            axis=2)[:, :, 0]                                   # [S, C, maxp]
+        porder_values = xp.asarray(porders, dtype=xp.int32)
+        chosen_porder = porder_values[best_porder_idx]         # [S, C]
 
-    # the search sizes partitions at 4 header bits, but streams whose
-    # parameters exceed 14 are written with coding method 1 (5-bit
-    # parameters); subframe-level comparisons use actual bits
-    method1 = xp.any(chosen_params > 14, axis=2)           # [S, C]
-    rice_bits = rice_bits + xp.where(
-        method1, _exp2i(xp, chosen_porder), 0.0)
+        # the search sizes partitions at 4 header bits, but streams whose
+        # parameters exceed 14 are written with coding method 1 (5-bit
+        # parameters); subframe-level comparisons use actual bits
+        method1 = xp.any(chosen_params > 14, axis=2)           # [S, C]
+        rice_bits = rice_bits + xp.where(
+            method1, _exp2i(xp, chosen_porder), 0.0)
 
-    rice_scope.__exit__(None, None, None)
 
     # ---- candidate subframe sizes -------------------------------------
     wasted_f = wasted.astype(xp.float64)

@@ -63,9 +63,9 @@ class AudioOutput:
     def get_volume(self):
         """returns the current volume as a float in [0.0, 1.0]
 
-        the base class keeps a software volume applied by scaling
-        samples in play() paths that honor it; hardware-mixer
-        backends override with the real control"""
+        the base class keeps a software volume; Player/AudioPlayer
+        scale samples by it before play() (hardware-mixer backends
+        may override get/set_volume with the real control)"""
         return getattr(self, "_volume", 1.0)
 
     def set_volume(self, volume):
@@ -284,6 +284,17 @@ def open_output(name=None):
     raise ValueError("no available audio output")
 
 
+def _apply_volume(framelist, volume):
+    """scales a FrameList's samples by a [0.0, 1.0] software volume
+    (rounded toward zero, like a fixed-point attenuator)"""
+    if volume >= 1.0:
+        return framelist
+    import numpy as np
+    scaled = (framelist.samples.astype(np.float64) *
+              volume).astype(np.int32)
+    return pcm.FrameList._wrap(scaled, framelist.bits_per_sample)
+
+
 class ThreadedPCMReader:
     """a PCMReader which decodes ahead on a worker thread
     (reference player.py:479)"""
@@ -388,6 +399,11 @@ class Player:
 
     def current_output_description(self):
         return self.__output__.NAME
+
+    def set_next_track_callback(self, callback):
+        """sets the callable invoked (on the worker thread) when a
+        track finishes playing naturally"""
+        self.__callback__ = callback
 
     def current_output_name(self):
         """returns the current output's NAME string
@@ -508,7 +524,9 @@ class Player:
                 if self.__callback__ is not None:
                     self.__callback__()
                 continue
-            self.__output__.play(framelist)
+            self.__output__.play(
+                _apply_volume(framelist,
+                              self.__output__.get_volume()))
             with self.__lock__:
                 self.__frames_played__ += framelist.frames
 
@@ -608,7 +626,8 @@ class AudioPlayer:
             framelist = self.__pcmreader__.read(self.__buffer_size__)
             if framelist.frames > 0:
                 self.__current_frames__ += framelist.frames
-                self.__audio_output__.play(framelist)
+                self.__audio_output__.play(_apply_volume(
+                    framelist, self.__audio_output__.get_volume()))
             else:
                 self.__next_track_callback__()
                 self.stop()

@@ -200,11 +200,18 @@ def sheet_metadata_lookup(sheet, total_pcm_frames, sample_rate,
     from .freedb import DiscID as FreeDBDiscID
     from .musicbrainz import DiscID as MBDiscID
 
+    def _track_offset(track):
+        """INDEX 01's offset in CD frames (the track's audio start —
+        higher sub-indexes must not shift the disc ID)"""
+        try:
+            return int(track.index(1).offset() * 75)
+        except KeyError:
+            return int(min(i.offset() for i in track.indexes()) * 75)
+
     tracks = list(sheet.tracks())
     track_count = len(tracks)
     total_cd_frames = (total_pcm_frames * 75) // sample_rate
-    offsets = [150 + int(max(i.offset() for i in t.indexes()) * 75)
-               for t in tracks]
+    offsets = [150 + _track_offset(t) for t in tracks]
     lead_out_offset = 150 + total_cd_frames
 
     choices = []
@@ -291,10 +298,15 @@ def accuraterip_sheet_lookup(sheet, total_pcm_frames, sample_rate,
     from .accuraterip import perform_lookup
     from .freedb import DiscID as FreeDBDiscID
 
+    def _track_offset(track):
+        try:
+            return int(track.index(1).offset() * 75)
+        except KeyError:
+            return int(min(i.offset() for i in track.indexes()) * 75)
+
     tracks = list(sheet.tracks())
     track_numbers = [t.number() for t in tracks]
-    track_offsets = [max(int(i.offset() * 75) for i in t.indexes())
-                     for t in tracks]
+    track_offsets = [_track_offset(t) for t in tracks]
     lead_out_offset = (total_pcm_frames * 75) // sample_rate
     freedb_disc_id = FreeDBDiscID(
         offsets=[o + 150 for o in track_offsets],

@@ -242,7 +242,7 @@ DESC_CD2TRACK = _("extract CD audio to files")
 DESC_CDINFO = _("display CD information")
 DESC_CDPLAY = _("play audio CDs")
 HELP_CDROM = _("the CD-ROM device or disc image to read")
-HELP_SPEED = _("the speed to read the CD at")
+HELP_READ_SPEED = _("the speed to read the CD at")
 ERR_NO_CDDA = _("physical CD-ROM devices are not supported in this "
                 "build; use a cue/toc disc image")
 ERR_TRACK_NOT_FOUND = _("track %(track)d not found on disc")

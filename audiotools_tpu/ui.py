@@ -1194,6 +1194,12 @@ if AVAILABLE:
             else:
                 self.player.stop()
 
+        def on_track_finished(self):
+            """thread-safe end-of-track notice (wire as the Player's
+            next_track_callback — it fires on the worker thread, so
+            only a flag is set here; the alarm tick advances)"""
+            self._advance_pending = True
+
         def update_status(self):
             """poll hook (run on a MainLoop alarm): progress bar +
             play/pause button label + end-of-track auto-advance"""
@@ -1208,8 +1214,16 @@ if AVAILABLE:
                 self.play_pause_button.set_label(label)
             except AttributeError:
                 self.play_pause_button.label = label
-            if (total and sent >= total and self.track_index >= 0 and
-                    playing):
+            # end-of-track: the threaded Player flips to STOPPED in
+            # the same worker iteration that plays the final buffer,
+            # so by this tick `playing` is already False — advance on
+            # the callback latch, or on a completed progress counter
+            # (the worker leaves frames_played == total at natural
+            # EOF; an explicit stop() resets it to 0)
+            if self.track_index >= 0 and (
+                    getattr(self, "_advance_pending", False) or
+                    (total > 1 and sent >= total)):
+                self._advance_pending = False
                 self.next_track()
 
     def urwid_style():
