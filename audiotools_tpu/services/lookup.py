@@ -56,44 +56,126 @@ def parse_xmcd(xmcd_text, track_count):
 _MB_NS = "{http://musicbrainz.org/ns/mmd-2.0#}"
 
 
-def parse_musicbrainz_xml(xml_text, track_count):
+def _mb_artist(credit):
+    """flattens an <artist-credit> element to a display string: each
+    <name-credit>'s artist name followed by its joinphrase attribute
+    (reference musicbrainz.py:140-156)"""
+    parts = []
+    for name_credit in credit.findall(_MB_NS + "name-credit"):
+        name = name_credit.find(
+            _MB_NS + "artist/" + _MB_NS + "name")
+        parts.append(name.text or "" if name is not None else "")
+        parts.append(name_credit.get("joinphrase", ""))
+    return "".join(parts) or None
+
+
+def _mb_release_tracks(release, track_count, disc_id):
+    """one MetaData list for a <release>, following the reference's
+    parse_release (musicbrainz.py:159-311): album fields from the
+    release, catalog/publisher from the first <label-info>,
+    album_number/album_total from the <medium-list> when the disc id
+    matches a multi-disc medium, per-track artist-credit overrides,
+    and <position> track numbers"""
+    album = release.findtext(_MB_NS + "title") or None
+    date = release.findtext(_MB_NS + "date") or None
+    year = date.split("-")[0] if date else None
+    credit = release.find(_MB_NS + "artist-credit")
+    album_artist = _mb_artist(credit) if credit is not None else None
+
+    catalog = publisher = None
+    label_info = release.find(
+        _MB_NS + "label-info-list/" + _MB_NS + "label-info")
+    if label_info is not None:
+        catalog = label_info.findtext(_MB_NS + "catalog-number") \
+            or None
+        publisher = label_info.findtext(
+            _MB_NS + "label/" + _MB_NS + "name") or None
+
+    # pick the medium whose <disc-list> carries our disc id
+    # (multi-disc releases list one <medium> per disc); fall back to
+    # the first medium when no id is supplied or none matches
+    medium_list = release.find(_MB_NS + "medium-list")
+    if medium_list is None:
+        return None
+    mediums = medium_list.findall(_MB_NS + "medium")
+    if not mediums:
+        return None
+    medium = None
+    if disc_id is not None:
+        for candidate in mediums:
+            ids = [disc.get("id") for disc in candidate.findall(
+                _MB_NS + "disc-list/" + _MB_NS + "disc")]
+            if str(disc_id) in ids:
+                medium = candidate
+                break
+    if medium is None:
+        medium = mediums[0]
+
+    album_number = album_total = None
+    count = medium_list.get("count")
+    if count is not None and int(count) > 1:
+        album_total = int(count)
+        position = medium.findtext(_MB_NS + "position")
+        if position is not None:
+            album_number = int(position)
+
+    tracks = []
+    track_nodes = medium.findall(
+        _MB_NS + "track-list/" + _MB_NS + "track")
+    track_total = len(track_nodes) or track_count
+    for (i, track) in enumerate(track_nodes):
+        title = track.findtext(_MB_NS + "title") or None
+        credit = track.find(_MB_NS + "artist-credit")
+        track_artist = (_mb_artist(credit)
+                        if credit is not None else None)
+        recording = track.find(_MB_NS + "recording")
+        if recording is not None:
+            if title is None:
+                title = recording.findtext(_MB_NS + "title") or None
+            if track_artist is None:
+                credit = recording.find(_MB_NS + "artist-credit")
+                track_artist = (_mb_artist(credit)
+                                if credit is not None else None)
+        position = track.findtext(_MB_NS + "position")
+        number = int(position) if position else (i + 1)
+        tracks.append(MetaData(track_name=title,
+                               track_number=number,
+                               track_total=track_total,
+                               album_name=album,
+                               artist_name=track_artist or album_artist,
+                               catalog=catalog,
+                               publisher=publisher,
+                               year=year,
+                               album_number=album_number,
+                               album_total=album_total))
+    if not tracks:
+        tracks = [MetaData(track_number=i + 1,
+                           track_total=track_count,
+                           album_name=album,
+                           artist_name=album_artist,
+                           catalog=catalog,
+                           publisher=publisher,
+                           year=year,
+                           album_number=album_number,
+                           album_total=album_total)
+                  for i in range(track_count)]
+    return tracks
+
+
+def parse_musicbrainz_xml(xml_text, track_count, disc_id=None):
     """parses a MusicBrainz discid XML response into a list of
-    MetaData choices (one list per matching release)"""
+    MetaData choices (one list per matching release); when disc_id is
+    given, multi-disc releases resolve album_number/album_total from
+    the medium carrying that disc (reference musicbrainz.py:159)"""
     try:
         root = ET.fromstring(xml_text)
     except ET.ParseError:
         return []
     choices = []
     for release in root.iter(_MB_NS + "release"):
-        album = release.findtext(_MB_NS + "title") or None
-        date = release.findtext(_MB_NS + "date") or None
-        year = date.split("-")[0] if date else None
-        artist = None
-        credit = release.find(_MB_NS + "artist-credit")
-        if credit is not None:
-            name = credit.find(".//" + _MB_NS + "name")
-            if name is not None:
-                artist = name.text
-        tracks = []
-        for (i, track) in enumerate(
-                release.iter(_MB_NS + "track")):
-            recording = track.find(_MB_NS + "recording")
-            title = (recording.findtext(_MB_NS + "title")
-                     if recording is not None else None)
-            tracks.append(MetaData(track_name=title,
-                                   track_number=i + 1,
-                                   track_total=track_count,
-                                   album_name=album,
-                                   artist_name=artist,
-                                   year=year))
-        if not tracks:
-            tracks = [MetaData(track_number=i + 1,
-                               track_total=track_count,
-                               album_name=album,
-                               artist_name=artist,
-                               year=year)
-                      for i in range(track_count)]
-        choices.append(tracks)
+        tracks = _mb_release_tracks(release, track_count, disc_id)
+        if tracks is not None:
+            choices.append(tracks)
     return choices
 
 
@@ -109,13 +191,14 @@ def metadata_lookup(cdda, musicbrainz_server="musicbrainz.org",
 
     if use_musicbrainz:
         from . import musicbrainz
+        mb_disc_id = musicbrainz.disc_id(cdda)
         response = musicbrainz.perform_lookup(
-            musicbrainz.disc_id(cdda),
+            mb_disc_id,
             musicbrainz_server=musicbrainz_server,
             musicbrainz_port=musicbrainz_port)
         if response:
-            choices.extend(parse_musicbrainz_xml(response,
-                                                 track_count))
+            choices.extend(parse_musicbrainz_xml(
+                response, track_count, disc_id=mb_disc_id))
     if use_freedb:
         from . import freedb
         response = freedb.perform_lookup(

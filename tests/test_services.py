@@ -117,3 +117,110 @@ def test_freedb_lookup_unreachable_returns_empty():
     result = freedb.perform_lookup(did, freedb_server="127.0.0.1",
                                    freedb_port=1)
     assert result in ([], {}, None, "")
+
+
+# ---- MusicBrainz discid XML parsing (reference musicbrainz.py:62-311) ----
+
+_MB_XML = """<?xml version="1.0" encoding="UTF-8"?>
+<metadata xmlns="http://musicbrainz.org/ns/mmd-2.0#">
+ <disc id="THE-DISC-ID">
+  <release-list count="1">
+   <release id="r1">
+    <title>Double Album</title>
+    <artist-credit>
+     <name-credit joinphrase=" &amp; ">
+      <artist><name>Alpha</name></artist>
+     </name-credit>
+     <name-credit>
+      <artist><name>Beta</name></artist>
+     </name-credit>
+    </artist-credit>
+    <date>1997-05-12</date>
+    <label-info-list>
+     <label-info>
+      <catalog-number>CAT-123</catalog-number>
+      <label><name>Example Records</name></label>
+     </label-info>
+    </label-info-list>
+    <medium-list count="2">
+     <medium>
+      <position>1</position>
+      <disc-list count="1"><disc id="OTHER-DISC"/></disc-list>
+      <track-list count="1">
+       <track><position>1</position>
+        <recording><title>Wrong Disc Track</title></recording>
+       </track>
+      </track-list>
+     </medium>
+     <medium>
+      <position>2</position>
+      <disc-list count="1"><disc id="THE-DISC-ID"/></disc-list>
+      <track-list count="2">
+       <track>
+        <position>1</position>
+        <recording><title>Opener</title></recording>
+       </track>
+       <track>
+        <position>2</position>
+        <recording>
+         <title>Feature</title>
+         <artist-credit>
+          <name-credit><artist><name>Gamma</name></artist></name-credit>
+         </artist-credit>
+        </recording>
+       </track>
+      </track-list>
+     </medium>
+    </medium-list>
+   </release>
+  </release-list>
+ </disc>
+</metadata>
+"""
+
+
+class _FakeDiscID:
+    def __str__(self):
+        return "THE-DISC-ID"
+
+
+def test_musicbrainz_xml_multidisc_release():
+    from audiotools_tpu.services.lookup import parse_musicbrainz_xml
+
+    choices = parse_musicbrainz_xml(_MB_XML, 2, disc_id=_FakeDiscID())
+    assert len(choices) == 1
+    tracks = choices[0]
+    assert len(tracks) == 2
+    # album fields from the release
+    assert tracks[0].album_name == "Double Album"
+    assert tracks[0].year == "1997"
+    # joinphrase artist-credit flattening
+    assert tracks[0].artist_name == "Alpha & Beta"
+    # label-info -> catalog/publisher
+    assert tracks[0].catalog == "CAT-123"
+    assert tracks[0].publisher == "Example Records"
+    # disc id selects the SECOND medium (not "Wrong Disc Track")
+    assert tracks[0].track_name == "Opener"
+    assert tracks[1].track_name == "Feature"
+    # multi-disc medium-list -> album_number/album_total
+    assert tracks[0].album_number == 2
+    assert tracks[0].album_total == 2
+    # per-track recording artist-credit overrides the album artist
+    assert tracks[1].artist_name == "Gamma"
+    # <position> track numbers
+    assert [t.track_number for t in tracks] == [1, 2]
+    assert tracks[0].track_total == 2
+
+
+def test_musicbrainz_xml_no_disc_id_uses_first_medium():
+    from audiotools_tpu.services.lookup import parse_musicbrainz_xml
+
+    choices = parse_musicbrainz_xml(_MB_XML, 2)
+    assert choices[0][0].track_name == "Wrong Disc Track"
+    assert choices[0][0].album_number == 1
+
+
+def test_musicbrainz_xml_garbage_returns_empty():
+    from audiotools_tpu.services.lookup import parse_musicbrainz_xml
+
+    assert parse_musicbrainz_xml("not xml at all", 3) == []
