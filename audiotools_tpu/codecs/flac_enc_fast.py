@@ -102,6 +102,11 @@ def _n_devices():
     return max(int(os.environ.get("ATPU_DEVICES", "1")), 1)
 
 
+def _pad_grid_enabled():
+    """final-batch shape grid (see _pad_rows); default on"""
+    return os.environ.get("ATPU_FLAC_PAD_GRID", "1") != "0"
+
+
 def _analyze_jax(blocks, stereo_trial, bps_scalar, n, K, precision,
                  porders, max_rice, exhaustive, mid_side, window,
                  n_devices=1):
@@ -336,17 +341,26 @@ def encode_flac_fast(file_or_path,
     qguard = qpack.guard_bits()
 
     def _pad_rows(arrays):
-        """pads leading dims to the FULL batch size (shards evenly
-        too); extra rows are dropped after the fetch
+        """pads leading dims up to a small STATIC grid of batch shapes
+        ({batch//8, batch//4, batch//2, batch}); extra rows are
+        dropped after the fetch
 
         fixed shapes matter more than the wasted rows: a final batch
         of B < batch_frames blocks would otherwise compile a fresh
         XLA program per distinct track length (45-400 s each on the
-        tunneled backend), so every file length that isn't an exact
-        batch multiple would pay a compile instead of analyzing a few
-        zero blocks"""
+        tunneled backend).  Padding straight to the full batch is
+        wasteful the other way: a transcode farm of ~20 s tracks
+        (215 blocks) would upload and analyze 512-block batches, 2.4x
+        the wire bytes and device compute per track.  The power-of-two
+        grid bounds the compile count at 4 shapes per wire width while
+        capping pad waste below 2x (ATPU_FLAC_PAD_GRID=0 restores
+        full-batch padding)."""
         B = arrays[0].shape[0]
         target = batch_frames if backend == "jax" else B
+        if target > B and _pad_grid_enabled():
+            floor = max(batch_frames // 8, 1)
+            while target // 2 >= max(B, floor) and target % 2 == 0:
+                target //= 2
         if n_devices > 1 and target % n_devices:
             target += n_devices - (target % n_devices)
         if target > B:

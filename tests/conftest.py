@@ -7,7 +7,22 @@ multi-chip sharding logic is tested without TPU hardware.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force CPU: the harness presets JAX_PLATFORMS=axon (tunneled TPU),
+# but unit tests are CPU-by-design — on the tunnel they'd pay remote
+# compiles (45-400 s each, hangs in bad weather).  ATPU_TEST_PLATFORM
+# explicitly opts a run onto another platform.
+os.environ["JAX_PLATFORMS"] = os.environ.get(
+    "ATPU_TEST_PLATFORM", "cpu")
+# the axon PJRT plugin (tunneled TPU) routes XLA compiles through a
+# remote compile service even for the CPU backend; when the tunnel is
+# congested a trivial jit can hang for minutes.  Unit tests are
+# CPU-only by design, so drop the plugin from the import path and make
+# the suite immune to tunnel weather (bench.py/real-TPU runs never
+# import this conftest).
+if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+    os.environ["PYTHONPATH"] = os.pathsep.join(
+        p for p in os.environ.get("PYTHONPATH", "").split(os.pathsep)
+        if p and "axon" not in p)
 # unit tests default to the numpy analysis backend (byte-identical to
 # jax by the contraction-immune kernel spec) so the suite isn't
 # dominated by one-off jit compiles; jax-path tests opt in explicitly
@@ -18,6 +33,10 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8").strip()
 
 import sys
+if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+    # PYTHONPATH was already consumed into sys.path at startup; drop
+    # the plugin's entry there too (before anything imports jax)
+    sys.path[:] = [p for p in sys.path if "axon" not in p]
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REFERENCE_DIR = "/root/reference"
