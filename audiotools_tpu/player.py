@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import os
 import queue
+import sys
 import threading
 import time
 
@@ -264,8 +265,109 @@ class PulseAudioOutput(AudioOutput):
             self.handle = None
 
 
-AUDIO_OUTPUT = (PulseAudioOutput, ALSAAudioOutput, OSSAudioOutput,
-                NULLAudioOutput)
+class CoreAudioOutput(AudioOutput):
+    """a sink over macOS AudioToolbox AudioQueues via ctypes (role of
+    src/output/core_audio.c:639 — the reference drives CoreAudio's
+    pull-model callback from C; this pushes with AudioQueue's
+    synchronous enqueue, same S16LE PCM path).  Darwin-only, gated by
+    available() exactly like the reference's OS conditional
+    (setup.py:728-792)."""
+
+    NAME = "CoreAudio"
+
+    # AudioStreamBasicDescription flags for signed little-endian ints
+    _LINEAR_PCM = b"lpcm"
+    _FLAG_SIGNED_INT = 0x4
+    _FLAG_PACKED = 0x8
+
+    @classmethod
+    def available(cls):
+        if sys.platform != "darwin":
+            return False
+        import ctypes.util
+        return ctypes.util.find_library("AudioToolbox") is not None
+
+    def __init__(self, n_buffers=4):
+        AudioOutput.__init__(self)
+        import ctypes
+        import ctypes.util
+        path = ctypes.util.find_library("AudioToolbox")
+        if path is None:
+            raise ValueError("AudioToolbox unavailable")
+        self.lib = ctypes.CDLL(path)
+        self.n_buffers = n_buffers
+        self.queue = None
+
+    def set_format(self, sample_rate, channels, channel_mask,
+                   bits_per_sample):
+        import ctypes
+        AudioOutput.set_format(self, sample_rate, channels,
+                               channel_mask, bits_per_sample)
+        self.close()
+
+        class AudioStreamBasicDescription(ctypes.Structure):
+            _fields_ = [("mSampleRate", ctypes.c_double),
+                        ("mFormatID", ctypes.c_uint32),
+                        ("mFormatFlags", ctypes.c_uint32),
+                        ("mBytesPerPacket", ctypes.c_uint32),
+                        ("mFramesPerPacket", ctypes.c_uint32),
+                        ("mBytesPerFrame", ctypes.c_uint32),
+                        ("mChannelsPerFrame", ctypes.c_uint32),
+                        ("mBitsPerChannel", ctypes.c_uint32),
+                        ("mReserved", ctypes.c_uint32)]
+
+        desc = AudioStreamBasicDescription(
+            float(sample_rate),
+            int.from_bytes(self._LINEAR_PCM, "big"),
+            self._FLAG_SIGNED_INT | self._FLAG_PACKED,
+            2 * channels, 1, 2 * channels, channels, 16, 0)
+        queue = ctypes.c_void_p()
+        callback = ctypes.CFUNCTYPE(
+            None, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p)
+        self._callback = callback(lambda *_args: None)
+        if self.lib.AudioQueueNewOutput(
+                ctypes.byref(desc), self._callback, None, None, None,
+                0, ctypes.byref(queue)) != 0:
+            raise ValueError("unable to create CoreAudio queue")
+        self.queue = queue
+        self.lib.AudioQueueStart(queue, None)
+
+    def play(self, framelist):
+        import ctypes
+        if self.queue is None:
+            return
+        data = framelist.to_bytes(False, True)
+
+        class AudioQueueBuffer(ctypes.Structure):
+            _fields_ = [("mAudioDataBytesCapacity", ctypes.c_uint32),
+                        ("mAudioData", ctypes.c_void_p),
+                        ("mAudioDataByteSize", ctypes.c_uint32)]
+
+        buf = ctypes.POINTER(AudioQueueBuffer)()
+        if self.lib.AudioQueueAllocateBuffer(
+                self.queue, len(data), ctypes.byref(buf)) != 0:
+            return
+        ctypes.memmove(buf.contents.mAudioData, data, len(data))
+        buf.contents.mAudioDataByteSize = len(data)
+        self.lib.AudioQueueEnqueueBuffer(self.queue, buf, 0, None)
+
+    def pause(self):
+        if self.queue is not None:
+            self.lib.AudioQueuePause(self.queue)
+
+    def resume(self):
+        if self.queue is not None:
+            self.lib.AudioQueueStart(self.queue, None)
+
+    def close(self):
+        if self.queue is not None:
+            self.lib.AudioQueueStop(self.queue, 1)
+            self.lib.AudioQueueDispose(self.queue, 1)
+            self.queue = None
+
+
+AUDIO_OUTPUT = (CoreAudioOutput, PulseAudioOutput, ALSAAudioOutput,
+                OSSAudioOutput, NULLAudioOutput)
 
 
 def available_outputs():

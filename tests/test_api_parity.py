@@ -272,3 +272,21 @@ def test_player_volume_and_replay_gain_api():
         assert player.current_output_name() == "NULL"
     finally:
         player.close()
+
+
+def test_audio_output_backends_registered():
+    """all four reference sinks exist (src/output/{alsa,pulseaudio,
+    core_audio}.c + OSS) plus NULL, each availability-gated; only
+    usable ones surface through available_outputs()"""
+    from audiotools_tpu import player
+
+    names = [cls.NAME for cls in player.AUDIO_OUTPUT]
+    assert names == ["CoreAudio", "PulseAudio", "ALSA", "OSS", "NULL"]
+    for cls in player.AUDIO_OUTPUT:
+        assert isinstance(cls.available(), bool)
+    available = [cls.NAME for cls in player.available_outputs()]
+    assert "NULL" in available
+    # CoreAudio is darwin-only by definition
+    import sys
+    if sys.platform != "darwin":
+        assert "CoreAudio" not in available
