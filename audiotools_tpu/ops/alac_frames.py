@@ -23,6 +23,7 @@ from __future__ import annotations
 import numpy as np
 
 from . import lpc as lpc_ops
+from .flac_frames import _scope
 
 QLP_SHIFT_NEEDED = 9
 N_LEFTWEIGHTS = 5          # leftweight candidates 0..4
@@ -115,15 +116,19 @@ def lpc_candidates(xp, X, window):
     X: int32 [S, n] (post-LSB-shift, possibly correlated)
     returns int32 [S, PACKED_COLS]: qlp4, qlp8, degenerate flag,
     order-4/order-8 residual-size estimates"""
-    autocorr = lpc_ops.windowed_autocorr(xp, X, window, 8)  # [S, 9]
+    with _scope(xp, "alac_autocorr"):
+        autocorr = lpc_ops.windowed_autocorr(xp, X, window, 8)  # [S, 9]
     degenerate = (autocorr[:, 0] == 0.0)
-    (coeffs, _errors) = lpc_ops.levinson(xp, autocorr, 8)
-    qlp4 = alac_quantize(xp, coeffs[:, 3, :4])              # [S, 4]
-    qlp8 = alac_quantize(xp, coeffs[:, 7, :8])              # [S, 8]
+    with _scope(xp, "alac_levinson"):
+        (coeffs, _errors) = lpc_ops.levinson(xp, autocorr, 8)
+    with _scope(xp, "alac_quantize"):
+        qlp4 = alac_quantize(xp, coeffs[:, 3, :4])              # [S, 4]
+        qlp8 = alac_quantize(xp, coeffs[:, 7, :8])              # [S, 8]
     qlp4 = xp.where(degenerate[:, None], 0, qlp4)
     qlp8 = xp.where(degenerate[:, None], 0, qlp8)
-    est4 = residual_estimate(xp, X, qlp4, 4)
-    est8 = residual_estimate(xp, X, qlp8, 8)
+    with _scope(xp, "alac_residual_estimate"):
+        est4 = residual_estimate(xp, X, qlp4, 4)
+        est8 = residual_estimate(xp, X, qlp8, 8)
     return xp.concatenate(
         [qlp4, qlp8, degenerate[:, None].astype(xp.int32),
          est4[:, None], est8[:, None]], axis=1)
@@ -160,7 +165,8 @@ def analyze_framesets_packed(xp, blocks, layout, bps, lsb_shift,
                 slots.append((g, lw, 0))
                 series.append(s1)
                 slots.append((g, lw, 1))
-    X = xp.concatenate(series, axis=0)          # [B * n_series, n]
+    with _scope(xp, "alac_correlate_stack"):
+        X = xp.concatenate(series, axis=0)      # [B * n_series, n]
     packed_rows = lpc_candidates(xp, X, window)
     packed_rows = xp.reshape(packed_rows,
                              (len(series), B, PACKED_COLS))
