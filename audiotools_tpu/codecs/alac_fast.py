@@ -22,6 +22,7 @@ from .. import _native, pcm
 from ..ops import alac_frames, lpc as lpc_ops
 from ..ref import alac as oracle
 from . import flac_enc_fast as flac_fast
+from . import padgrid
 
 _jax_alac_cache = {}
 
@@ -119,17 +120,12 @@ def encode_mdat_fast(file, pcmreader,
     def submit(blocks, ns):
         upload = blocks
         if backend == "jax" and blocks.shape[0] < batch_frames:
-            # pad partial batches up to a small static shape grid
-            # ({batch//8, batch//4, batch//2, batch}, same scheme as
-            # flac_enc_fast._pad_rows): fixed shapes bound jit
-            # recompiles to 4 per (channels, bps) while short tracks
-            # stop paying full-batch upload/device waste
-            target = batch_frames
-            if flac_fast._pad_grid_enabled():
-                floor = max(batch_frames // 8, 1)
-                while (target // 2 >= max(blocks.shape[0], floor) and
-                       target % 2 == 0):
-                    target //= 2
+            # pad partial batches up to the shared static shape grid
+            # (codecs/padgrid.py, same scheme as flac_enc_fast
+            #._pad_rows): fixed shapes bound jit recompiles to 4 per
+            # (channels, bps) while short tracks stop paying
+            # full-batch upload/device waste
+            target = padgrid.target_rows(blocks.shape[0], batch_frames)
             pad = target - blocks.shape[0]
             upload = np.concatenate(
                 [blocks, np.zeros((pad,) + blocks.shape[1:],

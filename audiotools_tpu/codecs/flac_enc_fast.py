@@ -27,6 +27,7 @@ from ..ops import flac_frames, lpc as lpc_ops, qpack
 from ..ref import flac_enc as oracle
 from ..utils.profiling import stage_timer, profiling_enabled
 from .. import _native
+from . import padgrid
 
 _jax_analyze_cache = {}
 # guards jit-object creation: concurrent submit-pool threads must not
@@ -103,8 +104,8 @@ def _n_devices():
 
 
 def _pad_grid_enabled():
-    """final-batch shape grid (see _pad_rows); default on"""
-    return os.environ.get("ATPU_FLAC_PAD_GRID", "1") != "0"
+    """final-batch shape grid (see padgrid); default on"""
+    return padgrid.enabled()
 
 
 def _analyze_jax(blocks, stereo_trial, bps_scalar, n, K, precision,
@@ -348,19 +349,11 @@ def encode_flac_fast(file_or_path,
         fixed shapes matter more than the wasted rows: a final batch
         of B < batch_frames blocks would otherwise compile a fresh
         XLA program per distinct track length (45-400 s each on the
-        tunneled backend).  Padding straight to the full batch is
-        wasteful the other way: a transcode farm of ~20 s tracks
-        (215 blocks) would upload and analyze 512-block batches, 2.4x
-        the wire bytes and device compute per track.  The power-of-two
-        grid bounds the compile count at 4 shapes per wire width while
-        capping pad waste below 2x (ATPU_FLAC_PAD_GRID=0 restores
-        full-batch padding)."""
+        tunneled backend); see codecs/padgrid.py (shared with ALAC,
+        ATPU_PAD_GRID=0 restores full-batch padding)."""
         B = arrays[0].shape[0]
-        target = batch_frames if backend == "jax" else B
-        if target > B and _pad_grid_enabled():
-            floor = max(batch_frames // 8, 1)
-            while target // 2 >= max(B, floor) and target % 2 == 0:
-                target //= 2
+        target = (padgrid.target_rows(B, batch_frames)
+                  if backend == "jax" else B)
         if n_devices > 1 and target % n_devices:
             target += n_devices - (target % n_devices)
         if target > B:

@@ -297,6 +297,7 @@ class CoreAudioOutput(AudioOutput):
         self.lib = ctypes.CDLL(path)
         self.n_buffers = n_buffers
         self.queue = None
+        self._inflight = None
 
     def set_format(self, sample_rate, channels, channel_mask,
                    bits_per_sample):
@@ -322,9 +323,22 @@ class CoreAudioOutput(AudioOutput):
             self._FLAG_SIGNED_INT | self._FLAG_PACKED,
             2 * channels, 1, 2 * channels, channels, 16, 0)
         queue = ctypes.c_void_p()
+        # backpressure: at most n_buffers AudioQueueBuffers in flight;
+        # the completion callback frees each finished buffer and opens a
+        # slot, so play() blocks (paces to realtime) when the queue is
+        # full instead of enqueueing the whole track instantly
+        import threading
+        self._inflight = threading.Semaphore(self.n_buffers)
         callback = ctypes.CFUNCTYPE(
             None, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p)
-        self._callback = callback(lambda *_args: None)
+
+        def _buffer_done(_udata, done_queue, done_buffer):
+            try:
+                self.lib.AudioQueueFreeBuffer(done_queue, done_buffer)
+            finally:
+                self._inflight.release()
+
+        self._callback = callback(_buffer_done)
         if self.lib.AudioQueueNewOutput(
                 ctypes.byref(desc), self._callback, None, None, None,
                 0, ctypes.byref(queue)) != 0:
@@ -343,13 +357,17 @@ class CoreAudioOutput(AudioOutput):
                         ("mAudioData", ctypes.c_void_p),
                         ("mAudioDataByteSize", ctypes.c_uint32)]
 
+        self._inflight.acquire()
         buf = ctypes.POINTER(AudioQueueBuffer)()
         if self.lib.AudioQueueAllocateBuffer(
                 self.queue, len(data), ctypes.byref(buf)) != 0:
+            self._inflight.release()
             return
         ctypes.memmove(buf.contents.mAudioData, data, len(data))
         buf.contents.mAudioDataByteSize = len(data)
-        self.lib.AudioQueueEnqueueBuffer(self.queue, buf, 0, None)
+        if self.lib.AudioQueueEnqueueBuffer(self.queue, buf, 0, None) != 0:
+            self.lib.AudioQueueFreeBuffer(self.queue, buf)
+            self._inflight.release()
 
     def pause(self):
         if self.queue is not None:
@@ -364,6 +382,7 @@ class CoreAudioOutput(AudioOutput):
             self.lib.AudioQueueStop(self.queue, 1)
             self.lib.AudioQueueDispose(self.queue, 1)
             self.queue = None
+            self._inflight = None
 
 
 AUDIO_OUTPUT = (CoreAudioOutput, PulseAudioOutput, ALSAAudioOutput,

@@ -92,8 +92,11 @@ def _mb_release_tracks(release, track_count, disc_id):
             _MB_NS + "label/" + _MB_NS + "name") or None
 
     # pick the medium whose <disc-list> carries our disc id
-    # (multi-disc releases list one <medium> per disc); fall back to
-    # the first medium when no id is supplied or none matches
+    # (multi-disc releases list one <medium> per disc).  When an
+    # explicit disc id matches no medium the release is skipped
+    # entirely — reference musicbrainz.py parse_release raises KeyError
+    # and drops it — so a multi-disc release can never surface the
+    # wrong disc's tracks.  First-medium fallback only for disc_id=None.
     medium_list = release.find(_MB_NS + "medium-list")
     if medium_list is None:
         return None
@@ -108,7 +111,9 @@ def _mb_release_tracks(release, track_count, disc_id):
             if str(disc_id) in ids:
                 medium = candidate
                 break
-    if medium is None:
+        if medium is None:
+            return None
+    else:
         medium = mediums[0]
 
     album_number = album_total = None

@@ -19,10 +19,22 @@ os.environ["JAX_PLATFORMS"] = os.environ.get(
 # CPU-only by design, so drop the plugin from the import path and make
 # the suite immune to tunnel weather (bench.py/real-TPU runs never
 # import this conftest).
+import re
+
+# the plugin ships as a path entry whose basename starts with ".axon"
+# (e.g. /root/.axon_site); match that component exactly rather than a
+# bare substring so unrelated paths merely containing "axon" survive
+_AXON_ENTRY = re.compile(r"^\.?axon([_.-]|$)")
+
+
+def _is_axon_path(p):
+    return bool(_AXON_ENTRY.match(os.path.basename(p.rstrip(os.sep))))
+
+
 if os.environ.get("JAX_PLATFORMS", "") == "cpu":
     os.environ["PYTHONPATH"] = os.pathsep.join(
         p for p in os.environ.get("PYTHONPATH", "").split(os.pathsep)
-        if p and "axon" not in p)
+        if p and not _is_axon_path(p))
 # unit tests default to the numpy analysis backend (byte-identical to
 # jax by the contraction-immune kernel spec) so the suite isn't
 # dominated by one-off jit compiles; jax-path tests opt in explicitly
@@ -36,7 +48,7 @@ import sys
 if os.environ.get("JAX_PLATFORMS", "") == "cpu":
     # PYTHONPATH was already consumed into sys.path at startup; drop
     # the plugin's entry there too (before anything imports jax)
-    sys.path[:] = [p for p in sys.path if "axon" not in p]
+    sys.path[:] = [p for p in sys.path if not _is_axon_path(p)]
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REFERENCE_DIR = "/root/reference"

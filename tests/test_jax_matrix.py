@@ -26,7 +26,11 @@ SR = 44100
 
 
 def make_reader(kind, bps, channels, n):
-    rng = np.random.default_rng(hash((kind, bps, channels)) % 2**32)
+    # crc32, not hash(): string hashing is randomized per process
+    # (PYTHONHASHSEED), which would make failures non-reproducible
+    import zlib
+    seed = zlib.crc32(f"{kind}/{bps}/{channels}".encode())
+    rng = np.random.default_rng(seed)
     t = np.arange(n)
     amp = 1 << (bps - 3)
     if kind == "tone":
