@@ -89,6 +89,24 @@ def _build_and_load():
         ctypes.POINTER(ctypes.c_uint8),   # md5_state (nullable)
     ]
 
+    lib.atpu_flac_scan.restype = ctypes.c_int64
+    lib.atpu_flac_scan.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8),   # data
+        ctypes.c_int64,                   # data_len
+        ctypes.c_int32,                   # stream_bps
+        ctypes.c_int32,                   # stream_channels
+        ctypes.c_int64,                   # max_samples
+        ctypes.c_int32,                   # max_frames
+        ctypes.c_int32,                   # max_parts
+        ctypes.c_int32,                   # verify_crc
+        ctypes.POINTER(ctypes.c_int32),   # frame_meta [max_frames, 4]
+        ctypes.POINTER(ctypes.c_int32),   # sub_meta [max_frames*8, 8]
+        ctypes.POINTER(ctypes.c_int32),   # warmup [max_frames*8, 32]
+        ctypes.POINTER(ctypes.c_int32),   # qlp [max_frames*8, 32]
+        ctypes.POINTER(ctypes.c_int32),   # part_meta [max_parts, 8]
+        ctypes.POINTER(ctypes.c_int64),   # counts [6]
+    ]
+
     lib.atpu_flac_emit_frames.restype = ctypes.c_int64
     lib.atpu_flac_emit_frames.argtypes = [
         ctypes.POINTER(ctypes.c_int64),   # frame_numbers
@@ -136,6 +154,14 @@ def _build_and_load():
         ctypes.POINTER(ctypes.c_int64),   # out_lens (cumulative ends)
         ctypes.c_int64,                   # out_capacity
     ]
+
+    lib.atpu_flac_emit_frames2rb.restype = ctypes.c_int64
+    lib.atpu_flac_emit_frames2rb.argtypes = (
+        list(lib.atpu_flac_emit_frames2.argtypes) + [
+            ctypes.POINTER(ctypes.c_uint32),  # rb_words
+            ctypes.POINTER(ctypes.c_int64),   # rb_bits
+            ctypes.c_int64,                   # rb_stride
+        ])
 
     lib.atpu_flac_qplan.restype = ctypes.c_int32
     lib.atpu_flac_qplan.argtypes = [
@@ -286,6 +312,16 @@ def _build_and_load():
         ctypes.c_int64,                   # n_tta_frames
         ctypes.c_int32,                   # channels
         ctypes.c_int32,                   # bps
+        ctypes.POINTER(ctypes.c_uint8),   # out
+        ctypes.POINTER(ctypes.c_int64),   # out_ends
+    ]
+
+    lib.atpu_tta_pack_frames.restype = ctypes.c_int64
+    lib.atpu_tta_pack_frames.argtypes = [
+        ctypes.POINTER(ctypes.c_int32),   # residuals [total, ch]
+        ctypes.POINTER(ctypes.c_int32),   # frame_sizes
+        ctypes.c_int64,                   # n_tta_frames
+        ctypes.c_int32,                   # channels
         ctypes.POINTER(ctypes.c_uint8),   # out
         ctypes.POINTER(ctypes.c_int64),   # out_ends
     ]
@@ -494,7 +530,8 @@ def flac_emit_frames(frame_numbers, block_sizes, assignments,
 def flac_emit_frames2(blocks, frame_numbers, block_sizes, packed,
                       max_subframes, max_order, max_partitions,
                       sample_rate, stream_bps, stream_channels,
-                      qlp_precision, compact=False):
+                      qlp_precision, compact=False,
+                      rb_words=None, rb_bits=None):
     """emits FLAC frames from raw PCM blocks + packed decision rows
 
     blocks: int32 [n_frames, max_block, channels] interleaved PCM
@@ -502,6 +539,11 @@ def flac_emit_frames2(blocks, frame_numbers, block_sizes, packed,
             max_partitions)] device decision output; with
             compact=True, the 3.5x-smaller wire layout from
             ops/flac_frames.compact_decisions instead
+    rb_words/rb_bits: optional device-packed residual partition blocks
+            (ops/pallas_bitpack.py): uint32
+            [n_frames * max_subframes, rb_stride] big-endian word rows
+            + exact bit lengths int64 — FIXED/LPC subframes splice
+            these bits instead of re-deriving residuals on host
     returns (frame bytes, per-frame byte lengths int64 array)"""
     import numpy as np
 
@@ -518,17 +560,37 @@ def flac_emit_frames2(blocks, frame_numbers, block_sizes, packed,
     out = np.empty(worst, dtype=np.uint8)
     out_ends = np.empty(n_frames, dtype=np.int64)
 
-    total = lib.atpu_flac_emit_frames2(
-        _as_ptr(blocks, ctypes.c_int32),
-        _as_ptr(frame_numbers, ctypes.c_int64),
-        _as_ptr(block_sizes, ctypes.c_int32),
-        _as_ptr(packed, ctypes.c_int32),
-        n_frames, max_subframes, max_order, max_partitions, max_block,
-        sample_rate, stream_bps, stream_channels, qlp_precision,
-        1 if compact else 0,
-        _as_ptr(out, ctypes.c_uint8),
-        _as_ptr(out_ends, ctypes.c_int64),
-        worst)
+    if rb_words is not None:
+        rb_words = np.ascontiguousarray(rb_words, dtype=np.uint32)
+        rb_bits = np.ascontiguousarray(rb_bits, dtype=np.int64)
+        if rb_words.shape[0] != n_frames * max_subframes:
+            raise ValueError("rb_words row count mismatch")
+        total = lib.atpu_flac_emit_frames2rb(
+            _as_ptr(blocks, ctypes.c_int32),
+            _as_ptr(frame_numbers, ctypes.c_int64),
+            _as_ptr(block_sizes, ctypes.c_int32),
+            _as_ptr(packed, ctypes.c_int32),
+            n_frames, max_subframes, max_order, max_partitions,
+            max_block, sample_rate, stream_bps, stream_channels,
+            qlp_precision, 1 if compact else 0,
+            _as_ptr(out, ctypes.c_uint8),
+            _as_ptr(out_ends, ctypes.c_int64),
+            worst,
+            _as_ptr(rb_words, ctypes.c_uint32),
+            _as_ptr(rb_bits, ctypes.c_int64),
+            rb_words.shape[1])
+    else:
+        total = lib.atpu_flac_emit_frames2(
+            _as_ptr(blocks, ctypes.c_int32),
+            _as_ptr(frame_numbers, ctypes.c_int64),
+            _as_ptr(block_sizes, ctypes.c_int32),
+            _as_ptr(packed, ctypes.c_int32),
+            n_frames, max_subframes, max_order, max_partitions,
+            max_block, sample_rate, stream_bps, stream_channels,
+            qlp_precision, 1 if compact else 0,
+            _as_ptr(out, ctypes.c_uint8),
+            _as_ptr(out_ends, ctypes.c_int64),
+            worst)
     if total == -31:
         raise EmitOverflow(
             "frame emit overflow: decision array implies more than "
@@ -691,6 +753,67 @@ def flac_decode(data, stream_bps, stream_channels, max_samples,
             consumed.value)
 
 
+def flac_scan(data, stream_bps, stream_channels, max_samples,
+              max_frames, max_parts, verify_crc=True):
+    """structural scan of FLAC frame data for the DEVICE decode path
+
+    Parses frames (validating CRC-8/16) and records predictor metadata
+    and residual-partition bit spans WITHOUT extracting residuals —
+    the device Rice-decodes and synthesizes them in batch
+    (ops/rice_decode.py + ops/flac_synth.py).
+
+    returns a dict of numpy arrays:
+      frame_meta [F, 4]  {block_size, assignment, bps, byte_len}
+      sub_meta   [S, 8]  {frame_idx, type, order, wasted, shift, ebps,
+                          const_val, porder}
+      warmup     [S, 32], qlp [S, 32]
+      part_meta  [P, 8]  {sub_idx, dest_off, count, rice_k, raw_bits,
+                          bit_off, bit_len, 0}
+      consumed_bytes, total_pcm_frames
+    or raises ValueError on a corrupt stream; a -30 code means the
+    first frame exceeded max_parts (caller falls back to host decode)."""
+    import numpy as np
+
+    lib = get_lib()
+    buf = np.frombuffer(data, dtype=np.uint8)
+    frame_meta = np.zeros((max_frames, 4), dtype=np.int32)
+    sub_meta = np.zeros((max_frames * 8, 8), dtype=np.int32)
+    warmup = np.zeros((max_frames * 8, 32), dtype=np.int32)
+    qlp = np.zeros((max_frames * 8, 32), dtype=np.int32)
+    part_meta = np.zeros((max_parts, 8), dtype=np.int32)
+    counts = np.zeros(6, dtype=np.int64)
+    rc = lib.atpu_flac_scan(
+        _as_ptr(buf, ctypes.c_uint8), len(buf),
+        stream_bps, stream_channels, max_samples,
+        max_frames, max_parts, 1 if verify_crc else 0,
+        _as_ptr(frame_meta, ctypes.c_int32),
+        _as_ptr(sub_meta, ctypes.c_int32),
+        _as_ptr(warmup, ctypes.c_int32),
+        _as_ptr(qlp, ctypes.c_int32),
+        _as_ptr(part_meta, ctypes.c_int32),
+        _as_ptr(counts, ctypes.c_int64))
+    if rc == -30:
+        raise CapacityError("frame exceeds scan partition capacity")
+    if rc < 0:
+        raise ValueError("truncated or corrupt FLAC stream "
+                         "(native code %d)" % (rc,))
+    (n_frames, n_subs, n_parts, consumed, total_pcm, _) = counts
+    return {
+        "frame_meta": frame_meta[:n_frames],
+        "sub_meta": sub_meta[:n_subs],
+        "warmup": warmup[:n_subs],
+        "qlp": qlp[:n_subs],
+        "part_meta": part_meta[:n_parts],
+        "consumed_bytes": int(consumed),
+        "total_pcm_frames": int(total_pcm),
+    }
+
+
+class CapacityError(ValueError):
+    """a single FLAC frame exceeded the scan's partition capacity;
+    the caller decodes that stream on the host path instead"""
+
+
 def pack_pcm(samples, bits_per_sample, big_endian, is_signed):
     """int32 [frames, channels] -> packed bytes (native)
 
@@ -805,6 +928,31 @@ def tta_encode_frames(samples, frame_sizes, channels, bps):
         _as_ptr(out_ends, ctypes.c_int64))
     if total < 0:
         raise ValueError("TTA encode error (code %d)" % (total,))
+    lens = np.diff(np.concatenate([[0], out_ends]))
+    return (out[:total].tobytes(), lens)
+
+
+def tta_pack_frames(residuals, frame_sizes, channels):
+    """packs precomputed TTA filter residuals (the device analysis
+    path) with the adaptive Rice coder + per-frame CRC-32
+
+    residuals: int32 [total, ch]; returns (bytes, per-frame sizes)"""
+    import numpy as np
+    lib = get_lib()
+    residuals = np.ascontiguousarray(residuals, dtype=np.int32)
+    frame_sizes = np.ascontiguousarray(frame_sizes, dtype=np.int32)
+    F = len(frame_sizes)
+    worst = residuals.size * 6 + 64 * F + 1024
+    out = np.empty(worst, dtype=np.uint8)
+    out_ends = np.empty(F, dtype=np.int64)
+    total = lib.atpu_tta_pack_frames(
+        _as_ptr(residuals, ctypes.c_int32),
+        _as_ptr(frame_sizes, ctypes.c_int32),
+        F, channels,
+        _as_ptr(out, ctypes.c_uint8),
+        _as_ptr(out_ends, ctypes.c_int64))
+    if total < 0:
+        raise ValueError("TTA pack error (code %d)" % (total,))
     lens = np.diff(np.concatenate([[0], out_ends]))
     return (out[:total].tobytes(), lens)
 

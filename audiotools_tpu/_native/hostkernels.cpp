@@ -864,7 +864,14 @@ extern "C" void atpu_emit_prof_dump() {
         emit_prof_cyc[slot] += emit_rdtsc() - t0_; \
     } else { stmt; } } while (0)
 
-int64_t atpu_flac_emit_frames2(const int32_t* blocks,    // [F,max_block,ch]
+// shared implementation; rb_words/rb_bits (nullable) carry
+// device-packed residual partition blocks (ops/pallas_bitpack.py):
+// when present, FIXED/LPC subframes splice the pre-packed bits
+// ([method(2) porder(4)] header + params + Rice codes, MSB-first in
+// big-endian u32 word rows of rb_stride) instead of re-deriving and
+// serializing residuals on host
+static int64_t flac_emit_frames_impl(
+                               const int32_t* blocks,    // [F,max_block,ch]
                                const int64_t* frame_numbers,
                                const int32_t* block_sizes,
                                const int32_t* packed,
@@ -880,7 +887,10 @@ int64_t atpu_flac_emit_frames2(const int32_t* blocks,    // [F,max_block,ch]
                                int32_t compact,
                                uint8_t* out,
                                int64_t* out_lens,
-                               int64_t out_capacity) {
+                               int64_t out_capacity,
+                               const uint32_t* rb_words,
+                               const int64_t* rb_bits,
+                               int64_t rb_stride) {
     const int W = 6 + max_order + max_partitions;
     const int row_width = 1 + max_subframes * W;
     // compact wire layout (ops/flac_frames.compact_decisions): one
@@ -1182,12 +1192,15 @@ int64_t atpu_flac_emit_frames2(const int32_t* blocks,    // [F,max_block,ch]
             }
 
             bool use32 = res32_ok;
+            const bool splice = (rb_words != nullptr);
             if (choice == 2) {                    // FIXED
                 w2.put(0, 1); w2.put(1, 3); w2.put(order, 3);
                 put_wasted(w2, wasted);
                 for (int i = 0; i < order; i++)
                     put_signed(w2, samp[i], ebps);
-                if (use32) {
+                if (splice) {
+                    // residual block arrives pre-packed from device
+                } else if (use32) {
                     fixed_res32(samp, block_size, order, res32_buf);
                 } else {
                     static const int64_t FC[5][4] = {
@@ -1212,13 +1225,35 @@ int64_t atpu_flac_emit_frames2(const int32_t* blocks,    // [F,max_block,ch]
                 put_signed(w2, shift, 5);
                 for (int i = 0; i < order; i++)
                     put_signed(w2, qlp[i], qlp_precision);
-                if (use32 &&
+                if (splice) {
+                    // residual block arrives pre-packed from device
+                } else if (use32 &&
                     lpc_residuals32_dispatch(samp, block_size, order,
                                              qlp, shift, res32_buf))
                     use32 = false;                // int32 wrapped
-                if (!use32)
+                if (!splice && !use32)
                     lpc_residuals_dispatch(samp, block_size, order,
                                            qlp, shift, res_buf);
+            }
+
+            if (splice) {
+                // bit-copy the device-packed residual block: full
+                // 32-bit source words stream through put(), the tail
+                // word contributes its TOP bits (device layout is
+                // MSB-first within each big-endian word)
+                const int64_t row = f * max_subframes + s;
+                const uint32_t* src = rb_words + row * rb_stride;
+                const int64_t nbits = rb_bits[row];
+                if (nbits <= 0 || nbits > rb_stride * 32)
+                    return -33;   // caller must pre-validate capacity
+                const int64_t full_words = nbits >> 5;
+                for (int64_t i = 0; i < full_words; i++)
+                    w2.put(src[i], 32);
+                const int rem = (int)(nbits & 31);
+                if (rem)
+                    w2.put(src[full_words] >> (32 - rem), rem);
+                mark(EP_PACK);
+                continue;
             }
 
             mark(EP_RESID);
@@ -1371,6 +1406,61 @@ int64_t atpu_flac_emit_frames2(const int32_t* blocks,    // [F,max_block,ch]
         out_lens[f] = pos;      // cumulative end offsets
     }
     return (n_frames > 0) ? out_lens[n_frames - 1] : 0;
+}
+
+int64_t atpu_flac_emit_frames2(const int32_t* blocks,
+                               const int64_t* frame_numbers,
+                               const int32_t* block_sizes,
+                               const int32_t* packed,
+                               int64_t n_frames,
+                               int32_t max_subframes,
+                               int32_t max_order,
+                               int32_t max_partitions,
+                               int32_t max_block,
+                               int32_t sample_rate,
+                               int32_t stream_bps,
+                               int32_t stream_channels,
+                               int32_t qlp_precision,
+                               int32_t compact,
+                               uint8_t* out,
+                               int64_t* out_lens,
+                               int64_t out_capacity) {
+    return flac_emit_frames_impl(
+        blocks, frame_numbers, block_sizes, packed, n_frames,
+        max_subframes, max_order, max_partitions, max_block,
+        sample_rate, stream_bps, stream_channels, qlp_precision,
+        compact, out, out_lens, out_capacity, nullptr, nullptr, 0);
+}
+
+// splice variant: residual partition blocks pre-packed on device
+// (ops/pallas_bitpack.py); rb_words [n_frames*max_subframes,
+// rb_stride] big-endian u32 rows, rb_bits exact bit lengths
+int64_t atpu_flac_emit_frames2rb(const int32_t* blocks,
+                                 const int64_t* frame_numbers,
+                                 const int32_t* block_sizes,
+                                 const int32_t* packed,
+                                 int64_t n_frames,
+                                 int32_t max_subframes,
+                                 int32_t max_order,
+                                 int32_t max_partitions,
+                                 int32_t max_block,
+                                 int32_t sample_rate,
+                                 int32_t stream_bps,
+                                 int32_t stream_channels,
+                                 int32_t qlp_precision,
+                                 int32_t compact,
+                                 uint8_t* out,
+                                 int64_t* out_lens,
+                                 int64_t out_capacity,
+                                 const uint32_t* rb_words,
+                                 const int64_t* rb_bits,
+                                 int64_t rb_stride) {
+    return flac_emit_frames_impl(
+        blocks, frame_numbers, block_sizes, packed, n_frames,
+        max_subframes, max_order, max_partitions, max_block,
+        sample_rate, stream_bps, stream_channels, qlp_precision,
+        compact, out, out_lens, out_capacity, rb_words, rb_bits,
+        rb_stride);
 }
 
 // ---------------------------------------------- quantized upload --
@@ -2282,6 +2372,17 @@ struct FlacBR {
     inline int64_t byte_pos() const {
         return byteoff + ((used + 7) >> 3);
     }
+    inline int64_t bit_pos() const {
+        return byteoff * 8 + used;
+    }
+    inline void skip_bits(int64_t nbits) {
+        // consume without extracting (device-decoded spans)
+        if (avail() < nbits) { error = true; return; }
+        const int64_t total = byteoff * 8 + used + nbits;
+        byteoff = total >> 3;
+        used = (int)(total & 7);
+        load();
+    }
 };
 
 // Rice-decodes n residuals with parameter k into out (zigzag undone).
@@ -2854,6 +2955,287 @@ int64_t atpu_flac_decode(const uint8_t* data,
 
     *consumed_bytes = consumed;
     return total_frames;
+}
+
+// Structural scan for the DEVICE decode path (ATPU_FLAC_DEC_BACKEND=jax).
+//
+// Walks FLAC frames like atpu_flac_decode but extracts NO residual
+// values and runs NO synthesis: it records per-frame / per-subframe
+// predictor metadata (type, order, wasted bits, warm-up samples, QLP
+// coefficients, shift) plus one record per residual *partition* (Rice
+// parameter or raw width, residual count, destination offset, absolute
+// bit offset and bit length within `data`).  The device then Rice-
+// decodes the partitions in batch (ops/rice_decode.py, a vectorized
+// pointer-doubling state machine over u32 lanes) and runs the
+// synthesis recurrences as fused scans (ops/flac_synth.py) — the
+// TPU-native split of reference src/decoders/flac.c:174-260,1156-1193.
+//
+// Layouts (int32 unless noted):
+//   frame_meta[f*4]  = {block_size, assignment, bps, frame_byte_len}
+//   sub_meta[s*8]    = {frame_idx, type(0=const 1=verbatim 2=fixed
+//                       3=lpc), order, wasted, shift, ebps, const_val,
+//                       porder}
+//   warmup[s*32], qlp[s*32]
+//   part_meta[p*8]   = {sub_idx, dest_off, count, rice_k(-1 if raw),
+//                       raw_bits(-1 if rice), bit_off, bit_len, 0}
+// counts (int64[6] out) = {n_frames, n_subs, n_parts, consumed_bytes,
+//                          total_pcm_frames, 0}
+// Returns total PCM frames scanned (>= 0) or a negative error code.
+// Stops cleanly (without consuming) before a frame that would exceed
+// max_frames / max_parts / max_samples; CRC-8/16 are verified here
+// (byte-local work), so the device path inherits the same strictness.
+extern "C" int64_t atpu_flac_scan(const uint8_t* data,
+                                  int64_t data_len,
+                                  int32_t stream_bps,
+                                  int32_t stream_channels,
+                                  int64_t max_samples,
+                                  int32_t max_frames,
+                                  int32_t max_parts,
+                                  int32_t verify_crc,
+                                  int32_t* frame_meta,
+                                  int32_t* sub_meta,
+                                  int32_t* warmup,
+                                  int32_t* qlp,
+                                  int32_t* part_meta,
+                                  int64_t* counts) {
+    static thread_local std::vector<int32_t> skip_buf;
+
+    int64_t n_frames = 0, n_subs = 0, n_parts = 0;
+    int64_t consumed = 0, total_pcm = 0;
+
+    while (consumed < data_len && n_frames < max_frames) {
+        FlacBR r(data + consumed, data_len - consumed);
+
+        if (r.get(14) != 0x3FFE) break;
+        r.get(2);
+        const int bs_code = (int)r.get(4);
+        const int sr_code = (int)r.get(4);
+        const int assignment = (int)r.get(4);
+        const int bps_code = (int)r.get(3);
+        r.get(1);
+        if (r.error) break;
+
+        {   // UTF-8 frame number
+            uint64_t first = r.get(8);
+            int extra = 0;
+            if (first >= 0xC0) {
+                uint64_t mask = 0x20;
+                extra = 1;
+                while (first & mask) { extra++; mask >>= 1; }
+            }
+            for (int i = 0; i < extra; i++) r.get(8);
+        }
+
+        int block_size;
+        switch (bs_code) {
+        case 1: block_size = 192; break;
+        case 2: block_size = 576; break;
+        case 3: block_size = 1152; break;
+        case 4: block_size = 2304; break;
+        case 5: block_size = 4608; break;
+        case 6: block_size = (int)r.get(8) + 1; break;
+        case 7: block_size = (int)r.get(16) + 1; break;
+        default:
+            if (bs_code >= 8) block_size = 256 << (bs_code - 8);
+            else return -10;
+        }
+
+        if (sr_code == 12) r.get(8);
+        else if (sr_code == 13 || sr_code == 14) r.get(16);
+        else if (sr_code == 15) return -11;
+
+        int bps;
+        switch (bps_code) {
+        case 0: bps = stream_bps; break;
+        case 1: bps = 8; break;
+        case 2: bps = 12; break;
+        case 4: bps = 16; break;
+        case 5: bps = 20; break;
+        case 6: bps = 24; break;
+        default: return -12;
+        }
+
+        if (verify_crc) {
+            const int64_t header_len = r.byte_pos();
+            const uint8_t expected = crc8_buf(data + consumed,
+                                              header_len, 0);
+            if ((uint8_t)r.get(8) != expected) return -13;
+        } else {
+            r.get(8);
+        }
+        if (r.error) break;
+
+        int channels;
+        if (assignment <= 7) channels = assignment + 1;
+        else if (assignment <= 10) channels = 2;
+        else return -14;
+        if (channels != stream_channels) return -15;
+
+        if (total_pcm + block_size > max_samples) break;
+
+        const int64_t frame_subs_base = n_subs;
+        const int64_t frame_parts_base = n_parts;
+        bool capacity = true;
+
+        for (int c = 0; c < channels && capacity; c++) {
+            int sub_bps = bps;
+            if (assignment == 8 && c == 1) sub_bps = bps + 1;
+            else if (assignment == 9 && c == 0) sub_bps = bps + 1;
+            else if (assignment == 10 && c == 1) sub_bps = bps + 1;
+
+            // ---- subframe header ----
+            if (r.get(1) != 0) return -2;
+            const int type_code = (int)r.get(6);
+            int wasted = 0;
+            if (r.get(1)) wasted = (int)r.unary() + 1;
+            const int ebps = sub_bps - wasted;
+
+            int32_t* sm = sub_meta + n_subs * 8;
+            int32_t* wu = warmup + n_subs * 32;
+            int32_t* ql = qlp + n_subs * 32;
+            for (int i = 0; i < 32; i++) { wu[i] = 0; ql[i] = 0; }
+            sm[0] = (int32_t)n_frames;
+            sm[2] = 0; sm[3] = wasted; sm[4] = 0; sm[5] = ebps;
+            sm[6] = 0; sm[7] = 0;
+
+            int order = 0;
+            bool lpc = false;
+            if (type_code == 0) {                       // CONSTANT
+                sm[1] = 0;
+                sm[6] = (int32_t)r.get_signed(ebps);
+                if (r.error) return -1;
+                n_subs++;
+                continue;
+            } else if (type_code == 1) {                // VERBATIM
+                sm[1] = 1;
+                if (n_parts >= max_parts) { capacity = false; break; }
+                int32_t* pm = part_meta + n_parts * 8;
+                pm[0] = (int32_t)n_subs;
+                pm[1] = 0;
+                pm[2] = block_size;
+                pm[3] = -1;
+                pm[4] = ebps;
+                const int64_t off = consumed * 8 + r.bit_pos();
+                pm[5] = (int32_t)off;
+                r.skip_bits((int64_t)block_size * ebps);
+                pm[6] = (int32_t)(consumed * 8 + r.bit_pos() - off);
+                pm[7] = 0;
+                if (r.error) return -1;
+                n_parts++;
+                n_subs++;
+                continue;
+            } else if (type_code >= 8 && type_code <= 12) {  // FIXED
+                order = type_code - 8;
+                sm[1] = 2;
+            } else if (type_code >= 32) {               // LPC
+                order = type_code - 31;
+                lpc = true;
+                sm[1] = 3;
+            } else {
+                return -3;
+            }
+            sm[2] = order;
+
+            for (int i = 0; i < order; i++)
+                wu[i] = (int32_t)r.get_signed(ebps);
+
+            if (lpc) {
+                const int precision = (int)r.get(4) + 1;
+                int shift = (int)r.get_signed(5);
+                if (shift < 0) shift = 0;
+                sm[4] = shift;
+                for (int i = 0; i < order; i++)
+                    ql[i] = (int32_t)r.get_signed(precision);
+            }
+            if (r.error) return -1;
+
+            // ---- residual partitions ----
+            const int coding_method = (int)r.get(2);
+            if (coding_method > 1) return -4;
+            const int porder = (int)r.get(4);
+            sm[7] = porder;
+            const int param_bits = coding_method ? 5 : 4;
+            const int escape = coding_method ? 31 : 15;
+            const int64_t partitions = 1LL << porder;
+            int64_t dest = order;
+            for (int64_t p = 0; p < partitions; p++) {
+                int64_t psize = (block_size >> porder) -
+                                (p == 0 ? order : 0);
+                if (psize < 0) return -5;
+                if (n_parts >= max_parts) { capacity = false; break; }
+                const int param = (int)r.get(param_bits);
+                int32_t* pm = part_meta + n_parts * 8;
+                pm[0] = (int32_t)n_subs;
+                pm[1] = (int32_t)dest;
+                pm[2] = (int32_t)psize;
+                pm[7] = 0;
+                const int64_t off0 = consumed * 8 + r.bit_pos();
+                pm[5] = (int32_t)off0;
+                if (param == escape) {
+                    const int raw = (int)r.get(5);
+                    pm[3] = -1;
+                    pm[4] = raw;
+                    pm[5] = (int32_t)(consumed * 8 + r.bit_pos());
+                    if (raw > 0)
+                        r.skip_bits(psize * raw);
+                } else {
+                    pm[3] = param;
+                    pm[4] = -1;
+                    if ((int64_t)skip_buf.size() < psize)
+                        skip_buf.resize(psize);
+                    rice_run32(r, skip_buf.data(), psize, param);
+                }
+                pm[6] = (int32_t)(consumed * 8 + r.bit_pos() - pm[5]);
+                if (r.error) return -1;
+                dest += psize;
+                n_parts++;
+            }
+            if (!capacity) break;
+            n_subs++;
+        }
+
+        if (!capacity) {
+            // frame didn't fit the caller's buffers: roll back and
+            // stop (an over-capacity FIRST frame is an error — the
+            // caller must fall back to the host decoder)
+            n_subs = frame_subs_base;
+            n_parts = frame_parts_base;
+            if (n_frames == 0) return -30;
+            break;
+        }
+
+        r.byte_align();
+        if (verify_crc) {
+            const int64_t body_len = r.byte_pos();
+            const uint16_t expected = crc16_buf(data + consumed,
+                                                body_len, 0);
+            if ((uint16_t)r.get(16) != expected) return -16;
+        } else {
+            r.get(16);
+        }
+        if (r.error) {
+            n_subs = frame_subs_base;
+            n_parts = frame_parts_base;
+            break;
+        }
+
+        int32_t* fm = frame_meta + n_frames * 4;
+        fm[0] = block_size;
+        fm[1] = assignment;
+        fm[2] = bps;
+        fm[3] = (int32_t)r.byte_pos();
+        consumed += r.byte_pos();
+        total_pcm += block_size;
+        n_frames++;
+    }
+
+    counts[0] = n_frames;
+    counts[1] = n_subs;
+    counts[2] = n_parts;
+    counts[3] = consumed;
+    counts[4] = total_pcm;
+    counts[5] = 0;
+    return total_pcm;
 }
 
 }  // extern "C"
@@ -4042,6 +4424,75 @@ int64_t atpu_tta_encode_frames(const int32_t* samples,
                 ft.shift_state(predicted);
 
                 // two-level adaptive Rice
+                Rice& rc = rice[c];
+                const uint32_t unsigned_v = (residual > 0)
+                    ? (uint32_t)(residual * 2 - 1)
+                    : (uint32_t)(-residual) * 2;
+                if (unsigned_v < (1u << rc.k0)) {
+                    w.put(0, 1);
+                    w.put(unsigned_v, rc.k0);
+                } else {
+                    const uint32_t shifted = unsigned_v -
+                        (1u << rc.k0);
+                    const uint32_t msb = 1 + (shifted >> rc.k1);
+                    const uint32_t lsb = shifted -
+                        ((msb - 1) << rc.k1);
+                    w.put_unary1(msb);
+                    w.put(lsb, rc.k1);
+                    rc.sum1 += shifted - (rc.sum1 >> 4);
+                    if (rc.sum1 < (1LL << (rc.k1 + 4))) {
+                        if (rc.k1 > 0) rc.k1 -= 1;
+                    } else if (rc.sum1 > (1LL << (rc.k1 + 5))) {
+                        rc.k1 += 1;
+                    }
+                }
+                rc.sum0 += unsigned_v - (rc.sum0 >> 4);
+                if (rc.sum0 < (1LL << (rc.k0 + 4))) {
+                    if (rc.k0 > 0) rc.k0 -= 1;
+                } else if (rc.sum0 > (1LL << (rc.k0 + 5))) {
+                    rc.k0 += 1;
+                }
+            }
+        }
+        w.byte_align();
+        const uint32_t crc = crc32_buf(out + out_pos, w.pos - out_pos);
+        out[w.pos] = (uint8_t)crc;
+        out[w.pos + 1] = (uint8_t)(crc >> 8);
+        out[w.pos + 2] = (uint8_t)(crc >> 16);
+        out[w.pos + 3] = (uint8_t)(crc >> 24);
+        out_pos = w.pos + 4;
+        out_ends[f] = out_pos;
+        sample_pos += n;
+    }
+    return out_pos;
+}
+
+// Packs PRECOMPUTED TTA residuals (the device analysis path,
+// ATPU_TTA_BACKEND=jax: ops/tta_scan.py runs the decorrelation +
+// fixed predictor + hybrid adaptive filter as batched scans and this
+// kernel serializes them) with the two-level adaptive Rice coder and
+// per-frame CRC-32 — the byte-serial tail of atpu_tta_encode_frames.
+//
+// residuals: int32 [total_frames, channels] filter output in frame
+// order; frame_sizes: PCM frames per TTA frame.  Byte-identical to
+// the fused encoder for identical residuals.
+int64_t atpu_tta_pack_frames(const int32_t* residuals,
+                             const int32_t* frame_sizes,
+                             int64_t n_tta_frames,
+                             int32_t channels,
+                             uint8_t* out,
+                             int64_t* out_ends) {
+    using namespace tta;
+    int64_t sample_pos = 0;
+    int64_t out_pos = 0;
+    for (int64_t f = 0; f < n_tta_frames; f++) {
+        const int64_t n = frame_sizes[f];
+        const int32_t* res = residuals + sample_pos * channels;
+        LEWriter w(out, out_pos);
+        Rice rice[8];
+        for (int64_t i = 0; i < n; i++) {
+            for (int c = 0; c < channels; c++) {
+                const int32_t residual = res[i * channels + c];
                 Rice& rc = rice[c];
                 const uint32_t unsigned_v = (residual > 0)
                     ? (uint32_t)(residual * 2 - 1)
