@@ -32,8 +32,22 @@ def encode_flac(filename, pcmreader, padding_size=4096, **options):
 
 
 def decoder_for_file(file, channel_mask=None):
-    """returns a PCMReader decoding the given FLAC file object"""
+    """returns a PCMReader decoding the given FLAC file object
+
+    ATPU_FLAC_DEC_BACKEND selects the decode path:
+      native (default) — host C++ frame decoder (flac_dec_fast)
+      jax              — device path: host structural scan + batched
+                         Rice decode and fused synthesis scans on the
+                         accelerator (flac_dec_jax); byte-identical
+    """
     if not _use_oracle():
+        backend = os.environ.get("ATPU_FLAC_DEC_BACKEND", "native")
+        if backend == "jax":
+            try:
+                from .flac_dec_jax import JaxFlacDecoder
+                return JaxFlacDecoder(file, channel_mask)
+            except ImportError:
+                pass
         try:
             from .flac_dec_fast import FastFlacDecoder
             return FastFlacDecoder(file, channel_mask)

@@ -1,0 +1,259 @@
+"""Device (JAX) FLAC decoder: batched Rice decode + fused synthesis.
+
+The TPU-native decode path (``ATPU_FLAC_DEC_BACKEND=jax``), the
+counterpart of reference ``src/decoders/flac.c:174-260,1156-1193``
+redesigned per SURVEY.md §7 step 5:
+
+* host: ``_native.atpu_flac_scan`` walks frame/subframe structure
+  (CRC-verified) and records residual-partition bit spans — the
+  byte-serial part of decode, kept on host like the encode side's
+  emitters,
+* device (one jit per shape signature): partitions Rice-decode in
+  batch via the pointer-doubling state machine (ops/rice_decode.py),
+  scatter into subframe planes, the predictor recurrences run as ONE
+  fused ``lax.scan`` seeded from the bitstream's warm-up samples
+  (ops/flac_synth.py), wasted-bits/stereo/interleave reconstruct
+  full frames,
+* host: per-frame trim + the spec's stream MD5 (order-dependent,
+  SURVEY.md §5) folded by the native MD5 kernel.
+
+Output is byte-identical to the host decoder (FastFlacDecoder) and
+the oracle (ref/flac_dec.py); streams with pathological partitions
+(bit spans beyond the largest device bucket) fall back to the host
+decoder per chunk.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .. import _native, pcm
+from ..ops import flac_synth, rice_decode
+from .flac_dec_fast import FastFlacDecoder
+
+# frames per device batch (shape-padded; see _pad_frames)
+MAX_BATCH_FRAMES = 256
+# partition capacity per scan call (worst sane case: 8 ch x 64 parts)
+MAX_PARTS = MAX_BATCH_FRAMES * 8 * 64
+# partition buckets: (window words, max codes). A partition lands in
+# the smallest bucket holding both its bit span and its code count.
+BUCKETS = ((8, 64), (64, 64), (256, 512), (2048, 4096))
+
+_jit_cache = {}
+
+
+def _pad_rows(k):
+    """next power of two >= k (min 8) — bounds jit signatures"""
+    p = 8
+    while p < k:
+        p <<= 1
+    return p
+
+
+def _get_decode_jit(key):
+    """builds (or returns) the jitted batch decoder for a static shape
+    signature: (n, ch, S_pad, F_pad, ((W, C, P_pad), ...))"""
+    if key in _jit_cache:
+        return _jit_cache[key]
+    import jax
+    import jax.numpy as jnp
+    jax.config.update("jax_enable_x64", True)
+
+    (n, ch, S_pad, F_pad, buckets) = key
+
+    def run(words, sub_args, frame_assignment, bucket_args):
+        (warmup, qlp, shift, order, wasted, const_val,
+         is_const) = sub_args
+        planes = jnp.zeros((S_pad, n), dtype=jnp.int32)
+        for ((W, C, _), args) in zip(buckets, bucket_args):
+            (word_base, base_bits, k, raw_bits, count,
+             sub_idx, dest_off) = args
+            vals = rice_decode.decode_partitions(
+                jnp, words, word_base, base_bits, k, raw_bits,
+                count, W, C)
+            planes = planes + rice_decode.scatter_residuals(
+                jnp, vals, sub_idx, dest_off, count, S_pad, n, C)
+        samples = flac_synth.synthesize(
+            jnp, planes, warmup, qlp, shift, order, n)
+        # CONSTANT subframes fill directly (they participate in
+        # stereo decorrelation, so this happens before reconstruct)
+        samples = jnp.where(is_const[:, None], const_val[:, None],
+                            samples)
+        return flac_synth.reconstruct_frames(
+            jnp, samples, wasted, frame_assignment, ch)
+
+    fn = jax.jit(run)
+    _jit_cache[key] = fn
+    return fn
+
+
+class JaxFlacDecoder(FastFlacDecoder):
+    """a PCMReader decoding FLAC on the device path
+
+    Inherits STREAMINFO/seektable parsing, buffering, seek() and the
+    EOF MD5 check from the host decoder; read() routes frame decoding
+    through the scan + device pipeline."""
+
+    def read(self, pcm_frames):
+        if self.closed:
+            raise ValueError("stream is closed")
+        if self.eof:
+            return pcm.empty_framelist(self.channels,
+                                       self.bits_per_sample)
+
+        from .flac_dec_fast import CHUNK_BYTES
+        file_exhausted = False
+        if len(self.buffer) - self.buf_off < CHUNK_BYTES:
+            if self.buf_off:
+                del self.buffer[:self.buf_off]
+                self.buf_off = 0
+            while len(self.buffer) < CHUNK_BYTES:
+                chunk = self.file.read(CHUNK_BYTES)
+                if not chunk:
+                    file_exhausted = True
+                    break
+                self.buffer += chunk
+
+        if self.buf_off >= len(self.buffer):
+            self._finish()
+            return pcm.empty_framelist(self.channels,
+                                       self.bits_per_sample)
+
+        view = memoryview(self.buffer)[self.buf_off:]
+        # like the host path, a batch never exceeds the caller's
+        # request (rounded up to one block) — seek()'s discard loop
+        # relies on read(block) not overshooting
+        max_batch = max(pcm_frames,
+                        self.maximum_block_size or 65536)
+        try:
+            scan = _native.flac_scan(
+                view, self.bits_per_sample, self.channels,
+                max_samples=max_batch,
+                max_frames=MAX_BATCH_FRAMES,
+                max_parts=MAX_PARTS)
+        except _native.CapacityError:
+            # pathological partition layout: host path for this chunk
+            return super().read(pcm_frames)
+
+        if scan["consumed_bytes"] == 0:
+            if not file_exhausted:
+                chunk = self.file.read(CHUNK_BYTES)
+                if chunk:
+                    self.buffer += chunk
+                    return self.read(pcm_frames)
+            if (len(self.buffer) - self.buf_off > 0 and
+                    (not self.total_frames or
+                     self.decoded_frames < self.total_frames)):
+                raise ValueError(
+                    "corrupt FLAC stream: undecodable bytes at "
+                    "frame %d" % (self.decoded_frames,))
+            self._finish()
+            return pcm.empty_framelist(self.channels,
+                                       self.bits_per_sample)
+
+        try:
+            samples = self._decode_batch(scan, bytes(view))
+        except _OverflowsBuckets:
+            return super().read(pcm_frames)
+
+        self.buf_off += scan["consumed_bytes"]
+        self.current_md5.update_pcm(samples, self.bits_per_sample)
+        framelist = pcm.FrameList._wrap(samples, self.bits_per_sample)
+        self.decoded_frames += framelist.frames
+        if (self.total_frames and
+                self.decoded_frames >= self.total_frames):
+            self._finish()
+        return framelist
+
+    def _decode_batch(self, scan, data):
+        """runs one scanned batch through the device pipeline,
+        returning int32 [total_frames, channels]"""
+        frame_meta = scan["frame_meta"]
+        sub_meta = scan["sub_meta"]
+        part_meta = scan["part_meta"]
+        F = frame_meta.shape[0]
+        ch = self.channels
+        n = int(frame_meta[:, 0].max())
+        F_pad = _pad_rows(F)
+        S_pad = F_pad * ch
+
+        # ---- subframe arrays (host prep, numpy) ----
+        S = sub_meta.shape[0]
+        warmup = np.zeros((S_pad, flac_synth.K), dtype=np.int32)
+        qlp = np.zeros((S_pad, flac_synth.K), dtype=np.int32)
+        shift = np.zeros(S_pad, dtype=np.int32)
+        order = np.zeros(S_pad, dtype=np.int32)
+        wasted = np.zeros(S_pad, dtype=np.int32)
+        const_val = np.zeros(S_pad, dtype=np.int32)
+        is_const = np.zeros(S_pad, dtype=bool)
+        warmup[:S] = scan["warmup"]
+        qlp[:S] = flac_synth.fill_fixed_qlp(sub_meta, scan["qlp"])
+        shift[:S] = sub_meta[:, 4]
+        order[:S] = sub_meta[:, 2]
+        wasted[:S] = sub_meta[:, 3]
+        const_val[:S] = sub_meta[:, 6]
+        is_const[:S] = sub_meta[:, 1] == 0
+        assignment = np.zeros(F_pad, dtype=np.int32)
+        assignment[:F] = frame_meta[:, 1]
+
+        # ---- partition bucketing ----
+        bit_off = part_meta[:, 5]
+        bit_len = part_meta[:, 6]
+        count = part_meta[:, 2]
+        word_base = bit_off >> 5
+        base_bits = bit_off & 31
+        w_need = (base_bits + bit_len + 31) >> 5
+        bucket_rows = []
+        assigned = np.zeros(part_meta.shape[0], dtype=bool)
+        for (W, C) in BUCKETS:
+            sel = (~assigned) & (w_need <= W) & (count <= C)
+            bucket_rows.append(np.nonzero(sel)[0])
+            assigned |= sel
+        if not assigned.all():
+            raise _OverflowsBuckets()
+
+        words = rice_decode.bytes_to_words(
+            data[:scan["consumed_bytes"]])
+
+        bucket_shapes = []
+        bucket_args = []
+        for ((W, C), rows) in zip(BUCKETS, bucket_rows):
+            if len(rows) == 0:
+                continue
+            P_pad = _pad_rows(len(rows))
+            pm = part_meta[rows]
+
+            def padded(v, fill=0):
+                out = np.full(P_pad, fill, dtype=np.int32)
+                out[:len(rows)] = v
+                return out
+
+            bucket_shapes.append((W, C, P_pad))
+            bucket_args.append((
+                padded(word_base[rows]),
+                padded(base_bits[rows]),
+                padded(pm[:, 3], -1),
+                # padding rows decode as 0-width raw runs of count 0
+                padded(pm[:, 4], 0),
+                padded(pm[:, 2]),
+                padded(pm[:, 0], S_pad - 1),
+                padded(pm[:, 1]),
+            ))
+
+        key = (n, ch, S_pad, F_pad, tuple(bucket_shapes))
+        fn = _get_decode_jit(key)
+        out = np.asarray(fn(words,
+                            (warmup, qlp, shift, order, wasted,
+                             const_val, is_const),
+                            assignment, tuple(bucket_args)))
+
+        # ---- per-frame trim + concat ----
+        block_sizes = frame_meta[:, 0]
+        if (block_sizes == n).all():
+            return out[:F].reshape(F * n, ch)
+        pieces = [out[f, :block_sizes[f], :] for f in range(F)]
+        return np.concatenate(pieces, axis=0)
+
+
+class _OverflowsBuckets(Exception):
+    """a partition exceeded the largest device bucket"""

@@ -21,6 +21,54 @@ def _use_oracle():
     return os.environ.get("ATPU_TTA_ORACLE", "0") == "1"
 
 
+def _backend():
+    """native (default) or jax: device decorrelation + fixed predictor
+    + hybrid filter scans (ops/tta_scan.py), host Rice pack"""
+    return os.environ.get("ATPU_TTA_BACKEND", "native")
+
+
+_jax_tta_cache = {}
+
+
+def _analyze_jax(samples_padded, bps):
+    """runs the TTA analysis program on device, one jit per shape"""
+    import jax
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+    from ..ops import tta_scan
+
+    key = (samples_padded.shape, bps)
+    if key not in _jax_tta_cache:
+        _jax_tta_cache[key] = jax.jit(
+            lambda s: tta_scan.analyze_frames(jnp, s, bps))
+    return np.asarray(_jax_tta_cache[key](samples_padded))
+
+
+def _encode_batch(samples, sizes, channels, bps, block_size):
+    """encodes whole TTA frames; device or fused-host per backend"""
+    if _backend() == "jax":
+        # static shapes: frames pad to block_size (the filter is
+        # causal, so a short final frame's residuals are a prefix of
+        # its zero-padded lane) and the batch to a power of two
+        F = len(sizes)
+        F_pad = 1
+        while F_pad < F:
+            F_pad <<= 1
+        batch = np.zeros((F_pad, block_size, channels), dtype=np.int32)
+        pos = 0
+        for (f, sz) in enumerate(sizes):
+            batch[f, :sz] = samples[pos:pos + sz]
+            pos += sz
+        res = _analyze_jax(batch, bps)
+        flat = np.concatenate(
+            [res[f, :sizes[f]] for f in range(F)], axis=0)
+        return _native.tta_pack_frames(
+            np.ascontiguousarray(flat),
+            np.asarray(sizes, dtype=np.int32), channels)
+    return _native.tta_encode_frames(
+        samples, np.asarray(sizes, dtype=np.int32), channels, bps)
+
+
 def encode_tta(file, pcmreader):
     """writes TTA frames from a PCMReader to a file object
 
@@ -31,7 +79,6 @@ def encode_tta(file, pcmreader):
     block_size = oracle.block_size_for(pcmreader.sample_rate)
     bps = pcmreader.bits_per_sample
     channels = pcmreader.channels
-    frame_sizes = []
 
     framelist = pcmreader.read(block_size * 16)
     pending = None
@@ -45,20 +92,20 @@ def encode_tta(file, pcmreader):
         tail = samples[n_full * block_size:]
         if n_full:
             sizes = np.full(n_full, block_size, dtype=np.int32)
-            (data, lens) = _native.tta_encode_frames(
-                samples[:n_full * block_size], sizes, channels, bps)
+            (data, lens) = _encode_batch(
+                samples[:n_full * block_size], sizes, channels,
+                bps, block_size)
             file.write(data)
             all_sizes.extend(int(v) for v in lens)
         if tail.shape[0]:
             pending = tail
         framelist = pcmreader.read(block_size * 16)
     if pending is not None and pending.shape[0]:
-        (data, lens) = _native.tta_encode_frames(
+        (data, lens) = _encode_batch(
             pending, np.asarray([pending.shape[0]], dtype=np.int32),
-            channels, bps)
+            channels, bps, block_size)
         file.write(data)
         all_sizes.extend(int(v) for v in lens)
-    del frame_sizes
     return all_sizes
 
 

@@ -126,7 +126,9 @@ class WavPackAudio(ApeTaggedAudio, WaveContainer):
                  encoding_function=None):
         """encodes a new file from PCM data"""
         from ..ref.wavpack import encode_wavpack
+        from ..codecs import wavpack_jax
         from ..utils.config import default_quality
+        wavpack_jax.install()   # live ATPU_WV_BACKEND dispatch
 
         if (compression is None) or (compression not in
                                      cls.COMPRESSION_MODES):

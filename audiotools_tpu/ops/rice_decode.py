@@ -1,0 +1,192 @@
+"""Batched Rice decoding — a vectorized bit-level state machine.
+
+The TPU-native re-expression of the reference decoder's bit-serial
+Rice loop (``/root/reference/src/decoders/flac.c:1156-1193``): instead
+of walking the bitstream one code at a time, each residual *partition*
+(whose bit span and parameters the host scan recorded —
+``_native.atpu_flac_scan``) is decoded as data-parallel array work
+over u32 lanes:
+
+1. the partition's bit window is expanded to a 0/1 bit matrix,
+2. an exclusive prefix count + scatter builds ``ones_pos`` (position
+   of the j-th set bit) so "next set bit at-or-after position p" is a
+   single gather — the unary-quotient terminator lookup,
+3. the per-position successor function ``next(p)`` (start of the code
+   after one starting at ``p``) is composed by POINTER DOUBLING:
+   log2(C) batched gathers yield the start positions of all C codes
+   in a partition simultaneously — the sequential state machine
+   becomes a parallel function composition,
+4. quotient + low bits extract with two-word fetches and shifts, and
+   zigzag decoding is branchless integer algebra.
+
+Raw runs (escape partitions and VERBATIM subframes) use the same
+machinery with a constant stride, skipping the terminator lookup.
+
+Backend-generic: ``xp`` is numpy (host oracle / tests) or jax.numpy
+inside jit (device path).  Both produce identical int32 residuals.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _take1(xp, arr, idx):
+    """take_along_axis over the last axis"""
+    return xp.take_along_axis(arr, idx, axis=1)
+
+
+def _bitcast_i32(xp, u):
+    """reinterpret uint32 as int32 (no value conversion)"""
+    if xp is np:
+        return np.ascontiguousarray(u, dtype=np.uint32).view(np.int32)
+    import jax.lax
+    return jax.lax.bitcast_convert_type(
+        u.astype(xp.uint32), xp.int32)
+
+
+def _scatter_ones_pos(xp, bits, cnt, N):
+    """ones_pos[p, j] = position of the j-th set bit of row p
+    (positions past the last set bit hold the sentinel N-1)"""
+    P = bits.shape[0]
+    if xp is np:
+        ones_pos = np.full((P, N), N - 1, dtype=np.int32)
+        rows, cols = np.nonzero(bits)
+        ones_pos[rows, cnt[rows, cols]] = cols
+        return ones_pos
+    pos = xp.arange(N, dtype=xp.int32)[None, :]
+    rows = xp.broadcast_to(
+        xp.arange(P, dtype=xp.int32)[:, None], (P, N))
+    # out-of-range target column N drops the scatter (zero bits)
+    tgt = xp.where(bits == 1, cnt, N)
+    base = xp.full((P, N), N - 1, dtype=xp.int32)
+    return base.at[rows, tgt].set(
+        xp.broadcast_to(pos, (P, N)), mode="drop")
+
+
+def decode_partitions(xp, words, word_base, base_bits, k, raw_bits,
+                      count, W, C):
+    """decodes a bucket of residual partitions from a shared bit buffer
+
+    words:     [Wtot] uint32 — the frame bytes as big-endian 32-bit
+               words (stream bit b lives at bit ``31 - b % 32`` of
+               word ``b // 32``)
+    word_base: [P] int32 — first word of each partition's window
+    base_bits: [P] int32 — bit offset of the first code within the
+               window (0..31)
+    k:         [P] int32 — Rice parameter, or -1 for raw runs
+    raw_bits:  [P] int32 — fixed code width for raw runs (escape
+               partitions / VERBATIM), or -1 for Rice
+    count:     [P] int32 — number of codes in the partition (<= C)
+    W, C:      static bucket sizes: window words and max code count
+               (the window must hold base_bits + the partition's bit
+               length within W*32 bits)
+
+    returns [P, C] int32 residuals (zigzag undone; raw runs
+    sign-extended); positions >= count are 0
+    """
+    P = word_base.shape[0]
+    N = W * 32
+    Wtot = words.shape[0]
+
+    # ---- window gather (one spare word for straddling reads) ----
+    widx = word_base[:, None] + xp.arange(W + 1, dtype=xp.int32)[None, :]
+    widx = xp.clip(widx, 0, Wtot - 1)
+    win = words[widx]                                   # [P, W+1] u32
+
+    is_raw = raw_bits >= 0
+    kc = xp.maximum(k, 0).astype(xp.int32)
+    rc = xp.maximum(raw_bits, 0).astype(xp.int32)
+
+    pos = xp.arange(N, dtype=xp.int32)
+    wi = (pos >> 5).astype(xp.int32)
+    bi = (31 - (pos & 31)).astype(xp.uint32)
+    bits = ((win[:, : W][:, wi] >> bi) & xp.uint32(1)).astype(
+        xp.int32)                                       # [P, N]
+
+    # ---- next-set-bit table ----
+    cnt = xp.cumsum(bits, axis=1, dtype=xp.int32) - bits   # exclusive
+    ones_pos = _scatter_ones_pos(xp, bits, cnt, N)
+    next_one = _take1(xp, ones_pos, cnt)                # [P, N]
+
+    # ---- successor function + pointer doubling ----
+    nxt = xp.where(is_raw[:, None],
+                   pos[None, :] + rc[:, None],
+                   next_one + 1 + kc[:, None])
+    A = xp.minimum(nxt, N - 1).astype(xp.int32)
+    starts = base_bits[:, None].astype(xp.int32)        # [P, 1]
+    m = 1
+    while m < C:
+        step = _take1(xp, A, xp.minimum(starts, N - 1))
+        starts = xp.concatenate([starts, step], axis=1)
+        m *= 2
+        if m < C:
+            A = _take1(xp, A, A)
+    starts = starts[:, :C]
+
+    # ---- code extraction ----
+    st = xp.minimum(starts, N - 1)
+    qpos = _take1(xp, next_one, st)                     # [P, C]
+    q = (qpos - st).astype(xp.uint32)
+    off = xp.where(is_raw[:, None], st, qpos + 1)
+    nbits = xp.where(is_raw[:, None], rc[:, None],
+                     kc[:, None]).astype(xp.int32)      # [P, C]
+
+    wi2 = xp.minimum(off >> 5, W - 1).astype(xp.int32)
+    w0 = _take1(xp, win, wi2)
+    w1 = _take1(xp, win, wi2 + 1)
+    sh = (off & 31).astype(xp.uint32)
+    sh_safe = xp.maximum(sh, xp.uint32(1))
+    hi = xp.where(sh == 0, w0,
+                  (w0 << sh) | (w1 >> (xp.uint32(32) - sh_safe)))
+    nb_safe = xp.clip(nbits, 1, 32).astype(xp.uint32)
+    lsb = xp.where(nbits <= 0, xp.uint32(0),
+                   hi >> (xp.uint32(32) - nb_safe))     # [P, C] u32
+
+    # Rice: u = (q << k) | lsb, zigzag-undone
+    u = ((q << kc[:, None].astype(xp.uint32)) | lsb).astype(xp.uint32)
+    res_rice = _bitcast_i32(xp, (u >> xp.uint32(1)) ^
+                            (xp.uint32(0) - (u & xp.uint32(1))))
+    # raw: sign-extend nbits-wide value
+    sbit = xp.where(nbits > 0,
+                    xp.uint32(1) << (nb_safe - xp.uint32(1)),
+                    xp.uint32(0))
+    res_raw = _bitcast_i32(xp, (lsb ^ sbit) - sbit)
+
+    res = xp.where(is_raw[:, None], res_raw, res_rice)
+    valid = xp.arange(C, dtype=xp.int32)[None, :] < count[:, None]
+    return xp.where(valid, res, 0).astype(xp.int32)
+
+
+def scatter_residuals(xp, values, sub_idx, dest_off, count, S, n, C):
+    """scatters bucket results [P, C] into subframe planes [S, n]
+
+    values:  [P, C] int32 (zeros past count)
+    sub_idx: [P] destination subframe row
+    dest_off:[P] destination start position
+    count:   [P] codes per partition
+    """
+    P = values.shape[0]
+    cols = dest_off[:, None] + xp.arange(C, dtype=xp.int32)[None, :]
+    if xp is np:
+        out = np.zeros((S, n), dtype=np.int32)
+        valid = np.arange(C, dtype=np.int32)[None, :] < count[:, None]
+        rows = np.broadcast_to(sub_idx[:, None], (P, C))
+        out[rows[valid], cols[valid]] = values[valid]
+        return out
+    # invalid positions scatter out of range and drop
+    cols = xp.where(
+        xp.arange(C, dtype=xp.int32)[None, :] < count[:, None],
+        cols, n)
+    rows = xp.broadcast_to(sub_idx[:, None], (P, C))
+    out = xp.zeros((S, n), dtype=xp.int32)
+    return out.at[rows, cols].set(values, mode="drop")
+
+
+def bytes_to_words(data):
+    """frame bytes -> big-endian uint32 words (host-side, numpy)"""
+    buf = np.frombuffer(data, dtype=np.uint8)
+    pad = (-len(buf)) % 4
+    if pad:
+        buf = np.concatenate([buf, np.zeros(pad, dtype=np.uint8)])
+    return buf.view(">u4").astype(np.uint32)

@@ -1281,12 +1281,25 @@ def _write_correlation_samples(writer, term, samples, channel_count):
             raise ValueError("invalid correlation term")
 
 
+# device-analysis hook: codecs/wavpack_jax.py installs a batched-scan
+# implementation of the whole pass chain (one jitted device program
+# per block) when ATPU_WV_BACKEND=jax.  The oracle itself never
+# imports ops/ — the override is injected from the codecs layer.
+correlate_channels_override = None
+
+
 def correlate_channels(uncorrelated, correlation_parameters,
                        channel_count):
     """runs all correlation passes, updating parameters in place"""
+    params = list(correlation_parameters)
+    if correlate_channels_override is not None:
+        result = correlate_channels_override(
+            uncorrelated, params, channel_count)
+        if result is not None:
+            return result
     if channel_count == 1:
         latest = uncorrelated[0]
-        for p in correlation_parameters:
+        for p in params:
             (latest, weight, samples) = correlation_pass_1ch(
                 latest, p.term, p.delta, p.weights[0], p.samples[0])
             p.update_weights([weight])
@@ -1294,7 +1307,7 @@ def correlate_channels(uncorrelated, correlation_parameters,
         return [latest]
     else:
         latest = uncorrelated
-        for p in correlation_parameters:
+        for p in params:
             (latest, weights, samples) = correlation_pass_2ch(
                 latest, p.term, p.delta, p.weights, p.samples)
             p.update_weights(weights)

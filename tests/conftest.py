@@ -13,6 +13,17 @@ import os
 # explicitly opts a run onto another platform.
 os.environ["JAX_PLATFORMS"] = os.environ.get(
     "ATPU_TEST_PLATFORM", "cpu")
+# installed pytest plugins (e.g. jaxtyping's) can import jax BEFORE
+# this conftest runs, freezing the jax_platforms config flag to the
+# harness's preset (axon) — the env assignment above is then ignored
+# and every jit in the suite silently dispatches to the tunneled TPU.
+# If jax is already in, update the live config too (backends have not
+# initialized yet at conftest time, so the update still takes).
+import sys
+
+if "jax" in sys.modules:
+    sys.modules["jax"].config.update(
+        "jax_platforms", os.environ["JAX_PLATFORMS"])
 # the axon PJRT plugin (tunneled TPU) routes XLA compiles through a
 # remote compile service even for the CPU backend; when the tunnel is
 # congested a trivial jit can hang for minutes.  Unit tests are

@@ -50,15 +50,19 @@ def encode_both(make_reader, **opts):
     return outs
 
 
-# the non-exhaustive variant runs the same code paths over a 12 s
-# stream (455 s); the exhaustive variant (36 s) stays in the default
-# run as the representative
+# default run keeps a SHORT representative of each family (the long
+# 12 s streams take minutes each on a 1-core box and sat silent in
+# the default suite); the full-length variants are the slow battery
 @pytest.mark.parametrize(
-    "exhaustive",
-    [pytest.param(False, marks=pytest.mark.slow), True])
-def test_flac8_long_noisy_byte_identity(exhaustive):
+    "exhaustive,seconds",
+    [pytest.param(False, 12, marks=pytest.mark.slow),
+     pytest.param(True, 12, marks=pytest.mark.slow),
+     # 1 s = 44 blocks pads to the same 64-row jit shape the rest of
+     # the suite compiles, so the default run reuses the XLA program
+     (True, 1)])
+def test_flac8_long_noisy_byte_identity(exhaustive, seconds):
     outs = encode_both(
-        noisy_reader,
+        lambda: noisy_reader(seconds=seconds),
         max_lpc_order=12, max_residual_partition_order=6,
         mid_side=True, exhaustive_model_search=exhaustive)
     assert outs["numpy"] == outs["jax"]
@@ -73,11 +77,13 @@ def test_flac_24bit_byte_identity():
     assert outs["numpy"] == outs["jax"]
 
 
-def test_alac_long_noisy_byte_identity():
+@pytest.mark.parametrize(
+    "seconds", [pytest.param(6, marks=pytest.mark.slow), 2])
+def test_alac_long_noisy_byte_identity(seconds):
     outs = {}
     for backend in ("numpy", "jax"):
         buf = io.BytesIO()
-        encode_mdat_fast(buf, noisy_reader(seconds=6),
+        encode_mdat_fast(buf, noisy_reader(seconds=seconds),
                          backend=backend)
         outs[backend] = buf.getvalue()
     assert outs["numpy"] == outs["jax"]

@@ -130,3 +130,48 @@ def test_shn_fast_matches_oracle():
         assert b1.getvalue() == fast, (ch, bps)
         (dec, _ft, _bps) = _native.shn_decode(fast, n + 1024, ch)
         assert np.array_equal(dec, arr), (ch, bps)
+
+
+# the full-frame scan (46k steps) costs a fresh XLA compile per
+# (ch, bps) shape on this 1-core box; default run keeps two combos
+@pytest.mark.parametrize("ch,bps", [
+    (1, 8), (2, 16),
+    pytest.param(2, 24, marks=pytest.mark.slow),
+    pytest.param(6, 16, marks=pytest.mark.slow)])
+def test_tta_jax_backend_matches_native(monkeypatch, ch, bps):
+    """ATPU_TTA_BACKEND=jax (device decorrelation + fixed predictor +
+    hybrid filter scans, ops/tta_scan.py; host adaptive-Rice pack) is
+    byte-identical to the fused native encoder"""
+    from audiotools_tpu.codecs import tta as tta_codec
+    n = 60000    # > one TTA frame, with a short final frame
+    arr = signal(n, ch, bps, seed=13)
+
+    def mkreader():
+        fl = pcm.FrameList._wrap(arr, bps)
+        mask = {1: 0x4, 2: 0x3, 6: 0x3F}[ch]
+        return PCMReader(io.BytesIO(fl.to_bytes(False, bps > 8)),
+                         SR, ch, mask, bps)
+
+    outs = {}
+    for backend in ("native", "jax"):
+        monkeypatch.setenv("ATPU_TTA_BACKEND", backend)
+        buf = io.BytesIO()
+        sizes = tta_codec.encode_tta(buf, mkreader())
+        outs[backend] = buf.getvalue()
+        assert sum(sizes) == len(outs[backend])
+    assert outs["native"] == outs["jax"]
+
+
+def test_tta_scan_ops_jax_matches_numpy():
+    """the analysis program itself is backend-deterministic"""
+    jnp = pytest.importorskip("jax.numpy")
+    import jax
+    jax.config.update("jax_enable_x64", True)
+    from audiotools_tpu.ops import tta_scan
+    rng = np.random.default_rng(5)
+    samples = rng.integers(-(1 << 23), 1 << 23,
+                           (2, 700, 2)).astype(np.int32)
+    a = tta_scan.analyze_frames(np, samples, 24)
+    b = np.asarray(tta_scan.analyze_frames(jnp, jnp.asarray(samples),
+                                           24))
+    assert (a == b).all()
