@@ -23,7 +23,7 @@ import os
 
 import numpy as np
 
-from ..ops import flac_frames, lpc as lpc_ops, qpack
+from ..ops import flac_frames, lpc as lpc_ops, pallas_bitpack, qpack
 from ..ref import flac_enc as oracle
 from ..utils.profiling import stage_timer, profiling_enabled
 from .. import _native
@@ -164,6 +164,58 @@ def _analyze_jax(blocks, stereo_trial, bps_scalar, n, K, precision,
         window = _window_on_device(window, device)
     # async dispatch: the caller fetches the packed array later,
     # letting the device overlap with host-side serialization
+    return _jax_analyze_cache[key](blocks, window)
+
+
+def _analyze_jax_pallas(blocks, stereo_trial, bps_scalar, n, K,
+                        precision, porders, max_rice, exhaustive,
+                        mid_side, window, n_words):
+    """jitted analysis + DEVICE residual packing (ATPU_PALLAS=1)
+
+    One program produces both the packed decisions and the chosen
+    subframes' residual partition blocks as bit-exact u32 word lanes
+    (ops/pallas_bitpack.py masked-matmul scatter on the MXU), so the
+    host emitter splices bits instead of re-deriving and serializing
+    residuals — the Rice pack, the dominant host emit cost, moves to
+    the device.  Requires exact uploads (no qpack wire: the device
+    must see the true samples to pack true residuals).
+
+    returns a (compact_decisions, words, bits, ok) handle tuple."""
+    import jax
+    jax.config.update("jax_enable_x64", True)
+    _enable_compilation_cache(jax)
+
+    key = ("pallas", blocks.shape, blocks.dtype.str, stereo_trial,
+           bps_scalar, n, K, precision, tuple(porders), max_rice,
+           exhaustive, mid_side, n_words)
+    with _jax_cache_lock:
+      if key not in _jax_analyze_cache:
+        import jax.numpy as jnp
+
+        P = 1 << porders[-1]
+        # the Mosaic kernel only lowers on TPU; CPU runs (unit tests,
+        # virtual meshes) use the interpreter, which shares the exact
+        # same program semantics
+        interpret = jax.default_backend() != "tpu"
+
+        def run(blocks, window):
+            (packed, chosen) = flac_frames.analyze_frames_packed(
+                jnp, blocks, stereo_trial, bps_scalar, n, K, precision,
+                list(porders), max_rice, exhaustive, mid_side, window,
+                return_chosen=True)
+            max_subframes = 2 if stereo_trial else blocks.shape[2]
+            compact = flac_frames.compact_decisions(
+                jnp, packed, max_subframes, K, P).ravel()
+            (words, bits, ok) = pallas_bitpack.pack_chosen_residuals(
+                jnp, chosen, n, bps_scalar, stereo_trial, P, n_words,
+                interpret=interpret)
+            return (compact, words, bits, ok)
+
+        _jax_analyze_cache[key] = jax.jit(run)
+    device = _jax_device()
+    if device is not None:
+        blocks = jax.device_put(blocks, device)
+        window = _window_on_device(window, device)
     return _jax_analyze_cache[key](blocks, window)
 
 
@@ -334,11 +386,22 @@ def encode_flac_fast(file_or_path,
 
     n_devices = _n_devices()
 
+    # device residual packing (ATPU_PALLAS=1): the analysis program
+    # also emits the chosen subframes' residual partition blocks as
+    # packed u32 word lanes, and the host emitter splices bits instead
+    # of serializing Rice codes.  Needs exact uploads (quantized
+    # samples would pack wrong residuals), so it supersedes qpack.
+    use_pallas = (pallas_bitpack.enabled() and backend == "jax" and
+                  bps <= 25)
+    rb_stride = pallas_bitpack.residual_words_capacity(
+        block_size, bps + (1 if stereo_trial else 0), P)
+
     # zigzag first-differences need up to bps + 2 bits; the two-word
     # wire format caps at 31, so streams deep enough to overflow it
     # (e.g. 32-bit PCM) fall back to exact uploads instead of
     # producing corrupt quantized samples
-    use_qpack = qpack.enabled() and (bps + 2 <= 31)
+    use_qpack = (qpack.enabled() and (bps + 2 <= 31) and
+                 not use_pallas)
     qguard = qpack.guard_bits()
 
     def _pad_rows(arrays):
@@ -415,6 +478,13 @@ def encode_flac_fast(file_or_path,
                     exhaustive_model_search, mid_side, window,
                     n_devices)
         elif tag == "raw":
+            if use_pallas:
+                with prof("submit"):
+                    return _analyze_jax_pallas(
+                        payload[1], stereo_trial, bps, block_size,
+                        max_lpc_order, precision, porders, max_rice,
+                        exhaustive_model_search, mid_side, window,
+                        rb_stride)
             with prof("submit"):
                 return _analyze_jax(payload[1], stereo_trial, bps,
                                     block_size, max_lpc_order,
@@ -537,30 +607,45 @@ def encode_flac_fast(file_or_path,
                     if writer_error:
                         continue
                     (kind, arr) = slot[0]
+                    B = blocks.shape[0]
+                    rb_kw = {}
+                    if isinstance(arr, tuple):
+                        # pallas path: (compact, words, bits, ok)
+                        (arr, rb_words, rb_bits, rb_ok) = arr
+                        if bool(rb_ok):
+                            S = B * max_subframes
+                            rb_kw = {"rb_words": rb_words[:S],
+                                     "rb_bits": rb_bits[:S]}
+                        # ok=False (capacity/clip): exact host retry
+                        else:
+                            (frame_bytes, lens) = emit_exact_retry(
+                                blocks, first_frame)
+                            rb_kw = None
                     # device handles carry the 3.5x-smaller compact
                     # row layout; the numpy path keeps standard rows
                     is_compact = (kind == "jax")
                     width = (compact_row_width if is_compact
                              else row_width)
-                    packed = arr.reshape(-1, width)
-                    B = blocks.shape[0]
-                    packed = packed[:B]   # drop shard-padding rows
-                    try:
-                        with prof("emit"):
-                            (frame_bytes, lens) = \
-                                _native.flac_emit_frames2(
-                                    blocks,
-                                    np.arange(first_frame,
-                                              first_frame + B,
-                                              dtype=np.int64),
-                                    np.full(B, block_size,
-                                            dtype=np.int32),
-                                    packed, max_subframes, Kp, P,
-                                    sample_rate, bps, channels,
-                                    precision, compact=is_compact)
-                    except _native.EmitOverflow:
-                        (frame_bytes, lens) = emit_exact_retry(
-                            blocks, first_frame)
+                    if rb_kw is not None:
+                        packed = arr.reshape(-1, width)
+                        packed = packed[:B]  # drop shard-pad rows
+                        try:
+                            with prof("emit"):
+                                (frame_bytes, lens) = \
+                                    _native.flac_emit_frames2(
+                                        blocks,
+                                        np.arange(first_frame,
+                                                  first_frame + B,
+                                                  dtype=np.int64),
+                                        np.full(B, block_size,
+                                                dtype=np.int32),
+                                        packed, max_subframes, Kp, P,
+                                        sample_rate, bps, channels,
+                                        precision, compact=is_compact,
+                                        **rb_kw)
+                        except _native.EmitOverflow:
+                            (frame_bytes, lens) = emit_exact_retry(
+                                blocks, first_frame)
                     with prof("write"):
                         output_file.write(frame_bytes)
                     for length in lens:

@@ -533,7 +533,8 @@ ASSIGNMENT_VARIANTS = {1: (0, 1), 8: (0, 3), 9: (3, 1), 10: (2, 3)}
 def analyze_frames_packed(xp, blocks, stereo_trial, bps, n,
                           max_lpc_order, qlp_precision, porders,
                           max_rice, exhaustive, mid_side, window,
-                          or_vals=None, const_flags=None):
+                          or_vals=None, const_flags=None,
+                          return_chosen=False):
     """full per-frame analysis: variants, subframe trials, channel
     assignment, and decision packing — one device round trip per batch
 
@@ -603,4 +604,20 @@ def analyze_frames_packed(xp, blocks, stereo_trial, bps, n,
     per_sub = xp.concatenate([scalars, qlp, rice],
                              axis=2)            # [B, max_subframes, W]
     flat = xp.reshape(per_sub, (B, max_subframes * per_sub.shape[2]))
-    return xp.concatenate([a[:, None], flat], axis=1).astype(xp.int32)
+    packed = xp.concatenate([a[:, None], flat],
+                            axis=1).astype(xp.int32)
+    if not return_chosen:
+        return packed
+    # the chosen subframes' analysis data, for device-side residual
+    # packing (ops/pallas_bitpack.py): same gather as the decision
+    # rows, so the packed bits always match the decisions they ride
+    # with
+    chosen = {
+        "residual": gather("residual", (n,)),  # [B, max_sub, n]
+        "choice": gather("choice", ()),
+        "order": gather("order", ()),
+        "porder": gather("porder", ()),
+        "rice_params": rice,                   # [B, max_sub, P]
+        "max_subframes": max_subframes,
+    }
+    return (packed, chosen)

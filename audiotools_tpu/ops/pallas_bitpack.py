@@ -199,10 +199,17 @@ def scatter_words_pallas(idx, val, n_words, interpret=False,
     idx: int32 [S, M] word indices; val: u32-valued int64/uint32
     [S, M] contributions; returns uint32 [S, n_words].
 
-    Per (subframe, word-tile) grid cell the kernel loops over token
-    tiles: a one-hot comparison (idx == word_id) contracts against
-    the contributions' four byte lanes on the MXU; disjoint payload
-    bits keep each byte-lane sum <= 255 so f32 accumulation is exact."""
+    Per (subframe, word-tile, token-tile) grid cell a one-hot
+    comparison (idx == word_id) contracts against the contributions'
+    four byte lanes on the MXU; disjoint payload bits keep each
+    byte-lane sum <= 255 so f32 accumulation is exact.  The token
+    axis rides the (sequential, innermost) TPU grid dimension with
+    revisited output blocks — accumulating ASSEMBLED int32 words is
+    exact because full byte-lane sums stay <= 255, so partial words
+    add carry-free.  (An earlier fori_loop-over-token-tiles form
+    tripped jax 0.9.0's infinite trace recursion whenever the global
+    x64 flag was on — grid accumulation sidesteps the loop index
+    entirely and composes with the x64 analysis programs.)"""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -228,44 +235,46 @@ def scatter_words_pallas(idx, val, n_words, interpret=False,
 
     def kernel(idx_ref, limb_ref, out_ref):
         wt = pl.program_id(1)
-        word_base = wt * word_tile
-        word_ids = (word_base +
+        word_ids = (wt * word_tile +
                     jax.lax.broadcasted_iota(
                         jnp.int32, (1, word_tile), 1))      # [1, WT]
-
-        def body(t, acc):
-            # explicit i32: under x64 the loop index and the literal
-            # lower to mixed widths, which Mosaic's muli rejects
-            start = jax.lax.mul(
-                jax.lax.convert_element_type(t, jnp.int32),
-                jax.lax.full((), token_tile, jnp.int32))
-            ids = idx_ref[0, 0, pl.ds(start, token_tile)]   # [TT]
-            lim = limb_ref[0, :, pl.ds(start, token_tile)]  # [4, TT]
-            onehot = (ids[:, None] == word_ids).astype(
-                jnp.float32)                                # [TT, WT]
-            return acc + jax.lax.dot_general(
-                lim, onehot, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)         # [4, WT]
-
-        acc = jax.lax.fori_loop(
-            0, n_token_tiles, body,
-            jnp.zeros((4, word_tile), dtype=jnp.float32))
+        ids = idx_ref[0, 0, :]                              # [TT]
+        lim = limb_ref[0, :, :]                             # [4, TT]
+        onehot = (ids[:, None] == word_ids).astype(
+            jnp.float32)                                    # [TT, WT]
+        acc = jax.lax.dot_general(
+            lim, onehot, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)             # [4, WT]
         # int32 word assembly (Mosaic lacks f32->u32 casts); lane
         # values are <= 255 so the i32 cast is exact, and shift/or
         # keep the u32 bit pattern (sign only rides bit 31)
         word = acc.astype(jnp.int32)
-        out_ref[0, 0, :] = (word[0] | (word[1] << 8) |
-                            (word[2] << 16) | (word[3] << 24))
+        tile_word = (word[0] | (word[1] << 8) |
+                     (word[2] << 16) | (word[3] << 24))     # [WT]
 
+        @pl.when(pl.program_id(2) == 0)
+        def _init():
+            out_ref[0, 0, :] = tile_word
+
+        @pl.when(pl.program_id(2) != 0)
+        def _accumulate():
+            out_ref[0, 0, :] = out_ref[0, 0, :] + tile_word
+
+    # index maps avoid literal 0s: under the global x64 flag a bare
+    # Python 0 traces as an i64 constant and Mosaic rejects the
+    # mixed-width index tuple ("failed to legalize 'func.return'");
+    # w - w / t - t stay i32 on every config
     out = pl.pallas_call(
         kernel,
-        grid=(S, Wp // word_tile),
+        grid=(S, Wp // word_tile, n_token_tiles),
         in_specs=[
-            pl.BlockSpec((1, 1, Mp), lambda s, w: (s, 0, 0)),
-            pl.BlockSpec((1, 4, Mp), lambda s, w: (s, 0, 0)),
+            pl.BlockSpec((1, 1, token_tile),
+                         lambda s, w, t: (s, w - w, t)),
+            pl.BlockSpec((1, 4, token_tile),
+                         lambda s, w, t: (s, w - w, t)),
         ],
         out_specs=pl.BlockSpec((1, 1, word_tile),
-                               lambda s, w: (s, 0, w)),
+                               lambda s, w, t: (s, t - t, w)),
         out_shape=jax.ShapeDtypeStruct((S, 1, Wp), jnp.int32),
         interpret=interpret,
     )(idx, limbs)
@@ -303,6 +312,71 @@ def pack_residual_blocks(res, orders, porders, params, n_words,
         return (scatter_words_xla(jnp, idx, val, n_words), total)
     return (scatter_words_pallas(idx, val, n_words,
                                  interpret=interpret), total)
+
+
+def residual_words_capacity(n, bps, max_parts):
+    """output width (u32 words) per CHOSEN coded subframe
+
+    A coded (FIXED/LPC) choice implies the whole subframe costs less
+    than VERBATIM (flac_frames.analyze_subframes' choice chain), so
+    its residual partition block is bounded by ~bps_subframe * n bits;
+    bps + 2 covers the +1-bit side channel with a margin, plus the
+    method/porder header and parameter fields."""
+    bits = n * (bps + 2) + max_parts * 5 + 96
+    return (bits + 31) // 32
+
+
+def pack_chosen_residuals(xp, chosen, n, bps, stereo_trial, max_parts,
+                          n_words, backend="pallas", interpret=False):
+    """packs the CHOSEN subframes' residual partition blocks on device
+
+    chosen: the dict from analyze_frames_packed(return_chosen=True)
+    returns (words uint32 [S, n_words], bits int32 [S], ok bool []):
+    S = B * max_subframes rows in frame-major order (the emit splice's
+    row layout).  Non-coded rows (CONSTANT/VERBATIM — emitted wholesale
+    on host) contribute nothing and report 0 bits.  ``ok`` is False
+    when any coded row overflows the capacity or its LPC analysis
+    residuals touched the clip bound (ops/lpc.py lpc_residuals) — the
+    caller must then fall back to exact host emit for the batch."""
+    from . import flac_frames as ff
+
+    res3 = chosen["residual"]                    # [B, M, n]
+    B = res3.shape[0]
+    M = res3.shape[1]
+    S = B * M
+    res = xp.reshape(res3, (S, n)).astype(xp.int32)
+    orders = xp.reshape(chosen["order"], (S,)).astype(xp.int32)
+    porders = xp.reshape(chosen["porder"], (S,)).astype(xp.int32)
+    params = xp.reshape(chosen["rice_params"],
+                        (S, max_parts)).astype(xp.int32)
+    choice = xp.reshape(chosen["choice"], (S,))
+    coded = ((choice == ff.CHOICE_FIXED) |
+             (choice == ff.CHOICE_LPC))
+
+    (ends, payload, widths, total) = tokenize(
+        xp, res, orders, porders, params, n, max_parts)
+    (idx, val) = split_contributions(xp, ends, payload, widths)
+    # CONSTANT/VERBATIM rows may carry arbitrary analysis residuals;
+    # zero their contributions so nothing scatters past capacity
+    idx = xp.where(coded[:, None], idx, 0)
+    val = xp.where(coded[:, None], val, xp.uint32(0))
+
+    if backend == "pallas" and xp is not np:
+        words = scatter_words_pallas(idx, val, n_words,
+                                     interpret=interpret)
+    else:
+        words = scatter_words_xla(xp, idx, val, n_words)
+
+    # safety sideband: capacity + the LPC residual clip bound (a
+    # clipped analysis residual is not the exact residual, so the
+    # packed bits would be wrong — exact host emit handles the batch)
+    max_bps = bps + 1 if stereo_trial else bps
+    clip = xp.int32(1) << (max_bps + 4)          # < 2^31 for bps <= 25
+    clipped = (choice == ff.CHOICE_LPC) & xp.any(
+        xp.abs(res) >= clip, axis=1)
+    row_ok = (~coded) | ((total <= 32 * n_words) & ~clipped)
+    total = xp.where(coded, total, 0)
+    return (words, total.astype(xp.int32), xp.all(row_ok))
 
 
 def words_to_bytes(words, total_bits):

@@ -95,6 +95,39 @@ def config1_flac_decode():
          {"bit_exact": bool(ok),
           "Msamples_per_sec": round(arr.size / dt / 1e6, 1)})
 
+    # device path (ATPU_FLAC_DEC_BACKEND=jax): host structural scan +
+    # batched Rice decode and fused synthesis scans on the accelerator
+    # (codecs/flac_dec_jax.py); byte-identical output, measured
+    # separately because the scan-bound synthesis and the tunnel's
+    # per-batch round trips price it differently from the host path
+    try:
+        from audiotools_tpu.codecs.flac_dec_jax import JaxFlacDecoder
+        short = data if arr.shape[0] <= SR * 30 else None
+        if short is None:
+            arr2 = arr[:SR * 30]
+            buf2 = io.BytesIO()
+            encode_flac_fast(buf2, reader_for(np.ascontiguousarray(arr2)),
+                             max_lpc_order=12,
+                             max_residual_partition_order=6,
+                             mid_side=True, exhaustive_model_search=True,
+                             backend="numpy")
+            short = buf2.getvalue()
+            arr2 = np.asarray(arr2)
+        else:
+            arr2 = arr
+        got2 = drain(JaxFlacDecoder(io.BytesIO(short)))   # warm/compile
+        t0 = time.perf_counter()
+        got2 = drain(JaxFlacDecoder(io.BytesIO(short)))
+        dt2 = time.perf_counter() - t0
+        ok2 = np.array_equal(got2, arr2)
+        emit(1, "flac_decode_jax_realtime_x",
+             (arr2.shape[0] / SR) / dt2 if ok2 else 0.0, "x",
+             {"bit_exact": bool(ok2),
+              "Msamples_per_sec": round(arr2.size / dt2 / 1e6, 2)})
+    except Exception as err:  # noqa: B902
+        emit(1, "flac_decode_jax_realtime_x", 0.0, "x",
+             {"error": str(err)[:200]})
+
 
 def config3_alac_wavpack():
     from audiotools_tpu.formats.m4a import ALACAudio
@@ -269,6 +302,27 @@ def config2_flac_encode():
     line = r.stdout.strip().splitlines()[-1] if r.stdout.strip() else "{}"
     row = json.loads(line)
     row["config"] = 2
+    print(json.dumps(row), flush=True)
+
+    # ATPU_PALLAS=1 variant: device residual packing (Pallas
+    # masked-matmul scatter) + host emit splice.  Exact uploads (no
+    # qpack) so it pays ~2x the wire bytes on the tunnel; the row
+    # records what the device-emit architecture delivers there —
+    # locally-attached chips price it by HBM, not WAN
+    env2 = dict(env)
+    env2["ATPU_PALLAS"] = "1"
+    env2["ATPU_FLAC_QPACK"] = "0"
+    r = subprocess.run([sys.executable,
+                        os.path.join(os.path.dirname(
+                            os.path.abspath(__file__)), "bench.py")],
+                       capture_output=True, text=True, env=env2)
+    line = r.stdout.strip().splitlines()[-1] if r.stdout.strip() else "{}"
+    try:
+        row = json.loads(line)
+    except ValueError:
+        row = {"error": (r.stderr or "")[-200:]}
+    row["config"] = 2
+    row["variant"] = "pallas_device_pack"
     print(json.dumps(row), flush=True)
 
 

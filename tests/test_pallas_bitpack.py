@@ -120,3 +120,56 @@ def test_method1_large_parameters():
     reason="real-chip Pallas run is opt-in (ATPU_PALLAS_TPU=1)")
 def test_pallas_real_chip_matches_serial():
     check_backend("pallas", interpret=False, n=4096, S=4)
+
+
+# ---------------------------------------------------------------------
+# production path: ATPU_PALLAS=1 routes encode_flac_fast's jax backend
+# through device residual packing + the emit splice
+# (_native.flac_emit_frames2 rb_words/rb_bits)
+# ---------------------------------------------------------------------
+
+def _encode_bytes(arr, bps, backend, monkeypatch, pallas):
+    import io
+    from audiotools_tpu import pcm
+    from audiotools_tpu.pcmstream import PCMReader
+    from audiotools_tpu.codecs.flac_enc_fast import encode_flac_fast
+
+    monkeypatch.setenv("ATPU_PALLAS", "1" if pallas else "0")
+    # the pallas path requires exact uploads, so it implies qpack off;
+    # the host baseline must analyze the same (exact) samples or its
+    # decisions legitimately differ by a few bits per frame
+    monkeypatch.setenv("ATPU_FLAC_QPACK", "0")
+    fl = pcm.FrameList._wrap(arr, bps)
+    mask = {1: 4, 2: 3}[arr.shape[1]]
+    reader = PCMReader(io.BytesIO(fl.to_bytes(False, bps > 8)),
+                       44100, arr.shape[1], mask, bps)
+    buf = io.BytesIO()
+    encode_flac_fast(buf, reader, backend=backend, block_size=4096,
+                     max_lpc_order=8, mid_side=arr.shape[1] == 2,
+                     exhaustive_model_search=False,
+                     max_residual_partition_order=4, batch_frames=8)
+    return buf.getvalue()
+
+
+# one XLA compile per (channels, bps) signature; default run keeps
+# the stereo 16-bit representative
+@pytest.mark.parametrize("bps,ch", [
+    (16, 2),
+    pytest.param(16, 1, marks=pytest.mark.slow),
+    pytest.param(24, 2, marks=pytest.mark.slow)])
+def test_pallas_encode_path_byte_identity(monkeypatch, bps, ch):
+    """a complete .flac emitted through the device-packed residual
+    splice is byte-identical to the host serializer's file"""
+    rng = np.random.default_rng(9)
+    n = 4096 * 9 + 1000          # incl. a padded partial batch + tail
+    t = np.arange(n)
+    amp = 1 << (bps - 3)
+    arr = np.stack([(amp * np.sin(2 * np.pi * (300 + 200 * c) * t
+                                  / 44100)).astype(np.int64)
+                    + rng.integers(-amp // 64, amp // 64, n)
+                    for c in range(ch)], axis=1).astype(np.int32)
+    # constant + verbatim stretches exercise the non-spliced choices
+    arr[:4096] = 1234 if bps > 8 else 12
+    host = _encode_bytes(arr, bps, "numpy", monkeypatch, pallas=False)
+    dev = _encode_bytes(arr, bps, "jax", monkeypatch, pallas=True)
+    assert host == dev
