@@ -63,8 +63,26 @@ def _get_backend(backend):
     return backend
 
 
+# per-thread device pin: the farm's per-device queues
+# (parallel/farm.py) set this so each worker's encodes dispatch to
+# its own mesh device — track-level data parallelism without the
+# analysis program itself communicating (the TPU-native form of the
+# reference's fork-per-track queue)
+_device_override = _threading.local()
+
+
+def set_thread_device(device):
+    """pins this thread's jax dispatches to a specific device
+    (None clears the pin)"""
+    _device_override.device = device
+
+
 def _jax_device():
-    """resolves the target JAX device (ATPU_JAX_PLATFORM overrides)"""
+    """resolves the target JAX device (per-thread pin, then
+    ATPU_JAX_PLATFORM)"""
+    pinned = getattr(_device_override, "device", None)
+    if pinned is not None:
+        return pinned
     import jax
     platform = os.environ.get("ATPU_JAX_PLATFORM")
     if platform:

@@ -71,19 +71,41 @@ def default_workers():
     return int(os.environ.get("ATPU_FARM_WORKERS", "6"))
 
 
-def transcode(jobs, workers=None, progress=None):
+def device_shard_enabled():
+    """whether farm workers pin round-robin to mesh devices
+
+    ATPU_FARM_DEVICE_SHARD=1 turns the farm into per-device batch
+    queues: worker w dispatches its tracks' analysis batches to
+    jax device w mod D, so independent tracks ride different chips
+    concurrently (track-level data parallelism over the mesh — the
+    TPU-native replacement for the reference's fork-per-track
+    ExecProgressQueue when more than one chip is attached)."""
+    return os.environ.get("ATPU_FARM_DEVICE_SHARD", "0") == "1"
+
+
+def transcode(jobs, workers=None, progress=None, devices=None):
     """runs FarmJobs through a thread pool; returns FarmResults
 
     results are in job order.  A failed job carries its exception in
     .error (it is not raised: remaining tracks still transcode, like
     the reference queue).  ``progress(done_count, total)`` is called
-    after each completion from worker threads."""
+    after each completion from worker threads.
+
+    devices: optional explicit jax device list for per-worker pinning
+    (defaults to jax.devices() when device_shard_enabled())."""
     from .. import dispatch
 
     jobs = list(jobs)
     if workers is None:
         workers = default_workers()
     workers = max(min(workers, len(jobs)), 1)
+
+    if devices is None and device_shard_enabled():
+        try:
+            import jax
+            devices = jax.devices()
+        except Exception:
+            devices = None
 
     results = [None] * len(jobs)
     work = queue_mod.Queue()
@@ -110,7 +132,12 @@ def transcode(jobs, workers=None, progress=None):
         post = job.post(dest) if job.post is not None else None
         return FarmResult(job, dest=dest, post=post)
 
-    def worker():
+    def worker(worker_index):
+        if devices:
+            # pin this worker's jit dispatches to one mesh device
+            from ..codecs import flac_enc_fast
+            flac_enc_fast.set_thread_device(
+                devices[worker_index % len(devices)])
         while True:
             try:
                 (idx, job) = work.get_nowait()
@@ -129,8 +156,8 @@ def transcode(jobs, workers=None, progress=None):
                     done_count[0] += 1
                     progress(done_count[0], len(jobs))
 
-    threads = [threading.Thread(target=worker, daemon=True)
-               for _ in range(workers)]
+    threads = [threading.Thread(target=worker, args=(w,), daemon=True)
+               for w in range(workers)]
     for t in threads:
         t.start()
     for t in threads:
