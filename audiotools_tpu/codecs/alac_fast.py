@@ -99,8 +99,10 @@ def encode_mdat_fast(file, pcmreader,
 
     backend = _get_backend(backend)
     if batch_frames is None:
+        # 256 amortizes the tunnel RTT better than 192 and lands on
+        # the padgrid's power-of-two shapes exactly
         batch_frames = int(os.environ.get(
-            "ATPU_ALAC_BATCH", "192" if backend == "jax" else "16"))
+            "ATPU_ALAC_BATCH", "256" if backend == "jax" else "16"))
 
     channels = pcmreader.channels
     bps = pcmreader.bits_per_sample
@@ -117,7 +119,7 @@ def encode_mdat_fast(file, pcmreader,
     mdat_start = file.tell()
     file.write(b"\x00" * 4 + b"mdat")
 
-    def submit(blocks, ns):
+    def prepare(blocks, ns):
         upload = blocks
         if backend == "jax" and blocks.shape[0] < batch_frames:
             # pad partial batches up to the shared static shape grid
@@ -130,63 +132,89 @@ def encode_mdat_fast(file, pcmreader,
             upload = np.concatenate(
                 [blocks, np.zeros((pad,) + blocks.shape[1:],
                                   dtype=blocks.dtype)])
-        handle = _analyze(upload, layout, bps, lsb_shift,
-                          interlacing_shift,
-                          min_interlacing_leftweight,
-                          max_interlacing_leftweight,
-                          lpc_ops.tukey_window(blocks.shape[1]),
-                          backend)
-        return (handle, blocks, ns, upload.shape[0])
+        return (upload, blocks, ns)
 
-    # four-stage overlap (FLAC pipeline shape, scaled down): the main
-    # thread reads + dispatches, a fetch worker syncs device handles
-    # (~70 ms tunnel RTT/batch), an emit worker runs the
-    # adaptive-entropy serializer (~70 ms CPU/batch, GIL-released),
-    # and the main thread writes results in submission order.  Each
-    # stage is a single thread consuming an ordered queue, so order is
-    # preserved end to end while the two big stage costs overlap.
+    # five-stage overlap (the FLAC pipeline shape): the main thread
+    # reads and establishes order, a dispatcher thread owns
+    # device_put + jit dispatch (~50-70 ms wire/batch) so reads never
+    # serialize behind the tunnel, a fetch POOL syncs device handles
+    # (round trips from separate threads overlap, same measurement as
+    # flac_enc_fast), an emit worker runs the adaptive-entropy
+    # serializer (~70 ms CPU/batch, GIL-released), and the main
+    # thread writes results in submission order.  Order is carried by
+    # slot/event pairs enqueued to the emit stage before dispatch, so
+    # pool completion order never matters.
     import queue as queue_mod
     import threading
 
-    depth = max(int(os.environ.get("ATPU_ALAC_PIPELINE", "3")), 1)
-    work_queue = queue_mod.Queue(maxsize=depth)
-    fetched_queue = queue_mod.Queue(maxsize=depth)
+    depth = max(int(os.environ.get("ATPU_ALAC_PIPELINE", "4")), 1)
+    n_fetchers = (max(int(os.environ.get("ATPU_ALAC_FETCH_THREADS",
+                                         "2")), 1)
+                  if backend == "jax" else 1)
+    dispatch_queue = queue_mod.Queue(maxsize=depth)
+    emit_queue = queue_mod.Queue(maxsize=depth)
+    fetch_queue = queue_mod.Queue()
     # unbounded: the in_flight counter already bounds results in
     # normal operation, and after a worker error the main thread stops
     # draining — a bounded queue would wedge the error-path drain
-    # (emit blocks on put -> fetch blocks -> the final put(None)
-    # never lands)
     result_queue = queue_mod.Queue()
     worker_error = []
 
-    def fetch_loop():
+    def dispatch_loop():
         while True:
-            entry = work_queue.get()
+            entry = dispatch_queue.get()
             if entry is None:
-                fetched_queue.put(None)
+                for _ in range(n_fetchers):
+                    fetch_queue.put(None)
                 return
+            (upload, slot, done) = entry
             if worker_error:
-                fetched_queue.put(False)  # keep slots aligned
+                done.set()
                 continue
             try:
-                (handle, blocks, ns, padded) = entry
-                packed = _fetch(handle, padded,
-                                len(layout))[:blocks.shape[0]]
-                fetched_queue.put((packed, blocks, ns))
+                handle = _analyze(upload, layout, bps, lsb_shift,
+                                  interlacing_shift,
+                                  min_interlacing_leftweight,
+                                  max_interlacing_leftweight,
+                                  lpc_ops.tukey_window(upload.shape[1]),
+                                  backend)
+                if isinstance(handle, np.ndarray):
+                    slot.append(handle)
+                    done.set()
+                else:
+                    fetch_queue.put((handle, upload.shape[0], slot,
+                                     done))
             except BaseException as err:  # noqa: B902
                 worker_error.append(err)
-                fetched_queue.put(False)
+                done.set()
+
+    def fetch_loop():
+        while True:
+            entry = fetch_queue.get()
+            if entry is None:
+                return
+            (handle, padded, slot, done) = entry
+            try:
+                slot.append(_fetch(handle, padded, len(layout)))
+            except BaseException as err:  # noqa: B902
+                worker_error.append(err)
+            finally:
+                done.set()
 
     def emit_loop():
         while True:
-            item = fetched_queue.get()
+            item = emit_queue.get()
             if item is None:
                 return
-            if item is False or worker_error:
+            (slot, done, blocks, ns) = item
+            done.wait()
+            if worker_error:
                 result_queue.put(None)    # keep result slots aligned
                 continue
             try:
-                (packed, blocks, ns) = item
+                packed = np.asarray(slot[0]).reshape(
+                    (-1, len(layout), alac_frames.N_LEFTWEIGHTS, 2,
+                     alac_frames.PACKED_COLS))[:blocks.shape[0]]
                 result_queue.put(_native.alac_emit_framesets(
                     blocks, ns, layout, packed,
                     block_size, initial_history, history_multiplier,
@@ -197,11 +225,23 @@ def encode_mdat_fast(file, pcmreader,
                 worker_error.append(err)
                 result_queue.put(None)
 
-    fetcher = threading.Thread(target=fetch_loop, daemon=True)
-    fetcher.start()
+    dispatcher = threading.Thread(target=dispatch_loop, daemon=True)
+    dispatcher.start()
+    fetchers = [threading.Thread(target=fetch_loop, daemon=True)
+                for _ in range(n_fetchers)]
+    for worker_thread in fetchers:
+        worker_thread.start()
     worker = threading.Thread(target=emit_loop, daemon=True)
     worker.start()
     in_flight = 0
+
+    def submit(blocks, ns):
+        (upload, blocks, ns) = prepare(blocks, ns)
+        slot = []
+        done = threading.Event()
+        # emit first (establishes order), then the dispatcher
+        emit_queue.put((slot, done, blocks, ns))
+        dispatch_queue.put((upload, slot, done))
 
     def drain_one():
         nonlocal in_flight
@@ -225,10 +265,8 @@ def encode_mdat_fast(file, pcmreader,
                 blocks = np.ascontiguousarray(
                     samples[:n_full * block_size].reshape(
                         n_full, block_size, channels))
-                entry = submit(blocks,
-                               np.full(n_full, block_size,
-                                       dtype=np.int32))
-                work_queue.put(entry)
+                submit(blocks,
+                       np.full(n_full, block_size, dtype=np.int32))
                 in_flight += 1
                 while in_flight >= depth:
                     drain_one()
@@ -241,15 +279,17 @@ def encode_mdat_fast(file, pcmreader,
                 tail_blocks = np.zeros((1, block_size, channels),
                                        dtype=np.int32)
                 tail_blocks[0, :tail.shape[0]] = tail
-                work_queue.put(submit(
-                    tail_blocks,
-                    np.asarray([tail.shape[0]], dtype=np.int32)))
+                submit(tail_blocks,
+                       np.asarray([tail.shape[0]], dtype=np.int32))
                 in_flight += 1
         while in_flight > 0:
             drain_one()
     finally:
-        work_queue.put(None)
-        fetcher.join()
+        dispatch_queue.put(None)
+        dispatcher.join()
+        for worker_thread in fetchers:
+            worker_thread.join()
+        emit_queue.put(None)
         worker.join()
 
     end = file.tell()

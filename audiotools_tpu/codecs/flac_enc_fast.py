@@ -467,19 +467,20 @@ def encode_flac_fast(file_or_path,
                         [qwords.reshape(B, -1),
                          meta.view(np.uint32)], axis=1)
                     (wire,) = _pad_rows([wire])
-                    return ("q", wire, k, W, orv.shape[1])
+                    return (("q", wire, k, W, orv.shape[1]), t)
             else:
                 upload = (blocks.astype(np.int16) if bps <= 16
                           else blocks)
                 (upload,) = _pad_rows([upload])
-                return ("raw", upload)
+                return (("raw", upload), None)
         if use_qpack:
             # same spec, no wire format: analysis sees (x >> t) << t
             # plus the exact sideband
             (_qw, _k, t, _x0, orv, cflags) = _native.flac_qpack(
                 blocks, bps, qguard, stereo_trial)
-            return ("np_q", qpack.quantize(np, blocks, t), orv, cflags)
-        return ("np", blocks)
+            return (("np_q", qpack.quantize(np, blocks, t), orv,
+                     cflags), t)
+        return (("np", blocks), None)
 
     def dispatch(payload):
         """device (or numpy) half of a batch submission; runs in the
@@ -522,8 +523,8 @@ def encode_flac_fast(file_or_path,
                 max_lpc_order, precision, porders, max_rice,
                 exhaustive_model_search, mid_side, window)
 
-    row_width = 1 + max_subframes * flac_frames.packed_width(
-        max_lpc_order, P)
+    packed_sub_width = flac_frames.packed_width(max_lpc_order, P)
+    row_width = 1 + max_subframes * packed_sub_width
     compact_row_width = 1 + max_subframes * flac_frames.compact_width(
         max_lpc_order, P)
 
@@ -570,6 +571,88 @@ def encode_flac_fast(file_or_path,
     writer_queue = queue_mod.Queue(maxsize=max(pipeline_depth, 1))
     fetch_queue = queue_mod.Queue()
     writer_error = []
+
+    CW = flac_frames.compact_width(max_lpc_order, P)
+
+    def _floor_limited(packed, t_arr):
+        """frames whose quantized analysis was quantization-floor
+        limited: a coded subframe where EVERY used partition's Rice
+        parameter sits strictly below the block's quantization shift
+        means the analysis saw residuals made of quantization noise —
+        the true content is MORE predictable than the wire showed
+        (pure tones are the canonical case: quantized analysis costs
+        ~80% compression there, ~0.15% on noise).  Genuinely noisy
+        blocks choose r >= t (their residual scale is what set t), so
+        they never flag.  packed: decision rows (compact or standard);
+        t_arr: int32 [B, ch] from the qpack plan.  returns bool [B]"""
+        B = packed.shape[0]
+        is_compact = packed.shape[1] == compact_row_width
+        flags = np.zeros(B, dtype=bool)
+        t_frame = t_arr[:B].max(axis=1)
+        pidx = np.arange(P, dtype=np.int32)[None, :]
+        Kp2 = (Kp + 1) // 2
+        for s in range(max_subframes):
+            if is_compact:
+                base = 1 + s * CW
+                w0 = packed[:, base].astype(np.uint32)
+                choice = (w0 & 0xF).astype(np.int32)
+                porder = ((w0 >> 16) & 0xF).astype(np.int32)
+                rw = packed[:, base + 1 + Kp2:
+                            base + CW].astype(np.uint32)
+                rice = np.stack(
+                    [(rw >> (8 * b)) & 0xFF for b in range(4)],
+                    axis=2).reshape(B, -1)[:, :P].astype(np.int32)
+            else:
+                base = 1 + s * packed_sub_width
+                choice = packed[:, base]
+                porder = packed[:, base + 3]
+                rice = packed[:, base + 6 + Kp:base + 6 + Kp + P]
+            used = pidx < (1 << porder)[:, None]
+            rmax = np.where(used, rice, -1).max(axis=1)
+            coded = (choice == 2) | (choice == 3)
+            flags |= coded & (rmax < t_frame)
+        return flags
+
+    def emit_floor_retry(blocks, packed, flags, first_frame):
+        """re-analyzes floor-limited frames EXACTLY (host, no
+        quantization) and stitches their frames into the batch output
+        in order; unflagged frames keep their device decisions"""
+        B = blocks.shape[0]
+        if flags.all():
+            return emit_exact_retry(blocks, first_frame)
+        is_compact = packed.shape[1] == compact_row_width
+        fn = np.arange(first_frame, first_frame + B, dtype=np.int64)
+        keep = np.nonzero(~flags)[0]
+        idx = np.nonzero(flags)[0]
+        bs = np.full(len(keep), block_size, dtype=np.int32)
+        (bytes_a, lens_a) = _native.flac_emit_frames2(
+            np.ascontiguousarray(blocks[keep]), fn[keep], bs,
+            np.ascontiguousarray(packed[keep]), max_subframes, Kp, P,
+            sample_rate, bps, channels, precision,
+            compact=is_compact)
+        sub = np.ascontiguousarray(blocks[idx])
+        exact = np.asarray(flac_frames.analyze_frames_packed(
+            np, sub, stereo_trial, bps, block_size, max_lpc_order,
+            precision, porders, max_rice, exhaustive_model_search,
+            mid_side, window)).reshape(-1, row_width)
+        (bytes_b, lens_b) = _native.flac_emit_frames2(
+            sub, fn[idx], np.full(len(idx), block_size,
+                                  dtype=np.int32),
+            exact, max_subframes, Kp, P, sample_rate, bps, channels,
+            precision)
+        # stitch frames back into submission order
+        pieces = []
+        lens = np.empty(B, dtype=np.int64)
+        (oa, ob, ia, ib) = (0, 0, 0, 0)
+        for f in range(B):
+            if flags[f]:
+                ln = int(lens_b[ib]); ib += 1
+                pieces.append(bytes_b[ob:ob + ln]); ob += ln
+            else:
+                ln = int(lens_a[ia]); ia += 1
+                pieces.append(bytes_a[oa:oa + ln]); oa += ln
+            lens[f] = ln
+        return (b"".join(pieces), lens)
 
     def emit_exact_retry(blocks, first_frame):
         """fallback for _native.EmitOverflow: the quantized-analysis
@@ -619,7 +702,8 @@ def encode_flac_fast(file_or_path,
                 continue                  # drain after a failure
             try:
                 if item[0] == "batch":
-                    (_tag, slot, done, blocks, first_frame) = item
+                    (_tag, slot, done, blocks, first_frame,
+                     t_batch) = item
                     with prof("fetch_wait"):
                         done.wait()
                     if writer_error:
@@ -647,20 +731,34 @@ def encode_flac_fast(file_or_path,
                     if rb_kw is not None:
                         packed = arr.reshape(-1, width)
                         packed = packed[:B]  # drop shard-pad rows
+                        floor_flags = None
+                        if t_batch is not None:
+                            floor_flags = _floor_limited(packed,
+                                                         t_batch)
+                            if not floor_flags.any():
+                                floor_flags = None
                         try:
                             with prof("emit"):
-                                (frame_bytes, lens) = \
-                                    _native.flac_emit_frames2(
-                                        blocks,
-                                        np.arange(first_frame,
-                                                  first_frame + B,
-                                                  dtype=np.int64),
-                                        np.full(B, block_size,
-                                                dtype=np.int32),
-                                        packed, max_subframes, Kp, P,
-                                        sample_rate, bps, channels,
-                                        precision, compact=is_compact,
-                                        **rb_kw)
+                                if floor_flags is not None:
+                                    (frame_bytes, lens) = \
+                                        emit_floor_retry(
+                                            blocks, packed,
+                                            floor_flags, first_frame)
+                                else:
+                                    (frame_bytes, lens) = \
+                                        _native.flac_emit_frames2(
+                                            blocks,
+                                            np.arange(
+                                                first_frame,
+                                                first_frame + B,
+                                                dtype=np.int64),
+                                            np.full(B, block_size,
+                                                    dtype=np.int32),
+                                            packed, max_subframes,
+                                            Kp, P, sample_rate, bps,
+                                            channels, precision,
+                                            compact=is_compact,
+                                            **rb_kw)
                         except _native.EmitOverflow:
                             (frame_bytes, lens) = emit_exact_retry(
                                 blocks, first_frame)
@@ -767,7 +865,7 @@ def encode_flac_fast(file_or_path,
                     full.reshape(n_full, block_size, channels))
                 # prepare's qpack scan also folds these samples into
                 # the stream MD5 (order matters: before any tail)
-                payload = prepare(blocks)
+                (payload, t_batch) = prepare(blocks)
                 check_writer()
                 slot = []
                 done = threading.Event()
@@ -775,7 +873,7 @@ def encode_flac_fast(file_or_path,
                     # writer first (establishes order), then the pool
                     writer_queue.put(
                         ("batch", slot, done, blocks,
-                         submitted_frames))
+                         submitted_frames, t_batch))
                     submit_queue.put((payload, slot, done))
                 submitted_frames += n_full
                 md5_queue.put(full)

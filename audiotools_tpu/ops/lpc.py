@@ -414,6 +414,22 @@ def ilog2_trunc(xp, values):
     return trunc.astype(xp.int32)
 
 
+def frexp_exponent(xp, values):
+    """exact frexp exponent for v > 0: e with v = m * 2^e, m in
+    [0.5, 1) — i.e. floor(log2(v)) + 1
+
+    Same exact-correction construction as ilog2_trunc; xp.frexp itself
+    is unusable on device (its s64 bitcast is rejected by the TPU X64
+    rewriter)."""
+    approx = xp.floor(xp.log2(values))
+    approx = xp.where(
+        exact_exp2(xp, approx + 1.0) <= values, approx + 1.0, approx)
+    approx = xp.where(
+        exact_exp2(xp, approx) > values, approx - 1.0, approx)
+    # v == 2^k has floor(log2) == k and frexp exponent k + 1
+    return (approx + 1.0).astype(xp.int32)
+
+
 def quantize_all_orders(xp, coeffs, precision):
     """batched error-feedback coefficient quantization for every order
 
@@ -433,9 +449,18 @@ def quantize_all_orders(xp, coeffs, precision):
 
     has_l = l > 0
     safe_l = xp.where(has_l, l, 1.0)
-    raw_shift = xp.minimum(
-        (precision - 1) - (ilog2_trunc(xp, safe_l) - 1) - 1,
-        (1 << 4) - 1)
+    # frexp exponent (reference src/encoders/flac.c:1294 frexp):
+    # l = m * 2^e with m in [0.5, 1).  NOT int(log2(l)): for
+    # coefficients in [1, 2) — every near-unit-circle predictor, i.e.
+    # all tonal content — the log-trunc form (the reference's PYTHON
+    # mirror, py_encoders/flac.py:710) over-shifts by one and clamps
+    # the lead coefficient at the precision boundary, costing ~40-90%
+    # compression on pure tones.  The C encoder that produced the
+    # reference corpus uses frexp; this framework follows the C
+    # (production) semantics.
+    e = frexp_exponent(xp, safe_l)
+    raw_shift = xp.clip((precision - 1) - (e - 1) - 1,
+                        -(1 << 4), (1 << 4) - 1)
     raw_shift = xp.where(has_l, raw_shift, 0)
 
     # effective multiplier: 2^shift for shift >= 0, else 1/2^-shift
@@ -458,8 +483,14 @@ def quantize_all_orders(xp, coeffs, precision):
         contribution = coeffs[..., j] * scale                # [..., K]
         active = valid[:, j]                                 # [K]
         error_candidate = f32round(xp, error + contribution)
-        q = xp.clip(xp.round(error_candidate), qlp_min, qlp_max)
-        new_error = error_candidate - q
+        # C semantics: round half away from zero (C round()), and the
+        # error feedback subtracts the UNCLAMPED rounded value
+        # (src/encoders/flac.c:1308-1311) — exact: candidate is
+        # f32-valued, so |x| + 0.5 and the floor are exact in f64
+        rounded = xp.sign(error_candidate) * xp.floor(
+            xp.abs(error_candidate) + 0.5)
+        q = xp.clip(rounded, qlp_min, qlp_max)
+        new_error = error_candidate - rounded
         q = xp.where(active, q, 0.0)
         error = xp.where(active, new_error, error)
         cols.append(q.astype(xp.int32))

@@ -319,29 +319,49 @@ def analyze_frame(samples, bps, options):
 
     (or_vals, const_flags) = variant_sideband(samples, stereo_trial)
 
-    if qpack_enabled() and (bps + 2 <= 31):
-        analysis_samples = quantize_block(samples, plan_t(samples, bps))
-    else:
-        analysis_samples = samples.astype(np.int64)
-    analysis_variants = build_variants(analysis_samples, stereo_trial)
+    def run(analysis_samples):
+        analysis_variants = build_variants(analysis_samples,
+                                           stereo_trial)
+        decisions = []
+        for (v, xv) in enumerate(analysis_variants):
+            v_bps = bps + 1 if (stereo_trial and v == 3) else bps
+            decisions.append(analyze_subframe(
+                xv, v_bps, n, K, options.qlp_precision, porders,
+                options.max_rice_parameter,
+                options.exhaustive_model_search, window,
+                or_vals[v], const_flags[v], max_bps))
+        if stereo_trial:
+            assignment = choose_assignment(
+                decisions[0]["sub_bits"], decisions[1]["sub_bits"],
+                decisions[2]["sub_bits"], decisions[3]["sub_bits"],
+                options.mid_side)
+            (v0, v1) = ASSIGNMENT_VARIANTS[assignment]
+            return (assignment, [decisions[v0], decisions[v1]])
+        return (ch - 1, decisions)
 
-    decisions = []
-    for (v, xv) in enumerate(analysis_variants):
-        v_bps = bps + 1 if (stereo_trial and v == 3) else bps
-        decisions.append(analyze_subframe(
-            xv, v_bps, n, K, options.qlp_precision, porders,
-            options.max_rice_parameter,
-            options.exhaustive_model_search, window,
-            or_vals[v], const_flags[v], max_bps))
+    use_qpack = qpack_enabled() and (bps + 2 <= 31)
+    if use_qpack:
+        t = plan_t(samples, bps)
+        (assignment, chosen) = run(quantize_block(samples, t))
+        # quantization-floor retry (same spec as the batched path,
+        # codecs/flac_enc_fast._floor_limited): a coded subframe whose
+        # EVERY used Rice parameter sits strictly below the block's
+        # quantization shift analyzed quantization noise, not content —
+        # pure tones cost ~80% ratio without this; noise never flags
+        # (its residual scale is what set t)
+        t_frame = int(max(t))
+        floor_limited = any(
+            dec["choice"] in (CHOICE_FIXED, CHOICE_LPC) and
+            max(dec["rice"]) < t_frame
+            for dec in chosen)
+        if floor_limited:
+            (assignment, chosen) = run(samples.astype(np.int64))
+    else:
+        (assignment, chosen) = run(samples.astype(np.int64))
 
     exact_variants = build_variants(samples, stereo_trial)
     if stereo_trial:
-        assignment = choose_assignment(
-            decisions[0]["sub_bits"], decisions[1]["sub_bits"],
-            decisions[2]["sub_bits"], decisions[3]["sub_bits"],
-            options.mid_side)
         (v0, v1) = ASSIGNMENT_VARIANTS[assignment]
-        return (assignment,
-                [decisions[v0], decisions[v1]],
+        return (assignment, chosen,
                 [exact_variants[v0], exact_variants[v1]])
-    return (ch - 1, decisions, exact_variants)
+    return (assignment, chosen, exact_variants)
