@@ -259,6 +259,49 @@ class MP3Audio(AudioFile):
             raise InvalidFile(str(err))
         return True
 
+    # ---- ReplayGain via the mp3gain binary (reference mp3.py:59,
+    # :595-628): binary-gated exactly like the reference — the gain
+    # is applied by rewriting the stream's global gain fields, so the
+    # operation is NOT lossless
+    REPLAYGAIN_BINARIES = ("mp3gain",)
+
+    @classmethod
+    def supports_replay_gain(cls):
+        return True
+
+    @classmethod
+    def lossless_replay_gain(cls):
+        return False
+
+    @classmethod
+    def can_add_replay_gain(cls, audiofiles):
+        from ..utils.config import BIN
+        if not all(isinstance(f, MP3Audio) for f in audiofiles):
+            return False
+        return BIN.can_execute(BIN["mp3gain"])
+
+    @classmethod
+    def add_replay_gain(cls, filenames, progress=None):
+        """applies ReplayGain with the mp3gain binary (no-op when the
+        binary is absent, like the reference)"""
+        import subprocess
+        from ..utils.config import BIN
+        from ..dispatch import open_files
+
+        track_names = [track.filename for track in
+                       open_files(filenames)
+                       if isinstance(track, cls)]
+        if progress is not None:
+            progress(0, 1)
+        if track_names and BIN.can_execute(BIN["mp3gain"]):
+            with open(os.devnull, "ab") as devnull:
+                subprocess.run(
+                    [BIN["mp3gain"], "-f", "-k", "-q", "-r"] +
+                    track_names,
+                    stdout=devnull, stderr=devnull)
+        if progress is not None:
+            progress(1, 1)
+
 
 class MP2Audio(MP3Audio):
     """an MP2 audio file (reference mp3.py:712)"""

@@ -253,3 +253,64 @@ class VorbisAudio(AudioFile):
         finally:
             decoder.close()
         return True
+
+    # ---- ReplayGain via the vorbisgain binary (reference
+    # vorbis.py:44, :401-465): the gain lands in VorbisComment tags,
+    # so the operation is lossless
+    REPLAYGAIN_BINARIES = ("vorbisgain",)
+
+    @classmethod
+    def supports_replay_gain(cls):
+        return True
+
+    @classmethod
+    def lossless_replay_gain(cls):
+        return True
+
+    @classmethod
+    def can_add_replay_gain(cls, audiofiles):
+        from ..utils.config import BIN
+        if not all(isinstance(f, VorbisAudio) for f in audiofiles):
+            return False
+        return BIN.can_execute(BIN["vorbisgain"])
+
+    @classmethod
+    def add_replay_gain(cls, filenames, progress=None):
+        """adds ReplayGain tags with the vorbisgain binary (no-op
+        when the binary is absent, like the reference)"""
+        import os
+        import subprocess
+        from ..utils.config import BIN
+        from ..dispatch import open_files
+
+        track_names = [track.filename for track in
+                       open_files(filenames)
+                       if isinstance(track, cls)]
+        if progress is not None:
+            progress(0, 1)
+        if track_names and BIN.can_execute(BIN["vorbisgain"]):
+            with open(os.devnull, "ab") as devnull:
+                subprocess.run(
+                    [BIN["vorbisgain"], "-q", "-a"] + track_names,
+                    stdout=devnull, stderr=devnull)
+        if progress is not None:
+            progress(1, 1)
+
+    def replay_gain(self):
+        """returns a ReplayGain object from our VorbisComment tags,
+        or None (reference vorbis.py:459)"""
+        from ..audiofile import ReplayGain
+
+        metadata = self.get_metadata()
+        keys = {"REPLAYGAIN_TRACK_PEAK", "REPLAYGAIN_TRACK_GAIN",
+                "REPLAYGAIN_ALBUM_PEAK", "REPLAYGAIN_ALBUM_GAIN"}
+        if metadata is None or not keys.issubset(set(metadata.keys())):
+            return None
+        try:
+            return ReplayGain(
+                metadata["REPLAYGAIN_TRACK_GAIN"][0][:-len(" dB")],
+                metadata["REPLAYGAIN_TRACK_PEAK"][0],
+                metadata["REPLAYGAIN_ALBUM_GAIN"][0][:-len(" dB")],
+                metadata["REPLAYGAIN_ALBUM_PEAK"][0])
+        except (IndexError, ValueError):
+            return None
