@@ -574,43 +574,114 @@ def encode_flac_fast(file_or_path,
 
     CW = flac_frames.compact_width(max_lpc_order, P)
 
-    def _floor_limited(packed, t_arr):
-        """frames whose quantized analysis was quantization-floor
-        limited: a coded subframe where EVERY used partition's Rice
-        parameter sits strictly below the block's quantization shift
-        means the analysis saw residuals made of quantization noise —
-        the true content is MORE predictable than the wire showed
-        (pure tones are the canonical case: quantized analysis costs
-        ~80% compression there, ~0.15% on noise).  Genuinely noisy
-        blocks choose r >= t (their residual scale is what set t), so
-        they never flag.  packed: decision rows (compact or standard);
-        t_arr: int32 [B, ch] from the qpack plan.  returns bool [B]"""
+    def _sub_fields(packed, s):
+        """per-subframe decision columns from compact or standard
+        rows: (choice, wasted, order, porder, shift, qlp [B, Kp],
+        rice [B, P])"""
         B = packed.shape[0]
-        is_compact = packed.shape[1] == compact_row_width
+        if packed.shape[1] == compact_row_width:
+            Kp2 = (Kp + 1) // 2
+            base = 1 + s * CW
+            w0 = packed[:, base].astype(np.uint32)
+            choice = (w0 & 0xF).astype(np.int32)
+            wasted = ((w0 >> 4) & 0x3F).astype(np.int32)
+            order = ((w0 >> 10) & 0x3F).astype(np.int32)
+            porder = ((w0 >> 16) & 0xF).astype(np.int32)
+            shift = ((w0 >> 20) & 0x1F).astype(np.int32)
+            qw = packed[:, base + 1:base + 1 + Kp2].astype(np.uint32)
+            qlp = np.stack(
+                [(qw >> (16 * h)) & 0xFFFF for h in range(2)],
+                axis=2).reshape(B, -1)[:, :Kp].astype(
+                    np.uint16).astype(np.int16).astype(np.int32)
+            rw = packed[:, base + 1 + Kp2:base + CW].astype(np.uint32)
+            rice = np.stack(
+                [(rw >> (8 * b)) & 0xFF for b in range(4)],
+                axis=2).reshape(B, -1)[:, :P].astype(np.int32)
+        else:
+            base = 1 + s * packed_sub_width
+            choice = packed[:, base]
+            wasted = packed[:, base + 1]
+            order = packed[:, base + 2]
+            porder = packed[:, base + 3]
+            shift = packed[:, base + 4]
+            qlp = packed[:, base + 6:base + 6 + Kp]
+            rice = packed[:, base + 6 + Kp:base + 6 + Kp + P]
+        return (choice, wasted, order, porder, shift, qlp, rice)
+
+    _FIXED_COEFFS = {0: [], 1: [1], 2: [2, -1], 3: [3, -3, 1],
+                     4: [4, -6, 4, -1]}
+
+    def _variant_samples(blk, assignment, s):
+        """exact int64 samples of chosen subframe s (pre-wasted)"""
+        if assignment <= 7:
+            return blk[:, s]
+        (L, R) = (blk[:, 0], blk[:, 1])
+        if assignment == 8:
+            return (L, L - R)[s]
+        if assignment == 9:
+            return (L - R, R)[s]
+        return (((L + R) >> 1), L - R)[s]
+
+    def _floor_limited(packed, t_arr, blocks):
+        """frames whose quantized analysis was quantization-floor
+        limited — the true content is MORE predictable than the wire
+        showed (pure tones cost ~80% compression under quantized
+        analysis, noise ~0.15%).  Two stages, both part of the codec
+        spec (the scalar oracle applies the identical rule):
+
+        1. candidate: a coded subframe where EVERY used partition's
+           Rice parameter sits strictly below the block's quantization
+           shift (its residuals were mostly quantization noise).
+           Noise near the boundary also lands here (r = t-1), so a
+           candidate alone does not decide;
+        2. probe: run the EXACT samples through the quantized-fit
+           predictor (the decisions' own coefficients — a tone's
+           LPC fit survives sample quantization since the tone still
+           dominates the autocorrelation) and take the mean |residual|.
+           Genuinely tonal frames collapse to far below the
+           quantization step (bits <= t - 2); boundary noise stays at
+           the step's scale and never retries.
+
+        returns bool [B]"""
+        B = packed.shape[0]
         flags = np.zeros(B, dtype=bool)
         t_frame = t_arr[:B].max(axis=1)
         pidx = np.arange(P, dtype=np.int32)[None, :]
-        Kp2 = (Kp + 1) // 2
+        assignment = packed[:, 0] & 0xF
+        fields = [_sub_fields(packed, s) for s in range(max_subframes)]
         for s in range(max_subframes):
-            if is_compact:
-                base = 1 + s * CW
-                w0 = packed[:, base].astype(np.uint32)
-                choice = (w0 & 0xF).astype(np.int32)
-                porder = ((w0 >> 16) & 0xF).astype(np.int32)
-                rw = packed[:, base + 1 + Kp2:
-                            base + CW].astype(np.uint32)
-                rice = np.stack(
-                    [(rw >> (8 * b)) & 0xFF for b in range(4)],
-                    axis=2).reshape(B, -1)[:, :P].astype(np.int32)
-            else:
-                base = 1 + s * packed_sub_width
-                choice = packed[:, base]
-                porder = packed[:, base + 3]
-                rice = packed[:, base + 6 + Kp:base + 6 + Kp + P]
+            (choice, _w, _o, porder, _sh, _q, rice) = fields[s]
             used = pidx < (1 << porder)[:, None]
             rmax = np.where(used, rice, -1).max(axis=1)
             coded = (choice == 2) | (choice == 3)
             flags |= coded & (rmax < t_frame)
+        for f in np.nonzero(flags)[0]:
+            blk = blocks[f].astype(np.int64)
+            tonal = False
+            for s in range(max_subframes):
+                (choice, wasted, order, _po, shift, qlp,
+                 _r) = fields[s]
+                if choice[f] not in (2, 3):
+                    continue
+                x = _variant_samples(blk, int(assignment[f]),
+                                     s) >> int(wasted[f])
+                o = int(order[f])
+                n = x.shape[0]
+                if choice[f] == 2:
+                    q = np.asarray(_FIXED_COEFFS[o], dtype=np.int64)
+                    sh = 0
+                else:
+                    q = qlp[f, :o].astype(np.int64)
+                    sh = int(shift[f])
+                pred = np.zeros(n - o, dtype=np.int64)
+                for j in range(o):
+                    pred += q[j] * x[o - 1 - j:n - 1 - j]
+                res = x[o:] - (pred >> sh)
+                m = int(np.abs(res).sum()) // max(n - o, 1)
+                if m.bit_length() <= int(t_frame[f]) - 2:
+                    tonal = True
+                    break
+            flags[f] = tonal
         return flags
 
     def emit_floor_retry(blocks, packed, flags, first_frame):
@@ -733,8 +804,8 @@ def encode_flac_fast(file_or_path,
                         packed = packed[:B]  # drop shard-pad rows
                         floor_flags = None
                         if t_batch is not None:
-                            floor_flags = _floor_limited(packed,
-                                                         t_batch)
+                            floor_flags = _floor_limited(
+                                packed, t_batch, blocks)
                             if not floor_flags.any():
                                 floor_flags = None
                         try:

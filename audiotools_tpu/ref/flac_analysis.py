@@ -27,6 +27,10 @@ from . import scalar_lpc
 
 (CHOICE_CONSTANT, CHOICE_VERBATIM, CHOICE_FIXED, CHOICE_LPC) = range(4)
 
+# FIXED-predictor difference coefficients, for the floor-retry probe
+FIXED_COEFFS = {0: [], 1: [1], 2: [2, -1], 3: [3, -3, 1],
+                4: [4, -6, 4, -1]}
+
 # variant index pairs per stereo assignment: (subframe0, subframe1)
 # over the variant stack [left, right, average, difference]
 ASSIGNMENT_VARIANTS = {1: (0, 1), 8: (0, 3), 9: (3, 1), 10: (2, 3)}
@@ -344,16 +348,49 @@ def analyze_frame(samples, bps, options):
         t = plan_t(samples, bps)
         (assignment, chosen) = run(quantize_block(samples, t))
         # quantization-floor retry (same spec as the batched path,
-        # codecs/flac_enc_fast._floor_limited): a coded subframe whose
-        # EVERY used Rice parameter sits strictly below the block's
-        # quantization shift analyzed quantization noise, not content —
-        # pure tones cost ~80% ratio without this; noise never flags
-        # (its residual scale is what set t)
+        # codecs/flac_enc_fast._floor_limited).  Stage 1: a coded
+        # subframe whose EVERY used Rice parameter sits strictly below
+        # the block's quantization shift analyzed quantization noise,
+        # not content — but boundary noise also lands at r = t-1, so
+        # stage 2 probes the EXACT samples through the quantized-fit
+        # predictor: tonal frames collapse far below the quantization
+        # step (mean-|residual| bits <= t - 2) and re-analyze exactly;
+        # noise stays at the step's scale and keeps the fast decisions
         t_frame = int(max(t))
-        floor_limited = any(
-            dec["choice"] in (CHOICE_FIXED, CHOICE_LPC) and
-            max(dec["rice"]) < t_frame
-            for dec in chosen)
+        candidates = [
+            dec for dec in chosen
+            if (dec["choice"] in (CHOICE_FIXED, CHOICE_LPC) and
+                max(dec["rice"]) < t_frame)]
+        floor_limited = False
+        if candidates:
+            exact_chosen = build_variants(samples.astype(np.int64),
+                                          stereo_trial)
+            if stereo_trial:
+                (v0, v1) = ASSIGNMENT_VARIANTS[assignment]
+                sub_x = [exact_chosen[v0], exact_chosen[v1]]
+            else:
+                sub_x = exact_chosen
+            for (s, dec) in enumerate(chosen):
+                if (dec["choice"] not in (CHOICE_FIXED, CHOICE_LPC) or
+                        max(dec["rice"]) >= t_frame):
+                    continue
+                x = np.asarray(sub_x[s],
+                               dtype=np.int64) >> dec["wasted"]
+                o = dec["order"]
+                if dec["choice"] == CHOICE_FIXED:
+                    q = np.asarray(FIXED_COEFFS[o], dtype=np.int64)
+                    sh = 0
+                else:
+                    q = np.asarray(dec["qlp"][:o], dtype=np.int64)
+                    sh = dec["shift"]
+                pred = np.zeros(n - o, dtype=np.int64)
+                for j in range(o):
+                    pred += q[j] * x[o - 1 - j:n - 1 - j]
+                res = x[o:] - (pred >> sh)
+                m = int(np.abs(res).sum()) // max(n - o, 1)
+                if m.bit_length() <= t_frame - 2:
+                    floor_limited = True
+                    break
         if floor_limited:
             (assignment, chosen) = run(samples.astype(np.int64))
     else:
