@@ -58,6 +58,8 @@ def _get_decode_jit(key):
     import jax
     import jax.numpy as jnp
     jax.config.update("jax_enable_x64", True)
+    from .flac_enc_fast import _enable_compilation_cache
+    _enable_compilation_cache(jax)   # shape signatures persist
 
     (n, ch, S_pad, F_pad, buckets) = key
 

@@ -190,6 +190,21 @@ def config3_alac_wavpack():
               "encode_Msps": round(total / t_enc / 1e6, 1),
               "decode_Msps": round(total / t_dec / 1e6, 1)})
 
+    # steady-state ALAC encode (the numbers above average SHORT edge
+    # cases, which pay per-file pipeline ramp; a 2-minute stream shows
+    # the sustained pipeline rate — wire-bound on the tunnel at int16)
+    from audiotools_tpu.codecs.alac_fast import encode_mdat_fast
+    arr = make_signal(SR * 120, 2, 16)
+    best = None
+    for _rep in range(3):
+        buf = io.BytesIO()
+        t0 = time.perf_counter()
+        encode_mdat_fast(buf, reader_for(arr))
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    emit(3, "alac_steady_encode_Msamples_per_sec",
+         arr.size / best / 1e6, "Msamples/s")
+
 
 def config4_resample_replaygain():
     from audiotools_tpu.pcmconverter import Resampler
