@@ -110,7 +110,7 @@ def encode_mdat_fast(file, pcmreader,
     if layout is None:
         raise ValueError("unsupported channel count")
     lsb_shift = (bps - 16) if bps > 16 else 0
-    window = lpc_ops.tukey_window(block_size)
+    window = lpc_ops.tukey_window_df(block_size)
 
     reader = BufferedPCMReader(pcmreader)
     total_pcm_frames = 0
@@ -176,7 +176,7 @@ def encode_mdat_fast(file, pcmreader,
                                   interlacing_shift,
                                   min_interlacing_leftweight,
                                   max_interlacing_leftweight,
-                                  lpc_ops.tukey_window(upload.shape[1]),
+                                  lpc_ops.tukey_window_df(upload.shape[1]),
                                   backend)
                 if isinstance(handle, np.ndarray):
                     slot.append(handle)

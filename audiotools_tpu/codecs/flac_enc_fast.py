@@ -241,10 +241,11 @@ _device_window_cache = {}
 
 
 def _window_on_device(window, device):
-    """caches the constant analysis window on the target device so
-    each batch skips one host->device transfer"""
+    """caches the constant analysis window (a host-split (hi, lo)
+    pair) on the target device so each batch skips one host->device
+    transfer"""
     import jax
-    key = (id(window), window.shape[0], repr(device))
+    key = (id(window), window[0].shape[0], repr(device))
     if key not in _device_window_cache:
         _device_window_cache[key] = jax.device_put(window, device)
     return _device_window_cache[key]
@@ -362,7 +363,7 @@ def encode_flac_fast(file_or_path,
     max_subframes = 2 if stereo_trial else channels
     porders = flac_frames.valid_partition_orders(
         block_size, max_residual_partition_order, max(max_lpc_order, 4))
-    window = lpc_ops.tukey_window(block_size)
+    window = lpc_ops.tukey_window_df(block_size)
     Kp = max(max_lpc_order, 1)
     P = 1 << porders[-1]
 
@@ -630,10 +631,13 @@ def encode_flac_fast(file_or_path,
         spec (the scalar oracle applies the identical rule):
 
         1. candidate: a coded subframe where EVERY used partition's
-           Rice parameter sits strictly below the block's quantization
-           shift (its residuals were mostly quantization noise).
-           Noise near the boundary also lands here (r = t-1), so a
-           candidate alone does not decide;
+           Rice parameter sits at or below the quantization shift + 1
+           (its residuals may be mostly quantization noise: noise at
+           step 2^t codes at r in {t-1, t, t+1}, and genuinely tonal
+           frames land in the same band — measured on the reference's
+           libFLAC sweep fixtures, whose frames sit at r == t and were
+           missed by the original strictly-below rule).  A candidate
+           alone does not decide;
         2. probe: run the EXACT samples through the quantized-fit
            predictor (the decisions' own coefficients — a tone's
            LPC fit survives sample quantization since the tone still
@@ -654,7 +658,7 @@ def encode_flac_fast(file_or_path,
             used = pidx < (1 << porder)[:, None]
             rmax = np.where(used, rice, -1).max(axis=1)
             coded = (choice == 2) | (choice == 3)
-            flags |= coded & (rmax < t_frame)
+            flags |= coded & (rmax <= t_frame + 1) & (t_frame > 0)
         for f in np.nonzero(flags)[0]:
             blk = blocks[f].astype(np.int64)
             tonal = False

@@ -117,10 +117,11 @@ def lpc_candidates(xp, X, window):
     returns int32 [S, PACKED_COLS]: qlp4, qlp8, degenerate flag,
     order-4/order-8 residual-size estimates"""
     with _scope(xp, "alac_autocorr"):
-        autocorr = lpc_ops.windowed_autocorr(xp, X, window, 8)  # [S, 9]
-    degenerate = (autocorr[:, 0] == 0.0)
+        autocorr = lpc_ops.windowed_autocorr_df(
+            xp, X, window, 8)                      # df pair [S, 9]
+    degenerate = (autocorr[0][:, 0] == 0.0)
     with _scope(xp, "alac_levinson"):
-        (coeffs, _errors) = lpc_ops.levinson(xp, autocorr, 8)
+        (coeffs, _errors) = lpc_ops.levinson_df(xp, autocorr, 8)
     with _scope(xp, "alac_quantize"):
         qlp4 = alac_quantize(xp, coeffs[:, 3, :4])              # [S, 4]
         qlp8 = alac_quantize(xp, coeffs[:, 7, :8])              # [S, 8]

@@ -309,11 +309,14 @@ def analyze_subframes(xp, X, bps, n, max_lpc_order, qlp_precision,
     use_lpc = K > 0 and n > K + 1
     if use_lpc:
         with _scope(xp, "flac.autocorr"):
-            autocorr = lpc_ops.windowed_autocorr(
-                xp, Xs, window, K)                         # [S, K+1] f64
-        degenerate = xp.all(autocorr == 0.0, axis=1)
+            autocorr = lpc_ops.windowed_autocorr_df(
+                xp, Xs, window, K)                   # df pair [S, K+1]
+        # hi == 0 implies the exact value is 0 (autocorr values are
+        # integer sums scaled by exact powers of two, far above the
+        # f32 underflow band)
+        degenerate = xp.all(autocorr[0] == 0.0, axis=1)
         with _scope(xp, "flac.levinson"):
-            (coeffs, errors) = lpc_ops.levinson(xp, autocorr, K)
+            (coeffs, errors) = lpc_ops.levinson_df(xp, autocorr, K)
         with _scope(xp, "flac.quantize"):
             (qlp, shifts) = lpc_ops.quantize_all_orders(
                 xp, coeffs, qlp_precision)                 # [S,K,K],[S,K]
@@ -346,8 +349,22 @@ def analyze_subframes(xp, X, bps, n, max_lpc_order, qlp_precision,
         C = 1
 
     # ---- Rice partition search ----------------------------------------
+    # EXACT over every (partition order, partition, Rice parameter)
+    # triple — the mean-based parameter estimate this replaces was
+    # measured ~15-30% off optimal coded size on swept tones (spiky
+    # residual distributions draw off-by-one-or-two parameters, which
+    # also skews the partition-order argmin toward 0).  Reference
+    # equivalent: src/encoders/flac.c best_rice_parameters / libFLAC's
+    # precise parameter search.
+    #
+    # One pass computes per-bit-position popcounts w_j over the FINEST
+    # partitions; coarser levels pair-sum (exact int32, w_j <= n).
+    # Then for any partition, sum(u >> r) satisfies the exact descent
+    #   sum(u >> r) = 2 * sum(u >> (r+1)) + w_r
+    # so every candidate parameter's exact bit count is a handful of
+    # integer-valued f64 ops (< 2^47: deterministic on every backend,
+    # immune to reduction reordering), with NO further reduces.
     with _scope(xp, "flac.rice_search"):
-        abs_res = xp.abs(cand_res)                             # [S, C, n] i32
         u = xp.where(cand_res >= 0,
                      cand_res << 1,
                      ((-cand_res - 1) << 1) | 1)               # [S, C, n] i32
@@ -356,40 +373,43 @@ def analyze_subframes(xp, X, bps, n, max_lpc_order, qlp_precision,
         pmax = porders[-1]
         parts_max = 1 << pmax
 
-        # per-partition |residual| sums: computed exactly once at the
-        # finest partition level, coarser levels by (exact f64) pairing;
-        # |residual| <= 2^(max_bps + 5) (order-4 fixed diffs dominate)
-        res_bits = max_bps + 5
-        seg_abs_by_p = [None] * (pmax + 1)
-        seg_abs_by_p[pmax] = exact_i32_sum(
-            xp, xp.reshape(abs_res, (S, C, parts_max, n >> pmax)),
-            chunk=sum_chunk_for(res_bits))
+        # u < 2^(max_bps + 6): order-4 fixed diffs grow 4 bits past
+        # the clip bound and the zigzag doubles
+        J = max_bps + 7
+        u_fin = xp.reshape(u, (S, C, parts_max, n >> pmax))
+        w_fin = xp.stack(
+            [xp.sum((u_fin >> j) & 1, axis=-1).astype(xp.int32)
+             for j in range(J)], axis=-1)        # [S, C, parts, J] i32
+        w_levels = [None] * (pmax + 1)
+        w_levels[pmax] = w_fin
         for p in range(pmax - 1, -1, -1):
-            fine = seg_abs_by_p[p + 1]
-            seg_abs_by_p[p] = fine[:, :, 0::2] + fine[:, :, 1::2]
+            fine = w_levels[p + 1]
+            w_levels[p] = fine[:, :, 0::2] + fine[:, :, 1::2]
 
+        R = max_rice + 1
         rice_totals = []        # per porder: [S, C] f64
         rice_params_by_p = []   # per porder: [S, C, parts] int32
         for porder in porders:
             parts = 1 << porder
             psize = n >> porder
-            seg_abs = seg_abs_by_p[porder]                     # [S,C,parts]
-            counts = xp.full((S, C, parts), float(psize), dtype=xp.float64)
+            wf = w_levels[porder].astype(xp.float64)   # [S,C,parts,J]
+            counts = xp.full((S, C, parts), float(psize),
+                             dtype=xp.float64)
             counts = _set_first_part(xp, counts, psize - orders_f)
-            # r = min(smallest r with count*2^r >= sum, max_rice)
-            r = xp.zeros((S, C, parts), dtype=xp.int32)
-            for rr in range(max_rice):
-                r = r + ((counts * float(1 << rr)) < seg_abs).astype(
-                    xp.int32)
-            # sum(u >> r) per partition (int32 shifts, exact f64 totals);
-            # u <= 2^(max_bps + 6) (zigzag doubles the residual bound)
-            msb = xp.reshape(u, (S, C, parts, psize)) >> r[:, :, :, None]
-            msb_sum = exact_i32_sum(xp, msb,
-                                    chunk=sum_chunk_for(res_bits + 1))
-            part_bits = 4.0 + msb_sum + counts * (1.0 + r.astype(
-                xp.float64))
+            # msb_by_r[r] = sum over the partition of (u >> r), exact
+            msb_by_r = [None] * J
+            msb = wf[..., J - 1]
+            msb_by_r[J - 1] = msb
+            for r in range(J - 2, -1, -1):
+                msb = msb * 2.0 + wf[..., r]
+                msb_by_r[r] = msb
+            totals = xp.stack(
+                [msb_by_r[r] + counts * float(1 + r) for r in range(R)],
+                axis=-1)                              # [S,C,parts,R]
+            r_best = xp.argmin(totals, axis=-1).astype(xp.int32)
+            part_bits = 4.0 + xp.min(totals, axis=-1)
             rice_totals.append(xp.sum(part_bits, axis=2))
-            rice_params_by_p.append(r)
+            rice_params_by_p.append(r_best)
         rice_totals = xp.stack(rice_totals, axis=2)            # [S, C, P]
         best_porder_idx = xp.argmin(rice_totals, axis=2).astype(
             xp.int32)                                          # first min

@@ -104,6 +104,28 @@ def tukey_window(n, alpha=0.5):
     return _window_cache[key]
 
 
+_window_df_cache = {}
+
+
+def tukey_window_df(n, alpha=0.5):
+    """the tukey window split into a double-f32 (hi, lo) pair ON HOST
+
+    The split MUST happen in IEEE f64 (numpy): splitting a traced
+    window on a TPU backend would derive the lo half from the
+    float-float representation of the f64 constant, whose ~2^-49
+    representation error sits at the lo half's own last-bit scale —
+    a few percent of elements would round differently than on CPU,
+    breaking cross-backend byte identity.  Both halves here are
+    f32-valued, so their device representation is exact everywhere."""
+    key = (n, alpha)
+    if key not in _window_df_cache:
+        w = tukey_window(n, alpha)
+        hi = w.astype(np.float32).astype(np.float64)
+        lo = (w - hi).astype(np.float32).astype(np.float64)
+        _window_df_cache[key] = (hi, lo)
+    return _window_df_cache[key]
+
+
 def exact_exp2(xp, e):
     """exact 2^e for integer arrays, as float64
 
@@ -130,83 +152,157 @@ def int_bit_length(xp, v):
     return out
 
 
-def pairwise_sum(xp, x, axis=-1):
-    """deterministic binary-tree sum along the given axis
+def windowed_autocorr_df(xp, samples, window, max_order):
+    """two-plane windowed autocorrelation, ~2^-39 relative accuracy
 
-    the reduction order depends only on the axis length, never on
-    batch shape or backend, so results are bit-identical everywhere"""
-    x = xp.moveaxis(x, axis, -1)
-    n = x.shape[-1]
-    if n == 0:
-        return xp.zeros(x.shape[:-1], dtype=x.dtype)
-    # pad to the next power of two with zeros (additive identity)
-    p = 1
-    while p < n:
-        p <<= 1
-    if p != n:
-        pad = [(0, 0)] * (x.ndim - 1) + [(0, p - n)]
-        x = xp.pad(x, pad)
-    while x.shape[-1] > 1:
-        half = x.shape[-1] // 2
-        x = x[..., :half] + x[..., half:]
-    return x[..., 0]
+    samples: int [..., n] (post-wasted-shift); window: f64 [n].
+    Returns a double-f32 pair (hi, lo), each f64 [..., max_order+1].
 
+    The single-plane spec (17-bit quantized windowed integers) is
+    exact and backend-deterministic but feeds Levinson only ~22
+    significant bits — measured as 4-8x worse predictors than the
+    reference's f64 analysis on near-singular (tonal) autocorrelation
+    (reference hot loop: src/encoders/flac.c flac_compute_autocorrelation,
+    plain f64).  This version keeps every sum an exact integer sum and
+    adds a SECOND quantization plane:
 
-def autocorrelation(xp, windowed, max_order):
-    """batched autocorrelation over the last axis
+    * the window splits into a df pair (wh, wl) on host (numpy), so
+      windowing products ``xs*wh`` / ``xs*wl`` stay exact (<= 41 bits)
+    * plane 1 ``u = floor(xs*wh*2^s0 + 0.5)`` is the established
+      single-plane quantization (identical construction and risk
+      envelope); the residue ``r = y - u`` is exact and f32-valued
+      (span <= 40 - m <= 24 bits for the m >= 16 this function
+      requires)
+    * plane 2 ``v = floor((r + R(xs*wl*2^s0)) * 2^17 + 0.5)`` re-uses
+      only contract ops; the +0.5 sum spans <= 42 bits (exact on both
+      backends — cleaner than plane 1's own bound)
+    * three exact integer reduces (u*u, cross, v*v — all below 2^47)
+      recombine as ``(S_uu*2^34 + S_cross*2^17 + S_vv) * 2^-2(17+s0)``
+      through df.from_parts, every term an exact f64
 
-    windowed: f64 [..., n]; returns f64 [..., max_order+1]"""
-    n = windowed.shape[-1]
-    lags = []
-    for lag in range(max_order + 1):
-        products = windowed[..., :n - lag] * windowed[..., lag:]
-        lags.append(pairwise_sum(xp, products))
-    return xp.stack(lags, axis=-1)
-
-
-def windowed_autocorr(xp, samples, window, max_order):
-    """the framework's TPU-native windowing+autocorrelation spec
-
-    samples: int [..., n] (post-wasted-shift, |x| < 2^26);
-    window: f64 [n] (rounded to f32 precision inside).
-
-    Bit-deterministic across numpy / CPU XLA / TPU float-float f64 by
-    keeping every lag sum an exact INTEGER sum: samples pre-shift to
-    17 bits, the windowing product (int17 * f32-valued, <= 41 bits)
-    is exact everywhere, and windowed values quantize to integers
-    |wq| < 2^m with m sized so products (2^2m) and whole-block sums
-    (2^(2m + log2 n)) stay below 2^47 — exactly representable and
-    order-independent even in float-float, so a plain ``xp.sum``
-    (which XLA lowers to a fast reduce) is safe.  The exact
-    power-of-two scale is restored afterwards.  Analysis precision
-    only steers *which* predictor is chosen (the emitters re-derive
-    residuals exactly), so ~18-bit windowed samples cost ~nothing in
-    ratio (the quantized-upload wire format already feeds analysis
-    ~7-bit samples).
-
-    returns f64 [..., max_order+1]"""
+    Windowed values thus carry ~34 significant bits and the df
+    accumulation ~45, so autocorrelation accuracy lands at ~2^-39
+    relative — enough for Levinson to match f64 predictor choices on
+    the reference's tone corpus (measured in BASELINE.md).  The 17-bit
+    sample pre-shift for >17-bit inputs is unchanged (it bounds plane
+    products; >=18-bit content loses sample bits exactly as before).
+    """
+    from . import df as dfm
     n = samples.shape[-1]
-    w = f32round(xp, xp.asarray(window, dtype=xp.float64))
-    # per-row pre-shift so |xs| < 2^17 (exact integer ops)
+    if isinstance(window, tuple):
+        # pre-split (hi, lo) pair — REQUIRED inside jit traces (see
+        # tukey_window_df: the split itself must run in host IEEE f64)
+        (wh, wl) = window
+    else:
+        w64 = np.asarray(window, dtype=np.float64)
+        wh = w64.astype(np.float32).astype(np.float64)
+        wl = (w64 - wh).astype(np.float32).astype(np.float64)
+        if xp is not np:
+            wh = xp.asarray(wh)
+            wl = xp.asarray(wl)
     amax = xp.max(xp.abs(samples), axis=-1, keepdims=True)
     pre = xp.maximum(int_bit_length(xp, amax) - 17, 0)     # [..., 1]
-    xs = samples >> pre
-    windowed = xs.astype(xp.float64) * w                   # exact
-    # static integer budget: 2*m + ceil(log2 n) <= 47
+    xs = (samples >> pre).astype(xp.float64)
+    a = xs * wh                                            # exact
+    b = xs * wl                                            # exact
     nb = 1
     while (1 << nb) < n:
         nb += 1
     m = min((47 - nb) // 2, 23)
-    shift2 = m - 17
-    wq = xp.floor(windowed * float(exact_exp2(np, shift2)) + 0.5)
-    lags = []
+    s0 = m - 17
+    y = a * float(exact_exp2(np, s0))                      # exact
+    u = xp.floor(y + 0.5)
+    if m >= 16:
+        r = y - u                                          # exact, f32
+        b2 = f32round(xp, b * float(exact_exp2(np, s0)))
+        t = f32round(xp, r + b2)
+        v = xp.floor(t * 131072.0 + 0.5)
+    else:
+        # blocks past ~32k samples: the residue r is no longer
+        # f32-valued (span > 24 bits), so the second plane's exactness
+        # argument fails — degrade to the single-plane spec (v = 0)
+        v = xp.zeros_like(u)
+    lags_uu = []
+    lags_cross = []
+    lags_vv = []
     for lag in range(max_order + 1):
-        products = wq[..., :n - lag] * wq[..., lag:]
-        lags.append(xp.sum(products, axis=-1))
-    ac = xp.stack(lags, axis=-1)
-    # restore scale: ac_true = ac * 2^(2*(pre - shift2))
-    scale = exact_exp2(xp, 2 * (pre.astype(xp.int64) - shift2))
-    return ac * scale
+        u0 = u[..., :n - lag]
+        u1 = u[..., lag:]
+        v0 = v[..., :n - lag]
+        v1 = v[..., lag:]
+        lags_uu.append(xp.sum(u0 * u1, axis=-1))
+        lags_cross.append(xp.sum(u0 * v1 + v0 * u1, axis=-1))
+        lags_vv.append(xp.sum(v0 * v1, axis=-1))
+    S_uu = xp.stack(lags_uu, axis=-1)
+    S_cross = xp.stack(lags_cross, axis=-1)
+    S_vv = xp.stack(lags_vv, axis=-1)
+    acc = dfm.from_parts(xp, S_uu * float(exact_exp2(np, 34)),
+                         S_cross * float(exact_exp2(np, 17)), S_vv)
+    scale = exact_exp2(xp, 2 * (pre.astype(xp.int64) - 17 - s0))
+    return (acc[0] * scale, acc[1] * scale)
+
+
+def levinson_df(xp, ac, max_order):
+    """batched Levinson-Durbin in double-f32 (~45-bit) arithmetic
+
+    ac: df pair (hi, lo), each f64 [..., max_order+1], e.g. from
+    windowed_autocorr_df.  Returns (coeffs, errors) with the SAME
+    output contract as the single-f32 recursion had: coeffs f64
+    [..., max_order, max_order] and errors f64 [..., max_order], both
+    f32-VALUED (one exact hi+lo sum, one f32 rounding), so the
+    downstream quantize/estimate/residual stages are untouched.
+
+    Every step is an ops/df primitive (built from the
+    single-op-then-round contract), so cross-backend determinism is
+    inherited; divisions keep the documented ~2^-25-band float-float
+    caveat (two per reflection coefficient instead of one).
+    Degenerate rows (zero lag-0 or zero intermediate error) yield
+    ki = 0 continuations via df.div's zero-denominator guard.
+    """
+    from . import df as dfm
+    (ach, acl) = ac
+    batch = ach.shape[:-1]
+    K = max_order
+
+    def at(i):
+        return (ach[..., i], acl[..., i])
+
+    zeros = xp.zeros(batch + (K,), dtype=xp.float64)
+    one = (xp.ones(batch, dtype=xp.float64),
+           xp.zeros(batch, dtype=xp.float64))
+    k0 = dfm.div(xp, at(1), at(0))
+    rowh = _set_col(xp, zeros, 0, k0[0])
+    rowl = _set_col(xp, xp.zeros_like(zeros), 0, k0[1])
+    rows = [(rowh, rowl)]
+    errors = [dfm.mul(xp, at(0),
+                      dfm.sub(xp, one, dfm.mul(xp, k0, k0)))]
+
+    for i in range(1, K):
+        (ph, pl) = rows[i - 1]
+        acc = (xp.zeros(batch, dtype=xp.float64),
+               xp.zeros(batch, dtype=xp.float64))
+        for j in range(i):
+            acc = dfm.add(xp, acc, dfm.mul(
+                xp, (ph[..., j], pl[..., j]), at(i - j)))
+        err_prev = errors[i - 1]
+        ki = dfm.div(xp, dfm.sub(xp, at(i + 1), acc), err_prev)
+        nh = xp.zeros(batch + (K,), dtype=xp.float64)
+        nl = xp.zeros_like(nh)
+        for j in range(i):
+            tj = dfm.mul(xp, ki, (ph[..., i - 1 - j],
+                                  pl[..., i - 1 - j]))
+            nj = dfm.sub(xp, (ph[..., j], pl[..., j]), tj)
+            nh = _set_col(xp, nh, j, nj[0])
+            nl = _set_col(xp, nl, j, nj[1])
+        nh = _set_col(xp, nh, i, ki[0])
+        nl = _set_col(xp, nl, i, ki[1])
+        rows.append((nh, nl))
+        errors.append(dfm.mul(xp, err_prev,
+                              dfm.sub(xp, one, dfm.mul(xp, ki, ki))))
+
+    coeffs = xp.stack([dfm.to_f32(xp, row) for row in rows], axis=-2)
+    errs = xp.stack([dfm.to_f32(xp, e) for e in errors], axis=-1)
+    return (coeffs, errs)
 
 
 def lpc_residuals_i32(xp, samples, qlp, shifts, clip_bits):
@@ -319,69 +415,6 @@ def lpc_residuals(xp, samples, qlp, shifts, value_bits, precision,
     if hi_bits < 31:
         return lpc_residuals_i32(xp, samples, qlp, shifts, clip_bits)
     return lpc_residuals_f64(xp, samples, qlp, shifts, clip_bits)
-
-
-def levinson(xp, autocorr, max_order):
-    """batched Levinson-Durbin recursion
-
-    autocorr: f64 [..., max_order+1]
-    returns (coeffs f64 [..., max_order, max_order], errors
-    f64 [..., max_order]) where coeffs[..., o-1, :o] are the LP
-    coefficients for order o.
-
-    rows whose autocorrelation is degenerate (zero lag-0 or a zero
-    intermediate error) produce ki = 0 continuations rather than the
-    reference's div-by-zero crash; callers mask those rows separately.
-
-    Contraction-immune: the autocorrelation and every coefficient row
-    are kept f32-valued (explicit precision reduction), so all
-    products in the recursion are exact in f64 — no FMA contraction or
-    excess-precision evaluation can change a value.  Divisions round
-    once and are immediately reduced.
-    """
-    batch = autocorr.shape[:-1]
-    autocorr = f32round(xp, autocorr)
-    r0 = autocorr[..., 0]
-    safe_r0 = xp.where(r0 == 0.0, 1.0, r0)
-    k0 = f32round(xp, autocorr[..., 1] / safe_r0)
-    k0 = xp.where(r0 == 0.0, 0.0, k0)
-
-    # coeff rows built incrementally; store as list of per-order arrays
-    coeff_rows = [xp.zeros(batch + (max_order,), dtype=xp.float64)]
-    first = xp.zeros(batch + (max_order,), dtype=xp.float64)
-    first = _set_col(xp, first, 0, k0)
-    coeff_rows[0] = first
-    # every mul/add is a SINGLE op on f32-valued operands followed by
-    # an immediate f32 re-round: such ops round identically under IEEE
-    # f64 and the TPU's float-float emulation (exact two-product/
-    # two-sum, then one rounding); multi-op chains would not
-    kk0 = f32round(xp, k0 * k0)
-    errors = [f32round(xp, autocorr[..., 0] * f32round(xp, 1 - kk0))]
-
-    for i in range(1, max_order):
-        prev = coeff_rows[i - 1]
-        # acc = sum_j prev[j] * autocorr[i - j]
-        acc = xp.zeros(batch, dtype=xp.float64)
-        for j in range(i):
-            p = f32round(xp, prev[..., j] * autocorr[..., i - j])
-            acc = f32round(xp, acc + p)
-        err_prev = errors[i - 1]
-        safe_err = xp.where(err_prev == 0.0, 1.0, err_prev)
-        ki = f32round(xp, (autocorr[..., i + 1] - acc) / safe_err)
-        ki = xp.where(err_prev == 0.0, 0.0, ki)
-
-        # new row: prev[j] - ki * prev[i-1-j] for j < i, then ki
-        row = xp.zeros(batch + (max_order,), dtype=xp.float64)
-        for j in range(i):
-            t = f32round(xp, ki * prev[..., i - 1 - j])
-            row = _set_col(xp, row, j,
-                           f32round(xp, prev[..., j] - t))
-        row = _set_col(xp, row, i, ki)
-        coeff_rows.append(row)
-        kk = f32round(xp, ki * ki)
-        errors.append(f32round(xp, err_prev * f32round(xp, 1 - kk)))
-
-    return (xp.stack(coeff_rows, axis=-2), xp.stack(errors, axis=-1))
 
 
 def _set_col(xp, arr, col, values):

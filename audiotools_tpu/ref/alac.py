@@ -353,7 +353,7 @@ def lpc_coefficient_candidates(channel, analysis_block_size=None):
     window = scalar_lpc.tukey_window(len(channel), 0.5)
     x = np.asarray(channel, dtype=np.int64)
     ac = scalar_lpc.windowed_autocorr(x, window, 8)
-    degenerate = (ac[0] == 0.0)
+    degenerate = (ac[0][0] == 0.0)
     (rows, _errors) = scalar_lpc.levinson(ac, 8)
     qlp4 = alac_quantize_coefficients(rows[3][:4])
     qlp8 = alac_quantize_coefficients(rows[7][:8])

@@ -133,7 +133,6 @@ def _rice_search(res_aligned, order, n, porders, max_rice):
     returns (porder, params list, bits) — bits includes the
     coding-method-1 5-bit parameter correction.  First-minimum over
     the contiguous porder list (strict <)."""
-    absr = np.abs(res_aligned)
     u = np.where(res_aligned >= 0,
                  res_aligned << 1,
                  ((-res_aligned - 1) << 1) | 1).astype(np.int64)
@@ -141,14 +140,17 @@ def _rice_search(res_aligned, order, n, porders, max_rice):
     for porder in porders:
         parts = 1 << porder
         psize = n >> porder
-        seg = absr.reshape(parts, psize).sum(axis=1)
+        useg = u.reshape(parts, psize)
         counts = np.full(parts, float(psize))
         counts[0] = float(psize - order)
-        r = np.zeros(parts, dtype=np.int64)
-        for rr in range(max_rice):
-            r += (counts * float(1 << rr) < seg)
-        msb = u.reshape(parts, psize) >> r[:, None]
-        part_bits = 4.0 + msb.sum(axis=1) + counts * (1.0 + r)
+        # EXACT parameter search per partition (same spec as the
+        # batched kernel): bits(r) = count*(1+r) + sum(u >> r),
+        # first minimum over r in 0..max_rice
+        cand = np.stack(
+            [(useg >> rr).sum(axis=1) + counts * (1.0 + rr)
+             for rr in range(max_rice + 1)], axis=1)    # [parts, R]
+        r = np.argmin(cand, axis=1).astype(np.int64)
+        part_bits = 4.0 + cand[np.arange(parts), r]
         total = float(part_bits.sum())
         if best is None or total < best[2]:
             best = (porder, [int(v) for v in r], total)
@@ -208,7 +210,9 @@ def analyze_subframe(x, bps, n, max_lpc_order, qlp_precision, porders,
     degenerate = True
     if use_lpc:
         ac = scalar_lpc.windowed_autocorr(xs, window, K)
-        degenerate = all(v == 0.0 for v in ac)
+        # hi == 0 implies the exact value is 0 (integer sums scaled
+        # by exact powers of two, far above the f32 underflow band)
+        degenerate = all(hi == 0.0 for (hi, _lo) in ac)
         (rows, errors) = scalar_lpc.levinson(ac, K)
         for order in range(1, K + 1):
             (qlp, shift) = scalar_lpc.quantize_coefficients(
@@ -349,9 +353,10 @@ def analyze_frame(samples, bps, options):
         (assignment, chosen) = run(quantize_block(samples, t))
         # quantization-floor retry (same spec as the batched path,
         # codecs/flac_enc_fast._floor_limited).  Stage 1: a coded
-        # subframe whose EVERY used Rice parameter sits strictly below
-        # the block's quantization shift analyzed quantization noise,
-        # not content — but boundary noise also lands at r = t-1, so
+        # subframe whose EVERY used Rice parameter sits at or below
+        # the block's quantization shift + 1 may have analyzed mostly
+        # quantization noise (noise at step 2^t codes at r in
+        # {t-1, t, t+1}, and tonal frames land in the same band), so
         # stage 2 probes the EXACT samples through the quantized-fit
         # predictor: tonal frames collapse far below the quantization
         # step (mean-|residual| bits <= t - 2) and re-analyze exactly;
@@ -360,7 +365,7 @@ def analyze_frame(samples, bps, options):
         candidates = [
             dec for dec in chosen
             if (dec["choice"] in (CHOICE_FIXED, CHOICE_LPC) and
-                max(dec["rice"]) < t_frame)]
+                max(dec["rice"]) <= t_frame + 1 and t_frame > 0)]
         floor_limited = False
         if candidates:
             exact_chosen = build_variants(samples.astype(np.int64),
@@ -371,8 +376,7 @@ def analyze_frame(samples, bps, options):
             else:
                 sub_x = exact_chosen
             for (s, dec) in enumerate(chosen):
-                if (dec["choice"] not in (CHOICE_FIXED, CHOICE_LPC) or
-                        max(dec["rice"]) >= t_frame):
+                if dec["choice"] not in (CHOICE_FIXED, CHOICE_LPC):
                     continue
                 x = np.asarray(sub_x[s],
                                dtype=np.int64) >> dec["wasted"]

@@ -71,63 +71,155 @@ def tukey_window(n, alpha=0.5):
     return _window_cache[key]
 
 
+# ---------------------------------------------------------------------
+# scalar double-f32 arithmetic (the oracle's INDEPENDENT mirror of
+# ops/df.py): values are (hi, lo) tuples of f32-valued floats,
+# ~45-bit effective precision, every step a single f64 op on
+# f32-valued operands followed by one f32 rounding
+# ---------------------------------------------------------------------
+
+def _dts(a, b):
+    """magnitude-ordered Fast2Sum: exact (s, e), both f32-valued"""
+    if abs(a) < abs(b):
+        (a, b) = (b, a)
+    s = f32r(a + b)
+    z = s - a
+    e = f32r(b - z)
+    return (s, e)
+
+
+def _dadd(a, b):
+    (sh, se) = _dts(a[0], b[0])
+    t = f32r(f32r(se + a[1]) + b[1])
+    return _dts(sh, t)
+
+
+def _dsub(a, b):
+    return _dadd(a, (-b[0], -b[1]))
+
+
+def _dmul(a, b):
+    p = a[0] * b[0]
+    ph = f32r(p)
+    pe = p - ph
+    cross = f32r(f32r(a[0] * b[1]) + f32r(a[1] * b[0]))
+    t = f32r(pe + cross)
+    return _dts(ph, t)
+
+
+def _dmul1(a, b):
+    """df * f32-valued scalar"""
+    p = a[0] * b
+    ph = f32r(p)
+    pe = p - ph
+    t = f32r(pe + f32r(a[1] * b))
+    return _dts(ph, t)
+
+
+def _ddiv(a, b):
+    if b[0] == 0.0:
+        return (0.0, 0.0)
+    q1 = f32r(a[0] / b[0])
+    r = _dsub(a, _dmul1(b, q1))
+    q2 = f32r(r[0] / b[0])
+    return _dts(q1, q2)
+
+
+def _dsplit(x):
+    """exact <=47-bit f64 value -> df pair"""
+    hi = f32r(x)
+    lo = f32r(x - hi)
+    return (hi, lo)
+
+
+def _dto_f32(a):
+    """df -> f32-valued float (exact sum, one rounding)"""
+    return f32r(a[0] + a[1])
+
+
 def windowed_autocorr(x, window, max_order):
-    """windowed autocorrelation of one subframe, spec numerics
+    """two-plane windowed autocorrelation of one subframe (~2^-39)
 
     x: int array [n] (post-wasted-shift); window: f64 [n]
-    returns list of max_order+1 floats
+    returns list of max_order+1 double-f32 pairs.
 
-    samples pre-shift to 17 bits, the windowed values quantize to
-    integers sized so lag products and sums stay below 2^47 (exact in
-    any summation order), and the exact power-of-two scale is restored
-    afterwards."""
+    Mirrors ops/lpc.windowed_autocorr_df exactly: samples pre-shift to
+    17 bits; the window splits into a df pair; windowed values
+    quantize onto TWO 17-bit integer planes (u, v); lag sums are three
+    exact integer sums (< 2^47, any-order safe) recombined through the
+    scalar df accumulator with the exact power-of-two scale."""
     n = len(x)
-    w = np.asarray(window, dtype=np.float64).astype(
-        np.float32).astype(np.float64)
+    w64 = np.asarray(window, dtype=np.float64)
+    wh = w64.astype(np.float32).astype(np.float64)
+    wl = (w64 - wh).astype(np.float32).astype(np.float64)
     amax = int(np.max(np.abs(x))) if n else 0
     pre = max(amax.bit_length() - 17, 0)
     xs = (np.asarray(x, dtype=np.int64) >> pre).astype(np.float64)
-    windowed = xs * w                                   # exact products
+    a = xs * wh                                         # exact products
+    b = xs * wl                                         # exact
     nb = 1
     while (1 << nb) < n:
         nb += 1
     m = min((47 - nb) // 2, 23)
-    shift2 = m - 17
-    wq = np.floor(windowed * exp2i(shift2) + 0.5)
-    scale = exp2i(2 * (pre - shift2))
-    return [float(np.sum(wq[:n - lag] * wq[lag:]) * scale)
-            for lag in range(max_order + 1)]
+    s0 = m - 17
+    y = a * exp2i(s0)
+    u = np.floor(y + 0.5)
+    if m >= 16:
+        r = y - u                                       # exact, f32
+        b2 = (b * exp2i(s0)).astype(np.float32).astype(np.float64)
+        t = (r + b2).astype(np.float32).astype(np.float64)
+        v = np.floor(t * 131072.0 + 0.5)
+    else:
+        # blocks past ~32k samples degrade to the single-plane spec
+        # (mirrors ops/lpc.windowed_autocorr_df)
+        v = np.zeros_like(u)
+    scale = exp2i(2 * (pre - 17 - s0))
+    out = []
+    for lag in range(max_order + 1):
+        (u0, u1) = (u[:n - lag], u[lag:])
+        (v0, v1) = (v[:n - lag], v[lag:])
+        s_uu = float(np.sum(u0 * u1))
+        s_cross = float(np.sum(u0 * v1 + v0 * u1))
+        s_vv = float(np.sum(v0 * v1))
+        acc = _dsplit(s_uu * exp2i(34))
+        acc = _dadd(acc, _dsplit(s_cross * exp2i(17)))
+        acc = _dadd(acc, _dsplit(s_vv))
+        out.append((acc[0] * scale, acc[1] * scale))
+    return out
 
 
 def levinson(ac, max_order):
-    """scalar Levinson-Durbin recursion under the f32-re-round spec
+    """scalar Levinson-Durbin in double-f32 (~45-bit) arithmetic
 
-    ac: list of max_order+1 floats
+    ac: list of max_order+1 df pairs (from windowed_autocorr)
     returns (rows, errors): rows[o-1][:o] are the order-o LP
-    coefficients, errors[o-1] the order-o prediction error.
+    coefficients, errors[o-1] the order-o prediction error — plain
+    f32-VALUED floats (one exact hi+lo sum, one f32 rounding), so
+    quantization and the order estimate are untouched.
     Degenerate divisions (zero denominator) continue with ki = 0."""
     K = max_order
-    ac = [f32r(v) for v in ac]
-    r0 = ac[0]
-    k0 = f32r(ac[1] / r0) if r0 != 0.0 else 0.0
-    rows = [[0.0] * K]
+    one = (1.0, 0.0)
+    k0 = _ddiv(ac[1], ac[0])
+    rows = [[(0.0, 0.0)] * K]
     rows[0][0] = k0
-    errors = [f32r(ac[0] * f32r(1.0 - f32r(k0 * k0)))]
+    errors = [_dmul(ac[0], _dsub(one, _dmul(k0, k0)))]
     for i in range(1, K):
         prev = rows[i - 1]
-        acc = 0.0
+        acc = (0.0, 0.0)
         for j in range(i):
-            acc = f32r(acc + f32r(prev[j] * ac[i - j]))
+            acc = _dadd(acc, _dmul(prev[j], ac[i - j]))
         err_prev = errors[i - 1]
-        ki = (f32r((ac[i + 1] - acc) / err_prev)
-              if err_prev != 0.0 else 0.0)
-        row = [0.0] * K
+        ki = _ddiv(_dsub(ac[i + 1], acc), err_prev)
+        row = [(0.0, 0.0)] * K
         for j in range(i):
-            row[j] = f32r(prev[j] - f32r(ki * prev[i - 1 - j]))
+            row[j] = _dsub(prev[j], _dmul(ki, prev[i - 1 - j]))
         row[i] = ki
         rows.append(row)
-        errors.append(f32r(err_prev * f32r(1.0 - f32r(ki * ki))))
-    return (rows, errors)
+        errors.append(_dmul(err_prev,
+                            _dsub(one, _dmul(ki, ki))))
+    rows_f = [[_dto_f32(c) for c in row] for row in rows]
+    errs_f = [_dto_f32(e) for e in errors]
+    return (rows_f, errs_f)
 
 
 def ilog2_trunc(v):

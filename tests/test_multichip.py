@@ -48,7 +48,7 @@ base = 8000.0 * np.sin(t * 0.013)
 blocks = np.clip(np.stack([base + rng.integers(-200, 200, 32 * n),
                            0.7 * base], axis=1),
                  -32768, 32767).astype(np.int32).reshape(32, n, 2)
-window = lpc_ops.tukey_window(n)
+window = lpc_ops.tukey_window_df(n)
 
 mesh = mesh_mod.make_mesh(8)
 step = mesh_mod.sharded_packed_encode_step(
