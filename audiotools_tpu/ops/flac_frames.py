@@ -396,8 +396,11 @@ def analyze_subframes(xp, X, bps, n, max_lpc_order, qlp_precision,
             counts = xp.full((S, C, parts), float(psize),
                              dtype=xp.float64)
             counts = _set_first_part(xp, counts, psize - orders_f)
-            # msb_by_r[r] = sum over the partition of (u >> r), exact
-            msb_by_r = [None] * J
+            # msb_by_r[r] = sum over the partition of (u >> r), exact;
+            # u < 2^J, so the sum is identically 0 for any r >= J
+            # (possible when max_rice exceeds J at small bps)
+            zero = xp.zeros_like(wf[..., 0])
+            msb_by_r = [zero] * max(R, J)
             msb = wf[..., J - 1]
             msb_by_r[J - 1] = msb
             for r in range(J - 2, -1, -1):

@@ -154,3 +154,28 @@ def test_fast_encoder_via_flacaudio():
     finally:
         if os.path.exists(tmp):
             os.unlink(tmp)
+
+
+def test_rice_search_max_rice_above_bitwidth():
+    """max_rice may exceed the residual bit budget J (e.g. an 8-bit
+    stream analyzed with the 24-bit path's max_rice=30): parameters
+    r >= J have sum(u >> r) == 0 exactly, and the search must neither
+    crash nor change its answer vs a max_rice that already covers the
+    optimum (totals grow strictly past J, so argmin is unaffected)"""
+    from audiotools_tpu.ops import flac_frames, lpc as lpc_ops
+
+    rng = np.random.default_rng(5)
+    n = 1024
+    base = sine(n, 441, 100)
+    blocks = np.clip(np.stack([base + rng.integers(-3, 4, n),
+                               (0.7 * base).astype(np.int32)], axis=1),
+                     -128, 127).astype(np.int32).reshape(1, n, 2)
+    window = lpc_ops.tukey_window_df(n)
+    porders = flac_frames.valid_partition_orders(n, 4, 8)
+
+    outs = []
+    for max_rice in (14, 30):
+        outs.append(np.asarray(flac_frames.analyze_frames_packed(
+            np, blocks, True, 8, n, 8, 14, list(porders), max_rice,
+            True, True, window)))
+    assert np.array_equal(outs[0], outs[1])
