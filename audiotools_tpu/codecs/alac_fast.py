@@ -19,7 +19,7 @@ import os
 import numpy as np
 
 from .. import _native, pcm
-from ..ops import alac_frames, lpc as lpc_ops
+from ..ops import alac_frames, lpc as lpc_ops, qpack
 from ..ref import alac as oracle
 from . import flac_enc_fast as flac_fast
 from . import padgrid
@@ -72,6 +72,127 @@ def _analyze(blocks, layout, bps, lsb_shift, interlacing_shift,
             interlacing_shift, min_lw, max_lw, window))
 
 
+def _analyze_q(wire, k, W, ch, layout, bps_eff, interlacing_shift,
+               min_lw, max_lw, n, window):
+    """jitted quantized-upload ALAC analysis (ops/qpack.py wire)
+
+    wire: uint32 [B, ch*W + 2*ch] — bit-packed zigzag diffs of the
+    LSB-shifted, quantized samples plus the bitcast int32 sideband
+    [t(ch), x0(ch)].  The device reconstructs (x >> t) << t exactly
+    and runs the same candidate program as the raw path with
+    lsb_shift already applied — typically 2x (16-bit) to 4x (24-bit)
+    fewer bytes over the host->device link, which is the tunneled-TPU
+    ALAC pipeline's measured ceiling (BASELINE.md: exact int16 PCM
+    sustains ~17 Msamples/s against a ~35 MB/s link)."""
+    import jax
+    jax.config.update("jax_enable_x64", True)
+    from .flac_enc_fast import _enable_compilation_cache
+    _enable_compilation_cache(jax)
+    key = ("q", wire.shape, k, W, ch, tuple(layout), bps_eff,
+           interlacing_shift, min_lw, max_lw, n)
+    if key not in _jax_alac_cache:
+        import jax.numpy as jnp
+        from jax import lax
+
+        def run(wire, window):
+            qwords = wire[:, :ch * W].reshape(-1, ch, W)
+            meta = lax.bitcast_convert_type(wire[:, ch * W:],
+                                            jnp.int32)
+            t = meta[:, 0:ch]
+            x0 = meta[:, ch:2 * ch]
+            blocks = qpack.unpack(jnp, qwords, k, t, x0, n)
+            return alac_frames.analyze_framesets_packed(
+                jnp, blocks, list(layout), bps_eff, 0,
+                interlacing_shift, min_lw, max_lw, window).ravel()
+        _jax_alac_cache[key] = jax.jit(run)
+    handle = _jax_alac_cache[key](wire, window)
+    try:
+        handle.copy_to_host_async()
+    except AttributeError:
+        pass
+    return handle
+
+
+def _bit_length(v):
+    """vectorized int bit_length for non-negative int64 arrays"""
+    v = np.asarray(v, dtype=np.int64)
+    bl = np.zeros_like(v)
+    vv = v.copy()
+    for _ in range(63):
+        live = vv > 0
+        if not live.any():
+            break
+        bl += live
+        vv >>= 1
+    return bl
+
+
+def _pick_scores(rows, min_lw, max_lw, width):
+    """chosen leftweight, per-channel order/est, and group score from
+    packed candidate rows [B, N_LEFTWEIGHTS, 2, COLS] — the emitter's
+    (and oracle group_candidates'/pick_candidate's) policy batched"""
+    B = rows.shape[0]
+    if width == 1:
+        lw_idx = np.zeros(B, dtype=np.int64)
+        ch_rows = rows[:, 0, 0:1]                # [B, 1, COLS]
+    else:
+        ests = rows[:, min_lw:max_lw + 1, :, 13:15].astype(np.int64)
+        score = ests.min(axis=3).sum(axis=2)     # [B, L]
+        lw_idx = score.argmin(axis=1) + min_lw   # ties: lowest lw
+        ch_rows = rows[np.arange(B), lw_idx]     # [B, 2, COLS]
+    deg = ch_rows[..., 12] != 0
+    est4 = ch_rows[..., 13].astype(np.int64)
+    est8 = ch_rows[..., 14].astype(np.int64)
+    order = np.where(deg | (est4 <= est8), 4, 8)
+    est = np.where(order == 4, est4, est8)
+    return (order, est, est.sum(axis=1))
+
+
+def _floor_retry(packed, blocks, t_arr, layout, bps, lsb_shift,
+                 interlacing_shift, min_lw, max_lw, window,
+                 block_size):
+    """applies the quantization-floor retry spec to a fetched batch
+
+    Batched implementation of ref/alac.floor_limited + group_score:
+    per (block, group), replicate the emitter's leftweight/order pick
+    from the quantized estimates, flag groups whose chosen estimated
+    mean |residual| sits ABOVE the quantization-step band
+    (bits >= t + 2 — quantization hurt the fit; unpredictable content
+    fits at <= t + 1 by the t plan), re-analyze the flagged groups
+    exactly on host in one batched call, and keep whichever candidate
+    set scores lower.  Chosen rows are overwritten in place; the
+    emitter re-picks from the winning estimates, same as the oracle."""
+    B = blocks.shape[0]
+    bps_eff = bps - lsb_shift
+    cap = max(bps_eff - qpack.cap_margin(), 0)
+    for (g, (off, width)) in enumerate(layout):
+        tg = t_arr[:B, off:off + width].max(axis=1).astype(np.int64)
+        live = (tg > 0) & (tg < cap)   # capped t never flags (see
+        if not live.any():             # ref/alac.floor_limited)
+            continue
+        rows = packed[:B, g]                     # [B, 5, 2, COLS]
+        (order, est, score_q) = _pick_scores(rows, min_lw, max_lw,
+                                             width)
+        count = block_size - 1 - order
+        m_q = (est * 64) // count
+        cand = ((_bit_length(m_q) >= tg[:, None] + 2) &
+                live[:, None]).any(axis=1)       # [B]
+        idx = np.nonzero(cand)[0]
+        if not len(idx):
+            continue
+        exact = np.asarray(alac_frames.analyze_framesets_packed(
+            np, blocks[idx], [layout[g]], bps, lsb_shift,
+            interlacing_shift, min_lw, max_lw, window))[:, 0]
+        (_oe, _ee, score_e) = _pick_scores(exact, min_lw, max_lw,
+                                           width)
+        better = score_e < score_q[idx]
+        if better.any():
+            if not packed.flags.writeable:  # jax fetches are read-only
+                packed = packed.copy()
+            packed[idx[better], g] = exact[better]
+    return packed
+
+
 def _fetch(handle, B, G):
     """materializes a packed analysis handle on host"""
     if isinstance(handle, np.ndarray):
@@ -110,7 +231,14 @@ def encode_mdat_fast(file, pcmreader,
     if layout is None:
         raise ValueError("unsupported channel count")
     lsb_shift = (bps - 16) if bps > 16 else 0
+    bps_eff = bps - lsb_shift
     window = lpc_ops.tukey_window_df(block_size)
+    # quantized-analysis upload (ops/qpack.py; scalar spec in
+    # ref/alac.py qpack_enabled/plan_t/floor_limited).  The LSB shift
+    # runs on host first, so the wire always carries <= 17-bit values
+    # and the two-word format never overflows
+    use_qpack = qpack.alac_enabled() and block_size > 2
+    qguard = qpack.guard_bits()
 
     reader = BufferedPCMReader(pcmreader)
     total_pcm_frames = 0
@@ -119,20 +247,43 @@ def encode_mdat_fast(file, pcmreader,
     mdat_start = file.tell()
     file.write(b"\x00" * 4 + b"mdat")
 
+    def _pad_rows(arr):
+        # pad partial batches up to the shared static shape grid
+        # (codecs/padgrid.py, same scheme as flac_enc_fast
+        #._pad_rows): fixed shapes bound jit recompiles to 4 per
+        # (channels, bps) while short tracks stop paying
+        # full-batch upload/device waste
+        if backend == "jax" and arr.shape[0] < batch_frames:
+            target = padgrid.target_rows(arr.shape[0], batch_frames)
+            pad = target - arr.shape[0]
+            arr = np.concatenate(
+                [arr, np.zeros((pad,) + arr.shape[1:],
+                               dtype=arr.dtype)])
+        return arr
+
     def prepare(blocks, ns):
-        upload = blocks
-        if backend == "jax" and blocks.shape[0] < batch_frames:
-            # pad partial batches up to the shared static shape grid
-            # (codecs/padgrid.py, same scheme as flac_enc_fast
-            #._pad_rows): fixed shapes bound jit recompiles to 4 per
-            # (channels, bps) while short tracks stop paying
-            # full-batch upload/device waste
-            target = padgrid.target_rows(blocks.shape[0], batch_frames)
-            pad = target - blocks.shape[0]
-            upload = np.concatenate(
-                [blocks, np.zeros((pad,) + blocks.shape[1:],
-                                  dtype=blocks.dtype)])
-        return (upload, blocks, ns)
+        """host half of a submission: the qpack scan + wire assembly
+        (or the raw padded upload); returns (payload, blocks, ns, t)"""
+        if use_qpack:
+            shifted = blocks.astype(np.int32)
+            if lsb_shift:
+                shifted = shifted >> lsb_shift
+            if backend == "jax":
+                (qwords, k, t, x0, _orv, _cf) = _native.flac_qpack(
+                    shifted, bps_eff, qguard, False)
+                B = qwords.shape[0]
+                W = qwords.shape[2]
+                meta = np.concatenate([t, x0], axis=1).astype(np.int32)
+                wire = _pad_rows(np.concatenate(
+                    [qwords.reshape(B, -1), meta.view(np.uint32)],
+                    axis=1))
+                return (("q", wire, k, W), blocks, ns, t)
+            t = qpack.plan_t(shifted, bps_eff, qguard)
+            return (("np_q", qpack.quantize(np, shifted, t)),
+                    blocks, ns, t)
+        if backend == "jax":
+            return (("raw", _pad_rows(blocks)), blocks, ns, None)
+        return (("np", blocks), blocks, ns, None)
 
     # five-stage overlap (the FLAC pipeline shape): the main thread
     # reads and establishes order, a dispatcher thread owns
@@ -167,23 +318,44 @@ def encode_mdat_fast(file, pcmreader,
                 for _ in range(n_fetchers):
                     fetch_queue.put(None)
                 return
-            (upload, slot, done) = entry
+            (payload, slot, done) = entry
             if worker_error:
                 done.set()
                 continue
             try:
-                handle = _analyze(upload, layout, bps, lsb_shift,
-                                  interlacing_shift,
-                                  min_interlacing_leftweight,
-                                  max_interlacing_leftweight,
-                                  lpc_ops.tukey_window_df(upload.shape[1]),
-                                  backend)
+                tag = payload[0]
+                if tag == "q":
+                    (_tag, wire, k, W) = payload
+                    handle = _analyze_q(
+                        wire, k, W, channels, layout, bps_eff,
+                        interlacing_shift,
+                        min_interlacing_leftweight,
+                        max_interlacing_leftweight, block_size,
+                        window)
+                    padded = wire.shape[0]
+                elif tag == "np_q":
+                    handle = np.asarray(
+                        alac_frames.analyze_framesets_packed(
+                            np, payload[1], list(layout), bps_eff, 0,
+                            interlacing_shift,
+                            min_interlacing_leftweight,
+                            max_interlacing_leftweight, window))
+                    padded = handle.shape[0]
+                else:
+                    upload = payload[1]
+                    handle = _analyze(
+                        upload, layout, bps, lsb_shift,
+                        interlacing_shift,
+                        min_interlacing_leftweight,
+                        max_interlacing_leftweight,
+                        lpc_ops.tukey_window_df(upload.shape[1]),
+                        backend)
+                    padded = upload.shape[0]
                 if isinstance(handle, np.ndarray):
                     slot.append(handle)
                     done.set()
                 else:
-                    fetch_queue.put((handle, upload.shape[0], slot,
-                                     done))
+                    fetch_queue.put((handle, padded, slot, done))
             except BaseException as err:  # noqa: B902
                 worker_error.append(err)
                 done.set()
@@ -206,7 +378,7 @@ def encode_mdat_fast(file, pcmreader,
             item = emit_queue.get()
             if item is None:
                 return
-            (slot, done, blocks, ns) = item
+            (slot, done, blocks, ns, t_arr) = item
             done.wait()
             if worker_error:
                 result_queue.put(None)    # keep result slots aligned
@@ -215,6 +387,13 @@ def encode_mdat_fast(file, pcmreader,
                 packed = np.asarray(slot[0]).reshape(
                     (-1, len(layout), alac_frames.N_LEFTWEIGHTS, 2,
                      alac_frames.PACKED_COLS))[:blocks.shape[0]]
+                if t_arr is not None:
+                    packed = _floor_retry(
+                        np.ascontiguousarray(packed), blocks, t_arr,
+                        layout, bps, lsb_shift, interlacing_shift,
+                        min_interlacing_leftweight,
+                        max_interlacing_leftweight, window,
+                        block_size)
                 result_queue.put(_native.alac_emit_framesets(
                     blocks, ns, layout, packed,
                     block_size, initial_history, history_multiplier,
@@ -236,12 +415,12 @@ def encode_mdat_fast(file, pcmreader,
     in_flight = 0
 
     def submit(blocks, ns):
-        (upload, blocks, ns) = prepare(blocks, ns)
+        (payload, blocks, ns, t_arr) = prepare(blocks, ns)
         slot = []
         done = threading.Event()
         # emit first (establishes order), then the dispatcher
-        emit_queue.put((slot, done, blocks, ns))
-        dispatch_queue.put((upload, slot, done))
+        emit_queue.put((slot, done, blocks, ns, t_arr))
+        dispatch_queue.put((payload, slot, done))
 
     def drain_one():
         nonlocal in_flight

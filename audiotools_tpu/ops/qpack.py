@@ -54,6 +54,12 @@ def enabled():
     return os.environ.get("ATPU_FLAC_QPACK", "1") != "0"
 
 
+def alac_enabled():
+    """the ALAC analysis' quantized-upload gate (default on; the
+    scalar half of the spec lives in ref/alac.py qpack_enabled)"""
+    return os.environ.get("ATPU_ALAC_QPACK", "1") != "0"
+
+
 def guard_bits():
     """how many bits below the residual scale the quantization step
     sits; larger = closer-to-exact analysis, smaller = fewer wire bits"""

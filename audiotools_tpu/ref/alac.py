@@ -12,6 +12,8 @@ with zero-run compression and 9-bit escape, uncompressed LSBs for
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from .. import pcm
@@ -188,37 +190,40 @@ def encode_compressed_frame(writer, pcmreader, options, channels):
         channels = [[(s >> shift) for s in channel]
                     for channel in channels]
 
+    # candidate analysis: quantized under the qpack spec (with the
+    # floor-limited exact retry), exact otherwise; the residual
+    # recurrences below always consume exact samples either way
+    bps_eff = pcmreader.bits_per_sample - uncompressed_LSBs * 8
+    t_group = 0
+    if qpack_enabled():
+        ts = [plan_t(c, bps_eff, options.block_size)
+              for c in channels]
+        t_group = max(ts)
+    if t_group > 0:
+        analysis = [quantize_channel(c, t)
+                    for (c, t) in zip(channels, ts)]
+        (leftweight, cands) = group_candidates(analysis, options)
+        if floor_limited(cands, t_group, options.block_size, bps_eff):
+            (lw_e, cands_e) = group_candidates(channels, options)
+            if group_score(cands_e) < group_score(cands):
+                (leftweight, cands) = (lw_e, cands_e)
+    else:
+        (leftweight, cands) = group_candidates(channels, options)
+
     if len(channels) == 1:
         encode_non_interlaced_frame(writer, pcmreader, options,
-                                    uncompressed_LSBs, LSBs, channels)
+                                    uncompressed_LSBs, LSBs, channels,
+                                    cands)
     else:
-        # the leftweight is chosen from the per-candidate residual
-        # estimates (same policy as the C++ emitter): lowest
-        # min(est4, est8) sum over both correlated channels, ties to
-        # the lowest leftweight; only the winner is encoded
-        best_lw = options.min_interlacing_leftweight
-        best_score = None
-        for leftweight in range(options.min_interlacing_leftweight,
-                                options.max_interlacing_leftweight + 1):
-            (c0, c1) = correlate_channels(
-                channels[0], channels[1],
-                options.interlacing_shift, leftweight)
-            (_q4, _q8, _deg, e4a,
-             e8a) = lpc_coefficient_candidates(c0, options.block_size)
-            (_q4, _q8, _deg, e4b,
-             e8b) = lpc_coefficient_candidates(c1, options.block_size)
-            score = min(e4a, e8a) + min(e4b, e8b)
-            if best_score is None or score < best_score:
-                best_score = score
-                best_lw = leftweight
         encode_interlaced_frame(writer, pcmreader, options,
                                 uncompressed_LSBs, LSBs,
                                 options.interlacing_shift,
-                                best_lw, channels)
+                                leftweight, channels, cands)
 
 
 def encode_non_interlaced_frame(writer, pcmreader, options,
-                                uncompressed_LSBs, LSBs, channels):
+                                uncompressed_LSBs, LSBs, channels,
+                                cands):
     n = len(channels[0])
     writer.write(16, 0)
     writer.write(1, 1 if n != options.block_size else 0)
@@ -230,8 +235,8 @@ def encode_non_interlaced_frame(writer, pcmreader, options,
     writer.write(8, 0)
 
     sample_size = pcmreader.bits_per_sample - (uncompressed_LSBs * 8)
-    (coefficients, residual) = calculate_lpc_coefficients(
-        pcmreader, options, sample_size, channels[0])
+    (coefficients, residual) = encode_chosen_subframe(
+        options, sample_size, cands[0], channels[0])
     write_subframe_header(writer, coefficients)
     if uncompressed_LSBs > 0:
         for LSB in LSBs:
@@ -242,7 +247,7 @@ def encode_non_interlaced_frame(writer, pcmreader, options,
 def encode_interlaced_frame(writer, pcmreader, options,
                             uncompressed_LSBs, LSBs,
                             interlacing_shift, interlacing_leftweight,
-                            channels):
+                            channels, cands):
     n = len(channels[0])
     writer.write(16, 0)
     writer.write(1, 1 if n != options.block_size else 0)
@@ -260,10 +265,10 @@ def encode_interlaced_frame(writer, pcmreader, options,
         channels[0], channels[1], interlacing_shift,
         interlacing_leftweight)
 
-    (coefficients0, residual0) = calculate_lpc_coefficients(
-        pcmreader, options, sample_size, correlated0)
-    (coefficients1, residual1) = calculate_lpc_coefficients(
-        pcmreader, options, sample_size, correlated1)
+    (coefficients0, residual0) = encode_chosen_subframe(
+        options, sample_size, cands[0], correlated0)
+    (coefficients1, residual1) = encode_chosen_subframe(
+        options, sample_size, cands[1], correlated1)
 
     write_subframe_header(writer, coefficients0)
     write_subframe_header(writer, coefficients1)
@@ -332,6 +337,136 @@ def residual_size_estimate(channel, qlp, order):
     return int(min(int(np.abs(e).sum()) // 64, (1 << 31) - 1))
 
 
+# ---------------------------------------------------------------------
+# quantized-analysis spec (the ALAC half of ops/qpack.py's transport
+# rationale): analysis runs on (x >> t) << t per channel while the
+# residual recurrences always consume exact samples, so any candidate
+# table yields a lossless stream.  Scalar spec here; the fast path
+# (codecs/alac_fast.py) implements the identical rules batched.
+# ---------------------------------------------------------------------
+
+def qpack_enabled():
+    """whether ALAC quantized analysis is active (default on)"""
+    return os.environ.get("ATPU_ALAC_QPACK", "1") != "0"
+
+
+def qpack_guard():
+    return int(os.environ.get("ATPU_QPACK_GUARD", "0"))
+
+
+def qpack_cap_margin():
+    return int(os.environ.get("ATPU_QPACK_CAP", "6"))
+
+
+def plan_t(channel, bps_eff, block_size):
+    """per-channel quantization shift t for one (LSB-shifted) channel
+
+    Same pure-integer spec as the FLAC plan (ops/qpack.plan_t):
+    t = clamp(bit_length(mean |second difference|) - 1 - guard, 0,
+    max(bps_eff - cap_margin, 0)), computed over the channel
+    zero-padded to block_size (the fast path plans over full padded
+    batch rows, so tails see the identical t)."""
+    n = block_size
+    if n <= 2:
+        return 0
+    x = np.zeros(n, dtype=np.int64)
+    x[:len(channel)] = channel
+    d2 = np.abs(x[2:] - 2 * x[1:-1] + x[:-2])
+    m = int(d2.sum()) // (n - 2)
+    cap = max(int(bps_eff) - qpack_cap_margin(), 0)
+    return min(max(m.bit_length() - 1 - qpack_guard(), 0), cap)
+
+
+def quantize_channel(channel, t):
+    """the spec'd analysis input: (x >> t) << t"""
+    if t == 0:
+        return list(channel)
+    return [(int(s) >> t) << t for s in channel]
+
+
+def pick_candidate(cand):
+    """order-4 vs order-8 selection from one candidate tuple
+
+    cand: (qlp4, qlp8, degenerate, est4, est8); returns
+    (order, qlp, est) — the emitter's pick_channel policy"""
+    (qlp4, qlp8, degenerate, est4, est8) = cand
+    if degenerate or est4 <= est8:
+        return (4, qlp4, est4)
+    return (8, qlp8, est8)
+
+
+def group_candidates(analysis_channels, options):
+    """leftweight + per-channel candidate tables for one frame group
+
+    analysis_channels: 1 or 2 channels (quantized under the qpack
+    spec, exact otherwise).  Width-2 groups choose the interlacing
+    leftweight by lowest min(est4, est8) sum over both correlated
+    channels, ties to the lowest leftweight (the C++ emitter's
+    policy); returns (leftweight, [cand per channel])."""
+    if len(analysis_channels) == 1:
+        return (0, [lpc_coefficient_candidates(analysis_channels[0],
+                                               options.block_size)])
+    best = None
+    for leftweight in range(options.min_interlacing_leftweight,
+                            options.max_interlacing_leftweight + 1):
+        (c0, c1) = correlate_channels(
+            analysis_channels[0], analysis_channels[1],
+            options.interlacing_shift, leftweight)
+        k0 = lpc_coefficient_candidates(c0, options.block_size)
+        k1 = lpc_coefficient_candidates(c1, options.block_size)
+        score = min(k0[3], k0[4]) + min(k1[3], k1[4])
+        if best is None or score < best[0]:
+            best = (score, leftweight, [k0, k1])
+    return (best[1], best[2])
+
+
+def group_score(cands):
+    """summed chosen-candidate residual estimate for one group
+
+    the comparable coding-cost metric of a candidate set: the
+    estimates are the NON-adaptive |residual| sums of the analysis
+    input under its own fit, and (measured) the exact samples coded
+    through a quantized-analysis fit land within a few percent of the
+    quantized est, so quantized and exact candidate sets compare on
+    the same scale."""
+    return sum(pick_candidate(c)[2] for c in cands)
+
+
+def floor_limited(cands, t_group, block_size, bps_eff):
+    """quantization-floor retry rule (shared spec with
+    codecs/alac_fast._floor_retry): flags a group whose chosen
+    candidate's estimated mean |residual| sits ABOVE the
+    quantization-step band.
+
+    t is planned from the order-2 difference scale, so genuinely
+    unpredictable content fits at mean bits <= t + 1 (the order-8 fit
+    can't beat noise, and quantization can't hurt it).  A quantized
+    fit erring at >= 2^(t+1) — ALAC's 9-bit coefficient grid plus the
+    step noise floor the autocorrelation — means quantization HURT
+    the fit (measured: pure tones land at t + 2, noise at t..t + 1),
+    so the group re-analyzes exactly and keeps the candidate set with
+    the lower estimated cost (group_score).
+
+    A t pinned at the plan cap (bps_eff - cap_margin) sits BELOW the
+    order-2 scale that chose it, so the "unpredictable content fits
+    at <= t + 1" invariant no longer holds there (loud noise fits at
+    its own scale, above the capped step) — capped groups never flag:
+    a step already 4x+ under the content scale cannot have hurt."""
+    if t_group <= 0:
+        return False
+    if t_group >= max(int(bps_eff) - qpack_cap_margin(), 0):
+        return False
+    for cand in cands:
+        (order, _qlp, est) = pick_candidate(cand)
+        count = block_size - 1 - order
+        if count <= 0:
+            continue
+        m_q = (int(est) * 64) // count
+        if m_q.bit_length() >= t_group + 2:
+            return True
+    return False
+
+
 def lpc_coefficient_candidates(channel, analysis_block_size=None):
     """returns (qlp4, qlp8, degenerate, est4, est8) for one channel
 
@@ -365,26 +500,19 @@ def lpc_coefficient_candidates(channel, analysis_block_size=None):
     return (qlp4, qlp8, degenerate, est4, est8)
 
 
-def calculate_lpc_coefficients(pcmreader, options, sample_size,
-                               channel):
+def encode_chosen_subframe(options, sample_size, cand, channel):
     """returns (qlp_coefficients, residual_block) for one channel
 
     the order choice uses the residual-size estimate spec
     (residual_size_estimate above; ops/alac_frames.residual_estimate
     is the batched implementation of the same spec) so only the
-    chosen candidate's adaptive recurrence runs — the same policy
-    as the C++ emitter, keeping the paths byte-identical.
-
-    Short (tail) blocks zero-pad to the full block size for the
-    candidate ANALYSIS only (residual coding below uses the true
-    samples) — see lpc_coefficient_candidates."""
-    (qlp4, qlp8, degenerate, est4,
-     est8) = lpc_coefficient_candidates(channel, options.block_size)
-
-    if not degenerate:
-        qlp = qlp4 if est4 <= est8 else qlp8
-    else:
-        qlp = [0, 0, 0, 0]
+    chosen candidate's adaptive recurrence runs — the same policy as
+    the C++ emitter, keeping the paths byte-identical.  The candidate
+    table may come from quantized analysis (group_candidates under the
+    qpack spec); the residual recurrence below always consumes the
+    EXACT channel, which is what keeps any candidate lossless."""
+    (_order, qlp, _est) = pick_candidate(cand)
+    qlp = list(qlp)
     residuals = compute_residuals(sample_size, qlp[:], channel)
     block = BitstreamRecorder(False)
     encode_residuals(block, options, sample_size, residuals)
