@@ -63,7 +63,15 @@ def main(argv=None):
             msg.error(str(err))
             return 1
 
-    base = options.image or "track2cd_image"
+    # without --image the staging cue/bin lives in a temporary
+    # directory (removed after the burn attempt) — never in the CWD
+    staging_dir = None
+    if options.image is not None:
+        base = options.image
+    else:
+        import tempfile
+        staging_dir = tempfile.mkdtemp(prefix="track2cd-")
+        base = os.path.join(staging_dir, "track2cd_image")
     bin_path = base + ".bin"
     cue_path = base + ".cue"
 
@@ -113,20 +121,25 @@ def main(argv=None):
         return 0
 
     # burn via cdrdao or cdrecord when present (reference gates the
-    # tool on these binaries)
-    if shutil.which("cdrdao") is not None:
-        result = subprocess.run(
-            ["cdrdao", "write", "--device", options.cdrom,
-             "--speed", str(options.speed), cue_path])
-        return result.returncode
-    elif shutil.which("cdrecord") is not None:
-        result = subprocess.run(
-            ["cdrecord", "-audio", "dev=%s" % (options.cdrom,),
-             "speed=%d" % (options.speed,), bin_path])
-        return result.returncode
-    else:
-        msg.error(ERR_T2CD_NO_BURNER_IMAGE % {"cue": cue_path})
-        return 1
+    # tool on these binaries); the temporary staging image is removed
+    # afterwards either way
+    try:
+        if shutil.which("cdrdao") is not None:
+            result = subprocess.run(
+                ["cdrdao", "write", "--device", options.cdrom,
+                 "--speed", str(options.speed), cue_path])
+            return result.returncode
+        elif shutil.which("cdrecord") is not None:
+            result = subprocess.run(
+                ["cdrecord", "-audio", "dev=%s" % (options.cdrom,),
+                 "speed=%d" % (options.speed,), bin_path])
+            return result.returncode
+        else:
+            msg.error(ERR_T2CD_NO_BURNER_IMAGE % {"cue": cue_path})
+            return 1
+    finally:
+        if staging_dir is not None:
+            shutil.rmtree(staging_dir, ignore_errors=True)
 
 
 if __name__ == "__main__":

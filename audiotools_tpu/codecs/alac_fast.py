@@ -174,9 +174,13 @@ def _floor_retry(packed, blocks, t_arr, layout, bps, lsb_shift,
         (order, est, score_q) = _pick_scores(rows, min_lw, max_lw,
                                              width)
         count = block_size - 1 - order
-        m_q = (est * 64) // count
+        # count <= 0 (block_size <= 9 at order 8): the oracle's
+        # floor_limited skips such channels — never flag them
+        safe = count > 0
+        m_q = np.where(safe,
+                       (est * 64) // np.maximum(count, 1), 0)
         cand = ((_bit_length(m_q) >= tg[:, None] + 2) &
-                live[:, None]).any(axis=1)       # [B]
+                safe & live[:, None]).any(axis=1)  # [B]
         idx = np.nonzero(cand)[0]
         if not len(idx):
             continue
@@ -230,6 +234,13 @@ def encode_mdat_fast(file, pcmreader,
     layout = oracle.FRAMESET_LAYOUT.get(channels)
     if layout is None:
         raise ValueError("unsupported channel count")
+    if bps > 16 and (bps - 16) % 8:
+        # the LSB bypass stores whole BYTES (uncompressed_LSBs); a
+        # shift of bps-16 with no byte to carry it would silently drop
+        # bits (the oracle's uncompressed_LSBs = shift//8 semantics)
+        raise ValueError(
+            "bits_per_sample %d unsupported: bps - 16 must be a "
+            "multiple of 8" % (bps,))
     lsb_shift = (bps - 16) if bps > 16 else 0
     bps_eff = bps - lsb_shift
     window = lpc_ops.tukey_window_df(block_size)

@@ -376,39 +376,62 @@ def analyze_subframes(xp, X, bps, n, max_lpc_order, qlp_precision,
         # u < 2^(max_bps + 6): order-4 fixed diffs grow 4 bits past
         # the clip bound and the zigzag doubles
         J = max_bps + 7
+        R = max_rice + 1
+        # Only parameters r in 0..R-1 are ever chosen, and for any r
+        # past the point where sum(u >> r) hits 0 the totals are
+        # strictly increasing in r (each value contributes at most 1
+        # to sum(u >> (J-1)), so totals[J] >= totals[J-1] with
+        # first-min ties resolving earlier) — so the search truncates
+        # exactly at J0 = min(R-1, J):
+        #   * per-bit-plane popcounts w_j only for j < J0, extracted
+        #     from uint8 BYTE SPLITS of u (1/4 the HBM traffic of
+        #     int32 plane reads; the 24-plane int32 ladder this
+        #     replaces was the analysis program's top cost)
+        #   * ONE direct partial sum t_top = sum(u >> J0) seeds the
+        #     msb descent (values < 2^(J-J0); with psize <= 2^16 the
+        #     int32 partials cannot wrap)
+        # Identical totals, argmins and parameters by construction.
+        J0 = min(R - 1, J)
         u_fin = xp.reshape(u, (S, C, parts_max, n >> pmax))
-        w_fin = xp.stack(
-            [xp.sum((u_fin >> j) & 1, axis=-1).astype(xp.int32)
-             for j in range(J)], axis=-1)        # [S, C, parts, J] i32
+        w_cols = []
+        for b in range((J0 + 7) // 8):
+            cb = ((u_fin >> (8 * b)) & 0xFF).astype(xp.uint8)
+            for j in range(8 * b, min(8 * b + 8, J0)):
+                w_cols.append(xp.sum(
+                    (cb >> (j - 8 * b)) & xp.uint8(1),
+                    axis=-1, dtype=xp.int32))
+        t_top = xp.sum(u_fin >> J0, axis=-1,
+                       dtype=xp.int32)             # [S, C, parts]
+        w_fin = xp.stack(w_cols + [t_top],
+                         axis=-1)                  # [S,C,parts,J0+1]
         w_levels = [None] * (pmax + 1)
         w_levels[pmax] = w_fin
         for p in range(pmax - 1, -1, -1):
             fine = w_levels[p + 1]
             w_levels[p] = fine[:, :, 0::2] + fine[:, :, 1::2]
 
-        R = max_rice + 1
+        R_eff = J0 + 1
         rice_totals = []        # per porder: [S, C] f64
         rice_params_by_p = []   # per porder: [S, C, parts] int32
         for porder in porders:
             parts = 1 << porder
             psize = n >> porder
-            wf = w_levels[porder].astype(xp.float64)   # [S,C,parts,J]
+            wf = w_levels[porder].astype(xp.float64)  # [S,C,parts,J0+1]
             counts = xp.full((S, C, parts), float(psize),
                              dtype=xp.float64)
             counts = _set_first_part(xp, counts, psize - orders_f)
-            # msb_by_r[r] = sum over the partition of (u >> r), exact;
-            # u < 2^J, so the sum is identically 0 for any r >= J
-            # (possible when max_rice exceeds J at small bps)
-            zero = xp.zeros_like(wf[..., 0])
-            msb_by_r = [zero] * max(R, J)
-            msb = wf[..., J - 1]
-            msb_by_r[J - 1] = msb
-            for r in range(J - 2, -1, -1):
+            # msb_by_r[r] = sum over the partition of (u >> r), exact:
+            # seeded by the direct t_top sum at r = J0, descending via
+            # sum(u >> r) = 2 * sum(u >> (r+1)) + w_r
+            msb_by_r = [None] * R_eff
+            msb = wf[..., J0]
+            msb_by_r[J0] = msb
+            for r in range(J0 - 1, -1, -1):
                 msb = msb * 2.0 + wf[..., r]
                 msb_by_r[r] = msb
             totals = xp.stack(
-                [msb_by_r[r] + counts * float(1 + r) for r in range(R)],
-                axis=-1)                              # [S,C,parts,R]
+                [msb_by_r[r] + counts * float(1 + r)
+                 for r in range(R_eff)], axis=-1)     # [S,C,parts,R']
             r_best = xp.argmin(totals, axis=-1).astype(xp.int32)
             part_bits = 4.0 + xp.min(totals, axis=-1)
             rice_totals.append(xp.sum(part_bits, axis=2))

@@ -96,6 +96,14 @@ def encode_mdat(file, pcmreader,
     returns (frame_byte_sizes, total_pcm_frames)"""
     from ..pcmstream import BufferedPCMReader
 
+    bps = pcmreader.bits_per_sample
+    if bps > 16 and (bps - 16) % 8:
+        # uncompressed_LSBs stores whole bytes; a non-byte shift
+        # would silently drop bits (see encode_compressed_frame)
+        raise ValueError(
+            "bits_per_sample %d unsupported: bps - 16 must be a "
+            "multiple of 8" % (bps,))
+
     options = EncodingOptions(block_size, initial_history,
                               history_multiplier, maximum_k,
                               interlacing_shift,
