@@ -98,10 +98,18 @@ class AccurateRipCRC(_ChecksumBase):
 
     def update_array(self, samples):
         """samples: int32 [n, 2] in 16-bit range"""
-        from . import _native
-        (self.v1, self.v2) = _native.accuraterip_update(
-            samples, self.track_index, self.start_offset,
-            self.end_offset, self.v1, self.v2)
+        from .ops import converters as _conv
+        if _conv.ar_backend() == "jax":
+            # device MACs (exact uint32 lattice arithmetic) —
+            # bit-identical to the host kernel on every backend
+            (self.v1, self.v2) = _conv.accuraterip_update_device(
+                samples, self.track_index, self.start_offset,
+                self.end_offset, self.v1, self.v2)
+        else:
+            from . import _native
+            (self.v1, self.v2) = _native.accuraterip_update(
+                samples, self.track_index, self.start_offset,
+                self.end_offset, self.v1, self.v2)
         self.track_index += samples.shape[0]
 
     def checksums(self):

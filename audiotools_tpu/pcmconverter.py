@@ -238,18 +238,26 @@ class Resampler:
             q = ((phase_num * self.__bank_den__ + den // 2) //
                  den) % self.__bank_den__              # quantized
         bank = self.__bank__
-        try:
-            from . import _native
-            out = _native.resample_fir(padded, starts,
-                                       q.astype(np.int32), bank)
-        except ImportError:
-            # accumulate one tap at a time: 1-D row gathers + an
-            # outer-product add vectorize well, where a single
-            # [M, taps, ch] gather does not
-            out = np.zeros((len(starts), self.channels),
-                           dtype=np.float64)
-            for t in range(self.TAPS):
-                out += padded[starts + t] * bank[q, t][:, None]
+        from .ops import converters as _conv
+        if _conv.resample_backend() == "jax":
+            # device FIR (north-star device converter suite); matches
+            # the host kernel within float-float rounding (~2^-49):
+            # see tests/test_converters_device.py
+            out = _conv.resample_fir_device(padded, starts,
+                                            q.astype(np.int32), bank)
+        else:
+            try:
+                from . import _native
+                out = _native.resample_fir(padded, starts,
+                                           q.astype(np.int32), bank)
+            except ImportError:
+                # accumulate one tap at a time: 1-D row gathers + an
+                # outer-product add vectorize well, where a single
+                # [M, taps, ch] gather does not
+                out = np.zeros((len(starts), self.channels),
+                               dtype=np.float64)
+                for t in range(self.TAPS):
+                    out += padded[starts + t] * bank[q, t][:, None]
 
         self.__next_out__ = int(max_out)
 

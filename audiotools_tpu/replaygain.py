@@ -98,6 +98,7 @@ class ReplayGain:
         self._window_fill = 0
         self._window_sum = 0.0
         self._pending = np.zeros(0)
+        self._device_channels = None   # ATPU_RG_BACKEND=jax buffers
 
     def title_gain(self, pcmreader):
         """processes a full PCMReader, returning (gain_dB, peak)
@@ -112,6 +113,7 @@ class ReplayGain:
         while len(frame) > 0:
             self.analyze_framelist(frame)
             frame = pcmreader.read(4096)
+        self._flush_device_title()
 
         gain = _analyze_histogram(self.title_histogram)
         peak = self.title_peak
@@ -145,6 +147,18 @@ class ReplayGain:
         else:
             channels = [scaled[:, 0], scaled[:, 1]]
 
+        from .ops import converters as _conv
+        if _conv.rg_backend() == "jax":
+            # device path: buffer the scaled channels; the title flush
+            # runs the whole equal-loudness cascade as one batched FIR
+            # conv + windowed-sum program (ops/converters.py).  Peaks
+            # stay host-side (computed above, original bps domain).
+            if self._device_channels is None:
+                self._device_channels = ([], [])
+            self._device_channels[0].append(channels[0])
+            self._device_channels[1].append(channels[1])
+            return
+
         squared = np.zeros(len(channels[0]))
         for (c, x) in enumerate(channels):
             (stepped, self._zi_yule[c]) = _lfilter(
@@ -172,6 +186,26 @@ class ReplayGain:
                 self.title_histogram[ival] += 1
                 self._window_sum = 0.0
                 self._window_fill = 0
+
+    def _flush_device_title(self):
+        """runs the buffered device analysis for one title
+        (no-op on the host path)"""
+        if self._device_channels is None:
+            return
+        from .ops import converters as _conv
+        (ls, rs) = self._device_channels
+        self._device_channels = None
+        left = np.concatenate(ls) if ls else np.zeros(0)
+        right = np.concatenate(rs) if rs else np.zeros(0)
+        sums = _conv.rg_window_sums(left, right, self.sample_rate,
+                                    self.window_samples)
+        if len(sums) == 0:
+            return
+        values = (STEPS_PER_DB * 10.0 *
+                  np.log10(sums / self.window_samples * 0.5 + 1e-37))
+        ivals = np.clip(values.astype(np.int64), 0,
+                        len(self.title_histogram) - 1)
+        np.add.at(self.title_histogram, ivals, 1)
 
     def album_gain(self):
         """returns (gain_dB, peak) for all titles processed so far"""
