@@ -296,6 +296,13 @@ def _build_and_load():
         ctypes.POINTER(ctypes.c_uint8),   # out
     ]
 
+    lib.atpu_shn_encode2.restype = ctypes.c_int64
+    lib.atpu_shn_encode2.argtypes = \
+        lib.atpu_shn_encode.argtypes[:-1] + [
+            ctypes.POINTER(ctypes.c_int32),  # decisions (nullable)
+            ctypes.POINTER(ctypes.c_uint8),  # out
+        ]
+
     lib.atpu_shn_decode.restype = ctypes.c_int64
     lib.atpu_shn_decode.argtypes = [
         ctypes.POINTER(ctypes.c_uint8),   # data
@@ -863,8 +870,12 @@ def unpack_pcm(data, bits_per_sample, big_endian, is_signed):
 
 
 def shn_encode(samples, bps, signed_samples, is_big_endian,
-               header_data, footer_data=b"", block_size=256):
-    """encodes a complete Shorten stream from int32 [n, ch] PCM"""
+               header_data, footer_data=b"", block_size=256,
+               decisions=None):
+    """encodes a complete Shorten stream from int32 [n, ch] PCM
+
+    decisions: optional int32 [nblocks, ch, 4] analysis steering
+    (ops/shn_scan.py layout); None computes decisions in C++"""
     import numpy as np
     lib = get_lib()
     samples = np.ascontiguousarray(samples, dtype=np.int32)
@@ -874,13 +885,22 @@ def shn_encode(samples, bps, signed_samples, is_big_endian,
     worst = (samples.size * ((bps // 8) + 2) +
              8 * (len(header) + len(footer)) + 4096)
     out = np.empty(worst, dtype=np.uint8)
-    total = lib.atpu_shn_encode(
+    if decisions is not None:
+        decisions = np.ascontiguousarray(decisions, dtype=np.int32)
+        nblocks = -(-n // block_size) if block_size else 0
+        if decisions.shape != (nblocks, ch, 4):
+            raise ValueError("decision array shape mismatch")
+        dec_ptr = _as_ptr(decisions, ctypes.c_int32)
+    else:
+        dec_ptr = ctypes.POINTER(ctypes.c_int32)()
+    total = lib.atpu_shn_encode2(
         _as_ptr(samples, ctypes.c_int32), n, ch, bps,
         1 if signed_samples else 0,
         1 if is_big_endian else 0,
         _as_ptr(header, ctypes.c_uint8), len(header),
         _as_ptr(footer, ctypes.c_uint8), len(footer),
         block_size,
+        dec_ptr,
         _as_ptr(out, ctypes.c_uint8))
     if total < 0:
         raise ValueError("Shorten encode error (code %d)" % (total,))

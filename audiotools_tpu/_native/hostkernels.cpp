@@ -4704,18 +4704,24 @@ extern "C" {
 
 // Encodes a complete Shorten stream from interleaved PCM.
 // samples: int32 [n, ch]; returns total bytes or negative error.
-int64_t atpu_shn_encode(const int32_t* samples,
-                        int64_t n,
-                        int32_t channels,
-                        int32_t bps,
-                        int32_t signed_samples,
-                        int32_t is_big_endian,
-                        const uint8_t* header_data,
-                        int64_t header_len,
-                        const uint8_t* footer_data,
-                        int64_t footer_len,
-                        int32_t block_size,
-                        uint8_t* out) {
+// decisions: optional per-(block, channel) analysis steering array
+// ([nblocks * channels * 4] int32 rows [zero, wasted, diff, energy]
+// in block-major walk order, from ops/shn_scan.py device analysis);
+// nullptr computes decisions inline (the all-host path).  Residuals
+// are always re-derived exactly from the samples either way.
+int64_t atpu_shn_encode2(const int32_t* samples,
+                         int64_t n,
+                         int32_t channels,
+                         int32_t bps,
+                         int32_t signed_samples,
+                         int32_t is_big_endian,
+                         const uint8_t* header_data,
+                         int64_t header_len,
+                         const uint8_t* footer_data,
+                         int64_t footer_len,
+                         int32_t block_size,
+                         const int32_t* decisions,
+                         uint8_t* out) {
     using namespace shn;
     if (channels > 64) return -60;
 
@@ -4761,6 +4767,7 @@ int64_t atpu_shn_encode(const int32_t* samples,
 
     int left_shift = 0;
     int64_t pos = 0;
+    int64_t block_index = 0;
     int64_t current_block = block_size;
     while (pos < n) {
         const int64_t m = (n - pos < current_block) ? (n - pos)
@@ -4771,14 +4778,23 @@ int64_t atpu_shn_encode(const int32_t* samples,
             put_long(w, (uint64_t)m);
         }
         for (int c = 0; c < channels; c++) {
+            const int32_t* dec = decisions
+                ? decisions + (block_index * channels + c) * 4
+                : nullptr;
             // gather channel block (sign-adjusted)
-            bool all_zero = true;
+            bool all_zero;
             int32_t or_all = 0;
-            for (int64_t i = 0; i < m; i++) {
-                const int32_t v = samples[(pos + i) * channels + c] +
-                                  sign_adjustment;
-                if (v != 0) all_zero = false;
-                or_all |= v;
+            if (dec) {
+                all_zero = dec[0] != 0;
+            } else {
+                all_zero = true;
+                for (int64_t i = 0; i < m; i++) {
+                    const int32_t v =
+                        samples[(pos + i) * channels + c] +
+                        sign_adjustment;
+                    if (v != 0) all_zero = false;
+                    or_all |= v;
+                }
             }
             int64_t* h = hist + c * 3;
             if (all_zero) {
@@ -4788,8 +4804,11 @@ int64_t atpu_shn_encode(const int32_t* samples,
             }
             // wasted bits
             int wasted = 0;
-            if (or_all != 0)
+            if (dec) {
+                wasted = dec[1];
+            } else if (or_all != 0) {
                 wasted = __builtin_ctz((uint32_t)or_all);
+            }
             if (wasted != left_shift) {
                 put_unsigned(w, 2, FN_BITSHIFT);
                 put_unsigned(w, 2, (uint64_t)wasted);
@@ -4802,6 +4821,14 @@ int64_t atpu_shn_encode(const int32_t* samples,
             if (!has_hist && pos == 0) {
                 prev3[0] = prev3[1] = prev3[2] = 0;
             }
+            int diff;
+            int energy;
+            if (dec) {
+                diff = dec[2];
+                energy = dec[3];
+                if (diff < 1 || diff > 3 || energy < 0 || energy > 31)
+                    return -62;
+            } else {
             // sums over the block-length suffix of each delta level
             int64_t s1 = 0, s2 = 0, s3 = 0;
             {
@@ -4825,7 +4852,6 @@ int64_t atpu_shn_encode(const int32_t* samples,
                     prevd2 = d2;
                 }
             }
-            int diff;
             if (s1 < s2 && s1 < s3) diff = 1;
             else if (s2 < s3) diff = 2;
             else diff = 3;
@@ -4833,8 +4859,9 @@ int64_t atpu_shn_encode(const int32_t* samples,
             // energy: smallest e with (m << e) >= sum(|residuals|)
             const int64_t abs_sum = (diff == 1) ? s1 :
                                     (diff == 2) ? s2 : s3;
-            int energy = 0;
+            energy = 0;
             while ((m << energy) < abs_sum) energy++;
+            }
 
             put_unsigned(w, 2, (uint64_t)(FN_DIFF0 + diff));
             put_unsigned(w, 3, (uint64_t)energy);
@@ -4874,6 +4901,7 @@ int64_t atpu_shn_encode(const int32_t* samples,
         }
         has_hist = true;
         pos += m;
+        block_index++;
     }
 
     if (footer_len > 0) {
@@ -4891,6 +4919,24 @@ int64_t atpu_shn_encode(const int32_t* samples,
         payload++;
     }
     return w.pos;
+}
+
+int64_t atpu_shn_encode(const int32_t* samples,
+                        int64_t n,
+                        int32_t channels,
+                        int32_t bps,
+                        int32_t signed_samples,
+                        int32_t is_big_endian,
+                        const uint8_t* header_data,
+                        int64_t header_len,
+                        const uint8_t* footer_data,
+                        int64_t footer_len,
+                        int32_t block_size,
+                        uint8_t* out) {
+    return atpu_shn_encode2(samples, n, channels, bps, signed_samples,
+                            is_big_endian, header_data, header_len,
+                            footer_data, footer_len, block_size,
+                            nullptr, out);
 }
 
 // Decodes a complete Shorten stream into interleaved int32 samples.

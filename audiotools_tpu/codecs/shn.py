@@ -15,6 +15,74 @@ def _use_oracle():
     return os.environ.get("ATPU_SHN_ORACLE", "0") == "1"
 
 
+def _backend():
+    """"jax" = device diff/energy analysis (ops/shn_scan.py) steering
+    the C++ emitter; "native" = all-host C++"""
+    return os.environ.get("ATPU_SHN_BACKEND", "native")
+
+
+_jit_cache = {}
+
+
+def _analyze_jax(blocks, sign_adjustment):
+    """jitted batched SHN decision analysis; cached per shape"""
+    import jax
+    jax.config.update("jax_enable_x64", True)
+    key = (blocks.shape, sign_adjustment)
+    if key not in _jit_cache:
+        import jax.numpy as jnp
+        from ..ops import shn_scan
+        _jit_cache[key] = jax.jit(
+            lambda b: shn_scan.analyze_blocks(jnp, b,
+                                              sign_adjustment))
+    return np.asarray(jax.device_get(_jit_cache[key](blocks)))
+
+
+def _device_decisions(samples, bps, signed_samples, block_size):
+    """computes the full decision array for a stream on device
+
+    full blocks batch through the jitted analysis (padded up to a
+    power-of-two block count); the final partial block, whose length
+    is a different static shape, runs the same analysis in numpy with
+    the preceding block's shifted tail as warm-up"""
+    from ..ops import shn_scan
+
+    (n, ch) = samples.shape
+    sign_adjustment = 0
+    if not signed_samples:
+        sign_adjustment = 1 << (bps - 1)
+    nblocks = -(-n // block_size)
+    nfull = n // block_size
+    full = samples[:nfull * block_size].reshape(
+        nfull, block_size, ch).astype(np.int32)
+    out = np.zeros((nblocks, ch, 4), dtype=np.int32)
+    if nfull:
+        pad = 1
+        while pad < nfull:
+            pad <<= 1
+        padded = (np.concatenate(
+            [full, np.zeros((pad - nfull,) + full.shape[1:],
+                            dtype=np.int32)]) if pad != nfull
+            else full)
+        out[:nfull] = _analyze_jax(padded, sign_adjustment)[:nfull]
+    if nblocks != nfull:
+        tail = samples[nfull * block_size:].astype(np.int32)
+        if nfull:
+            last = full[-1] + sign_adjustment          # [m, ch]
+            wasted = out[nfull - 1, :, 1]
+            shifted = last >> wasted[None, :]
+            prev3 = shifted[-3:]
+            if prev3.shape[0] < 3:
+                prev3 = np.concatenate(
+                    [np.zeros((3 - prev3.shape[0], ch),
+                              dtype=np.int32), prev3])
+        else:
+            prev3 = np.zeros((3, ch), dtype=np.int32)
+        out[nfull] = shn_scan.analyze_blocks(
+            np, tail[None], sign_adjustment, prev3_in=prev3)[0]
+    return out
+
+
 def encode_shn(file_or_path, pcmreader, is_big_endian,
                signed_samples, header_data, footer_data=b"",
                block_size=256):
@@ -33,9 +101,15 @@ def encode_shn(file_or_path, pcmreader, is_big_endian,
         framelist = reader.read(65536)
     samples = (np.concatenate(chunks) if chunks else
                np.zeros((0, pcmreader.channels), dtype=np.int32))
+    decisions = None
+    if _backend() == "jax" and samples.shape[0]:
+        decisions = _device_decisions(
+            samples, pcmreader.bits_per_sample, signed_samples,
+            block_size)
     data = _native.shn_encode(samples, pcmreader.bits_per_sample,
                               signed_samples, is_big_endian,
-                              header_data, footer_data, block_size)
+                              header_data, footer_data, block_size,
+                              decisions=decisions)
     if isinstance(file_or_path, str):
         with open(file_or_path, "wb") as f:
             f.write(data)
