@@ -392,7 +392,9 @@ def analyze_subframes(xp, X, bps, n, max_lpc_order, qlp_precision,
         #     int32 partials cannot wrap)
         # Identical totals, argmins and parameters by construction.
         J0 = min(R - 1, J)
-        u_fin = xp.reshape(u, (S, C, parts_max, n >> pmax))
+        R_eff = J0 + 1
+        psize_fin = n >> pmax
+        u_fin = xp.reshape(u, (S, C, parts_max, psize_fin))
         w_cols = []
         for b in range((J0 + 7) // 8):
             cb = ((u_fin >> (8 * b)) & 0xFF).astype(xp.uint8)
@@ -404,36 +406,65 @@ def analyze_subframes(xp, X, bps, n, max_lpc_order, qlp_precision,
                        dtype=xp.int32)             # [S, C, parts]
         w_fin = xp.stack(w_cols + [t_top],
                          axis=-1)                  # [S,C,parts,J0+1]
-        w_levels = [None] * (pmax + 1)
-        w_levels[pmax] = w_fin
-        for p in range(pmax - 1, -1, -1):
-            fine = w_levels[p + 1]
-            w_levels[p] = fine[:, :, 0::2] + fine[:, :, 1::2]
 
-        R_eff = J0 + 1
+        # msb descent ONCE, at the finest level, in native int32
+        # when the level's bound psize * 2^J fits:
+        #   msb_fin[.., r] = sum over the finest partition of (u >> r)
+        # seeded by the direct t_top sum, descending via
+        # sum(u >> r) = 2 * sum(u >> (r+1)) + w_r.  msb is ADDITIVE
+        # over partition unions, so every coarser level is a plain
+        # pair sum (promoted to f64 exactly when its own bound
+        # outgrows int32) with NO per-level descent chain — the
+        # float-float f64 chains this replaces ran at every level.
+        # headroom covers the totals' counts * (1 + r) addend too
+        fin_safe = psize_fin * float(2 ** J + R_eff) < 2.0 ** 31
+        src = w_fin if fin_safe else w_fin.astype(xp.float64)
+        one = 1 if fin_safe else 1.0
+        msb_cols = [None] * R_eff
+        msb = src[..., J0]
+        msb_cols[J0] = msb
+        for r in range(J0 - 1, -1, -1):
+            msb = msb * (2 * one) + src[..., r]
+            msb_cols[r] = msb
+        msb_fin = xp.stack(msb_cols, axis=-1)      # [S,C,parts,R']
+
+        msb_levels = [None] * (pmax + 1)
+        msb_levels[pmax] = msb_fin
+        for p in range(pmax - 1, -1, -1):
+            fine = msb_levels[p + 1]
+            if (fine.dtype == xp.int32 and
+                    (n >> p) * float(2 ** J + R_eff) >= 2.0 ** 31):
+                fine = fine.astype(xp.float64)
+            msb_levels[p] = fine[:, :, 0::2] + fine[:, :, 1::2]
+
         rice_totals = []        # per porder: [S, C] f64
         rice_params_by_p = []   # per porder: [S, C, parts] int32
         for porder in porders:
             parts = 1 << porder
             psize = n >> porder
-            wf = w_levels[porder].astype(xp.float64)  # [S,C,parts,J0+1]
-            counts = xp.full((S, C, parts), float(psize),
-                             dtype=xp.float64)
-            counts = _set_first_part(xp, counts, psize - orders_f)
-            # msb_by_r[r] = sum over the partition of (u >> r), exact:
-            # seeded by the direct t_top sum at r = J0, descending via
-            # sum(u >> r) = 2 * sum(u >> (r+1)) + w_r
-            msb_by_r = [None] * R_eff
-            msb = wf[..., J0]
-            msb_by_r[J0] = msb
-            for r in range(J0 - 1, -1, -1):
-                msb = msb * 2.0 + wf[..., r]
-                msb_by_r[r] = msb
-            totals = xp.stack(
-                [msb_by_r[r] + counts * float(1 + r)
-                 for r in range(R_eff)], axis=-1)     # [S,C,parts,R']
-            r_best = xp.argmin(totals, axis=-1).astype(xp.int32)
-            part_bits = 4.0 + xp.min(totals, axis=-1)
+            msb_p = msb_levels[porder]             # [S,C,parts,R']
+            if msb_p.dtype == xp.int32:
+                # int32 totals: msb < 2^31 by the level bound and
+                # counts * (1 + r) adds at most psize * R' << 2^31
+                counts = xp.full((S, C, parts), psize,
+                                 dtype=xp.int32)
+                counts = _set_first_part(
+                    xp, counts, (psize - cand_orders).astype(xp.int32))
+                rr = xp.arange(1, R_eff + 1, dtype=xp.int32)
+                totals = msb_p + counts[..., None] * rr
+                r_best = xp.argmin(totals, axis=-1).astype(xp.int32)
+                part_bits = 4.0 + xp.min(
+                    totals, axis=-1).astype(xp.float64)
+            else:
+                counts = xp.full((S, C, parts), float(psize),
+                                 dtype=xp.float64)
+                counts = _set_first_part(xp, counts,
+                                         psize - orders_f)
+                totals = xp.stack(
+                    [msb_p[..., r] + counts * float(1 + r)
+                     for r in range(R_eff)], axis=-1)
+                r_best = xp.argmin(totals, axis=-1).astype(xp.int32)
+                part_bits = 4.0 + xp.min(totals, axis=-1)
             rice_totals.append(xp.sum(part_bits, axis=2))
             rice_params_by_p.append(r_best)
         rice_totals = xp.stack(rice_totals, axis=2)            # [S, C, P]
