@@ -70,7 +70,7 @@ def _get_decode_jit(key):
         for ((W, C, _), args) in zip(buckets, bucket_args):
             (word_base, base_bits, k, raw_bits, count,
              sub_idx, dest_off) = args
-            vals = rice_decode.decode_partitions(
+            vals = rice_decode.decode_partitions_auto(
                 jnp, words, word_base, base_bits, k, raw_bits,
                 count, W, C)
             planes = planes + rice_decode.scatter_residuals(

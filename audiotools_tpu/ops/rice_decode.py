@@ -45,23 +45,21 @@ def _bitcast_i32(xp, u):
         u.astype(xp.uint32), xp.int32)
 
 
-def _scatter_ones_pos(xp, bits, cnt, N):
-    """ones_pos[p, j] = position of the j-th set bit of row p
-    (positions past the last set bit hold the sentinel N-1)"""
-    P = bits.shape[0]
-    if xp is np:
-        ones_pos = np.full((P, N), N - 1, dtype=np.int32)
-        rows, cols = np.nonzero(bits)
-        ones_pos[rows, cnt[rows, cols]] = cols
-        return ones_pos
+def _next_one_table(xp, bits, N):
+    """next_one[p] = position of the first set bit at-or-after p
+    (sentinel N-1 past the last set bit)
+
+    a REVERSE RUNNING MINIMUM of masked positions — pure cumulative
+    scans (log-depth shifts+mins on TPU), replacing the round-3
+    cumsum + scatter + take construction whose general scatters were
+    a measured decode cost"""
     pos = xp.arange(N, dtype=xp.int32)[None, :]
-    rows = xp.broadcast_to(
-        xp.arange(P, dtype=xp.int32)[:, None], (P, N))
-    # out-of-range target column N drops the scatter (zero bits)
-    tgt = xp.where(bits == 1, cnt, N)
-    base = xp.full((P, N), N - 1, dtype=xp.int32)
-    return base.at[rows, tgt].set(
-        xp.broadcast_to(pos, (P, N)), mode="drop")
+    masked = xp.where(bits == 1, pos, N - 1)
+    if xp is np:
+        return np.minimum.accumulate(
+            masked[:, ::-1], axis=1)[:, ::-1].astype(np.int32)
+    import jax.lax
+    return jax.lax.cummin(masked, axis=1, reverse=True)
 
 
 def decode_partitions(xp, words, word_base, base_bits, k, raw_bits,
@@ -105,9 +103,7 @@ def decode_partitions(xp, words, word_base, base_bits, k, raw_bits,
         xp.int32)                                       # [P, N]
 
     # ---- next-set-bit table ----
-    cnt = xp.cumsum(bits, axis=1, dtype=xp.int32) - bits   # exclusive
-    ones_pos = _scatter_ones_pos(xp, bits, cnt, N)
-    next_one = _take1(xp, ones_pos, cnt)                # [P, N]
+    next_one = _next_one_table(xp, bits, N)             # [P, N]
 
     # ---- successor function + pointer doubling ----
     nxt = xp.where(is_raw[:, None],
@@ -156,6 +152,112 @@ def decode_partitions(xp, words, word_base, base_bits, k, raw_bits,
     res = xp.where(is_raw[:, None], res_raw, res_rice)
     valid = xp.arange(C, dtype=xp.int32)[None, :] < count[:, None]
     return xp.where(valid, res, 0).astype(xp.int32)
+
+
+def decode_partitions_scan(xp, words, word_base, base_bits, k,
+                           raw_bits, count, W, C):
+    """decode_partitions for LARGE buckets: a lock-step scan over
+    code indices
+
+    Same contract as ``decode_partitions``.  Pointer doubling costs
+    O(P * N * log C) general gathers, which for whole-subframe
+    partitions (porder 0 at -8: N = 65536, C = 4096) measured ~14 s
+    per 256-frame batch — general-gather throughput is the TPU's
+    weakest op.  This path instead advances ALL P partitions one code
+    per step (``lax.scan``): every step is a handful of [P]-wide
+    row gathers, so total gather volume drops from P*N*log2(C) to
+    P*C*4 (~50x for the -8 noisy case) at the price of C sequential
+    steps — with hundreds of partition lanes per step, the VPU stays
+    busy and the scan overhead amortizes.
+
+    Backend-generic; the numpy path runs the identical algorithm
+    step-by-step (oracle/tests)."""
+    P = word_base.shape[0]
+    N = W * 32
+    Wtot = words.shape[0]
+
+    widx = (word_base[:, None] +
+            xp.arange(W + 1, dtype=xp.int32)[None, :])
+    widx = xp.clip(widx, 0, Wtot - 1)
+    win = words[widx]                                   # [P, W+1] u32
+
+    is_raw = raw_bits >= 0
+    kc = xp.maximum(k, 0).astype(xp.int32)
+    rc = xp.maximum(raw_bits, 0).astype(xp.int32)
+
+    pos = xp.arange(N, dtype=xp.int32)
+    wi = (pos >> 5).astype(xp.int32)
+    bi = (31 - (pos & 31)).astype(xp.uint32)
+    bits = ((win[:, :W][:, wi] >> bi) & xp.uint32(1)).astype(
+        xp.int32)                                       # [P, N]
+    next_one = _next_one_table(xp, bits, N)             # [P, N]
+
+    ku = kc.astype(xp.uint32)
+
+    def step(cur):
+        """decodes one code at position `cur` for every partition;
+        returns (residual [P] int32, next position [P] int32)"""
+        st = xp.minimum(cur, N - 1)
+        qpos = _take1(xp, next_one, st[:, None])[:, 0]  # [P]
+        q = (qpos - st).astype(xp.uint32)
+        off = xp.where(is_raw, st, qpos + 1)
+        nbits = xp.where(is_raw, rc, kc)
+        wi2 = xp.minimum(off >> 5, W - 1).astype(xp.int32)
+        w0 = _take1(xp, win, wi2[:, None])[:, 0]
+        w1 = _take1(xp, win, wi2[:, None] + 1)[:, 0]
+        sh = (off & 31).astype(xp.uint32)
+        sh_safe = xp.maximum(sh, xp.uint32(1))
+        hi = xp.where(sh == 0, w0,
+                      (w0 << sh) | (w1 >> (xp.uint32(32) - sh_safe)))
+        nb_safe = xp.clip(nbits, 1, 32).astype(xp.uint32)
+        lsb = xp.where(nbits <= 0, xp.uint32(0),
+                       hi >> (xp.uint32(32) - nb_safe))
+        u = ((q << ku) | lsb).astype(xp.uint32)
+        res_rice = _bitcast_i32(xp, (u >> xp.uint32(1)) ^
+                                (xp.uint32(0) - (u & xp.uint32(1))))
+        sbit = xp.where(nbits > 0,
+                        xp.uint32(1) << (nb_safe - xp.uint32(1)),
+                        xp.uint32(0))
+        res_raw = _bitcast_i32(xp, (lsb ^ sbit) - sbit)
+        res = xp.where(is_raw, res_raw, res_rice)
+        nxt = xp.where(is_raw, st + rc, qpos + 1 + kc)
+        return (res.astype(xp.int32),
+                xp.minimum(nxt, N - 1).astype(xp.int32))
+
+    start = base_bits.astype(xp.int32)
+    if xp is np:
+        out = np.zeros((P, C), dtype=np.int32)
+        cur = start
+        for j in range(C):
+            (res, cur) = step(cur)
+            out[:, j] = res
+    else:
+        import jax.lax
+
+        def body(cur, _):
+            (res, nxt) = step(cur)
+            return (nxt, res)
+
+        (_cur, seq) = jax.lax.scan(body, start, None, length=C)
+        out = xp.swapaxes(seq, 0, 1)                    # [P, C]
+
+    valid = xp.arange(C, dtype=xp.int32)[None, :] < count[:, None]
+    return xp.where(valid, out, 0).astype(xp.int32)
+
+
+# code-count threshold above which the lock-step scan path decodes a
+# bucket (below it, pointer doubling's log C gathers win)
+SCAN_MIN_CODES = 256
+
+
+def decode_partitions_auto(xp, words, word_base, base_bits, k,
+                           raw_bits, count, W, C):
+    """dispatches a bucket to pointer doubling or the lock-step scan"""
+    if C >= SCAN_MIN_CODES:
+        return decode_partitions_scan(xp, words, word_base, base_bits,
+                                      k, raw_bits, count, W, C)
+    return decode_partitions(xp, words, word_base, base_bits, k,
+                             raw_bits, count, W, C)
 
 
 def scatter_residuals(xp, values, sub_idx, dest_off, count, S, n, C):
