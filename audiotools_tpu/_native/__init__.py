@@ -230,6 +230,27 @@ def _build_and_load():
         ctypes.POINTER(ctypes.c_int64),   # consumed
     ]
 
+    lib.atpu_alac_scan.restype = ctypes.c_int64
+    lib.atpu_alac_scan.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8),   # data
+        ctypes.c_int64,                   # len
+        ctypes.c_int32,                   # bps
+        ctypes.c_int32,                   # channels
+        ctypes.c_int32,                   # samples_per_frame
+        ctypes.c_int32,                   # initial_history
+        ctypes.c_int32,                   # history_multiplier
+        ctypes.c_int32,                   # maximum_k
+        ctypes.c_int64,                   # max_frames
+        ctypes.c_int64,                   # max_subs
+        ctypes.POINTER(ctypes.c_int32),   # res_out
+        ctypes.POINTER(ctypes.c_int32),   # sub_meta
+        ctypes.POINTER(ctypes.c_int32),   # qlp_out
+        ctypes.POINTER(ctypes.c_int32),   # pair_meta
+        ctypes.POINTER(ctypes.c_int32),   # lsb_out
+        ctypes.POINTER(ctypes.c_int32),   # fs_count
+        ctypes.POINTER(ctypes.c_int64),   # info
+    ]
+
     lib.atpu_pack_pcm.restype = None
     lib.atpu_pack_pcm.argtypes = [
         ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
@@ -725,6 +746,58 @@ def alac_decode(data, bps, channels, samples_per_frame,
                          "(native code %d)" % (decoded,))
     return (out[:decoded * channels].reshape(-1, channels),
             consumed.value)
+
+
+def alac_scan(data, bps, channels, samples_per_frame,
+              initial_history, history_multiplier, maximum_k,
+              max_frames, max_subs):
+    """structural scan for the device ALAC decode path
+
+    returns a dict of numpy arrays (see atpu_alac_scan's layout doc):
+    residuals [n_subs, spf], sub_meta [n_subs, 8], qlp [n_subs, 32],
+    pair_meta [n_pairs, 8], lsbs [n_pairs, spf, 2],
+    fs_count [n_fs], total_frames, consumed_bytes"""
+    import numpy as np
+
+    lib = get_lib()
+    buf = np.frombuffer(data, dtype=np.uint8)
+    spf = samples_per_frame
+    res = np.zeros((max_subs, spf), dtype=np.int32)
+    sub_meta = np.zeros((max_subs, 8), dtype=np.int32)
+    qlp = np.zeros((max_subs, 32), dtype=np.int32)
+    max_pairs = max_subs
+    pair_meta = np.zeros((max_pairs, 8), dtype=np.int32)
+    lsbs = np.zeros((max_pairs, spf, 2), dtype=np.int32)
+    fs_count = np.zeros(max_subs, dtype=np.int32)
+    info = np.zeros(5, dtype=np.int64)
+    rc = lib.atpu_alac_scan(
+        _as_ptr(buf, ctypes.c_uint8), len(buf),
+        bps, channels, samples_per_frame,
+        initial_history, history_multiplier, maximum_k,
+        max_frames, max_subs,
+        _as_ptr(res, ctypes.c_int32),
+        _as_ptr(sub_meta, ctypes.c_int32),
+        _as_ptr(qlp, ctypes.c_int32),
+        _as_ptr(pair_meta, ctypes.c_int32),
+        _as_ptr(lsbs, ctypes.c_int32),
+        _as_ptr(fs_count, ctypes.c_int32),
+        _as_ptr(info, ctypes.c_int64))
+    if rc < 0:
+        raise ValueError("truncated or corrupt ALAC stream "
+                         "(native scan code %d)" % (rc,))
+    (n_subs, n_pairs, n_fs, total, consumed) = (
+        int(info[0]), int(info[1]), int(info[2]), int(info[3]),
+        int(info[4]))
+    return {
+        "residuals": res[:n_subs],
+        "sub_meta": sub_meta[:n_subs],
+        "qlp": qlp[:n_subs],
+        "pair_meta": pair_meta[:n_pairs],
+        "lsbs": lsbs[:n_pairs],
+        "fs_count": fs_count[:n_fs],
+        "total_frames": total,
+        "consumed_bytes": consumed,
+    }
 
 
 def flac_decode(data, stream_bps, stream_channels, max_samples,

@@ -3841,6 +3841,194 @@ extern "C" {
 // data/len: mdat payload positioned at the first frameset
 // returns PCM frames decoded, or negative error; consumed_bytes
 // reports how much of data was read
+// Structural scan for the DEVICE ALAC decode path: walks framesets,
+// decodes the history-adaptive entropy half (bit positions are
+// data-dependent — host work, like the FLAC scan) and exports
+// residual planes + predictor metadata; the sign-adaptive predictor
+// recurrence, decorrelation and LSB merge run on device
+// (ops/alac_synth.py).  Layouts:
+//   res_out  [max_subs, spf] int32   residual planes (raw samples for
+//                                    uncompressed subframes)
+//   sub_meta [max_subs, 8]   int32   (pair_slot, chan_in_pair, order,
+//                                    shift, sample_size, count,
+//                                    is_raw, 0)
+//   qlp_out  [max_subs, 32]  int32
+//   pair_meta[max_pairs, 8]  int32   (fs_channel_base, width,
+//                                    lsb_bytes, ishift, lweight,
+//                                    count, frameset_idx, 0)
+//   lsb_out  [max_pairs, spf, 2] int32
+//   fs_count [max_framesets] int32   PCM frames per frameset
+//   info[0..4] = (n_subs, n_pairs, n_framesets, total_frames,
+//                 consumed_bytes)
+// Returns total PCM frames scanned or a negative error code.
+int64_t atpu_alac_scan(const uint8_t* data,
+                       int64_t len,
+                       int32_t bps,
+                       int32_t channels,
+                       int32_t samples_per_frame,
+                       int32_t initial_history,
+                       int32_t history_multiplier,
+                       int32_t maximum_k,
+                       int64_t max_frames,
+                       int64_t max_subs,
+                       int32_t* res_out,
+                       int32_t* sub_meta,
+                       int32_t* qlp_out,
+                       int32_t* pair_meta,
+                       int32_t* lsb_out,
+                       int32_t* fs_count,
+                       int64_t* info) {
+    using namespace alac;
+    if (channels < 1 || channels > 8) return -30;
+    DecOpts o{initial_history, history_multiplier, maximum_k};
+    const int64_t spf = samples_per_frame;
+
+    BitReader r(data, len);
+    int64_t total = 0;
+    int64_t n_subs = 0, n_pairs = 0, n_fs = 0;
+    int64_t consumed = 0;
+
+    int64_t save_subs = 0, save_pairs = 0;
+    while (total < max_frames && r.byte_pos() < len) {
+        // bail BEFORE a frameset that might not fit the batch
+        if (n_subs + channels > max_subs) break;
+        save_subs = n_subs;
+        save_pairs = n_pairs;
+        int fs_channels = 0;
+        int64_t this_count = -1;
+        int frame_channels = (int)r.get(3) + 1;
+        if (r.error) break;
+        while (frame_channels != 8) {
+            const int width = frame_channels;
+            if (fs_channels + width > channels)
+                return (total > 0) ? -100 : -31;
+
+            int32_t* pm = pair_meta + n_pairs * 8;
+            int32_t* lsb_dst = lsb_out + n_pairs * spf * 2;
+
+            r.get(16);
+            const int has_count = (int)r.get(1);
+            const int lsb_bytes = (int)r.get(2);
+            const int uncompressed = (int)r.get(1);
+            const int64_t count = has_count ? (int64_t)r.get(32)
+                                            : spf;
+            if (count > spf)
+                return (total > 0) ? -100 : -32;
+
+            int ishift = 0, lweight = 0;
+            if (uncompressed) {
+                for (int64_t i = 0; i < count; i++)
+                    for (int c = 0; c < width; c++)
+                        res_out[(n_subs + c) * spf + i] =
+                            (int32_t)r.get_signed(bps);
+                for (int c = 0; c < width; c++) {
+                    int32_t* sm = sub_meta + (n_subs + c) * 8;
+                    sm[0] = (int32_t)n_pairs;
+                    sm[1] = c;
+                    sm[2] = 0;                 // order
+                    sm[3] = 0;                 // shift
+                    sm[4] = bps;               // sample_size
+                    sm[5] = (int32_t)count;
+                    sm[6] = 1;                 // is_raw
+                    sm[7] = 0;
+                    for (int j = 0; j < 32; j++)
+                        qlp_out[(n_subs + c) * 32 + j] = 0;
+                }
+                pm[2] = 0;                     // lsb_bytes (merged)
+                pm[3] = 0;
+                pm[4] = 0;                     // lweight 0 = pass
+            } else {
+                ishift = (int)r.get(8);
+                lweight = (int)r.get(8);
+                int order[2];
+                int shift[2];
+                for (int c = 0; c < width; c++) {
+                    r.get(4);
+                    shift[c] = (int)r.get(4);
+                    r.get(3);
+                    order[c] = (int)r.get(5);
+                    if (order[c] > 32)
+                        return (total > 0) ? -100 : -33;
+                    for (int j = 0; j < 32; j++)
+                        qlp_out[(n_subs + c) * 32 + j] = 0;
+                    for (int j = 0; j < order[c]; j++)
+                        qlp_out[(n_subs + c) * 32 + j] =
+                            (int32_t)r.get_signed(16);
+                }
+                if (lsb_bytes > 0) {
+                    for (int64_t i = 0; i < count; i++)
+                        for (int c = 0; c < width; c++)
+                            lsb_dst[i * 2 + c] =
+                                (int32_t)r.get(lsb_bytes * 8);
+                }
+                const int sample_size = bps - lsb_bytes * 8 +
+                                        width - 1;
+                for (int c = 0; c < width; c++) {
+                    if (!read_residuals(
+                            r, o, sample_size, count,
+                            res_out + (n_subs + c) * spf))
+                        return (total > 0) ? -100 : -34;
+                    int32_t* sm = sub_meta + (n_subs + c) * 8;
+                    sm[0] = (int32_t)n_pairs;
+                    sm[1] = c;
+                    sm[2] = order[c];
+                    sm[3] = shift[c];
+                    sm[4] = sample_size;
+                    sm[5] = (int32_t)count;
+                    sm[6] = 0;
+                    sm[7] = 0;
+                }
+                pm[2] = lsb_bytes;
+                pm[3] = ishift;
+                pm[4] = (width == 2) ? lweight : 0;
+            }
+            pm[0] = fs_channels;
+            pm[1] = width;
+            pm[5] = (int32_t)count;
+            pm[6] = (int32_t)n_fs;
+            pm[7] = 0;
+
+            n_pairs++;
+            n_subs += width;
+            fs_channels += width;
+            if (this_count < 0) this_count = count;
+            else if (this_count != count)
+                return (total > 0) ? -100 : -35;
+
+            frame_channels = (int)r.get(3) + 1;
+            if (r.error) goto done;   // truncated buffer
+        }
+        r.byte_align();
+        if (fs_channels != channels)
+            return (total > 0) ? -100 : -37;
+        if (this_count < 0) break;
+        if (total + this_count > max_frames ||
+            r.error) {
+            n_subs = save_subs;
+            n_pairs = save_pairs;
+            break;
+        }
+        fs_count[n_fs] = (int32_t)this_count;
+        n_fs++;
+        total += this_count;
+        consumed = r.byte_pos();
+        save_subs = n_subs;
+        save_pairs = n_pairs;
+    }
+done:
+    // a frameset interrupted mid-walk (truncated buffer jumps here)
+    // must not leak its partial rows: roll back to the last COMPLETE
+    // frameset's counters
+    n_subs = save_subs;
+    n_pairs = save_pairs;
+    info[0] = n_subs;
+    info[1] = n_pairs;
+    info[2] = n_fs;
+    info[3] = total;
+    info[4] = consumed;
+    return total;
+}
+
 int64_t atpu_alac_decode(const uint8_t* data,
                          int64_t len,
                          int32_t bps,

@@ -32,6 +32,11 @@ def encode_mdat(file, pcmreader, **options):
 def decoder_for_file(file_or_path):
     """returns a PCMReader decoding the given M4A/ALAC file"""
     if not _use_oracle():
+        if os.environ.get("ATPU_ALAC_DEC_BACKEND") == "jax":
+            # device decode path: host entropy scan + fused adaptive
+            # predictor scan (codecs/alac_dec_jax.py)
+            from .alac_dec_jax import JaxALACDecoder
+            return JaxALACDecoder(file_or_path)
         try:
             from .alac_fast import FastALACDecoder
             return FastALACDecoder(file_or_path)

@@ -234,12 +234,21 @@ def decode_partitions_scan(xp, words, word_base, base_bits, k,
     else:
         import jax.lax
 
-        def body(cur, _):
-            (res, nxt) = step(cur)
-            return (nxt, res)
+        # U codes per scan step (identical arithmetic; C/U step
+        # boundaries instead of C — step overhead is the wall)
+        U = 4
+        while C % U:
+            U //= 2
 
-        (_cur, seq) = jax.lax.scan(body, start, None, length=C)
-        out = xp.swapaxes(seq, 0, 1)                    # [P, C]
+        def body(cur, _):
+            outs = []
+            for _u in range(U):
+                (res, cur) = step(cur)
+                outs.append(res)
+            return (cur, xp.stack(outs))
+
+        (_cur, seq) = jax.lax.scan(body, start, None, length=C // U)
+        out = seq.reshape(C, P).T                       # [P, C]
 
     valid = xp.arange(C, dtype=xp.int32)[None, :] < count[:, None]
     return xp.where(valid, out, 0).astype(xp.int32)
