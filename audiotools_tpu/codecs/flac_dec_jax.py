@@ -31,8 +31,12 @@ from .. import _native, pcm
 from ..ops import flac_synth, rice_decode
 from .flac_dec_fast import FastFlacDecoder
 
-# frames per device batch (shape-padded; see _pad_frames)
-MAX_BATCH_FRAMES = 256
+# frames per device batch (shape-padded; see _pad_frames).  Wide
+# batches are the decode scans' main lever: the per-op cost of a
+# lock-step scan step is nearly lane-count-independent, so more
+# partition/subframe lanes per step amortize it (word-level tables
+# keep the footprint linear in W, not N)
+MAX_BATCH_FRAMES = 1024
 # partition capacity per scan call (worst sane case: 8 ch x 64 parts)
 MAX_PARTS = MAX_BATCH_FRAMES * 8 * 64
 # partition buckets: (window words, max codes). A partition lands in

@@ -45,6 +45,21 @@ def _bitcast_i32(xp, u):
         u.astype(xp.uint32), xp.int32)
 
 
+def _clz32(xp, v):
+    """count leading zeros of uint32 (0 -> 32): bit smear + popcount"""
+    y = v | (v >> xp.uint32(1))
+    y = y | (y >> xp.uint32(2))
+    y = y | (y >> xp.uint32(4))
+    y = y | (y >> xp.uint32(8))
+    y = y | (y >> xp.uint32(16))
+    if xp is np:
+        pc = np.bitwise_count(y.astype(np.uint32)).astype(np.int32)
+    else:
+        import jax.lax
+        pc = jax.lax.population_count(y).astype(xp.int32)
+    return 32 - pc
+
+
 def _next_one_table(xp, bits, N):
     """next_one[p] = position of the first set bit at-or-after p
     (sentinel N-1 past the last set bit)
@@ -165,10 +180,12 @@ def decode_partitions_scan(xp, words, word_base, base_bits, k,
     per 256-frame batch — general-gather throughput is the TPU's
     weakest op.  This path instead advances ALL P partitions one code
     per step (``lax.scan``): every step is a handful of [P]-wide
-    row gathers, so total gather volume drops from P*N*log2(C) to
-    P*C*4 (~50x for the -8 noisy case) at the price of C sequential
-    steps — with hundreds of partition lanes per step, the VPU stays
-    busy and the scan overhead amortizes.
+    row gathers.  All tables are WORD-level ([P, W] not [P, 32*W]):
+    the next-set-bit lookup is a CLZ of the shifted current word with
+    a next-nonzero-word table as the long-quotient fallback, so the
+    memory footprint permits thousands of partition lanes per batch —
+    the lever that amortizes the TPU's fixed per-op cost on narrow
+    scan states.
 
     Backend-generic; the numpy path runs the identical algorithm
     step-by-step (oracle/tests)."""
@@ -185,12 +202,17 @@ def decode_partitions_scan(xp, words, word_base, base_bits, k,
     kc = xp.maximum(k, 0).astype(xp.int32)
     rc = xp.maximum(raw_bits, 0).astype(xp.int32)
 
-    pos = xp.arange(N, dtype=xp.int32)
-    wi = (pos >> 5).astype(xp.int32)
-    bi = (31 - (pos & 31)).astype(xp.uint32)
-    bits = ((win[:, :W][:, wi] >> bi) & xp.uint32(1)).astype(
-        xp.int32)                                       # [P, N]
-    next_one = _next_one_table(xp, bits, N)             # [P, N]
+    # next-nonzero-word table: nzw[w] = smallest w' >= w with
+    # win[w'] != 0, sentinel W (reverse running minimum — pure scans)
+    widx_w = xp.arange(W, dtype=xp.int32)[None, :]
+    masked_w = xp.where(win[:, :W] != xp.uint32(0), widx_w, W)
+    if xp is np:
+        nzw = np.minimum.accumulate(
+            masked_w[:, ::-1], axis=1)[:, ::-1].astype(np.int32)
+    else:
+        import jax.lax
+        nzw = jax.lax.cummin(masked_w.astype(xp.int32), axis=1,
+                             reverse=True)
 
     ku = kc.astype(xp.uint32)
 
@@ -198,7 +220,26 @@ def decode_partitions_scan(xp, words, word_base, base_bits, k,
         """decodes one code at position `cur` for every partition;
         returns (residual [P] int32, next position [P] int32)"""
         st = xp.minimum(cur, N - 1)
-        qpos = _take1(xp, next_one, st[:, None])[:, 0]  # [P]
+        wi = (st >> 5).astype(xp.int32)
+        bi = (st & 31).astype(xp.uint32)
+        w_cur = _take1(xp, win, wi[:, None])[:, 0]
+        rem = (w_cur << bi).astype(xp.uint32)
+        # next set bit at-or-after st: within the current word via
+        # CLZ, else the first set bit of the next nonzero word
+        # (wi + 1 >= W falls off the window: sentinel W directly —
+        # clamping into nzw would resurrect bits BEFORE st)
+        wnext = xp.where(
+            wi + 1 >= W, W,
+            _take1(xp, nzw,
+                   xp.minimum(wi + 1, W - 1)[:, None])[:, 0])
+        w_far = _take1(xp, win,
+                       xp.minimum(wnext, W)[:, None])[:, 0]
+        t_in = st + _clz32(xp, rem)
+        t_far = xp.where(wnext >= W, N - 1,
+                         (wnext << 5) + _clz32(xp, w_far))
+        qpos = xp.where(rem != 0, t_in,
+                        t_far).astype(xp.int32)
+        qpos = xp.minimum(qpos, N - 1)
         q = (qpos - st).astype(xp.uint32)
         off = xp.where(is_raw, st, qpos + 1)
         nbits = xp.where(is_raw, rc, kc)

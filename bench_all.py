@@ -304,6 +304,74 @@ def config5_transcode_farm():
          total / dt / 1e6, "Msamples/s",
          {"bit_exact_rate": exact / n_tracks,
           "tracks": n_tracks})
+    if os.environ.get("ATPU_BENCH_BUDGET") == "1":
+        _config5_budget()
+
+
+def _config5_budget():
+    """per-stage serial budget for the farm pipeline (one pass per
+    stage over the same corpus shapes): where config 5's wall goes on
+    a 1-core host.  Stages: source decode (SHN/TTA/WV native
+    kernels), FLAC -8 encode (device path), verify decode + MD5,
+    AccurateRip."""
+    from audiotools_tpu.formats.shn import ShortenAudio
+    from audiotools_tpu.formats.tta import TrueAudio
+    from audiotools_tpu.formats.wavpack import WavPackAudio
+    from audiotools_tpu.formats.flac import FlacAudio
+    from audiotools_tpu.accuraterip_checksum import (
+        accuraterip_checksums)
+    from audiotools_tpu.parallel import farm
+    import tempfile
+
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    rows = {}
+    with tempfile.TemporaryDirectory(dir=shm) as td:
+        sources = []
+        for i in range(6):
+            arr = make_signal(SR * 20, 2, 16, seed=100 + i)
+            cls = (ShortenAudio, TrueAudio, WavPackAudio)[i % 3]
+            path = os.path.join(td, "b%d.%s" % (i, cls.SUFFIX))
+            cls.from_pcm(path, reader_for(arr))
+            sources.append((path, cls, arr))
+        total = sum(arr.size for (_, _, arr) in sources)
+
+        t0 = time.perf_counter()
+        for (path, cls, _arr) in sources:
+            drain(cls(path).to_pcm())
+        rows["source_decode"] = time.perf_counter() - t0
+
+        outs = []
+        for (rep, (path, cls, _arr)) in enumerate(sources):
+            FlacAudio.from_pcm(os.path.join(td, "w%d.flac" % rep),
+                               reader_for(make_signal(SR, 2, 16)),
+                               compression="8")
+            break                      # warm once
+        t0 = time.perf_counter()
+        for (i, (path, cls, _arr)) in enumerate(sources):
+            out = os.path.join(td, "bo%d.flac" % i)
+            reader = cls(path).to_pcm()
+            FlacAudio.from_pcm(out, reader, compression="8")
+            reader.close()
+            outs.append(out)
+        rows["decode_plus_encode"] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        for out in outs:
+            farm.verify_flac(out)
+        rows["verify_decode"] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        for (_path, _cls, arr) in sources:
+            accuraterip_checksums(reader_for(arr), arr.shape[0],
+                                  True, True)
+        rows["accuraterip"] = time.perf_counter() - t0
+
+    budget = {k: round(v, 3) for (k, v) in rows.items()}
+    budget["encode_only_est"] = round(
+        rows["decode_plus_encode"] - rows["source_decode"], 3)
+    emit(5, "transcode_farm_budget_seconds", round(sum(
+        rows.values()), 3), "s",
+        dict(budget, corpus_Msamples=round(total / 1e6, 1)))
 
 
 def config2_flac_encode():
