@@ -42,9 +42,14 @@ Decision semantics replicated from the reference:
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from . import lpc as lpc_ops
+
+# see the zigzag barrier note in analyze_subframes
+_ZIGZAG_BARRIER = os.environ.get("ATPU_ZIGZAG_BARRIER", "") not in ("", "0")
 
 (CHOICE_CONSTANT, CHOICE_VERBATIM, CHOICE_FIXED, CHOICE_LPC) = range(4)
 
@@ -368,6 +373,17 @@ def analyze_subframes(xp, X, bps, n, max_lpc_order, qlp_precision,
         u = xp.where(cand_res >= 0,
                      cand_res << 1,
                      ((-cand_res - 1) << 1) | 1)               # [S, C, n] i32
+        if xp is not np and _ZIGZAG_BARRIER:
+            # materialize the zigzag ONCE (ATPU_ZIGZAG_BARRIER=1):
+            # the ladder below reads u through ~15 independent
+            # reductions and XLA's duplication fusion re-derives the
+            # residual chain per consumer.  With the int32
+            # recombination in lpc_residuals_i32 the duplicated chain
+            # is cheap integer work, so the default leaves fusion
+            # alone (A/B on v5e: barrier 78 ms vs fused 65 ms per
+            # 512-block batch).
+            import jax.lax
+            u = jax.lax.optimization_barrier(u)
 
         orders_f = cand_orders.astype(xp.float64)
         pmax = porders[-1]
@@ -395,17 +411,19 @@ def analyze_subframes(xp, X, bps, n, max_lpc_order, qlp_precision,
         R_eff = J0 + 1
         psize_fin = n >> pmax
         u_fin = xp.reshape(u, (S, C, parts_max, psize_fin))
-        w_cols = []
-        for b in range((J0 + 7) // 8):
-            cb = ((u_fin >> (8 * b)) & 0xFF).astype(xp.uint8)
-            for j in range(8 * b, min(8 * b + 8, J0)):
-                w_cols.append(xp.sum(
-                    (cb >> (j - 8 * b)) & xp.uint8(1),
-                    axis=-1, dtype=xp.int32))
-        t_top = xp.sum(u_fin >> J0, axis=-1,
-                       dtype=xp.int32)             # [S, C, parts]
-        w_fin = xp.stack(w_cols + [t_top],
-                         axis=-1)                  # [S,C,parts,J0+1]
+        # all J0 bit-plane counts AND the t_top seed in ONE stacked
+        # reduction: plane r < J0 contributes (u >> r) & 1, plane J0
+        # contributes u >> J0 (values < 2^(J-J0); psize <= 2^16 keeps
+        # int32 partials exact).  A single consumer of u lets XLA
+        # fuse the whole residual->zigzag chain into the reduce
+        # instead of re-deriving it once per plane (the 16-plane
+        # byte-split form this replaces cost +16 ms/512-block batch
+        # on v5e via duplication fusion).
+        rr = xp.arange(J0 + 1, dtype=xp.int32)
+        vals = u_fin[..., None, :] >> rr[:, None]  # [S,C,parts,R',ps]
+        contrib = xp.where(rr[:, None] < J0, vals & 1, vals)
+        w_fin = xp.sum(contrib, axis=-1,
+                       dtype=xp.int32)             # [S,C,parts,J0+1]
 
         # msb descent ONCE, at the finest level, in native int32
         # when the level's bound psize * 2^J fits:

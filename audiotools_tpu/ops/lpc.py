@@ -316,14 +316,28 @@ def lpc_residuals_i32(xp, samples, qlp, shifts, clip_bits):
     The prediction accumulator can exceed int32 (|q|<2^13, |x|<2^25),
     so samples split into hi/lo halves (x = hi*2^11 + lo, 0 <= lo <
     2^11) and accumulate separately in int32 — the O(K^2 n) hot loop
-    stays native int32 on TPU (no float-float emulation).  The single
-    per-element recombination floor(C / 2^s) with C = A*2^11 + B runs
-    in f64: A*2^11 <= 2^(hi_bits+11) and |C| < 2^46 stay exactly
-    representable even under float-float f64 (< 2^47), the
-    exact_exp2 scale is exact, and floor is exact — so the result
-    equals the true integer residual on every backend.  The caller
-    guarantees the int32 ACCUMULATION cannot wrap (hi_bits <= 30,
-    see lpc_residuals)."""
+    stays native int32 on TPU (no float-float emulation).  The
+    recombination floor((A*2^11 + B) / 2^s) is ALSO pure int32, by
+    shift splitting (the f64 form it replaces was the residual
+    stage's top cost under TPU float-float emulation):
+
+      s <= 11:  A*2^11 is a multiple of 2^s, so the floor splits
+                exactly: pred = (A << (11-s)) + (B >> s) (arithmetic
+                shifts are floor division).  A first SATURATES to
+                +-2^(19+s) so the left shift cannot wrap int32
+                (|pred| <= 2^30 + |B| < 2^31); saturation only
+                triggers for degenerate trials whose residual lands
+                beyond +-2^clip_bits on BOTH the exact and the
+                saturated path (|pred| >= 2^30 - 2^28 far exceeds
+                every clip bound, same sign), so the clipped result
+                is identical to the exact-f64 form.
+      s >= 12:  nested floors: floor(T/2^s) =
+                floor(floor(T/2^11)/2^(s-11)) with floor(T/2^11) =
+                A + (B >> 11) exact — no headroom needed.
+
+    The caller guarantees the int32 ACCUMULATION cannot wrap
+    (hi_bits <= 30, see lpc_residuals); the quantizer clamps
+    shifts to [0, 15]."""
     S = samples.shape[0]
     n = samples.shape[1]
     K = qlp.shape[1]
@@ -338,20 +352,23 @@ def lpc_residuals_i32(xp, samples, qlp, shifts, clip_bits):
         q = qlp[:, :, j][:, :, None]
         A = A + q * hi_pad[:, None, K - 1 - j:K - 1 - j + n]
         Bv = Bv + q * lo_pad[:, None, K - 1 - j:K - 1 - j + n]
-    scale = exact_exp2(xp, -shifts)[:, :, None]
-    C = A.astype(xp.float64) * 2048.0 + Bv.astype(xp.float64)
-    pred = xp.floor(C * scale)
-    res = samples[:, None, :].astype(xp.float64) - pred
+    s = shifts[:, :, None].astype(xp.int32)
+    s_le = xp.minimum(s, 11)
+    cap = xp.left_shift(xp.int32(1 << 19), s_le)       # 2^(19+s)
+    A_sat = xp.clip(A, -cap, cap)
+    pred_lo = xp.left_shift(A_sat, 11 - s_le) + (Bv >> s_le)
+    pred_hi = (A + (Bv >> 11)) >> (xp.maximum(s, 11) - 11)
+    pred = xp.where(s <= 11, pred_lo, pred_hi)
+    res = samples[:, None, :] - pred
     # degenerate candidates (tiny shift, huge coeffs) can exceed the
-    # downstream |residual| bound; clip instead of casting
-    # out-of-range (float->int32 overflow is not
-    # backend-deterministic), keeping such trials maximal-but-bounded
-    # so they lose every argmin (same semantics as lpc_residuals_f64)
-    bound = float(1 << clip_bits)
+    # downstream |residual| bound; clip keeps such trials
+    # maximal-but-bounded so they lose every argmin (same semantics
+    # as lpc_residuals_f64)
+    bound = xp.int32(1 << clip_bits)
     res = xp.clip(res, -bound, bound)
     pos = xp.arange(n, dtype=xp.int32)[None, None, :]
     order_arr = xp.arange(1, K + 1, dtype=xp.int32)[None, :, None]
-    return xp.where(pos < order_arr, 0.0, res).astype(xp.int32)
+    return xp.where(pos < order_arr, 0, res).astype(xp.int32)
 
 
 def lpc_residuals_f64(xp, samples, qlp, shifts, clip_bits):

@@ -37,9 +37,11 @@ BLOCK = 4096
 # vs 256 (the dispatch RTT, not bandwidth, is the serialized cost);
 # A/B: 36 -> 41 Msamples/s at equal weather
 BATCH = int(os.environ.get("ATPU_BENCH_BATCH", "512"))
-# steady-state matters: the tunnel pipeline takes ~4 batches to fill,
-# so short runs under-report sustained throughput
-N_BATCHES = int(os.environ.get("ATPU_BENCH_BATCHES", "8"))
+# steady-state matters: the tunnel pipeline takes ~4 batches to fill
+# and drains ~4 at EOF (measured ~0.55 s of the 8-batch run's 1.4 s
+# wall was ramp-down) — 16 batches (12.7 min of audio) amortize the
+# fill/drain the way any real album-length encode does
+N_BATCHES = int(os.environ.get("ATPU_BENCH_BATCHES", "16"))
 OPTS = dict(block_size=BLOCK, max_lpc_order=12, mid_side=True,
             exhaustive_model_search=True,
             max_residual_partition_order=6,

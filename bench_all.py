@@ -232,6 +232,66 @@ def config4_resample_replaygain():
           "title_gain_dB": round(float(gain), 2),
           "peak": round(float(peak), 4)})
 
+    # device backends (ops/converters.py): resampler FIR, ReplayGain
+    # FIR-ized equal-loudness analysis, AccurateRip uint32-lattice
+    # MACs — each env-gated, measured against the same inputs
+    os.environ["ATPU_RESAMPLE_BACKEND"] = "jax"
+    os.environ["ATPU_RG_BACKEND"] = "jax"
+    os.environ["ATPU_AR_BACKEND"] = "jax"
+    try:
+        drain(Resampler(reader_for(arr, rate=96000), SR))  # warm jit
+        dt_rsd = None
+        for _trial in range(3):
+            t0 = time.perf_counter()
+            out_d = drain(Resampler(reader_for(arr, rate=96000), SR))
+            trial = time.perf_counter() - t0
+            dt_rsd = trial if dt_rsd is None else min(dt_rsd, trial)
+        max_dev = int(np.abs(out_d.astype(np.int64) -
+                             out.astype(np.int64)).max())
+        rg2 = ReplayGain(SR)
+        rg2.title_gain(reader_for(out[:SR * 2]))           # warm jit
+        dt_rgd = None
+        for _trial in range(3):
+            rg3 = ReplayGain(SR)
+            t0 = time.perf_counter()
+            (gain_d, peak_d) = rg3.title_gain(
+                reader_for(out[:SR * 30]))
+            trial = time.perf_counter() - t0
+            dt_rgd = trial if dt_rgd is None else min(dt_rgd, trial)
+        from audiotools_tpu.accuraterip_checksum import (
+            accuraterip_checksums)
+        track = make_signal(SR * 60, 2, 16)
+        os.environ["ATPU_AR_BACKEND"] = ""
+        cs_host = accuraterip_checksums(reader_for(track),
+                                        track.shape[0], True, True)
+        os.environ["ATPU_AR_BACKEND"] = "jax"
+        accuraterip_checksums(reader_for(track[:SR]), SR,
+                              True, True)                  # warm jit
+        dt_ar = None
+        for _trial in range(3):
+            t0 = time.perf_counter()
+            cs_dev = accuraterip_checksums(
+                reader_for(track), track.shape[0], True, True)
+            trial = time.perf_counter() - t0
+            dt_ar = trial if dt_ar is None else min(dt_ar, trial)
+        emit(4, "resample_device_Msamples_per_sec",
+             arr.size / dt_rsd / 1e6, "Msamples/s",
+             {"max_lsb_delta_vs_host": max_dev,
+              "replaygain_device_Msamples_per_sec":
+              round(out[:SR * 30].size / dt_rgd / 1e6, 1),
+              "rg_gain_delta_dB":
+              round(abs(float(gain_d) - float(gain)), 4),
+              "accuraterip_device_Msamples_per_sec":
+              round(track.size / dt_ar / 1e6, 1),
+              "accuraterip_match_host": bool(cs_dev == cs_host)})
+    except Exception as err:  # noqa: B902
+        emit(4, "resample_device_Msamples_per_sec", 0.0,
+             "Msamples/s", {"error": str(err)[:200]})
+    finally:
+        for key in ("ATPU_RESAMPLE_BACKEND", "ATPU_RG_BACKEND",
+                    "ATPU_AR_BACKEND"):
+            os.environ.pop(key, None)
+
 
 def config5_transcode_farm():
     from audiotools_tpu.formats.shn import ShortenAudio
