@@ -192,6 +192,21 @@ def _build_and_load():
         ctypes.c_int64,                   # W
     ]
 
+    lib.atpu_flac_qpack_bits2.restype = ctypes.c_int32
+    lib.atpu_flac_qpack_bits2.argtypes = [
+        ctypes.POINTER(ctypes.c_int32),   # blocks [B, n, ch]
+        ctypes.c_int64,                   # B
+        ctypes.c_int64,                   # n
+        ctypes.c_int64,                   # ch
+        ctypes.POINTER(ctypes.c_int32),   # t [B, ch]
+        ctypes.c_int32,                   # k_base
+        ctypes.POINTER(ctypes.c_uint32),  # packed [B, ch, W]
+        ctypes.c_int64,                   # W
+        ctypes.c_int32,                   # E
+        ctypes.POINTER(ctypes.c_int32),   # exc_pos [B, ch, E]
+        ctypes.POINTER(ctypes.c_uint32),  # exc_val [B, ch, E]
+    ]
+
     lib.atpu_alac_emit_framesets.restype = ctypes.c_int64
     lib.atpu_alac_emit_framesets.argtypes = [
         ctypes.POINTER(ctypes.c_int32),   # blocks [B, max_n, ch]
@@ -678,6 +693,66 @@ def flac_qpack(blocks, bps, guard, stereo_trial, cap_margin=None,
             _as_ptr(t, ctypes.c_int32), int(k),
             _as_ptr(packed, ctypes.c_uint32), W)
     return (packed, int(k), t, x0, or_vals, const_flags.astype(bool))
+
+
+def flac_qpack_patched(blocks, bps, guard, stereo_trial, k_base, E,
+                       cap_margin=None, md5=None):
+    """flac_qpack with the patched-base wire: diffs pack at the
+    narrow ``k_base`` and the rare wider values ride as (position,
+    full value) exceptions, at most ``E`` per (block, channel)
+
+    returns (packed uint32 [B, ch, W], k_full, t, x0, or_vals,
+    const_flags, exc_pos int32 [B, ch, E], exc_val uint32 [B, ch, E],
+    max_exc) where k_full is the plain-format width the batch would
+    need (grid-rounded) and max_exc is the largest per-row exception
+    count encountered.  When max_exc > E the packed words/exceptions
+    are INVALID (truncated) — the caller retries with a larger E or
+    falls back to the plain format.  n must exceed 1."""
+    import numpy as np
+
+    if cap_margin is None:
+        from ..ops import qpack as _qpack
+        cap_margin = _qpack.cap_margin()
+
+    lib = get_lib()
+    blocks = np.ascontiguousarray(blocks, dtype=np.int32)
+    (B, n, ch) = blocks.shape
+    if n <= 1:
+        raise ValueError("patched qpack wire requires n > 1")
+    V = 4 if (stereo_trial and ch == 2) else ch
+    t = np.empty((B, ch), dtype=np.int32)
+    x0 = np.empty((B, ch), dtype=np.int32)
+    or_vals = np.empty((B, V), dtype=np.int32)
+    const_flags = np.empty((B, V), dtype=np.uint8)
+    k_raw = lib.atpu_flac_qplan(
+        _as_ptr(blocks, ctypes.c_int32), B, n, ch,
+        int(bps), int(guard), int(cap_margin),
+        1 if (stereo_trial and ch == 2) else 0,
+        _as_ptr(t, ctypes.c_int32), _as_ptr(x0, ctypes.c_int32),
+        _as_ptr(or_vals, ctypes.c_int32),
+        _as_ptr(const_flags, ctypes.c_uint8),
+        (_as_ptr(md5._state, ctypes.c_uint8)
+         if md5 is not None else None))
+    from ..ops import qpack as _qpack2
+    k_full = _qpack2.round_k(int(k_raw))
+    if k_base is None:
+        # default: one grid step below the plain width
+        below = [g for g in _qpack2.K_GRID if g < k_full]
+        k_base = below[-1] if below else k_full
+    kb = min(int(k_base), k_full)
+    W = ((n - 1) * kb + 31) // 32 + 1
+    packed = np.zeros((B, ch, W), dtype=np.uint32)
+    exc_pos = np.empty((B, ch, E), dtype=np.int32)
+    exc_val = np.empty((B, ch, E), dtype=np.uint32)
+    max_exc = lib.atpu_flac_qpack_bits2(
+        _as_ptr(blocks, ctypes.c_int32), B, n, ch,
+        _as_ptr(t, ctypes.c_int32), kb,
+        _as_ptr(packed, ctypes.c_uint32), W, int(E),
+        _as_ptr(exc_pos, ctypes.c_int32),
+        _as_ptr(exc_val, ctypes.c_uint32))
+    return (packed, k_full, t, x0, or_vals,
+            const_flags.astype(bool), exc_pos, exc_val, int(max_exc),
+            kb)
 
 
 def alac_emit_framesets(blocks, ns, layout, packed,

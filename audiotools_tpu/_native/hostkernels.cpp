@@ -1753,23 +1753,12 @@ static void pack_row(const uint32_t* zz, int64_t m, int32_t k,
     }
 }
 
-void atpu_flac_qpack_bits(const int32_t* blocks,   // [B, n, ch]
-                          int64_t B, int64_t n, int64_t ch,
-                          const int32_t* t, int32_t k,
-                          uint32_t* packed, int64_t W) {
-    // two passes per (block, channel): a quantize + zigzag-first-
-    // difference pass into a scratch row (AVX deinterleave for
-    // stereo; shift/sub/xor auto-vectorizes elsewhere), then the
-    // pack_row bit pack above.
-    static thread_local uint32_t* zz_all = nullptr;
-    static thread_local int64_t zz_cap = 0;
-    if (n * ch > zz_cap) {
-        delete[] zz_all;
-        zz_all = new uint32_t[n * ch];
-        zz_cap = n * ch;
-    }
-    for (int64_t b = 0; b < B; b++) {
-        const int32_t* blk = blocks + b * n * ch;
+// fills zz_all[c*n .. c*n + (n-1)) with the zigzag first differences
+// of channel c quantized at t_row[c] (shared by both pack entries)
+static void qpack_zigzag_block(const int32_t* blk, int64_t n,
+                               int64_t ch, const int32_t* t_row,
+                               uint32_t* zz_all) {
+    {
 #ifdef ATPU_AVX512
         if (ch == 2) {
             // both channels' quantized zigzag diffs in ONE pass over
@@ -1785,9 +1774,9 @@ void atpu_flac_qpack_bits(const int32_t* blocks,   // [B, n, ch]
                 17, 19, 21, 23, 25, 27, 29, 31};
             const __m512i evp = _mm512_load_si512((const __m512i*)EVEN);
             const __m512i odp = _mm512_load_si512((const __m512i*)ODD);
-            const __m128i sh0 = _mm_cvtsi64_si128(t[b * 2]);
-            const __m128i sh1 = _mm_cvtsi64_si128(t[b * 2 + 1]);
-            const int tt0 = t[b * 2], tt1 = t[b * 2 + 1];
+            const __m128i sh0 = _mm_cvtsi64_si128(t_row[0]);
+            const __m128i sh1 = _mm_cvtsi64_si128(t_row[1]);
+            const int tt0 = t_row[0], tt1 = t_row[1];
             uint32_t* z0 = zz_all;
             uint32_t* z1 = zz_all + n;
             int32_t p0 = blk[0] >> tt0;
@@ -1831,19 +1820,13 @@ void atpu_flac_qpack_bits(const int32_t* blocks,   // [B, n, ch]
                 z0[i - 1] = ((uint32_t)d0 << 1) ^ (uint32_t)(d0 >> 31);
                 z1[i - 1] = ((uint32_t)d1 << 1) ^ (uint32_t)(d1 >> 31);
             }
-            for (int64_t c = 0; c < 2; c++) {
-                const uint32_t* zz = zz_all + c * n;
-                const int64_t m = n - 1;
-                uint32_t* out = packed + (b * 2 + c) * W;
-                pack_row(zz, m, k, out);
-            }
-            continue;
+            return;
         }
 #endif
         for (int64_t c = 0; c < ch; c++) {
-            const int tt = t[b * ch + c];
+            const int tt = t_row[c];
             const int32_t* src = blk + c;
-            uint32_t* zz = zz_all;
+            uint32_t* zz = zz_all + c * n;
             int32_t prev = src[0] >> tt;
             for (int64_t i = 1; i < n; i++) {
                 const int32_t xq = src[i * ch] >> tt;
@@ -1851,11 +1834,92 @@ void atpu_flac_qpack_bits(const int32_t* blocks,   // [B, n, ch]
                 prev = xq;
                 zz[i - 1] = ((uint32_t)d << 1) ^ (uint32_t)(d >> 31);
             }
-            const int64_t m = n - 1;
-            uint32_t* out = packed + (b * ch + c) * W;
-            pack_row(zz, m, k, out);
         }
     }
+}
+
+static thread_local uint32_t* qpack_zz_all = nullptr;
+static thread_local int64_t qpack_zz_cap = 0;
+
+static inline uint32_t* qpack_zz_scratch(int64_t need) {
+    if (need > qpack_zz_cap) {
+        delete[] qpack_zz_all;
+        qpack_zz_all = new uint32_t[need];
+        qpack_zz_cap = need;
+    }
+    return qpack_zz_all;
+}
+
+void atpu_flac_qpack_bits(const int32_t* blocks,   // [B, n, ch]
+                          int64_t B, int64_t n, int64_t ch,
+                          const int32_t* t, int32_t k,
+                          uint32_t* packed, int64_t W) {
+    // two passes per (block, channel): a quantize + zigzag-first-
+    // difference pass into a scratch row (AVX deinterleave for
+    // stereo; shift/sub/xor auto-vectorizes elsewhere), then the
+    // pack_row bit pack above.
+    uint32_t* zz_all = qpack_zz_scratch(n * ch);
+    for (int64_t b = 0; b < B; b++) {
+        const int32_t* blk = blocks + b * n * ch;
+        qpack_zigzag_block(blk, n, ch, t + b * ch, zz_all);
+        for (int64_t c = 0; c < ch; c++)
+            pack_row(zz_all + c * n, n - 1, k,
+                     packed + (b * ch + c) * W);
+    }
+}
+
+// Patched-base wire: packs every diff at the NARROW width k_base and
+// records the rare values needing more bits as (position, full
+// value) exceptions — the device unpack scatters them back before
+// the cumsum, so reconstruction stays exact while the wire drops
+// from k_full to ~k_base bits/sample (content-measured: the zigzag
+// diff distribution's mean bit length sits 2-3 bits under its max).
+// Exceptions beyond E per (block, channel) are counted but not
+// recorded; the caller MUST treat max_count > E as an invalid pack
+// and retry with a larger E or the plain format.  Unused exception
+// slots pad with (pos 0, the true value at pos 0) — scattering a
+// duplicate of an exact value is a no-op.
+int32_t atpu_flac_qpack_bits2(const int32_t* blocks,  // [B, n, ch]
+                              int64_t B, int64_t n, int64_t ch,
+                              const int32_t* t, int32_t k_base,
+                              uint32_t* packed, int64_t W,
+                              int32_t E,
+                              int32_t* exc_pos,       // [B, ch, E]
+                              uint32_t* exc_val) {    // [B, ch, E]
+    uint32_t* zz_all = qpack_zz_scratch(n * ch);
+    const uint32_t mask = (k_base >= 32)
+        ? 0xFFFFFFFFu : ((1u << k_base) - 1u);
+    int32_t max_count = 0;
+    for (int64_t b = 0; b < B; b++) {
+        const int32_t* blk = blocks + b * n * ch;
+        qpack_zigzag_block(blk, n, ch, t + b * ch, zz_all);
+        for (int64_t c = 0; c < ch; c++) {
+            uint32_t* zz = zz_all + c * n;
+            const int64_t m = n - 1;
+            int32_t* pos = exc_pos + (b * ch + c) * E;
+            uint32_t* val = exc_val + (b * ch + c) * E;
+            const uint32_t u0 = m > 0 ? zz[0] : 0;
+            int32_t cnt = 0;
+            for (int64_t i = 0; i < m; i++) {
+                const uint32_t u = zz[i];
+                if (u >> k_base) {
+                    if (cnt < E) {
+                        pos[cnt] = (int32_t)i;
+                        val[cnt] = u;
+                    }
+                    cnt++;
+                    zz[i] = u & mask;
+                }
+            }
+            for (int32_t e = cnt < E ? cnt : E; e < E; e++) {
+                pos[e] = 0;
+                val[e] = u0;   // true u at pos 0 (saved pre-mask)
+            }
+            if (cnt > max_count) max_count = cnt;
+            pack_row(zz, m, k_base, packed + (b * ch + c) * W);
+        }
+    }
+    return max_count;
 }
 
 uint16_t atpu_crc16(const uint8_t* data, int64_t n, uint16_t initial) {

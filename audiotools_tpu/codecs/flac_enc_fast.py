@@ -253,24 +253,26 @@ def _window_on_device(window, device):
 
 def _analyze_jax_q(wire, k, W, ch, V, stereo_trial, bps_scalar,
                    n, K, precision, porders, max_rice, exhaustive,
-                   mid_side, window, n_devices=1):
+                   mid_side, window, n_devices=1, E=0):
     """jitted quantized-upload analysis (ops/qpack.py wire format)
 
-    wire: uint32 [B, ch*W + 2*ch + 2*V] — ONE consolidated upload per
-    batch (each device_put costs a tunnel round trip): the first ch*W
-    columns are the bit-packed zigzag diffs (k bits each), the tail
-    columns are the bitcast int32 sideband [t(ch), x0(ch), or_vals(V),
-    const_flags(V)].  The device reconstructs the quantized samples
-    exactly (integer gathers + cumsum) and analyzes them — typically
-    2-3x fewer bytes over the host->device link than raw int16, which
-    is the tunneled-TPU pipeline's bottleneck."""
+    wire: uint32 [B, ch*W (+ 2*ch*E) + 2*ch + 2*V] — ONE consolidated
+    upload per batch (each device_put costs a tunnel round trip): the
+    first ch*W columns are the bit-packed zigzag diffs (k bits each),
+    then (patched-base wire, E > 0) ch*E exception positions and ch*E
+    full-width exception values, then the bitcast int32 sideband
+    [t(ch), x0(ch), or_vals(V), const_flags(V)].  The device
+    reconstructs the quantized samples exactly (integer gathers,
+    exception scatter, cumsum) and analyzes them — typically 2-3x
+    fewer bytes over the host->device link than raw int16, which is
+    the tunneled-TPU pipeline's bottleneck."""
     import jax
     jax.config.update("jax_enable_x64", True)
     _enable_compilation_cache(jax)
 
     key = ("q", wire.shape, k, W, ch, V, stereo_trial, bps_scalar, n,
            K, precision, tuple(porders), max_rice, exhaustive,
-           mid_side, n_devices)
+           mid_side, n_devices, E)
     with _jax_cache_lock:
       if key not in _jax_analyze_cache:
         import jax.numpy as jnp
@@ -278,13 +280,24 @@ def _analyze_jax_q(wire, k, W, ch, V, stereo_trial, bps_scalar,
 
         def run(wire, window):
             qwords = wire[:, :ch * W].reshape(-1, ch, W)
-            meta = lax.bitcast_convert_type(wire[:, ch * W:],
+            off = ch * W
+            if E > 0:
+                exc_pos = lax.bitcast_convert_type(
+                    wire[:, off:off + ch * E],
+                    jnp.int32).reshape(-1, ch, E)
+                exc_val = wire[:, off + ch * E:
+                               off + 2 * ch * E].reshape(-1, ch, E)
+                off += 2 * ch * E
+            else:
+                exc_pos = exc_val = None
+            meta = lax.bitcast_convert_type(wire[:, off:],
                                             jnp.int32)
             t = meta[:, 0:ch]
             x0 = meta[:, ch:2 * ch]
             or_vals = meta[:, 2 * ch:2 * ch + V]
             const_flags = meta[:, 2 * ch + V:] != 0
-            blocks = qpack.unpack(jnp, qwords, k, t, x0, n)
+            blocks = qpack.unpack(jnp, qwords, k, t, x0, n,
+                                  exc_pos, exc_val)
             packed = flac_frames.analyze_frames_packed(
                 jnp, blocks, stereo_trial, bps_scalar, n, K, precision,
                 list(porders), max_rice, exhaustive, mid_side, window,
@@ -422,6 +435,18 @@ def encode_flac_fast(file_or_path,
     use_qpack = (qpack.enabled() and (bps + 2 <= 31) and
                  not use_pallas)
     qguard = qpack.guard_bits()
+    # patched-base wire state (ATPU_QPACK_PATCH, default on): diffs
+    # pack at a base width below the batch max, the rare wider values
+    # ride as (position, value) exceptions.  The upload is the
+    # tunneled pipeline's measured wall, and the diff distribution's
+    # mean bit length sits 2-3 bits under its max, so the base width
+    # is the throughput lever.  (k_base, E) adapt per batch: start
+    # one grid step below the plain width, retry on exception
+    # overflow, probe a step lower every PATCH_PROBE_EVERY batches.
+    use_qpatch = (use_qpack and
+                  os.environ.get("ATPU_QPACK_PATCH", "1") != "0")
+    qpatch_state = {"kb": None, "E": qpack.E_GRID[0], "since": 0}
+    PATCH_PROBE_EVERY = 16
 
     def _pad_rows(arrays):
         """pads leading dims up to a small STATIC grid of batch shapes
@@ -445,6 +470,75 @@ def encode_flac_fast(file_or_path,
                 for a in arrays]
         return arrays
 
+    def _qpack_wire(blocks):
+        """builds the consolidated qpack upload columns; adaptive
+        patched-base wire when profitable (see use_qpatch note)
+
+        returns (wire_parts, k, W, E, t, orv) where E = 0 means the
+        plain format"""
+        n_rows = blocks.shape[1]
+        st = qpatch_state
+        st["since"] += 1
+        probe = st["since"] >= PATCH_PROBE_EVERY or st["kb"] is None
+        if probe:
+            st["since"] = 0
+        try_patched = (use_qpatch and n_rows > 1 and
+                       (not st.get("plain") or probe))
+        if try_patched:
+            kb_req = st["kb"]
+            if kb_req is not None and probe:
+                # periodic probe one grid step lower
+                below = [g for g in qpack.K_GRID if g < kb_req]
+                if below:
+                    kb_req = below[-1]
+            E = st["E"]
+            for _attempt in range(4):
+                (qwords, k_full, t, x0, orv, cflags, epos, evals,
+                 mexc, kb) = _native.flac_qpack_patched(
+                    blocks, bps, qguard, stereo_trial, kb_req, E)
+                if mexc <= E:
+                    break
+                # overflow: grow E, then widen the base
+                bigger = [e for e in qpack.E_GRID if e > E]
+                if bigger:
+                    E = bigger[0]
+                else:
+                    E = qpack.E_GRID[0]
+                    above = [g for g in qpack.K_GRID
+                             if g > (kb if kb_req is None else kb_req)]
+                    kb_req = above[0] if above else k_full
+            # profitable iff the base-width saving beats the patch
+            # columns (each exception slot is 2 uint32 columns;
+            # per-channel, so ch cancels on both sides)
+            W_plain = ((n_rows - 1) * k_full + 31) // 32 + 1
+            W = qwords.shape[2]
+            if mexc <= E and (W_plain - W) > 2 * E and kb < k_full:
+                st["kb"] = kb
+                st["E"] = E
+                st["plain"] = False
+                meta = np.concatenate(
+                    [t, x0, orv, cflags.astype(np.int32)],
+                    axis=1).astype(np.int32)
+                B = qwords.shape[0]
+                parts = [qwords.reshape(B, -1),
+                         epos.reshape(B, -1).view(np.uint32),
+                         evals.reshape(B, -1),
+                         meta.view(np.uint32)]
+                return (parts, kb, W, E, t, orv)
+            # not profitable here: remember the plain choice and fall
+            # through (probe again after PATCH_PROBE_EVERY batches)
+            st["kb"] = k_full
+            st["E"] = qpack.E_GRID[0]
+            st["plain"] = True
+        (qwords, k, t, x0, orv, cflags) = _native.flac_qpack(
+            blocks, bps, qguard, stereo_trial)
+        meta = np.concatenate(
+            [t, x0, orv, cflags.astype(np.int32)],
+            axis=1).astype(np.int32)
+        B = qwords.shape[0]
+        parts = [qwords.reshape(B, -1), meta.view(np.uint32)]
+        return (parts, k, qwords.shape[2], 0, t, orv)
+
     def prepare(blocks):
         """host half of a batch submission: the qpack scan and wire
         assembly.  Returns the payload the submit thread turns into a
@@ -456,19 +550,10 @@ def encode_flac_fast(file_or_path,
         if backend == "jax":
             if use_qpack:
                 with prof("qpack"):
-                    (qwords, k, t, x0, orv, cflags) = \
-                        _native.flac_qpack(
-                            blocks, bps, qguard, stereo_trial)
-                    meta = np.concatenate(
-                        [t, x0, orv, cflags.astype(np.int32)],
-                        axis=1).astype(np.int32)
-                    B = qwords.shape[0]
-                    W = qwords.shape[2]
-                    wire = np.concatenate(
-                        [qwords.reshape(B, -1),
-                         meta.view(np.uint32)], axis=1)
+                    (wire_parts, k, W, E, t, orv) = _qpack_wire(blocks)
+                    wire = np.concatenate(wire_parts, axis=1)
                     (wire,) = _pad_rows([wire])
-                    return (("q", wire, k, W, orv.shape[1]), t)
+                    return (("q", wire, k, W, E, orv.shape[1]), t)
             else:
                 upload = (blocks.astype(np.int16) if bps <= 16
                           else blocks)
@@ -489,14 +574,14 @@ def encode_flac_fast(file_or_path,
         stall the reader"""
         tag = payload[0]
         if tag == "q":
-            (_tag, wire, k, W, V) = payload
+            (_tag, wire, k, W, E, V) = payload
             with prof("submit"):
                 return _analyze_jax_q(
                     wire, k, W, channels, V,
                     stereo_trial, bps, block_size, max_lpc_order,
                     precision, porders, max_rice,
                     exhaustive_model_search, mid_side, window,
-                    n_devices)
+                    n_devices, E)
         elif tag == "raw":
             if use_pallas:
                 with prof("submit"):

@@ -160,7 +160,11 @@ def variant_sideband(blocks, stereo_trial):
 # words and the unpack masks with a uint32 (1 << k) - 1, so k >= 32
 # would silently corrupt the wire (callers disable qpack for streams
 # whose zigzag diffs could need more).
-K_GRID = (4, 6, 8, 10, 12, 16, 21, 26, 31)
+K_GRID = (2, 3, 4, 6, 8, 10, 12, 16, 21, 26, 31)
+
+# exception-capacity grid for the patched-base wire (see
+# pack_patched): per-(block, channel) slots, each 2 uint32 columns
+E_GRID = (8, 32, 128)
 
 
 def round_k(k):
@@ -213,10 +217,70 @@ def pack(blocks, t):
     return (packed, k, x0)
 
 
-def unpack(xp, packed, k, t, x0, n):
+def pack_patched(blocks, t, k_base, E):
+    """numpy reference of the PATCHED-BASE wire (`
+    _native.flac_qpack_patched` is the production path and must
+    produce identical words/exceptions): every diff packs at the
+    narrow ``k_base`` (low bits only) and values needing more bits
+    ride as at most ``E`` per-(block, channel) (position, full value)
+    exceptions the device scatters back before the cumsum — exact
+    reconstruction at ~k_base bits/sample instead of the
+    distribution's max width.
+
+    returns (packed uint32 [B, ch, W], exc_pos int32 [B, ch, E],
+    exc_val uint32 [B, ch, E], max_exc).  max_exc > E means the
+    pack is INVALID (exceptions truncated); callers retry with a
+    larger E or the plain format.  Unused slots pad with (0, true u
+    at position 0) — a duplicate exact scatter."""
+    blocks = np.asarray(blocks)
+    (B, n, ch) = blocks.shape
+    if n <= 1:
+        raise ValueError("patched wire requires n > 1")
+    xq = blocks.astype(np.int32) >> t[:, None, :]
+    d = (xq[:, 1:, :] - xq[:, :-1, :]).astype(np.int64)
+    u = ((d << 1) ^ (d >> 63)).astype(np.uint64)
+    flat = np.moveaxis(u, 1, 2).reshape(B * ch, n - 1)
+    exc = flat >> k_base != 0                              # [B*ch, m]
+    counts = exc.sum(axis=1).astype(np.int64)
+    max_exc = int(counts.max()) if counts.size else 0
+    exc_pos = np.zeros((B * ch, E), dtype=np.int32)
+    exc_val = np.tile(flat[:, :1].astype(np.uint32), (1, E))
+    for r in range(B * ch):
+        idx = np.nonzero(exc[r])[0][:E]
+        exc_pos[r, :len(idx)] = idx
+        exc_val[r, :len(idx)] = flat[r, idx].astype(np.uint32)
+    masked = np.where(exc, flat & ((1 << k_base) - 1), flat)
+    packed = _pack_tokens(masked, k_base).reshape(B, ch, -1)
+    return (packed,
+            exc_pos.reshape(B, ch, E),
+            exc_val.reshape(B, ch, E),
+            max_exc)
+
+
+def _pack_tokens(flat, k):
+    """bit-packs token rows [R, m] (each < 2^k) at width k into
+    uint32 lanes [R, W] with the standard one-pad-word layout"""
+    (R, m) = flat.shape
+    W = (m * k + 31) // 32 + 1
+    packed = np.zeros((R, W), dtype=np.uint32)
+    bit = np.arange(m, dtype=np.int64) * k
+    wi = (bit >> 5).astype(np.int64)
+    off = (bit & 31).astype(np.uint64)
+    lo = ((flat << off) & 0xFFFFFFFF).astype(np.uint32)
+    hi = (flat >> (np.uint64(32) - off)).astype(np.uint32)
+    hi = np.where(off == 0, 0, hi).astype(np.uint32)
+    np.bitwise_or.at(packed, (slice(None), wi), lo)
+    np.bitwise_or.at(packed, (slice(None), wi + 1), hi)
+    return packed
+
+
+def unpack(xp, packed, k, t, x0, n, exc_pos=None, exc_val=None):
     """reconstructs the quantized analysis input from the wire format
 
     packed: uint32 [B, ch, W]; k: static int; t, x0: int32 [B, ch]
+    exc_pos/exc_val: optional patched-base exceptions
+    ([B, ch, E], see pack_patched) scattered over the unpacked
+    tokens before the cumsum
     returns int32 [B, n, ch] == quantize(blocks, t), exactly, on any
     backend (integer gathers, shifts and cumsum only)."""
     (B, ch, W) = packed.shape
@@ -233,6 +297,22 @@ def unpack(xp, packed, k, t, x0, n):
     hi = (hi_src << (xp.uint32(31) - off[None, None, :])) << xp.uint32(1)
     u = (lo | hi) & xp.uint32((1 << k) - 1)                # [B, ch, n-1]
     ui = u.astype(xp.int32)
+    if exc_pos is not None:
+        # patched-base wire: scatter the full-width exceptions over
+        # the masked tokens (pads re-set position 0 to its exact
+        # value — a no-op by construction)
+        ev = exc_val.astype(xp.int32)
+        if xp is np:
+            (B_, ch_, E_) = exc_pos.shape
+            bi = np.arange(B_)[:, None, None]
+            ci = np.arange(ch_)[None, :, None]
+            ui = ui.copy()
+            ui[bi, ci, exc_pos] = ev
+        else:
+            ui = ui.at[
+                xp.arange(B)[:, None, None],
+                xp.arange(ch)[None, :, None],
+                exc_pos].set(ev)
     d = (ui >> 1) ^ -(ui & 1)                              # un-zigzag
     xq = x0q[:, :, None] + xp.cumsum(d, axis=2, dtype=xp.int32)
     full = xp.concatenate([x0q[:, :, None], xq], axis=2)   # [B, ch, n]

@@ -145,3 +145,93 @@ def test_encode_roundtrip_with_qpack():
     b2 = io.BytesIO()
     encode_flac_fast(b2, reader(), backend="jax", **opts)
     assert b2.getvalue() == data
+
+
+# ---------------------------------------------------------------------------
+# patched-base wire (pack_patched / flac_qpack_patched): narrow base
+# width + sparse full-width exceptions; transport-only, so every
+# reconstruction must equal quantize() exactly
+
+
+@pytest.mark.parametrize("bps,scale,ch,stereo", CASES[:3])
+def test_patched_native_matches_numpy(bps, scale, ch, stereo):
+    n = 4096
+    x = _signal(5, n, ch, bps, scale, seed=9)
+    t = qpack.plan_t(x, bps)
+    (pk_c, k_full, t_c, x0_c, _orv, _cf, epos_c, eval_c, mexc_c,
+     kb) = _native.flac_qpack_patched(
+        x, bps, qpack.guard_bits(), stereo, None, 8)
+    assert np.array_equal(t, t_c)
+    (pk_np, epos_np, eval_np, mexc_np) = qpack.pack_patched(
+        x, t, kb, 8)
+    assert mexc_c == mexc_np
+    if mexc_c <= 8:
+        assert np.array_equal(pk_c, pk_np)
+        assert np.array_equal(epos_c, epos_np)
+        assert np.array_equal(eval_c, eval_np)
+
+
+def test_patched_unpack_reconstructs_exactly():
+    n = 4096
+    x = _signal(6, n, 2, 16, 9000.0, seed=13)
+    t = qpack.plan_t(x, 16)
+    (pk, k_full, t2, x0, _o, _c, epos, evals, mexc,
+     kb) = _native.flac_qpack_patched(x, 16, 0, True, None, 32)
+    assert mexc <= 32 and kb < k_full
+    want = qpack.quantize(np, x, t)
+    rec = qpack.unpack(np, pk, kb, t, x0, n, epos, evals)
+    assert np.array_equal(rec, want)
+    import jax
+    import jax.numpy as jnp
+    rec_j = np.asarray(jax.jit(
+        lambda p, t, x0, ep, ev: qpack.unpack(
+            jnp, p, kb, t, x0, n, ep, ev))(pk, t, x0, epos, evals))
+    assert np.array_equal(rec_j, want)
+
+
+def test_patched_overflow_reports_truncation():
+    """a base far below the content's width must report max_exc > E
+    (the caller's retry signal), never silently corrupt"""
+    x = _signal(2, 4096, 2, 16, 14000.0, seed=17)
+    (_pk, k_full, _t, _x0, _o, _c, _ep, _ev, mexc,
+     kb) = _native.flac_qpack_patched(x, 16, 0, True, 2, 8)
+    if kb < k_full:              # content quantized fine at 2 bits?
+        # with base 2 on noisy content, exceptions overflow E=8
+        assert mexc > 8
+
+
+def test_patched_encode_backend_identity():
+    """end-to-end: the patched wire is transport-only, so numpy and
+    jax encodes stay byte-identical and bit-exact"""
+    from audiotools_tpu.codecs.flac_enc_fast import encode_flac_fast
+    from audiotools_tpu.codecs.flac_dec_fast import FastFlacDecoder
+
+    rng = np.random.default_rng(23)
+    n = 4096 * 5 + 123
+    tone = 8000 * np.sin(np.arange(n) * 0.055)
+    arr = np.clip(
+        np.stack([tone, tone * 0.7], axis=1) +
+        rng.normal(0, 500, (n, 2)), -32768, 32767).astype(np.int32)
+
+    def reader():
+        fl = pcm.FrameList._wrap(arr, 16)
+        return PCMReader(io.BytesIO(fl.to_bytes(False, True)),
+                         44100, 2, 3, 16)
+
+    opts = dict(block_size=4096, max_lpc_order=8, mid_side=True,
+                exhaustive_model_search=False,
+                max_residual_partition_order=5, batch_frames=3)
+    b1 = io.BytesIO()
+    encode_flac_fast(b1, reader(), backend="numpy", **opts)
+    data = b1.getvalue()
+    dec = FastFlacDecoder(io.BytesIO(data))
+    out = []
+    while True:
+        fl = dec.read(4096)
+        if fl.frames == 0:
+            break
+        out.append(fl.samples)
+    assert np.array_equal(np.concatenate(out), arr)
+    b2 = io.BytesIO()
+    encode_flac_fast(b2, reader(), backend="jax", **opts)
+    assert b2.getvalue() == data
