@@ -150,14 +150,19 @@ def _build_and_load():
         ctypes.c_int32,                   # stream_channels
         ctypes.c_int32,                   # qlp_precision
         ctypes.c_int32,                   # compact row layout flag
+        ctypes.c_int32,                   # emit_max_rice (-1 = off)
         ctypes.POINTER(ctypes.c_uint8),   # out
         ctypes.POINTER(ctypes.c_int64),   # out_lens (cumulative ends)
         ctypes.c_int64,                   # out_capacity
     ]
 
     lib.atpu_flac_emit_frames2rb.restype = ctypes.c_int64
+    # the rb (splice) entry has no emit_max_rice — device-packed
+    # residual bits serialize verbatim, the re-search never applies
     lib.atpu_flac_emit_frames2rb.argtypes = (
-        list(lib.atpu_flac_emit_frames2.argtypes) + [
+        [a for (i, a) in
+         enumerate(lib.atpu_flac_emit_frames2.argtypes)
+         if i != 14] + [
             ctypes.POINTER(ctypes.c_uint32),  # rb_words
             ctypes.POINTER(ctypes.c_int64),   # rb_bits
             ctypes.c_int64,                   # rb_stride
@@ -172,6 +177,7 @@ def _build_and_load():
         ctypes.c_int32,                   # bps
         ctypes.c_int32,                   # guard
         ctypes.c_int32,                   # cap_margin
+        ctypes.c_int32,                   # noise_extra
         ctypes.c_int32,                   # stereo_trial
         ctypes.POINTER(ctypes.c_int32),   # t_out [B, ch]
         ctypes.POINTER(ctypes.c_int32),   # x0_out [B, ch]
@@ -574,7 +580,8 @@ def flac_emit_frames2(blocks, frame_numbers, block_sizes, packed,
                       max_subframes, max_order, max_partitions,
                       sample_rate, stream_bps, stream_channels,
                       qlp_precision, compact=False,
-                      rb_words=None, rb_bits=None):
+                      rb_words=None, rb_bits=None,
+                      emit_max_rice=None):
     """emits FLAC frames from raw PCM blocks + packed decision rows
 
     blocks: int32 [n_frames, max_block, channels] interleaved PCM
@@ -587,10 +594,20 @@ def flac_emit_frames2(blocks, frame_numbers, block_sizes, packed,
             [n_frames * max_subframes, rb_stride] big-endian word rows
             + exact bit lengths int64 — FIXED/LPC subframes splice
             these bits instead of re-deriving residuals on host
+    emit_max_rice: emit-stage exact entropy re-search bound (see
+            hostkernels emit_rice_research); None derives the
+            standard 14/30 bound from stream_bps when
+            ATPU_EMIT_EXACT_RICE is active (default), -1 disables.
+            Ignored on the rb (splice) path.
     returns (frame bytes, per-frame byte lengths int64 array)"""
     import numpy as np
 
     lib = get_lib()
+
+    if emit_max_rice is None:
+        from ..ref.flac_enc import emit_exact_rice_enabled
+        emit_max_rice = ((14 if stream_bps <= 16 else 30)
+                         if emit_exact_rice_enabled() else -1)
 
     blocks = np.ascontiguousarray(blocks, dtype=np.int32)
     frame_numbers = np.ascontiguousarray(frame_numbers, dtype=np.int64)
@@ -630,7 +647,7 @@ def flac_emit_frames2(blocks, frame_numbers, block_sizes, packed,
             _as_ptr(packed, ctypes.c_int32),
             n_frames, max_subframes, max_order, max_partitions,
             max_block, sample_rate, stream_bps, stream_channels,
-            qlp_precision, 1 if compact else 0,
+            qlp_precision, 1 if compact else 0, int(emit_max_rice),
             _as_ptr(out, ctypes.c_uint8),
             _as_ptr(out_ends, ctypes.c_int64),
             worst)
@@ -646,7 +663,7 @@ def flac_emit_frames2(blocks, frame_numbers, block_sizes, packed,
 
 
 def flac_qpack(blocks, bps, guard, stereo_trial, cap_margin=None,
-               md5=None):
+               md5=None, noise_extra=None):
     """plans + bit-packs the quantized-analysis upload (ops/qpack.py
     wire format) in one native pass
 
@@ -655,6 +672,8 @@ def flac_qpack(blocks, bps, guard, stereo_trial, cap_margin=None,
     cap_margin); defaults to ops/qpack.py cap_margin()
     md5: optional MD5 instance — the stream hash of these samples is
     folded into the plan scan while each block is cache-hot
+    noise_extra: noise-adaptive coarsening bits (ops/qpack.py
+    noise_extra(); 0 disables)
     returns (packed uint32 [B, ch, W], k, t int32 [B, ch],
     x0 int32 [B, ch], or_vals int32 [B, V], const_flags bool [B, V])"""
     import numpy as np
@@ -662,6 +681,9 @@ def flac_qpack(blocks, bps, guard, stereo_trial, cap_margin=None,
     if cap_margin is None:
         from ..ops import qpack as _qpack
         cap_margin = _qpack.cap_margin()
+    if noise_extra is None:
+        from ..ops import qpack as _qpack
+        noise_extra = _qpack.noise_extra()
 
     lib = get_lib()
     blocks = np.ascontiguousarray(blocks, dtype=np.int32)
@@ -673,7 +695,7 @@ def flac_qpack(blocks, bps, guard, stereo_trial, cap_margin=None,
     const_flags = np.empty((B, V), dtype=np.uint8)
     k = lib.atpu_flac_qplan(
         _as_ptr(blocks, ctypes.c_int32), B, n, ch,
-        int(bps), int(guard), int(cap_margin),
+        int(bps), int(guard), int(cap_margin), int(noise_extra),
         1 if (stereo_trial and ch == 2) else 0,
         _as_ptr(t, ctypes.c_int32), _as_ptr(x0, ctypes.c_int32),
         _as_ptr(or_vals, ctypes.c_int32),
@@ -696,7 +718,7 @@ def flac_qpack(blocks, bps, guard, stereo_trial, cap_margin=None,
 
 
 def flac_qpack_patched(blocks, bps, guard, stereo_trial, k_base, E,
-                       cap_margin=None, md5=None):
+                       cap_margin=None, md5=None, noise_extra=None):
     """flac_qpack with the patched-base wire: diffs pack at the
     narrow ``k_base`` and the rare wider values ride as (position,
     full value) exceptions, at most ``E`` per (block, channel)
@@ -724,9 +746,12 @@ def flac_qpack_patched(blocks, bps, guard, stereo_trial, k_base, E,
     x0 = np.empty((B, ch), dtype=np.int32)
     or_vals = np.empty((B, V), dtype=np.int32)
     const_flags = np.empty((B, V), dtype=np.uint8)
+    if noise_extra is None:
+        from ..ops import qpack as _qpack0
+        noise_extra = _qpack0.noise_extra()
     k_raw = lib.atpu_flac_qplan(
         _as_ptr(blocks, ctypes.c_int32), B, n, ch,
-        int(bps), int(guard), int(cap_margin),
+        int(bps), int(guard), int(cap_margin), int(noise_extra),
         1 if (stereo_trial and ch == 2) else 0,
         _as_ptr(t, ctypes.c_int32), _as_ptr(x0, ctypes.c_int32),
         _as_ptr(or_vals, ctypes.c_int32),

@@ -864,6 +864,103 @@ extern "C" void atpu_emit_prof_dump() {
         emit_prof_cyc[slot] += emit_rdtsc() - t0_; \
     } else { stmt; } } while (0)
 
+}  // extern "C" — paused for the C++ template below
+
+// emit-stage EXACT Rice entropy re-search (pure-int64 spec; scalar
+// mirror: ref/flac_enc.emit_rice_search).  Re-picks the final
+// (porder, params) of one FIXED/LPC subframe from the EXACT residual
+// zigzag tokens the emitter just derived, over every (porder,
+// partition, parameter) triple: cost = count*(1+r) + sum(u >> r),
+// 4 header bits per partition plus one extra bit each when any
+// chosen parameter escapes past 14 (coding method 1).  First
+// minimum wins on both axes (strict <, ascending porder/r).  The
+// analysis stage may have searched on quantized-upload samples
+// (ops/qpack.py) — this stage restores exact-entropy output for
+// free, since the residuals are already in hand for serialization.
+// zz[0..order) MUST be zero (warmup positions).
+template <typename T>
+static void emit_rice_research(const T* zz, int n, int order,
+                               int max_porder, int max_pred,
+                               int max_rice,
+                               int* porder_out, int32_t* params_out) {
+    // contiguous valid porder list (ref/flac_analysis
+    // .valid_partition_orders): stop at the first non-dividing
+    // porder or where the first partition would go non-positive
+    int pmax = 0;
+    for (int po = 0; po <= max_porder; po++) {
+        if (n % (1 << po)) break;
+        if (po > 0 && (n >> po) <= max_pred) break;
+        pmax = po;
+    }
+    const int R = max_rice + 1;
+    const int parts_f = 1 << pmax;
+    const int psize_f = n >> pmax;
+    // exact per-level sums S[l][p][r] = sum(u >> r) over partition p
+    // at level l (2^l partitions), stored flat at ((1<<l)-1 + p)*R;
+    // finest level computed directly, coarser levels by pair-sum
+    static thread_local std::vector<int64_t> sums;
+    const size_t need = ((size_t)(parts_f << 1) - 1) * R;
+    if (sums.size() < need) sums.resize(need);
+    for (int p = 0; p < parts_f; p++) {
+        int64_t* S = &sums[(size_t)(parts_f - 1 + p) * R];
+        const T* seg = zz + (size_t)p * psize_f;
+        uint64_t mx = 0;
+        for (int i = 0; i < psize_f; i++) mx |= (uint64_t)seg[i];
+        const int maxbit = mx ? 64 - __builtin_clzll(mx) : 0;
+        const int rlim = maxbit < R ? maxbit : R;
+        for (int r = 0; r < rlim; r++) {
+            int64_t acc = 0;
+            for (int i = 0; i < psize_f; i++)
+                acc += (int64_t)(seg[i] >> r);
+            S[r] = acc;
+        }
+        for (int r = rlim; r < R; r++) S[r] = 0;
+    }
+    for (int l = pmax - 1; l >= 0; l--) {
+        const int off = (1 << l) - 1;
+        const int offc = (1 << (l + 1)) - 1;
+        for (int p = 0; p < (1 << l); p++) {
+            int64_t* D = &sums[(size_t)(off + p) * R];
+            const int64_t* A = &sums[(size_t)(offc + 2 * p) * R];
+            const int64_t* B = A + R;
+            for (int r = 0; r < R; r++) D[r] = A[r] + B[r];
+        }
+    }
+    static thread_local std::vector<int32_t> rtmp;
+    if ((int)rtmp.size() < parts_f) rtmp.resize(parts_f);
+    int64_t best_total = INT64_MAX;
+    int best_porder = 0;
+    for (int po = 0; po <= pmax; po++) {
+        const int parts = 1 << po;
+        const int psz = n >> po;
+        const int off = parts - 1;
+        int64_t total = 0;
+        int maxr = 0;
+        for (int p = 0; p < parts; p++) {
+            const int64_t* S = &sums[(size_t)(off + p) * R];
+            const int64_t count = psz - (p == 0 ? order : 0);
+            int64_t bc = INT64_MAX;
+            int br = 0;
+            for (int r = 0; r < R; r++) {
+                const int64_t c = S[r] + count * (int64_t)(1 + r);
+                if (c < bc) { bc = c; br = r; }
+            }
+            rtmp[p] = br;
+            if (br > maxr) maxr = br;
+            total += 4 + bc;
+        }
+        if (maxr > 14) total += parts;
+        if (total < best_total) {
+            best_total = total;
+            best_porder = po;
+            for (int p = 0; p < parts; p++) params_out[p] = rtmp[p];
+        }
+    }
+    *porder_out = best_porder;
+}
+
+extern "C" {
+
 // shared implementation; rb_words/rb_bits (nullable) carry
 // device-packed residual partition blocks (ops/pallas_bitpack.py):
 // when present, FIXED/LPC subframes splice the pre-packed bits
@@ -885,6 +982,7 @@ static int64_t flac_emit_frames_impl(
                                int32_t stream_channels,
                                int32_t qlp_precision,
                                int32_t compact,
+                               int32_t emit_max_rice,
                                uint8_t* out,
                                int64_t* out_lens,
                                int64_t out_capacity,
@@ -928,6 +1026,14 @@ static int64_t flac_emit_frames_impl(
     // additionally carry a runtime wrap check that falls back to the
     // int64 path on the (pathological-decision-array) overflow case
     const bool res32_ok = (stream_bps + 1 + 5) <= 31;
+
+    // emit-stage re-search bounds (emit_max_rice >= 0): the porder
+    // ceiling implied by the decision layout's partition capacity
+    // and the same predictor bound the analysis porder list used
+    int emit_max_porder = 0;
+    while ((1 << (emit_max_porder + 1)) <= max_partitions)
+        emit_max_porder++;
+    const int emit_pred_bound = max_order > 4 ? max_order : 4;
 
     const bool prof = emit_prof_on();
     uint64_t tp = prof ? emit_rdtsc() : 0;
@@ -1258,24 +1364,62 @@ static int64_t flac_emit_frames_impl(
 
             mark(EP_RESID);
             // residual block
-            const int n_partitions = 1 << porder;
-            int coding_method = 0;
-            for (int p = 0; p < n_partitions; p++)
-                if (params[p] > 14) coding_method = 1;
-            w2.put(coding_method, 2);
-            w2.put(porder, 4);
-
-            const int psize = block_size >> porder;
+            int porder_u = porder;
+            const int32_t* params_u = params;
             if (use32) {
-                // unit-stride zigzag pass (vectorizes), then a pure
-                // shift/or pack loop over u32 tokens; tokens combine
-                // in PAIRS when their joint width fits 64 bits (the
-                // common case at param <= 14), halving the length of
-                // the serial accumulator dependency chain
+                // unit-stride zigzag pass (vectorizes); derived
+                // before the residual header so the emit-stage
+                // re-search below can run on the exact tokens the
+                // pack loop will serialize
                 zigzag32(res32_buf, order, block_size, zz_buf);
                 mark(EP_ZZ);
+            }
+            if (emit_max_rice >= 0) {
+                // emit-stage exact entropy re-search (see
+                // emit_rice_research): override the analysis-stage
+                // (porder, params) with the exact-residual optimum
+                static thread_local std::vector<int32_t> rs_params;
+                if ((int64_t)rs_params.size() < max_block)
+                    rs_params.resize(max_block);
+                int rp = porder_u;
+                if (use32) {
+                    for (int i = 0; i < order; i++) zz_buf[i] = 0;
+                    emit_rice_research<uint32_t>(
+                        zz_buf, block_size, order, emit_max_porder,
+                        emit_pred_bound, emit_max_rice, &rp,
+                        rs_params.data());
+                } else {
+                    static thread_local std::vector<uint64_t> zz64;
+                    if ((int64_t)zz64.size() < max_block)
+                        zz64.resize(max_block);
+                    for (int i = 0; i < order; i++) zz64[i] = 0;
+                    for (int i = order; i < block_size; i++) {
+                        const int64_t r = res_buf[i];
+                        zz64[i] = (uint64_t)((r << 1) ^ (r >> 63));
+                    }
+                    emit_rice_research<uint64_t>(
+                        zz64.data(), block_size, order,
+                        emit_max_porder, emit_pred_bound,
+                        emit_max_rice, &rp, rs_params.data());
+                }
+                porder_u = rp;
+                params_u = rs_params.data();
+            }
+            const int n_partitions = 1 << porder_u;
+            int coding_method = 0;
+            for (int p = 0; p < n_partitions; p++)
+                if (params_u[p] > 14) coding_method = 1;
+            w2.put(coding_method, 2);
+            w2.put(porder_u, 4);
+
+            const int psize = block_size >> porder_u;
+            if (use32) {
+                // pure shift/or pack loop over u32 tokens; tokens
+                // combine in PAIRS when their joint width fits 64
+                // bits (the common case at param <= 14), halving the
+                // length of the serial accumulator dependency chain
                 for (int p = 0; p < n_partitions; p++) {
-                    const int param = params[p];
+                    const int param = params_u[p];
                     w2.put(param, coding_method ? 5 : 4);
                     const int start = (p == 0) ? order : p * psize;
                     const int end = (p + 1) * psize;
@@ -1376,7 +1520,7 @@ static int64_t flac_emit_frames_impl(
                 mark(EP_PACK);
             } else {
                 for (int p = 0; p < n_partitions; p++) {
-                    const int param = params[p];
+                    const int param = params_u[p];
                     w2.put(param, coding_method ? 5 : 4);
                     const int start = (p == 0) ? order : p * psize;
                     const int end = (p + 1) * psize;
@@ -1422,6 +1566,7 @@ int64_t atpu_flac_emit_frames2(const int32_t* blocks,
                                int32_t stream_channels,
                                int32_t qlp_precision,
                                int32_t compact,
+                               int32_t emit_max_rice,
                                uint8_t* out,
                                int64_t* out_lens,
                                int64_t out_capacity) {
@@ -1429,7 +1574,8 @@ int64_t atpu_flac_emit_frames2(const int32_t* blocks,
         blocks, frame_numbers, block_sizes, packed, n_frames,
         max_subframes, max_order, max_partitions, max_block,
         sample_rate, stream_bps, stream_channels, qlp_precision,
-        compact, out, out_lens, out_capacity, nullptr, nullptr, 0);
+        compact, emit_max_rice, out, out_lens, out_capacity,
+        nullptr, nullptr, 0);
 }
 
 // splice variant: residual partition blocks pre-packed on device
@@ -1455,11 +1601,13 @@ int64_t atpu_flac_emit_frames2rb(const int32_t* blocks,
                                  const uint32_t* rb_words,
                                  const int64_t* rb_bits,
                                  int64_t rb_stride) {
+    // splice mode serializes device-packed residual bits verbatim,
+    // so the emit-stage re-search never applies here (-1)
     return flac_emit_frames_impl(
         blocks, frame_numbers, block_sizes, packed, n_frames,
         max_subframes, max_order, max_partitions, max_block,
         sample_rate, stream_bps, stream_channels, qlp_precision,
-        compact, out, out_lens, out_capacity, rb_words, rb_bits,
+        compact, -1, out, out_lens, out_capacity, rb_words, rb_bits,
         rb_stride);
 }
 
@@ -1478,10 +1626,49 @@ extern "C" void atpu_md5_update_pcm(uint8_t* state,
                                     int32_t bytes_per_sample,
                                     int32_t is_signed);
 
+// the per-channel quantization shift t (spec: ops/qpack.plan_t).
+// Noise-adaptive coarsening (noise_extra > 0): blocks whose mean
+// |second difference| is >= 1.25x the mean |first difference| are
+// noise-dominated (white noise gives sqrt(3) ~= 1.73, tonal content
+// <= ~1.0 — differencing amplifies noise but cancels smooth
+// structure), so t gains noise_extra bits and the cap releases by 2;
+// the emit-stage exact entropy re-search keeps coded size unaffected
+// there while the wire width typically halves
+static inline int qplan_t_for(const int32_t* xb, int64_t n,
+                              int32_t bps, int32_t guard,
+                              int32_t cap_margin,
+                              int32_t noise_extra) {
+    if (n <= 2) return 0;
+    uint64_t sum1 = 0, sum2 = 0;
+    for (int64_t i = 2; i < n; i++) {
+        const int32_t d1 = xb[i] - xb[i - 1];
+        const int32_t d2 = d1 - (xb[i - 1] - xb[i - 2]);
+        sum1 += (uint32_t)(d1 < 0 ? -d1 : d1);
+        sum2 += (uint32_t)(d2 < 0 ? -d2 : d2);
+    }
+    const int32_t d0 = xb[1] - xb[0];
+    sum1 += (uint32_t)(d0 < 0 ? -d0 : d0);
+    const uint64_t m = sum2 / (uint64_t)(n - 2);
+    int extra = 0;
+    int margin = cap_margin;
+    // products stay < 2^58 for bps <= 30, n <= 2^16 (sums < 2^43)
+    if (noise_extra > 0 && m > 0 &&
+        4 * sum2 * (uint64_t)(n - 1) >= 5 * sum1 * (uint64_t)(n - 2)) {
+        extra = noise_extra;
+        margin = cap_margin > 2 ? cap_margin - 2 : 0;
+    }
+    const int cap = (bps > margin) ? (bps - margin) : 0;
+    int t = bit_length_u64(m) - 1 - guard + extra;
+    if (t < 0) t = 0;
+    if (t > cap) t = cap;
+    return t;
+}
+
 int32_t atpu_flac_qplan(const int32_t* blocks,   // [B, n, ch]
                         int64_t B, int64_t n, int64_t ch,
                         int32_t bps, int32_t guard,
                         int32_t cap_margin,      // t <= bps - margin
+                        int32_t noise_extra,
                         int32_t stereo_trial,
                         int32_t* t_out,          // [B, ch]
                         int32_t* x0_out,         // [B, ch]
@@ -1491,7 +1678,6 @@ int32_t atpu_flac_qplan(const int32_t* blocks,   // [B, n, ch]
     // md5_state: when non-null, the stream MD5 (packed little-endian
     // signed PCM at bps) is folded into this scan while each block is
     // cache-hot, replacing a separate full pass over the batch
-    const int cap = (bps > cap_margin) ? (bps - cap_margin) : 0;
     const int64_t V = (stereo_trial && ch == 2) ? 4 : ch;
     uint64_t max_u = 0;
 
@@ -1592,19 +1778,8 @@ int32_t atpu_flac_qplan(const int32_t* blocks,   // [B, n, ch]
             for (int64_t c = 0; c < 2; c++) {
                 const int32_t* xb = chan_buf + c * n;
                 x0_out[b * 2 + c] = xb[0];
-                int t = 0;
-                if (n > 2) {
-                    uint64_t sum2 = 0;
-                    for (int64_t j = 2; j < n; j++) {
-                        const int32_t d2 = xb[j] - 2 * xb[j - 1] +
-                                           xb[j - 2];
-                        sum2 += (uint32_t)(d2 < 0 ? -d2 : d2);
-                    }
-                    const uint64_t mean = sum2 / (uint64_t)(n - 2);
-                    t = bit_length_u64(mean) - 1 - guard;
-                    if (t < 0) t = 0;
-                    if (t > cap) t = cap;
-                }
+                const int t = qplan_t_for(xb, n, bps, guard,
+                                          cap_margin, noise_extra);
                 t_out[b * 2 + c] = t;
                 uint32_t wid = 0;
                 int32_t prev = xb[0] >> t;
@@ -1669,25 +1844,13 @@ int32_t atpu_flac_qplan(const int32_t* blocks,   // [B, n, ch]
         if (md5_state != nullptr)
             atpu_md5_update_pcm(md5_state, blk, n * ch, bps / 8, 1);
 
-        // t from mean |second difference|; then the diff width pass
+        // t from the first/second-difference scan (qplan_t_for);
+        // then the diff width pass
         for (int64_t c = 0; c < ch; c++) {
             const int32_t* xb = chan_buf + c * n;
             x0_out[b * ch + c] = xb[0];
-            int t = 0;
-            if (n > 2) {
-                // |d2| fits int32 for any bps <= 30 stream; partial
-                // int64 sums every element keep the total exact
-                uint64_t sum2 = 0;
-                for (int64_t i = 2; i < n; i++) {
-                    const int32_t d2 = xb[i] - 2 * xb[i - 1] +
-                                       xb[i - 2];
-                    sum2 += (uint32_t)(d2 < 0 ? -d2 : d2);
-                }
-                const uint64_t m = sum2 / (uint64_t)(n - 2);
-                t = bit_length_u64(m) - 1 - guard;
-                if (t < 0) t = 0;
-                if (t > cap) t = cap;
-            }
+            const int t = qplan_t_for(xb, n, bps, guard,
+                                      cap_margin, noise_extra);
             t_out[b * ch + c] = t;
 
             // max zigzag width of quantized first differences:

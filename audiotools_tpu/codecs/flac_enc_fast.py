@@ -146,7 +146,7 @@ def _analyze_jax(blocks, stereo_trial, bps_scalar, n, K, precision,
 
     key = (blocks.shape, blocks.dtype.str, stereo_trial, bps_scalar, n,
            K, precision, tuple(porders), max_rice, exhaustive,
-           mid_side, n_devices)
+           mid_side, n_devices, flac_frames._rice_mode())
     with _jax_cache_lock:
       if key not in _jax_analyze_cache:
         import jax.numpy as jnp
@@ -205,7 +205,7 @@ def _analyze_jax_pallas(blocks, stereo_trial, bps_scalar, n, K,
 
     key = ("pallas", blocks.shape, blocks.dtype.str, stereo_trial,
            bps_scalar, n, K, precision, tuple(porders), max_rice,
-           exhaustive, mid_side, n_words)
+           exhaustive, mid_side, n_words, flac_frames._rice_mode())
     with _jax_cache_lock:
       if key not in _jax_analyze_cache:
         import jax.numpy as jnp
@@ -272,7 +272,7 @@ def _analyze_jax_q(wire, k, W, ch, V, stereo_trial, bps_scalar,
 
     key = ("q", wire.shape, k, W, ch, V, stereo_trial, bps_scalar, n,
            K, precision, tuple(porders), max_rice, exhaustive,
-           mid_side, n_devices, E)
+           mid_side, n_devices, E, flac_frames._rice_mode())
     with _jax_cache_lock:
       if key not in _jax_analyze_cache:
         import jax.numpy as jnp

@@ -59,6 +59,14 @@ _ZIGZAG_BARRIER = os.environ.get("ATPU_ZIGZAG_BARRIER", "") not in ("", "0")
 PACKED_SCALARS = 6
 
 
+def _rice_mode():
+    """the analysis-stage Rice search flavor ("estimate" | "exact");
+    shared spec with the scalar oracle
+    (ref/flac_analysis.rice_search_mode) — read at TRACE time, so
+    jitted callers must key their caches on it"""
+    return os.environ.get("ATPU_DEVICE_RICE", "estimate")
+
+
 def _scope(xp, name):
     """jax.named_scope(name) for the jax backend (stage names appear
     in XLA profiles / HLO dumps, SURVEY.md par.5's tracing hook); a
@@ -354,22 +362,88 @@ def analyze_subframes(xp, X, bps, n, max_lpc_order, qlp_precision,
         C = 1
 
     # ---- Rice partition search ----------------------------------------
-    # EXACT over every (partition order, partition, Rice parameter)
-    # triple — the mean-based parameter estimate this replaces was
-    # measured ~15-30% off optimal coded size on swept tones (spiky
-    # residual distributions draw off-by-one-or-two parameters, which
-    # also skews the partition-order argmin toward 0).  Reference
-    # equivalent: src/encoders/flac.c best_rice_parameters / libFLAC's
-    # precise parameter search.
+    # Two spec'd flavors (ref/flac_analysis.rice_search_mode,
+    # ATPU_DEVICE_RICE):
     #
-    # One pass computes per-bit-position popcounts w_j over the FINEST
-    # partitions; coarser levels pair-sum (exact int32, w_j <= n).
-    # Then for any partition, sum(u >> r) satisfies the exact descent
-    #   sum(u >> r) = 2 * sum(u >> (r+1)) + w_r
-    # so every candidate parameter's exact bit count is a handful of
-    # integer-valued f64 ops (< 2^47: deterministic on every backend,
-    # immune to reduction reordering), with NO further reduces.
-    with _scope(xp, "flac.rice_search"):
+    # * "estimate" (default): per-partition |residual| sums at the
+    #   finest level (coarser by exact pair-sum), the Rice parameter
+    #   from the abs-sum threshold loop, then ONE exact msb sum at
+    #   that parameter.  ~1/5 the HBM traffic of the exact ladder;
+    #   model ranking/stereo assignment tolerate the estimate because
+    #   the FINAL (porder, params) are re-searched exactly on exact
+    #   residuals at emit time (hostkernels emit_rice_research).
+    # * "exact": every (partition order, partition, parameter) triple
+    #   exactly via per-bit-position popcounts w_j over the FINEST
+    #   partitions (coarser levels pair-sum; exact descent
+    #   sum(u >> r) = 2 * sum(u >> (r+1)) + w_r).  Reference
+    #   equivalent: src/encoders/flac.c best_rice_parameters.
+    rice_mode = _rice_mode()
+    if rice_mode != "exact":
+        with _scope(xp, "flac.rice_search"):
+            abs_res = xp.abs(cand_res)                     # [S, C, n]
+            u = xp.where(cand_res >= 0,
+                         cand_res << 1,
+                         ((-cand_res - 1) << 1) | 1)       # [S, C, n]
+            orders_f = cand_orders.astype(xp.float64)
+            pmax = porders[-1]
+            parts_max = 1 << pmax
+
+            # |residual| <= 2^(max_bps + 5) (order-4 fixed diffs
+            # dominate)
+            res_bits = max_bps + 5
+            seg_abs_by_p = [None] * (pmax + 1)
+            seg_abs_by_p[pmax] = exact_i32_sum(
+                xp, xp.reshape(abs_res, (S, C, parts_max, n >> pmax)),
+                chunk=sum_chunk_for(res_bits))
+            for p in range(pmax - 1, -1, -1):
+                fine = seg_abs_by_p[p + 1]
+                seg_abs_by_p[p] = fine[:, :, 0::2] + fine[:, :, 1::2]
+
+            rice_totals = []        # per porder: [S, C] f64
+            rice_params_by_p = []   # per porder: [S, C, parts] int32
+            for porder in porders:
+                parts = 1 << porder
+                psize = n >> porder
+                seg_abs = seg_abs_by_p[porder]             # [S,C,parts]
+                counts = xp.full((S, C, parts), float(psize),
+                                 dtype=xp.float64)
+                counts = _set_first_part(xp, counts,
+                                         psize - orders_f)
+                # r = min(smallest r with count*2^r >= sum, max_rice)
+                r = xp.zeros((S, C, parts), dtype=xp.int32)
+                for rr in range(max_rice):
+                    r = r + ((counts * float(1 << rr)) <
+                             seg_abs).astype(xp.int32)
+                # sum(u >> r) per partition (int32 shifts, exact f64
+                # totals); u <= 2^(max_bps + 6)
+                msb = (xp.reshape(u, (S, C, parts, psize)) >>
+                       r[:, :, :, None])
+                msb_sum = exact_i32_sum(
+                    xp, msb, chunk=sum_chunk_for(res_bits + 1))
+                part_bits = 4.0 + msb_sum + counts * (
+                    1.0 + r.astype(xp.float64))
+                rice_totals.append(xp.sum(part_bits, axis=2))
+                rice_params_by_p.append(r)
+            rice_totals = xp.stack(rice_totals, axis=2)    # [S, C, P]
+            best_porder_idx = xp.argmin(rice_totals, axis=2).astype(
+                xp.int32)                                  # first min
+            rice_bits = xp.min(rice_totals, axis=2)        # [S, C]
+
+            padded_params = xp.stack(
+                [xp.pad(p, [(0, 0), (0, 0),
+                            (0, parts_max - p.shape[2])])
+                 for p in rice_params_by_p], axis=2)   # [S,C,P,maxp]
+            chosen_params = xp.take_along_axis(
+                padded_params, best_porder_idx[:, :, None, None],
+                axis=2)[:, :, 0]                           # [S,C,maxp]
+            porder_values = xp.asarray(porders, dtype=xp.int32)
+            chosen_porder = porder_values[best_porder_idx] # [S, C]
+
+            method1 = xp.any(chosen_params > 14, axis=2)   # [S, C]
+            rice_bits = rice_bits + xp.where(
+                method1, _exp2i(xp, chosen_porder), 0.0)
+    else:
+      with _scope(xp, "flac.rice_search"):
         u = xp.where(cand_res >= 0,
                      cand_res << 1,
                      ((-cand_res - 1) << 1) | 1)               # [S, C, n] i32

@@ -79,33 +79,69 @@ def cap_margin():
                               str(_DEFAULT_CAP_MARGIN)))
 
 
-def plan_t(blocks, bps, guard=None, margin=None):
+_DEFAULT_NOISE_EXTRA = 2
+
+
+def noise_extra():
+    """extra quantization shift for noise-dominated blocks (0 = off)
+
+    Blocks whose mean |second difference| is >= 1.25x the mean
+    |first difference| are noise-dominated (white noise gives
+    sqrt(3) ~= 1.73, tonal content <= ~1.0: differencing amplifies
+    noise but cancels smooth structure).  Their predictor decisions
+    tolerate a coarser analysis step, so t gains this many bits and
+    the cap releases by 2 — typically HALVING the wire width on
+    noise program material.  The emit-stage exact entropy re-search
+    (ref/flac_enc.emit_rice_search) re-derives (porder, Rice params)
+    from exact residuals either way, so coded size stays at or below
+    the exact-t result on such content (measured); tonal blocks are
+    untouched by construction."""
+    return int(os.environ.get("ATPU_QPACK_NOISE_EXTRA",
+                              str(_DEFAULT_NOISE_EXTRA)))
+
+
+def plan_t(blocks, bps, guard=None, margin=None, extra=None):
     """chooses the per-(block, channel) quantization shift t
 
     blocks: int32 [B, n, ch] exact samples
     returns t int32 [B, ch]
 
     spec (pure integer, any-backend deterministic):
-      sum2 = sum_{i=2..n-1} |x[i] - 2*x[i-1] + x[i-2]|   (exact int64)
+      sum1 = sum_{i=1..n-1} |x[i] - x[i-1]|               (exact int64)
+      sum2 = sum_{i=2..n-1} |x[i] - 2*x[i-1] + x[i-2]|    (exact int64)
       m    = sum2 // (n - 2)                  (0 when n <= 2)
-      t    = clamp(bit_length(m) - 1 - guard, 0,
-                   max(bps - cap_margin(), 0))
+      noise = (m > 0) and 4*sum2*(n-1) >= 5*sum1*(n-2)
+      e     = noise_extra() if noise else 0
+      marg  = max(cap_margin() - 2, 0) if (noise and e) else
+              cap_margin()
+      t    = clamp(bit_length(m) - 1 - guard + e, 0,
+                   max(bps - marg, 0))
 
     The mean |second difference| tracks the coding-residual scale
     (it is the order-2 fixed predictor's mean error); keeping the
     step 2**guard below it bounds decision perturbation.  Constant
-    blocks have sum2 == 0 and stay exact (t = 0)."""
+    blocks have sum2 == 0 and stay exact (t = 0).  The noise test
+    (mean |d2| >= 1.25x mean |d1|) detects noise-dominated blocks —
+    see noise_extra() for why those coarsen further."""
     if guard is None:
         guard = guard_bits()
     if margin is None:
         margin = cap_margin()
+    if extra is None:
+        extra = noise_extra()
     blocks = np.asarray(blocks)
     (B, n, ch) = blocks.shape
     if n <= 2:
         return np.zeros((B, ch), dtype=np.int32)
     x = blocks.astype(np.int64)
+    d1 = np.abs(x[:, 1:, :] - x[:, :-1, :])
+    sum1 = d1.sum(axis=1)                                  # [B, ch]
     d2 = np.abs(x[:, 2:, :] - 2 * x[:, 1:-1, :] + x[:, :-2, :])
-    m = d2.sum(axis=1) // (n - 2)                          # [B, ch]
+    sum2 = d2.sum(axis=1)                                  # [B, ch]
+    m = sum2 // (n - 2)
+    noise = (m > 0) & (4 * sum2 * (n - 1) >= 5 * sum1 * (n - 2))
+    if extra <= 0:
+        noise = np.zeros_like(noise)
     # bit_length via log-free integer loop (m < 2^33)
     bl = np.zeros_like(m)
     mm = m.copy()
@@ -115,8 +151,11 @@ def plan_t(blocks, bps, guard=None, margin=None):
             break
         bl += live
         mm >>= 1
-    cap = max(int(bps) - int(margin), 0)
-    return np.clip(bl - 1 - guard, 0, cap).astype(np.int32)
+    cap = np.where(noise,
+                   max(int(bps) - max(int(margin) - 2, 0), 0),
+                   max(int(bps) - int(margin), 0))
+    t = bl - 1 - guard + np.where(noise, int(extra), 0)
+    return np.clip(t, 0, cap).astype(np.int32)
 
 
 def quantize(xp, blocks, t):

@@ -366,23 +366,38 @@ def qpack_cap_margin():
     return int(os.environ.get("ATPU_QPACK_CAP", "6"))
 
 
+def qpack_noise_extra():
+    import os
+    return int(os.environ.get("ATPU_QPACK_NOISE_EXTRA", "2"))
+
+
 def plan_t(channel, bps_eff, block_size):
     """per-channel quantization shift t for one (LSB-shifted) channel
 
-    Same pure-integer spec as the FLAC plan (ops/qpack.plan_t):
-    t = clamp(bit_length(mean |second difference|) - 1 - guard, 0,
-    max(bps_eff - cap_margin, 0)), computed over the channel
-    zero-padded to block_size (the fast path plans over full padded
-    batch rows, so tails see the identical t)."""
+    Same pure-integer spec as the FLAC plan (ops/qpack.plan_t) incl.
+    the noise-adaptive coarsening (noise-dominated blocks — mean |d2|
+    >= 1.25x mean |d1| — add noise_extra bits and release the cap by
+    2), computed over the channel zero-padded to block_size (the fast
+    path plans over full padded batch rows, so tails see the
+    identical t)."""
     n = block_size
     if n <= 2:
         return 0
     x = np.zeros(n, dtype=np.int64)
     x[:len(channel)] = channel
+    sum1 = int(np.abs(x[1:] - x[:-1]).sum())
     d2 = np.abs(x[2:] - 2 * x[1:-1] + x[:-2])
-    m = int(d2.sum()) // (n - 2)
-    cap = max(int(bps_eff) - qpack_cap_margin(), 0)
-    return min(max(m.bit_length() - 1 - qpack_guard(), 0), cap)
+    sum2 = int(d2.sum())
+    m = sum2 // (n - 2)
+    extra = qpack_noise_extra()
+    e = 0
+    marg = qpack_cap_margin()
+    if (extra > 0 and m > 0 and
+            4 * sum2 * (n - 1) >= 5 * sum1 * (n - 2)):
+        e = extra
+        marg = max(marg - 2, 0)
+    cap = max(int(bps_eff) - marg, 0)
+    return min(max(m.bit_length() - 1 - qpack_guard() + e, 0), cap)
 
 
 def quantize_channel(channel, t):

@@ -69,14 +69,25 @@ def qpack_cap_margin():
     return int(os.environ.get("ATPU_QPACK_CAP", "6"))
 
 
+def qpack_noise_extra():
+    import os
+    return int(os.environ.get("ATPU_QPACK_NOISE_EXTRA", "2"))
+
+
 def plan_t(samples, bps):
     """per-channel quantization shift t for one block
 
     samples: int [n, ch] exact; returns list of ch ints.  Spec (pure
-    integer): t = clamp(bit_length(mean |second difference|) - 1 -
-    guard, 0, max(bps - cap_margin, 0))."""
+    integer, mirrors ops/qpack.plan_t): with sum1/sum2 the exact
+    |first|/|second| difference sums and m = sum2 // (n - 2), a block
+    is noise-dominated when m > 0 and 4*sum2*(n-1) >= 5*sum1*(n-2)
+    (mean |d2| >= 1.25x mean |d1|); such blocks add noise_extra bits
+    to t and release the cap by 2, others keep
+    t = clamp(bit_length(m) - 1 - guard, 0, max(bps - cap_margin,
+    0))."""
     guard = qpack_guard()
-    cap = max(int(bps) - qpack_cap_margin(), 0)
+    margin = qpack_cap_margin()
+    extra = qpack_noise_extra()
     (n, ch) = samples.shape
     out = []
     for c in range(ch):
@@ -84,9 +95,18 @@ def plan_t(samples, bps):
             out.append(0)
             continue
         x = samples[:, c].astype(np.int64)
+        sum1 = int(np.abs(x[1:] - x[:-1]).sum())
         d2 = np.abs(x[2:] - 2 * x[1:-1] + x[:-2])
-        m = int(d2.sum()) // (n - 2)
-        out.append(min(max(m.bit_length() - 1 - guard, 0), cap))
+        sum2 = int(d2.sum())
+        m = sum2 // (n - 2)
+        e = 0
+        marg = margin
+        if (extra > 0 and m > 0 and
+                4 * sum2 * (n - 1) >= 5 * sum1 * (n - 2)):
+            e = extra
+            marg = max(margin - 2, 0)
+        cap = max(int(bps) - marg, 0)
+        out.append(min(max(m.bit_length() - 1 - guard + e, 0), cap))
     return out
 
 
@@ -126,13 +146,65 @@ def variant_sideband(samples, stereo_trial):
 # per-subframe analysis
 # ---------------------------------------------------------------------
 
+def rice_search_mode():
+    """the analysis-stage Rice search flavor (ATPU_DEVICE_RICE):
+
+    * "estimate" (default): per-partition parameter from the
+      abs-sum threshold loop, ONE exact msb sum at that parameter —
+      1/5 the device memory traffic of the exact ladder.  Model
+      ranking and stereo assignment tolerate the estimate because
+      the FINAL (porder, params) are re-searched exactly on exact
+      residuals at emit time (ref/flac_enc.emit_rice_search).
+    * "exact": every (porder, partition, parameter) triple exactly
+      (the bit-plane popcount ladder on device)."""
+    import os
+    return os.environ.get("ATPU_DEVICE_RICE", "estimate")
+
+
+def _rice_search_estimate(res_aligned, order, n, porders, max_rice):
+    """estimate-mode Rice partition search (see rice_search_mode)
+
+    res_aligned: int64 [n] with warm-up positions (< order) zero.
+    returns (porder, params list, bits); first-minimum over the
+    contiguous porder list (strict <)."""
+    absr = np.abs(res_aligned)
+    u = np.where(res_aligned >= 0,
+                 res_aligned << 1,
+                 ((-res_aligned - 1) << 1) | 1).astype(np.int64)
+    best = None
+    for porder in porders:
+        parts = 1 << porder
+        psize = n >> porder
+        seg = absr.reshape(parts, psize).sum(axis=1)
+        counts = np.full(parts, float(psize))
+        counts[0] = float(psize - order)
+        # r = min(smallest r with count*2^r >= sum, max_rice)
+        r = np.zeros(parts, dtype=np.int64)
+        for rr in range(max_rice):
+            r += (counts * float(1 << rr) < seg)
+        msb = u.reshape(parts, psize) >> r[:, None]
+        part_bits = 4.0 + msb.sum(axis=1) + counts * (1.0 + r)
+        total = float(part_bits.sum())
+        if best is None or total < best[2]:
+            best = (porder, [int(v) for v in r], total)
+    (porder, params, bits) = best
+    if max(params) > 14:
+        bits += float(1 << porder)
+    return (porder, params, bits)
+
+
 def _rice_search(res_aligned, order, n, porders, max_rice):
     """Rice partition search for one candidate's residuals
+    (dispatches on rice_search_mode; the exact body below mirrors the
+    device bit-plane ladder)
 
     res_aligned: int64 [n] with warm-up positions (< order) zero.
     returns (porder, params list, bits) — bits includes the
     coding-method-1 5-bit parameter correction.  First-minimum over
     the contiguous porder list (strict <)."""
+    if rice_search_mode() != "exact":
+        return _rice_search_estimate(res_aligned, order, n, porders,
+                                     max_rice)
     u = np.where(res_aligned >= 0,
                  res_aligned << 1,
                  ((-res_aligned - 1) << 1) | 1).astype(np.int64)

@@ -410,6 +410,55 @@ def lpc_residuals(samples, qlp_coeffs, qlp_shift):
                            qlp_shift)[order:]
 
 
+def emit_exact_rice_enabled():
+    """whether the emit-stage exact entropy re-search is active
+    (default on): the final (porder, Rice params) of every FIXED/LPC
+    subframe are re-searched EXACTLY on the exact residuals at
+    serialization time, independent of the (possibly
+    quantized-upload) analysis that chose the predictor.  Pure-int64
+    spec shared with the C++ emitter
+    (_native/hostkernels.cpp emit_rice_research)."""
+    import os
+    return os.environ.get("ATPU_EMIT_EXACT_RICE", "1") != "0"
+
+
+def emit_rice_search(res_aligned, order, n, porders, max_rice):
+    """emit-stage EXACT Rice entropy search (pure-int64 spec)
+
+    res_aligned: int64 [n] residuals at absolute positions (warmup
+    entries < order are zero).  Searches every (porder in porders,
+    partition, parameter in 0..max_rice) triple over the EXACT coded
+    cost count*(1+r) + sum(u >> r), partition header 4 bits each plus
+    one extra bit per partition when any chosen parameter escapes to
+    coding method 1.  First minimum wins on both axes (strict <,
+    ascending porder / ascending r).  Returns (porder, params list).
+
+    This is the stage the C++ emitter mirrors bit-exactly; unlike the
+    analysis-stage ``ref/flac_analysis._rice_search`` it runs on
+    exact residuals and in pure integer arithmetic, so byte-identity
+    never depends on float tie-breaking."""
+    u = np.where(res_aligned >= 0,
+                 res_aligned << 1,
+                 ((-res_aligned - 1) << 1) | 1).astype(np.int64)
+    best = None
+    for porder in porders:
+        parts = 1 << porder
+        psize = n >> porder
+        useg = u.reshape(parts, psize)
+        counts = np.full(parts, psize, dtype=np.int64)
+        counts[0] = psize - order
+        cand = np.stack(
+            [(useg >> rr).sum(axis=1) + counts * (1 + rr)
+             for rr in range(max_rice + 1)], axis=1)     # [parts, R]
+        r = np.argmin(cand, axis=1)                      # first min
+        total = int(cand[np.arange(parts), r].sum()) + 4 * parts
+        if int(r.max()) > 14:
+            total += parts
+        if best is None or total < best[2]:
+            best = (porder, [int(v) for v in r], total)
+    return (best[0], best[1])
+
+
 def write_residual_block(t, block_size, order, porder, params,
                          res_aligned):
     """writes a residual partition block from chosen parameters
@@ -434,10 +483,15 @@ def write_residual_block(t, block_size, order, porder, params,
 
 
 def serialize_subframe(t, sub_bps, samples, choice, wasted, order,
-                       porder, shift, precision, qlp, rice):
+                       porder, shift, precision, qlp, rice,
+                       respec=None):
     """serializes one subframe from its decision row
 
-    samples: int64 [n] variant samples (pre-wasted-shift)"""
+    samples: int64 [n] variant samples (pre-wasted-shift)
+    respec: optional (porders, max_rice) — when given, FIXED/LPC
+    subframes re-search (porder, rice) exactly on the exact
+    residuals (emit_rice_search) instead of trusting the analysis
+    decision row"""
     from .flac_analysis import (CHOICE_CONSTANT, CHOICE_VERBATIM,
                                 CHOICE_FIXED)
     n = len(samples)
@@ -478,6 +532,9 @@ def serialize_subframe(t, sub_bps, samples, choice, wasted, order,
             t.write_signed(precision, int(c))
         res = exact_residuals(samp, [int(c) for c in qlp[:order]],
                               shift)
+    if respec is not None:
+        (porder, rice) = emit_rice_search(res, order, n,
+                                          respec[0], respec[1])
     write_residual_block(t, n, order, porder, rice, res)
 
 
@@ -521,6 +578,12 @@ def encode_frame(pcmreader, options, frame_number, samples):
     else:
         (assignment, decisions, variants) = flac_analysis.analyze_frame(
             np.asarray(samples, dtype=np.int64), bps, options)
+        respec = None
+        if emit_exact_rice_enabled():
+            respec = (flac_analysis.valid_partition_orders(
+                n, options.max_residual_partition_order,
+                max(options.max_lpc_order, 4)),
+                options.max_rice_parameter)
         for (s, (dec, var)) in enumerate(zip(decisions, variants)):
             sub_bps = bps
             if ((assignment == 8 and s == 1) or
@@ -533,7 +596,8 @@ def encode_frame(pcmreader, options, frame_number, samples):
                 order=dec["order"], porder=dec["porder"],
                 shift=dec["shift"],
                 precision=options.qlp_precision,
-                qlp=dec["qlp"], rice=dec["rice"])
+                qlp=dec["qlp"], rice=dec["rice"],
+                respec=respec)
 
     header = frame_header_tokens(pcmreader, frame_number, n, assignment)
     header_bytes = header.to_bytes()

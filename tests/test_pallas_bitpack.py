@@ -139,6 +139,11 @@ def _encode_bytes(arr, bps, backend, monkeypatch, pallas):
     # the host baseline must analyze the same (exact) samples or its
     # decisions legitimately differ by a few bits per frame
     monkeypatch.setenv("ATPU_FLAC_QPACK", "0")
+    # the splice path serializes the DEVICE-chosen (porder, params)
+    # verbatim, so the host baseline must not re-search them at emit
+    # (the analysis search is already exact on exact uploads; only
+    # tie-breaking could differ between the two searches)
+    monkeypatch.setenv("ATPU_EMIT_EXACT_RICE", "0")
     fl = pcm.FrameList._wrap(arr, bps)
     mask = {1: 4, 2: 3}[arr.shape[1]]
     reader = PCMReader(io.BytesIO(fl.to_bytes(False, bps > 8)),

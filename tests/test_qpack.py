@@ -102,12 +102,17 @@ def test_quiet_signals_stay_exact():
     x = _signal(3, 4096, 2, 16, 0.5, seed=9)
     t = qpack.plan_t(x, 16)
     assert int(t.max()) == 0
-    # analysis always keeps >= cap_margin significant bits
+    # analysis keeps >= cap_margin significant bits; noise-dominated
+    # blocks may release the cap by 2 (noise-adaptive coarsening)
     x8 = _signal(3, 4096, 1, 8, 40.0)
     assert int(qpack.plan_t(x8, 8).max()) <= max(
+        8 - max(qpack.cap_margin() - 2, 0), 0)
+    # with the adaptive coarsening off the strict margin holds
+    assert int(qpack.plan_t(x8, 8, extra=0).max()) <= max(
         8 - qpack.cap_margin(), 0)
-    # the legacy conservative margin pins loud 8-bit audio at t == 0
-    assert int(qpack.plan_t(x8, 8, margin=8).max()) == 0
+    # ... and the legacy conservative margin pins loud 8-bit audio
+    # at t == 0
+    assert int(qpack.plan_t(x8, 8, margin=8, extra=0).max()) == 0
 
 
 def test_encode_roundtrip_with_qpack():
@@ -235,3 +240,108 @@ def test_patched_encode_backend_identity():
     b2 = io.BytesIO()
     encode_flac_fast(b2, reader(), backend="jax", **opts)
     assert b2.getvalue() == data
+
+
+def test_noise_adaptive_plan():
+    """noise-dominated blocks coarsen by noise_extra and release the
+    cap by 2; tonal blocks keep the exact-guard t (spec: plan_t)"""
+    rng = np.random.default_rng(31)
+    n = 4096
+    t_ax = np.arange(n)
+    noise = rng.integers(-800, 800, (1, n, 1)).astype(np.int32)
+    tone = (9000 * np.sin(2 * np.pi * 441 * t_ax / 44100)
+            )[None, :, None].astype(np.int32)
+    t_noise = int(qpack.plan_t(noise, 16)[0, 0])
+    t_noise_off = int(qpack.plan_t(noise, 16, extra=0)[0, 0])
+    assert t_noise == t_noise_off + qpack.noise_extra()
+    t_tone = int(qpack.plan_t(tone, 16)[0, 0])
+    t_tone_off = int(qpack.plan_t(tone, 16, extra=0)[0, 0])
+    assert t_tone == t_tone_off          # tonal: untouched
+    # the C++ planner agrees exactly on both (via flac_qpack's t)
+    for arr in (noise, tone):
+        arr2 = np.concatenate([arr, arr], axis=2)  # stereo
+        (_q, _k, t_c, _x0, _orv, _cf) = _native.flac_qpack(
+            arr2, 16, 0, True)
+        t_py = qpack.plan_t(arr2, 16)
+        assert np.array_equal(t_c, t_py)
+    # constant / near-linear blocks stay exact
+    const = np.full((1, n, 1), 1234, dtype=np.int32)
+    assert int(qpack.plan_t(const, 16)[0, 0]) == 0
+    ramp = (t_ax[None, :, None] * 3).astype(np.int32)
+    assert int(qpack.plan_t(ramp, 16)[0, 0]) == 0
+
+
+def test_emit_exact_rice_research():
+    """the emit-stage exact entropy re-search (C++ emit_rice_research
+    via flac_emit_frames2) matches the scalar spec
+    (ref/flac_enc.emit_rice_search) and never enlarges output"""
+    from audiotools_tpu.codecs.flac_enc_fast import encode_flac_fast
+    from audiotools_tpu.ref.flac_enc import (
+        encode_flac as oracle_encode, emit_rice_search)
+    from audiotools_tpu.ref.flac_analysis import (
+        valid_partition_orders, _rice_search)
+
+    # spec-level: on exact residuals the emit search finds a total
+    # no worse than the analysis search's choice
+    rng = np.random.default_rng(7)
+    n = 1024
+    res = rng.integers(-5000, 5000, n).astype(np.int64)
+    res[:3] = 0
+    porders = valid_partition_orders(n, 6, 12)
+    (po_e, params_e) = emit_rice_search(res, 3, n, porders, 14)
+    assert po_e in porders
+    assert all(0 <= p <= 14 for p in params_e)
+    (po_a, params_a, bits_a) = _rice_search(res, 3, n, porders, 14)
+
+    def exact_bits(porder, params):
+        u = np.where(res >= 0, res << 1,
+                     ((-res - 1) << 1) | 1).astype(np.int64)
+        parts = 1 << porder
+        psize = n >> porder
+        useg = u.reshape(parts, psize)
+        counts = np.full(parts, psize, dtype=np.int64)
+        counts[0] = psize - 3
+        total = 0
+        for p in range(parts):
+            r = params[p]
+            total += 4 + int((useg[p] >> r).sum()) + \
+                int(counts[p]) * (1 + r)
+        if max(params) > 14:
+            total += parts
+        return total
+
+    assert exact_bits(po_e, params_e) <= exact_bits(po_a, params_a)
+
+    # end-to-end: re-search output decodes losslessly, matches the
+    # oracle byte-for-byte, and is never larger than no-re-search
+    arr = np.clip(np.stack(
+        [3000 * np.sin(np.arange(4096 * 3) * 0.02),
+         3000 * np.sin(np.arange(4096 * 3) * 0.031)], axis=1) +
+        rng.normal(0, 900, (4096 * 3, 2)), -32768, 32767).astype(
+            np.int32)
+
+    def reader():
+        fl = pcm.FrameList._wrap(arr, 16)
+        return PCMReader(io.BytesIO(fl.to_bytes(False, True)),
+                         44100, 2, 3, 16)
+
+    opts = dict(block_size=4096, max_lpc_order=8, mid_side=True,
+                exhaustive_model_search=False,
+                max_residual_partition_order=5, batch_frames=3)
+    sizes = {}
+    for flag in ("1", "0"):
+        os.environ["ATPU_EMIT_EXACT_RICE"] = flag
+        try:
+            b1 = io.BytesIO()
+            b2 = io.BytesIO()
+            oracle_encode(b1, reader(), padding_bytes=None,
+                          block_size=4096, max_lpc_order=8,
+                          mid_side=True,
+                          max_residual_partition_order=5)
+            encode_flac_fast(b2, reader(), padding_size=None,
+                             backend="numpy", **opts)
+            assert b1.getvalue() == b2.getvalue()
+            sizes[flag] = len(b2.getvalue())
+        finally:
+            os.environ.pop("ATPU_EMIT_EXACT_RICE", None)
+    assert sizes["1"] <= sizes["0"]
