@@ -727,14 +727,19 @@ def encode_flac_fast(file_or_path,
            predictor (the decisions' own coefficients — a tone's
            LPC fit survives sample quantization since the tone still
            dominates the autocorrelation) and take the mean |residual|.
-           Genuinely tonal frames collapse to far below the
-           quantization step (bits <= t - 2); boundary noise stays at
-           the step's scale and never retries.
+           Genuinely tonal frames collapse to far below the BASE
+           quantization step (bits <= t_base - 2, where t_base is the
+           plan_t shift WITHOUT the noise-adaptive extra — a
+           noise-classified block's step sits deliberately above its
+           LPC-residual scale, which is incompressible noise, not a
+           buried tone); boundary noise stays at the step's scale and
+           never retries.
 
         returns bool [B]"""
         B = packed.shape[0]
         flags = np.zeros(B, dtype=bool)
         t_frame = t_arr[:B].max(axis=1)
+        t_base = qpack.plan_t(blocks, bps, extra=0).max(axis=1)
         pidx = np.arange(P, dtype=np.int32)[None, :]
         assignment = packed[:, 0] & 0xF
         fields = [_sub_fields(packed, s) for s in range(max_subframes)]
@@ -767,7 +772,7 @@ def encode_flac_fast(file_or_path,
                     pred += q[j] * x[o - 1 - j:n - 1 - j]
                 res = x[o:] - (pred >> sh)
                 m = int(np.abs(res).sum()) // max(n - o, 1)
-                if m.bit_length() <= int(t_frame[f]) - 2:
+                if m.bit_length() <= int(t_base[f]) - 2:
                     tonal = True
                     break
             flags[f] = tonal

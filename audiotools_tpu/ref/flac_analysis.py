@@ -74,7 +74,7 @@ def qpack_noise_extra():
     return int(os.environ.get("ATPU_QPACK_NOISE_EXTRA", "2"))
 
 
-def plan_t(samples, bps):
+def plan_t(samples, bps, extra=None):
     """per-channel quantization shift t for one block
 
     samples: int [n, ch] exact; returns list of ch ints.  Spec (pure
@@ -84,10 +84,12 @@ def plan_t(samples, bps):
     (mean |d2| >= 1.25x mean |d1|); such blocks add noise_extra bits
     to t and release the cap by 2, others keep
     t = clamp(bit_length(m) - 1 - guard, 0, max(bps - cap_margin,
-    0))."""
+    0)).  extra=0 yields the BASE plan (the floor-retry probe's
+    threshold reference)."""
     guard = qpack_guard()
     margin = qpack_cap_margin()
-    extra = qpack_noise_extra()
+    if extra is None:
+        extra = qpack_noise_extra()
     (n, ch) = samples.shape
     out = []
     for c in range(ch):
@@ -434,6 +436,11 @@ def analyze_frame(samples, bps, options):
         # step (mean-|residual| bits <= t - 2) and re-analyze exactly;
         # noise stays at the step's scale and keeps the fast decisions
         t_frame = int(max(t))
+        # the stage-2 probe threshold references the BASE plan
+        # (noise-adaptive extra removed): a noise-classified block's
+        # coarser step deliberately sits above its LPC-residual
+        # scale, which is incompressible noise, not a buried tone
+        t_base = int(max(plan_t(samples, bps, extra=0)))
         candidates = [
             dec for dec in chosen
             if (dec["choice"] in (CHOICE_FIXED, CHOICE_LPC) and
@@ -464,7 +471,7 @@ def analyze_frame(samples, bps, options):
                     pred += q[j] * x[o - 1 - j:n - 1 - j]
                 res = x[o:] - (pred >> sh)
                 m = int(np.abs(res).sum()) // max(n - o, 1)
-                if m.bit_length() <= t_frame - 2:
+                if m.bit_length() <= t_base - 2:
                     floor_limited = True
                     break
         if floor_limited:
