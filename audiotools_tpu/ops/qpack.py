@@ -79,23 +79,28 @@ def cap_margin():
                               str(_DEFAULT_CAP_MARGIN)))
 
 
-_DEFAULT_NOISE_EXTRA = 2
+_DEFAULT_NOISE_EXTRA = 0
 
 
 def noise_extra():
-    """extra quantization shift for noise-dominated blocks (0 = off)
+    """extra quantization shift for noise-dominated blocks (0 = off,
+    the DEFAULT)
 
     Blocks whose mean |second difference| is >= 1.25x the mean
     |first difference| are noise-dominated (white noise gives
     sqrt(3) ~= 1.73, tonal content <= ~1.0: differencing amplifies
-    noise but cancels smooth structure).  Their predictor decisions
-    tolerate a coarser analysis step, so t gains this many bits and
-    the cap releases by 2 — typically HALVING the wire width on
-    noise program material.  The emit-stage exact entropy re-search
-    (ref/flac_enc.emit_rice_search) re-derives (porder, Rice params)
-    from exact residuals either way, so coded size stays at or below
-    the exact-t result on such content (measured); tonal blocks are
-    untouched by construction."""
+    noise but cancels smooth structure).  With ATPU_QPACK_NOISE_EXTRA
+    > 0 such blocks add that many bits to t with the cap released by
+    2 — typically HALVING the wire width on noise program material.
+    Ships OFF: on tone+noise mixtures (d2/d1 ~1.4) the d2 scale
+    overestimates the LPC-achievable residual, so a step 4x the d2
+    scale buries the tones' fit in quantization noise (+2.8% coded
+    size measured on the bench mix at extra=2, emit re-search active
+    — the entropy stage is exact either way; it is the PREDICTOR fit
+    that degrades).  Pure-noise content measures at-or-better with
+    the coarser step; a content-adaptive step keyed to the achieved
+    residual scale (not the d2 proxy) could re-enable this per
+    channel."""
     return int(os.environ.get("ATPU_QPACK_NOISE_EXTRA",
                               str(_DEFAULT_NOISE_EXTRA)))
 

@@ -368,7 +368,7 @@ def qpack_cap_margin():
 
 def qpack_noise_extra():
     import os
-    return int(os.environ.get("ATPU_QPACK_NOISE_EXTRA", "2"))
+    return int(os.environ.get("ATPU_QPACK_NOISE_EXTRA", "0"))
 
 
 def plan_t(channel, bps_eff, block_size):

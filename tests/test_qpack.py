@@ -251,19 +251,21 @@ def test_noise_adaptive_plan():
     noise = rng.integers(-800, 800, (1, n, 1)).astype(np.int32)
     tone = (9000 * np.sin(2 * np.pi * 441 * t_ax / 44100)
             )[None, :, None].astype(np.int32)
-    t_noise = int(qpack.plan_t(noise, 16)[0, 0])
+    t_noise = int(qpack.plan_t(noise, 16, extra=2)[0, 0])
     t_noise_off = int(qpack.plan_t(noise, 16, extra=0)[0, 0])
-    assert t_noise == t_noise_off + qpack.noise_extra()
-    t_tone = int(qpack.plan_t(tone, 16)[0, 0])
+    assert t_noise == t_noise_off + 2
+    t_tone = int(qpack.plan_t(tone, 16, extra=2)[0, 0])
     t_tone_off = int(qpack.plan_t(tone, 16, extra=0)[0, 0])
     assert t_tone == t_tone_off          # tonal: untouched
-    # the C++ planner agrees exactly on both (via flac_qpack's t)
+    # the C++ planner agrees exactly on both, with and without the
+    # adaptive extra (via flac_qpack's t)
     for arr in (noise, tone):
-        arr2 = np.concatenate([arr, arr], axis=2)  # stereo
-        (_q, _k, t_c, _x0, _orv, _cf) = _native.flac_qpack(
-            arr2, 16, 0, True)
-        t_py = qpack.plan_t(arr2, 16)
-        assert np.array_equal(t_c, t_py)
+        for extra in (0, 2):
+            arr2 = np.concatenate([arr, arr], axis=2)  # stereo
+            (_q, _k, t_c, _x0, _orv, _cf) = _native.flac_qpack(
+                arr2, 16, 0, True, noise_extra=extra)
+            t_py = qpack.plan_t(arr2, 16, extra=extra)
+            assert np.array_equal(t_c, t_py)
     # constant / near-linear blocks stay exact
     const = np.full((1, n, 1), 1234, dtype=np.int32)
     assert int(qpack.plan_t(const, 16)[0, 0]) == 0
