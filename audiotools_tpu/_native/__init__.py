@@ -151,18 +151,20 @@ def _build_and_load():
         ctypes.c_int32,                   # qlp_precision
         ctypes.c_int32,                   # compact row layout flag
         ctypes.c_int32,                   # emit_max_rice (-1 = off)
+        ctypes.POINTER(ctypes.c_int32),   # probe_thr [F] (nullable)
+        ctypes.POINTER(ctypes.c_uint8),   # probe_out [F] (nullable)
         ctypes.POINTER(ctypes.c_uint8),   # out
         ctypes.POINTER(ctypes.c_int64),   # out_lens (cumulative ends)
         ctypes.c_int64,                   # out_capacity
     ]
 
     lib.atpu_flac_emit_frames2rb.restype = ctypes.c_int64
-    # the rb (splice) entry has no emit_max_rice — device-packed
-    # residual bits serialize verbatim, the re-search never applies
+    # the rb (splice) entry has no emit_max_rice / floor probe —
+    # device-packed residual bits serialize verbatim
     lib.atpu_flac_emit_frames2rb.argtypes = (
         [a for (i, a) in
          enumerate(lib.atpu_flac_emit_frames2.argtypes)
-         if i != 14] + [
+         if i not in (14, 15, 16)] + [
             ctypes.POINTER(ctypes.c_uint32),  # rb_words
             ctypes.POINTER(ctypes.c_int64),   # rb_bits
             ctypes.c_int64,                   # rb_stride
@@ -581,7 +583,8 @@ def flac_emit_frames2(blocks, frame_numbers, block_sizes, packed,
                       sample_rate, stream_bps, stream_channels,
                       qlp_precision, compact=False,
                       rb_words=None, rb_bits=None,
-                      emit_max_rice=None):
+                      emit_max_rice=None,
+                      probe_thr=None, probe_out=None):
     """emits FLAC frames from raw PCM blocks + packed decision rows
 
     blocks: int32 [n_frames, max_block, channels] interleaved PCM
@@ -599,6 +602,13 @@ def flac_emit_frames2(blocks, frame_numbers, block_sizes, packed,
             standard 14/30 bound from stream_bps when
             ATPU_EMIT_EXACT_RICE is active (default), -1 disables.
             Ignored on the rb (splice) path.
+    probe_thr/probe_out: optional int32 [n_frames] / uint8
+            [n_frames] — the quantization-floor stage-2 probe,
+            evaluated for free from the exact residuals the emitter
+            derives: frames with probe_thr >= 0 and any coded
+            subframe whose mean |residual| bit length <= probe_thr
+            set probe_out to 1 (caller zeroes probe_out).  Ignored
+            on the rb path.
     returns (frame bytes, per-frame byte lengths int64 array)"""
     import numpy as np
 
@@ -640,6 +650,9 @@ def flac_emit_frames2(blocks, frame_numbers, block_sizes, packed,
             _as_ptr(rb_bits, ctypes.c_int64),
             rb_words.shape[1])
     else:
+        if probe_thr is not None:
+            probe_thr = np.ascontiguousarray(probe_thr,
+                                             dtype=np.int32)
         total = lib.atpu_flac_emit_frames2(
             _as_ptr(blocks, ctypes.c_int32),
             _as_ptr(frame_numbers, ctypes.c_int64),
@@ -648,6 +661,10 @@ def flac_emit_frames2(blocks, frame_numbers, block_sizes, packed,
             n_frames, max_subframes, max_order, max_partitions,
             max_block, sample_rate, stream_bps, stream_channels,
             qlp_precision, 1 if compact else 0, int(emit_max_rice),
+            (_as_ptr(probe_thr, ctypes.c_int32)
+             if probe_thr is not None else None),
+            (_as_ptr(probe_out, ctypes.c_uint8)
+             if probe_out is not None else None),
             _as_ptr(out, ctypes.c_uint8),
             _as_ptr(out_ends, ctypes.c_int64),
             worst)

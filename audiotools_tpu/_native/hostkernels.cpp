@@ -866,6 +866,10 @@ extern "C" void atpu_emit_prof_dump() {
 
 }  // extern "C" — paused for the C++ template below
 
+static inline int bit_length_u64(uint64_t v) {
+    return v ? (64 - __builtin_clzll(v)) : 0;
+}
+
 // emit-stage EXACT Rice entropy re-search (pure-int64 spec; scalar
 // mirror: ref/flac_enc.emit_rice_search).  Re-picks the final
 // (porder, params) of one FIXED/LPC subframe from the EXACT residual
@@ -983,6 +987,8 @@ static int64_t flac_emit_frames_impl(
                                int32_t qlp_precision,
                                int32_t compact,
                                int32_t emit_max_rice,
+                               const int32_t* probe_thr,  // nullable
+                               uint8_t* probe_out,        // nullable
                                uint8_t* out,
                                int64_t* out_lens,
                                int64_t out_capacity,
@@ -1342,6 +1348,34 @@ static int64_t flac_emit_frames_impl(
                                            qlp, shift, res_buf);
             }
 
+            // quantization-floor stage-2 probe (spec:
+            // ref/flac_analysis.analyze_frame stage 2, fast mirror
+            // codecs/flac_enc_fast._floor_limited): the exact
+            // residuals just derived ARE the exact samples run
+            // through the quantized-fit predictor, so the probe is
+            // one abs-sum here instead of a separate host predictor
+            // pass.  probe_thr[f] = t_base - 2 for frames passing
+            // the host-side stage-1 rice-band check, else -1.
+            if (!splice && probe_thr != nullptr &&
+                probe_thr[f] >= 0 && !probe_out[f]) {
+                uint64_t acc = 0;
+                if (use32) {
+                    for (int i = order; i < block_size; i++) {
+                        const int32_t r = res32_buf[i];
+                        acc += (uint32_t)(r < 0 ? -r : r);
+                    }
+                } else {
+                    for (int i = order; i < block_size; i++) {
+                        const int64_t r = res_buf[i];
+                        acc += (uint64_t)(r < 0 ? -r : r);
+                    }
+                }
+                const uint64_t m =
+                    acc / (uint64_t)(block_size - order);
+                if (bit_length_u64(m) <= probe_thr[f])
+                    probe_out[f] = 1;
+            }
+
             if (splice) {
                 // bit-copy the device-packed residual block: full
                 // 32-bit source words stream through put(), the tail
@@ -1567,6 +1601,8 @@ int64_t atpu_flac_emit_frames2(const int32_t* blocks,
                                int32_t qlp_precision,
                                int32_t compact,
                                int32_t emit_max_rice,
+                               const int32_t* probe_thr,
+                               uint8_t* probe_out,
                                uint8_t* out,
                                int64_t* out_lens,
                                int64_t out_capacity) {
@@ -1574,8 +1610,8 @@ int64_t atpu_flac_emit_frames2(const int32_t* blocks,
         blocks, frame_numbers, block_sizes, packed, n_frames,
         max_subframes, max_order, max_partitions, max_block,
         sample_rate, stream_bps, stream_channels, qlp_precision,
-        compact, emit_max_rice, out, out_lens, out_capacity,
-        nullptr, nullptr, 0);
+        compact, emit_max_rice, probe_thr, probe_out, out, out_lens,
+        out_capacity, nullptr, nullptr, 0);
 }
 
 // splice variant: residual partition blocks pre-packed on device
@@ -1602,13 +1638,14 @@ int64_t atpu_flac_emit_frames2rb(const int32_t* blocks,
                                  const int64_t* rb_bits,
                                  int64_t rb_stride) {
     // splice mode serializes device-packed residual bits verbatim,
-    // so the emit-stage re-search never applies here (-1)
+    // so neither the emit-stage re-search (-1) nor the floor probe
+    // (nullptr; it needs host-derived residuals) applies here
     return flac_emit_frames_impl(
         blocks, frame_numbers, block_sizes, packed, n_frames,
         max_subframes, max_order, max_partitions, max_block,
         sample_rate, stream_bps, stream_channels, qlp_precision,
-        compact, -1, out, out_lens, out_capacity, rb_words, rb_bits,
-        rb_stride);
+        compact, -1, nullptr, nullptr, out, out_lens, out_capacity,
+        rb_words, rb_bits, rb_stride);
 }
 
 // ---------------------------------------------- quantized upload --
@@ -1616,9 +1653,6 @@ int64_t atpu_flac_emit_frames2rb(const int32_t* blocks,
 // quantization shift t from the mean |second difference|, the exact
 // per-variant OR/const sideband, and the batch-wide diff bit width k.
 // Spec must match ops/qpack.py plan_t/variant_sideband/pack exactly.
-static inline int bit_length_u64(uint64_t v) {
-    return v ? (64 - __builtin_clzll(v)) : 0;
-}
 
 extern "C" void atpu_md5_update_pcm(uint8_t* state,
                                     const int32_t* samples,
@@ -1628,7 +1662,7 @@ extern "C" void atpu_md5_update_pcm(uint8_t* state,
 
 // the per-channel quantization shift t (spec: ops/qpack.plan_t).
 // Noise-adaptive coarsening (noise_extra > 0): blocks whose mean
-// |second difference| is >= 1.25x the mean |first difference| are
+// |second difference| is >= 1.6x the mean |first difference| are
 // noise-dominated (white noise gives sqrt(3) ~= 1.73, tonal content
 // <= ~1.0 — differencing amplifies noise but cancels smooth
 // structure), so t gains noise_extra bits and the cap releases by 2;
@@ -1653,7 +1687,7 @@ static inline int qplan_t_for(const int32_t* xb, int64_t n,
     int margin = cap_margin;
     // products stay < 2^58 for bps <= 30, n <= 2^16 (sums < 2^43)
     if (noise_extra > 0 && m > 0 &&
-        4 * sum2 * (uint64_t)(n - 1) >= 5 * sum1 * (uint64_t)(n - 2)) {
+        5 * sum2 * (uint64_t)(n - 1) >= 8 * sum1 * (uint64_t)(n - 2)) {
         extra = noise_extra;
         margin = cap_margin > 2 ? cap_margin - 2 : 0;
     }

@@ -694,130 +694,79 @@ def encode_flac_fast(file_or_path,
             rice = packed[:, base + 6 + Kp:base + 6 + Kp + P]
         return (choice, wasted, order, porder, shift, qlp, rice)
 
-    _FIXED_COEFFS = {0: [], 1: [1], 2: [2, -1], 3: [3, -3, 1],
-                     4: [4, -6, 4, -1]}
+    def _floor_stage1_thr(packed, t_arr, blocks):
+        """stage 1 of the quantization-floor retry spec: frames whose
+        quantized analysis MAY be floor limited — the true content
+        possibly more predictable than the wire showed (pure tones
+        cost ~80% compression under quantized analysis, noise
+        ~0.15%).  A candidate frame has a coded subframe where EVERY
+        used partition's Rice parameter sits at or below the
+        quantization shift + 1 (its residuals may be mostly
+        quantization noise: noise at step 2^t codes at r in
+        {t-1, t, t+1}, and genuinely tonal frames land in the same
+        band — measured on the reference's libFLAC sweep fixtures,
+        whose frames sit at r == t and were missed by the original
+        strictly-below rule).
 
-    def _variant_samples(blk, assignment, s):
-        """exact int64 samples of chosen subframe s (pre-wasted)"""
-        if assignment <= 7:
-            return blk[:, s]
-        (L, R) = (blk[:, 0], blk[:, 1])
-        if assignment == 8:
-            return (L, L - R)[s]
-        if assignment == 9:
-            return (L - R, R)[s]
-        return (((L + R) >> 1), L - R)[s]
+        Stage 2 (the probe — exact samples through the quantized-fit
+        predictor, tonal iff mean-|residual| bits <= t_base - 2 with
+        t_base the plan WITHOUT the noise-adaptive extra) runs FOR
+        FREE inside the C++ emitter from the exact residuals it
+        derives anyway (hostkernels flac_emit_frames_impl probe_thr/
+        probe_out; the scalar oracle applies the identical two-stage
+        rule in ref/flac_analysis.analyze_frame).
 
-    def _floor_limited(packed, t_arr, blocks):
-        """frames whose quantized analysis was quantization-floor
-        limited — the true content is MORE predictable than the wire
-        showed (pure tones cost ~80% compression under quantized
-        analysis, noise ~0.15%).  Two stages, both part of the codec
-        spec (the scalar oracle applies the identical rule):
-
-        1. candidate: a coded subframe where EVERY used partition's
-           Rice parameter sits at or below the quantization shift + 1
-           (its residuals may be mostly quantization noise: noise at
-           step 2^t codes at r in {t-1, t, t+1}, and genuinely tonal
-           frames land in the same band — measured on the reference's
-           libFLAC sweep fixtures, whose frames sit at r == t and were
-           missed by the original strictly-below rule).  A candidate
-           alone does not decide;
-        2. probe: run the EXACT samples through the quantized-fit
-           predictor (the decisions' own coefficients — a tone's
-           LPC fit survives sample quantization since the tone still
-           dominates the autocorrelation) and take the mean |residual|.
-           Genuinely tonal frames collapse to far below the BASE
-           quantization step (bits <= t_base - 2, where t_base is the
-           plan_t shift WITHOUT the noise-adaptive extra — a
-           noise-classified block's step sits deliberately above its
-           LPC-residual scale, which is incompressible noise, not a
-           buried tone); boundary noise stays at the step's scale and
-           never retries.
-
-        returns bool [B]"""
+        returns int32 [B] per-frame probe thresholds (t_base - 2 for
+        candidates, -1 for never), or None when no frame qualifies"""
         B = packed.shape[0]
-        flags = np.zeros(B, dtype=bool)
+        cand = np.zeros(B, dtype=bool)
         t_frame = t_arr[:B].max(axis=1)
-        t_base = qpack.plan_t(blocks, bps, extra=0).max(axis=1)
+        if qpack.noise_extra() == 0:
+            t_base = t_frame         # adaptive coarsening off
+        else:
+            t_base = qpack.plan_t(blocks, bps,
+                                  extra=0).max(axis=1)
         pidx = np.arange(P, dtype=np.int32)[None, :]
-        assignment = packed[:, 0] & 0xF
-        fields = [_sub_fields(packed, s) for s in range(max_subframes)]
         for s in range(max_subframes):
-            (choice, _w, _o, porder, _sh, _q, rice) = fields[s]
+            (choice, _w, _o, porder, _sh, _q, rice) = _sub_fields(
+                packed, s)
             used = pidx < (1 << porder)[:, None]
             rmax = np.where(used, rice, -1).max(axis=1)
             coded = (choice == 2) | (choice == 3)
-            flags |= coded & (rmax <= t_frame + 1) & (t_frame > 0)
-        for f in np.nonzero(flags)[0]:
-            blk = blocks[f].astype(np.int64)
-            tonal = False
-            for s in range(max_subframes):
-                (choice, wasted, order, _po, shift, qlp,
-                 _r) = fields[s]
-                if choice[f] not in (2, 3):
-                    continue
-                x = _variant_samples(blk, int(assignment[f]),
-                                     s) >> int(wasted[f])
-                o = int(order[f])
-                n = x.shape[0]
-                if choice[f] == 2:
-                    q = np.asarray(_FIXED_COEFFS[o], dtype=np.int64)
-                    sh = 0
-                else:
-                    q = qlp[f, :o].astype(np.int64)
-                    sh = int(shift[f])
-                pred = np.zeros(n - o, dtype=np.int64)
-                for j in range(o):
-                    pred += q[j] * x[o - 1 - j:n - 1 - j]
-                res = x[o:] - (pred >> sh)
-                m = int(np.abs(res).sum()) // max(n - o, 1)
-                if m.bit_length() <= int(t_base[f]) - 2:
-                    tonal = True
-                    break
-            flags[f] = tonal
-        return flags
+            cand |= coded & (rmax <= t_frame + 1) & (t_frame > 0)
+        if not cand.any():
+            return None
+        return np.where(cand, t_base - 2, -1).astype(np.int32)
 
-    def emit_floor_retry(blocks, packed, flags, first_frame):
-        """re-analyzes floor-limited frames EXACTLY (host, no
-        quantization) and stitches their frames into the batch output
-        in order; unflagged frames keep their device decisions"""
-        B = blocks.shape[0]
-        if flags.all():
-            return emit_exact_retry(blocks, first_frame)
-        is_compact = packed.shape[1] == compact_row_width
-        fn = np.arange(first_frame, first_frame + B, dtype=np.int64)
-        keep = np.nonzero(~flags)[0]
+    def restitch_floor(blocks, flags, first_frame, frame_bytes,
+                       lens):
+        """re-analyzes probe-flagged frames EXACTLY (host, no
+        quantization), re-emits just those frames, and splices their
+        bytes over the already-emitted batch output"""
         idx = np.nonzero(flags)[0]
-        bs = np.full(len(keep), block_size, dtype=np.int32)
-        (bytes_a, lens_a) = _native.flac_emit_frames2(
-            np.ascontiguousarray(blocks[keep]), fn[keep], bs,
-            np.ascontiguousarray(packed[keep]), max_subframes, Kp, P,
-            sample_rate, bps, channels, precision,
-            compact=is_compact)
         sub = np.ascontiguousarray(blocks[idx])
         exact = np.asarray(flac_frames.analyze_frames_packed(
             np, sub, stereo_trial, bps, block_size, max_lpc_order,
             precision, porders, max_rice, exhaustive_model_search,
             mid_side, window)).reshape(-1, row_width)
+        fn = (first_frame + idx).astype(np.int64)
         (bytes_b, lens_b) = _native.flac_emit_frames2(
-            sub, fn[idx], np.full(len(idx), block_size,
-                                  dtype=np.int32),
+            sub, fn, np.full(len(idx), block_size, dtype=np.int32),
             exact, max_subframes, Kp, P, sample_rate, bps, channels,
             precision)
-        # stitch frames back into submission order
         pieces = []
-        lens = np.empty(B, dtype=np.int64)
-        (oa, ob, ia, ib) = (0, 0, 0, 0)
-        for f in range(B):
+        out_lens = np.empty(len(lens), dtype=np.int64)
+        (oa, ob, ib) = (0, 0, 0)
+        for f in range(len(lens)):
             if flags[f]:
                 ln = int(lens_b[ib]); ib += 1
                 pieces.append(bytes_b[ob:ob + ln]); ob += ln
+                oa += int(lens[f])
             else:
-                ln = int(lens_a[ia]); ia += 1
-                pieces.append(bytes_a[oa:oa + ln]); oa += ln
-            lens[f] = ln
-        return (b"".join(pieces), lens)
+                ln = int(lens[f])
+                pieces.append(frame_bytes[oa:oa + ln]); oa += ln
+            out_lens[f] = ln
+        return (b"".join(pieces), out_lens)
 
     def emit_exact_retry(blocks, first_frame):
         """fallback for _native.EmitOverflow: the quantized-analysis
@@ -896,34 +845,40 @@ def encode_flac_fast(file_or_path,
                     if rb_kw is not None:
                         packed = arr.reshape(-1, width)
                         packed = packed[:B]  # drop shard-pad rows
-                        floor_flags = None
-                        if t_batch is not None:
-                            floor_flags = _floor_limited(
+                        probe_thr = probe_out = None
+                        if t_batch is not None and not rb_kw:
+                            probe_thr = _floor_stage1_thr(
                                 packed, t_batch, blocks)
-                            if not floor_flags.any():
-                                floor_flags = None
+                            if probe_thr is not None:
+                                probe_out = np.zeros(B,
+                                                     dtype=np.uint8)
                         try:
                             with prof("emit"):
-                                if floor_flags is not None:
+                                (frame_bytes, lens) = \
+                                    _native.flac_emit_frames2(
+                                        blocks,
+                                        np.arange(
+                                            first_frame,
+                                            first_frame + B,
+                                            dtype=np.int64),
+                                        np.full(B, block_size,
+                                                dtype=np.int32),
+                                        packed, max_subframes,
+                                        Kp, P, sample_rate, bps,
+                                        channels, precision,
+                                        compact=is_compact,
+                                        probe_thr=probe_thr,
+                                        probe_out=probe_out,
+                                        **rb_kw)
+                            if (probe_out is not None and
+                                    probe_out.any()):
+                                with prof("floor"):
                                     (frame_bytes, lens) = \
-                                        emit_floor_retry(
-                                            blocks, packed,
-                                            floor_flags, first_frame)
-                                else:
-                                    (frame_bytes, lens) = \
-                                        _native.flac_emit_frames2(
+                                        restitch_floor(
                                             blocks,
-                                            np.arange(
-                                                first_frame,
-                                                first_frame + B,
-                                                dtype=np.int64),
-                                            np.full(B, block_size,
-                                                    dtype=np.int32),
-                                            packed, max_subframes,
-                                            Kp, P, sample_rate, bps,
-                                            channels, precision,
-                                            compact=is_compact,
-                                            **rb_kw)
+                                            probe_out.astype(bool),
+                                            first_frame,
+                                            frame_bytes, lens)
                         except _native.EmitOverflow:
                             (frame_bytes, lens) = emit_exact_retry(
                                 blocks, first_frame)

@@ -79,28 +79,27 @@ def cap_margin():
                               str(_DEFAULT_CAP_MARGIN)))
 
 
-_DEFAULT_NOISE_EXTRA = 0
+_DEFAULT_NOISE_EXTRA = 2
 
 
 def noise_extra():
-    """extra quantization shift for noise-dominated blocks (0 = off,
-    the DEFAULT)
+    """extra quantization shift for noise-dominated blocks (0 = off)
 
-    Blocks whose mean |second difference| is >= 1.25x the mean
-    |first difference| are noise-dominated (white noise gives
-    sqrt(3) ~= 1.73, tonal content <= ~1.0: differencing amplifies
-    noise but cancels smooth structure).  With ATPU_QPACK_NOISE_EXTRA
-    > 0 such blocks add that many bits to t with the cap released by
-    2 — typically HALVING the wire width on noise program material.
-    Ships OFF: on tone+noise mixtures (d2/d1 ~1.4) the d2 scale
-    overestimates the LPC-achievable residual, so a step 4x the d2
-    scale buries the tones' fit in quantization noise (+2.8% coded
-    size measured on the bench mix at extra=2, emit re-search active
-    — the entropy stage is exact either way; it is the PREDICTOR fit
-    that degrades).  Pure-noise content measures at-or-better with
-    the coarser step; a content-adaptive step keyed to the achieved
-    residual scale (not the d2 proxy) could re-enable this per
-    channel."""
+    Blocks whose mean |second difference| is >= 1.6x the mean
+    |first difference| are noise-dominated: white noise gives
+    sqrt(3) ~= 1.73 and high-frequency tones approach 2 sin(pi f/fs)
+    (>= 1.6 above ~12 kHz), while program-material mixtures sit at
+    or below ~1.5.  Such blocks add noise_extra bits to t with the
+    cap released by 2 — typically HALVING the wire width on noise
+    program material.  The 1.6 threshold matters: at 1.25 the bench
+    tone+noise mix (d2/d1 ~1.4) classified as noise and its coarse
+    step buried the tones' LPC fit in quantization noise (+2.8%
+    coded size; the entropy stage is exact either way — it is the
+    PREDICTOR fit that degrades).  At 1.6 only genuine noise and HF
+    content coarsen; HF tonal frames whose fit does collapse are
+    caught by the quantization-floor retry and re-analyze exactly
+    (corpus sweeps measure -11.2% vs the reference fixtures with
+    this default, vs -9.9% with the coarsening off)."""
     return int(os.environ.get("ATPU_QPACK_NOISE_EXTRA",
                               str(_DEFAULT_NOISE_EXTRA)))
 
@@ -115,7 +114,7 @@ def plan_t(blocks, bps, guard=None, margin=None, extra=None):
       sum1 = sum_{i=1..n-1} |x[i] - x[i-1]|               (exact int64)
       sum2 = sum_{i=2..n-1} |x[i] - 2*x[i-1] + x[i-2]|    (exact int64)
       m    = sum2 // (n - 2)                  (0 when n <= 2)
-      noise = (m > 0) and 4*sum2*(n-1) >= 5*sum1*(n-2)
+      noise = (m > 0) and 5*sum2*(n-1) >= 8*sum1*(n-2)
       e     = noise_extra() if noise else 0
       marg  = max(cap_margin() - 2, 0) if (noise and e) else
               cap_margin()
@@ -126,7 +125,7 @@ def plan_t(blocks, bps, guard=None, margin=None, extra=None):
     (it is the order-2 fixed predictor's mean error); keeping the
     step 2**guard below it bounds decision perturbation.  Constant
     blocks have sum2 == 0 and stay exact (t = 0).  The noise test
-    (mean |d2| >= 1.25x mean |d1|) detects noise-dominated blocks —
+    (mean |d2| >= 1.6x mean |d1|) detects noise-dominated blocks —
     see noise_extra() for why those coarsen further."""
     if guard is None:
         guard = guard_bits()
@@ -144,7 +143,7 @@ def plan_t(blocks, bps, guard=None, margin=None, extra=None):
     d2 = np.abs(x[:, 2:, :] - 2 * x[:, 1:-1, :] + x[:, :-2, :])
     sum2 = d2.sum(axis=1)                                  # [B, ch]
     m = sum2 // (n - 2)
-    noise = (m > 0) & (4 * sum2 * (n - 1) >= 5 * sum1 * (n - 2))
+    noise = (m > 0) & (5 * sum2 * (n - 1) >= 8 * sum1 * (n - 2))
     if extra <= 0:
         noise = np.zeros_like(noise)
     # bit_length via log-free integer loop (m < 2^33)

@@ -368,7 +368,7 @@ def qpack_cap_margin():
 
 def qpack_noise_extra():
     import os
-    return int(os.environ.get("ATPU_QPACK_NOISE_EXTRA", "0"))
+    return int(os.environ.get("ATPU_QPACK_NOISE_EXTRA", "2"))
 
 
 def plan_t(channel, bps_eff, block_size):
@@ -393,7 +393,7 @@ def plan_t(channel, bps_eff, block_size):
     e = 0
     marg = qpack_cap_margin()
     if (extra > 0 and m > 0 and
-            4 * sum2 * (n - 1) >= 5 * sum1 * (n - 2)):
+            5 * sum2 * (n - 1) >= 8 * sum1 * (n - 2)):
         e = extra
         marg = max(marg - 2, 0)
     cap = max(int(bps_eff) - marg, 0)

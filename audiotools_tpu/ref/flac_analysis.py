@@ -71,7 +71,7 @@ def qpack_cap_margin():
 
 def qpack_noise_extra():
     import os
-    return int(os.environ.get("ATPU_QPACK_NOISE_EXTRA", "0"))
+    return int(os.environ.get("ATPU_QPACK_NOISE_EXTRA", "2"))
 
 
 def plan_t(samples, bps, extra=None):
@@ -80,8 +80,8 @@ def plan_t(samples, bps, extra=None):
     samples: int [n, ch] exact; returns list of ch ints.  Spec (pure
     integer, mirrors ops/qpack.plan_t): with sum1/sum2 the exact
     |first|/|second| difference sums and m = sum2 // (n - 2), a block
-    is noise-dominated when m > 0 and 4*sum2*(n-1) >= 5*sum1*(n-2)
-    (mean |d2| >= 1.25x mean |d1|); such blocks add noise_extra bits
+    is noise-dominated when m > 0 and 5*sum2*(n-1) >= 8*sum1*(n-2)
+    (mean |d2| >= 1.6x mean |d1|); such blocks add noise_extra bits
     to t and release the cap by 2, others keep
     t = clamp(bit_length(m) - 1 - guard, 0, max(bps - cap_margin,
     0)).  extra=0 yields the BASE plan (the floor-retry probe's
@@ -104,7 +104,7 @@ def plan_t(samples, bps, extra=None):
         e = 0
         marg = margin
         if (extra > 0 and m > 0 and
-                4 * sum2 * (n - 1) >= 5 * sum1 * (n - 2)):
+                5 * sum2 * (n - 1) >= 8 * sum1 * (n - 2)):
             e = extra
             marg = max(margin - 2, 0)
         cap = max(int(bps) - marg, 0)
