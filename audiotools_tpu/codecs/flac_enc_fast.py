@@ -485,34 +485,53 @@ def encode_flac_fast(file_or_path,
         try_patched = (use_qpatch and n_rows > 1 and
                        (not st.get("plain") or probe))
         if try_patched:
-            kb_req = st["kb"]
+            def attempt(kb_req, E):
+                """one patched-base attempt with overflow retries;
+                returns the raw columns plus a profitability flag
+                (base-width saving beats the patch columns: each
+                exception slot is 2 uint32 columns; per-channel, so
+                ch cancels on both sides)"""
+                for _attempt in range(4):
+                    (qwords, k_full, t, x0, orv, cflags, epos, evals,
+                     mexc, kb) = _native.flac_qpack_patched(
+                        blocks, bps, qguard, stereo_trial, kb_req, E)
+                    if mexc <= E:
+                        break
+                    # overflow: grow E, then widen the base
+                    bigger = [e for e in qpack.E_GRID if e > E]
+                    if bigger:
+                        E = bigger[0]
+                    else:
+                        E = qpack.E_GRID[0]
+                        above = [g for g in qpack.K_GRID
+                                 if g > (kb if kb_req is None
+                                         else kb_req)]
+                        kb_req = above[0] if above else k_full
+                W_plain = ((n_rows - 1) * k_full + 31) // 32 + 1
+                W = qwords.shape[2]
+                ok = (mexc <= E and (W_plain - W) > 2 * E and
+                      kb < k_full)
+                return (ok, qwords, k_full, t, x0, orv, cflags, epos,
+                        evals, kb, W, E)
+
+            kb_known = st["kb"]
+            kb_req = kb_known
             if kb_req is not None and probe:
                 # periodic probe one grid step lower
                 below = [g for g in qpack.K_GRID if g < kb_req]
                 if below:
                     kb_req = below[-1]
-            E = st["E"]
-            for _attempt in range(4):
-                (qwords, k_full, t, x0, orv, cflags, epos, evals,
-                 mexc, kb) = _native.flac_qpack_patched(
-                    blocks, bps, qguard, stereo_trial, kb_req, E)
-                if mexc <= E:
-                    break
-                # overflow: grow E, then widen the base
-                bigger = [e for e in qpack.E_GRID if e > E]
-                if bigger:
-                    E = bigger[0]
-                else:
-                    E = qpack.E_GRID[0]
-                    above = [g for g in qpack.K_GRID
-                             if g > (kb if kb_req is None else kb_req)]
-                    kb_req = above[0] if above else k_full
-            # profitable iff the base-width saving beats the patch
-            # columns (each exception slot is 2 uint32 columns;
-            # per-channel, so ch cancels on both sides)
-            W_plain = ((n_rows - 1) * k_full + 31) // 32 + 1
-            W = qwords.shape[2]
-            if mexc <= E and (W_plain - W) > 2 * E and kb < k_full:
+            res = attempt(kb_req, st["E"])
+            if (not res[0] and probe and kb_known is not None and
+                    kb_req != kb_known and not st.get("plain")):
+                # unprofitable probe: retry at the previous
+                # known-good width before falling back to the plain
+                # format — the pre-probe (kb, E) configuration may
+                # still win this batch (it won every prior one)
+                res = attempt(kb_known, st["E"])
+            (ok, qwords, k_full, t, x0, orv, cflags, epos, evals,
+             kb, W, E) = res
+            if ok:
                 st["kb"] = kb
                 st["E"] = E
                 st["plain"] = False

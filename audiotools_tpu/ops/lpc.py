@@ -417,19 +417,32 @@ def lpc_residuals(xp, samples, qlp, shifts, value_bits, precision,
 
     value_bits: static bound on bits of |samples| (bps + 1 for side
     channels, post-wasted-shift upper bound).  The int32 scheme is
-    used only when its ACCUMULATORS cannot wrap:
-    A = sum q*xhi bounded by K * 2^(precision-1) *
-    2^(max(value_bits-11,0)) must stay below 2^31 (the recombination
-    itself runs in exact f64, so no extra << 11 headroom is needed —
-    16-bit stereo at precision 14 qualifies and keeps the O(K^2 n)
-    hot loop in native TPU int32).  Otherwise the f64 path computes
-    the true value exactly (products fit 2^53 / float-float 2^47 for
-    all audio), clipped to +-2^clip_bits (see lpc_residuals_f64)."""
+    used only when its ACCUMULATORS cannot wrap AND its saturating
+    recombination is provably clip-equivalent to the exact value:
+
+    * A = sum q*xhi bounded by K * 2^(precision-1) *
+      2^(max(value_bits-11,0)) must stay below 2^31, and
+    * Bv = sum q*xlo bounded by K * 2^(precision-1) * 2^11 must stay
+      <= 2^29: the s <= 11 recombination saturates A to +-2^(19+s)
+      before the left shift, and the saturated prediction
+      +-(2^30 + Bv>>s) only provably exceeds every clip bound (so
+      clips identically to the exact-f64 form) when |Bv| cannot
+      near-cancel the 2^30 term — at K = 32, precision = 15 the Bv
+      bound reaches 2^30 and a degenerate saturated trial could land
+      IN bounds with the wrong value, diverging from the scalar
+      oracle's decisions.
+
+    16-bit stereo at precision 14 / order 12 qualifies and keeps the
+    O(K^2 n) hot loop in native TPU int32.  Otherwise the f64 path
+    computes the true value exactly (products fit 2^53 / float-float
+    2^47 for all audio), clipped to +-2^clip_bits (see
+    lpc_residuals_f64)."""
     K = qlp.shape[1]
     import math
-    hi_bits = (math.ceil(math.log2(max(K, 1))) + (precision - 1) +
-               max(value_bits - 11, 0))
-    if hi_bits < 31:
+    logk = math.ceil(math.log2(max(K, 1)))
+    hi_bits = logk + (precision - 1) + max(value_bits - 11, 0)
+    bv_bits = logk + (precision - 1) + 11
+    if hi_bits < 31 and bv_bits <= 29:
         return lpc_residuals_i32(xp, samples, qlp, shifts, clip_bits)
     return lpc_residuals_f64(xp, samples, qlp, shifts, clip_bits)
 

@@ -114,7 +114,11 @@ def plan_t(blocks, bps, guard=None, margin=None, extra=None):
       sum1 = sum_{i=1..n-1} |x[i] - x[i-1]|               (exact int64)
       sum2 = sum_{i=2..n-1} |x[i] - 2*x[i-1] + x[i-2]|    (exact int64)
       m    = sum2 // (n - 2)                  (0 when n <= 2)
-      noise = (m > 0) and 5*sum2*(n-1) >= 8*sum1*(n-2)
+      s    = max(0, bps - 26)   (static; keeps the cross-multiply
+             below 2^63: sum2 < 2^(bps+18), so 5*(sum2>>s)*(n-1) <
+             2^63 for every admitted bps; s == 0 for all bps <= 26,
+             i.e. every real 16/24-bit stream incl. side channels)
+      noise = (m > 0) and 5*(sum2>>s)*(n-1) >= 8*(sum1>>s)*(n-2)
       e     = noise_extra() if noise else 0
       marg  = max(cap_margin() - 2, 0) if (noise and e) else
               cap_margin()
@@ -143,7 +147,9 @@ def plan_t(blocks, bps, guard=None, margin=None, extra=None):
     d2 = np.abs(x[:, 2:, :] - 2 * x[:, 1:-1, :] + x[:, :-2, :])
     sum2 = d2.sum(axis=1)                                  # [B, ch]
     m = sum2 // (n - 2)
-    noise = (m > 0) & (5 * sum2 * (n - 1) >= 8 * sum1 * (n - 2))
+    s = max(0, int(bps) - 26)
+    noise = (m > 0) & (5 * (sum2 >> s) * (n - 1) >=
+                       8 * (sum1 >> s) * (n - 2))
     if extra <= 0:
         noise = np.zeros_like(noise)
     # bit_length via log-free integer loop (m < 2^33)

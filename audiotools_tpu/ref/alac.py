@@ -376,10 +376,12 @@ def plan_t(channel, bps_eff, block_size):
 
     Same pure-integer spec as the FLAC plan (ops/qpack.plan_t) incl.
     the noise-adaptive coarsening (noise-dominated blocks — mean |d2|
-    >= 1.25x mean |d1| — add noise_extra bits and release the cap by
-    2), computed over the channel zero-padded to block_size (the fast
-    path plans over full padded batch rows, so tails see the
-    identical t)."""
+    >= 1.6x mean |d1|, compared with the static pre-shift
+    s = max(0, bps - 26) on both sums so the cross-multiply fits
+    int64 at every admitted bps — add noise_extra bits and release
+    the cap by 2), computed over the channel zero-padded to
+    block_size (the fast path plans over full padded batch rows, so
+    tails see the identical t)."""
     n = block_size
     if n <= 2:
         return 0
@@ -389,11 +391,12 @@ def plan_t(channel, bps_eff, block_size):
     d2 = np.abs(x[2:] - 2 * x[1:-1] + x[:-2])
     sum2 = int(d2.sum())
     m = sum2 // (n - 2)
+    s = max(0, int(bps_eff) - 26)
     extra = qpack_noise_extra()
     e = 0
     marg = qpack_cap_margin()
     if (extra > 0 and m > 0 and
-            5 * sum2 * (n - 1) >= 8 * sum1 * (n - 2)):
+            5 * (sum2 >> s) * (n - 1) >= 8 * (sum1 >> s) * (n - 2)):
         e = extra
         marg = max(marg - 2, 0)
     cap = max(int(bps_eff) - marg, 0)

@@ -79,8 +79,11 @@ def plan_t(samples, bps, extra=None):
 
     samples: int [n, ch] exact; returns list of ch ints.  Spec (pure
     integer, mirrors ops/qpack.plan_t): with sum1/sum2 the exact
-    |first|/|second| difference sums and m = sum2 // (n - 2), a block
-    is noise-dominated when m > 0 and 5*sum2*(n-1) >= 8*sum1*(n-2)
+    |first|/|second| difference sums, m = sum2 // (n - 2) and the
+    static pre-shift s = max(0, bps - 26) (which keeps the int64
+    cross-multiply exact at every admitted bps; s == 0 below 27
+    bits), a block is noise-dominated when m > 0 and
+    5*(sum2>>s)*(n-1) >= 8*(sum1>>s)*(n-2)
     (mean |d2| >= 1.6x mean |d1|); such blocks add noise_extra bits
     to t and release the cap by 2, others keep
     t = clamp(bit_length(m) - 1 - guard, 0, max(bps - cap_margin,
@@ -101,10 +104,11 @@ def plan_t(samples, bps, extra=None):
         d2 = np.abs(x[2:] - 2 * x[1:-1] + x[:-2])
         sum2 = int(d2.sum())
         m = sum2 // (n - 2)
+        s = max(0, int(bps) - 26)
         e = 0
         marg = margin
         if (extra > 0 and m > 0 and
-                5 * sum2 * (n - 1) >= 8 * sum1 * (n - 2)):
+                5 * (sum2 >> s) * (n - 1) >= 8 * (sum1 >> s) * (n - 2)):
             e = extra
             marg = max(margin - 2, 0)
         cap = max(int(bps) - marg, 0)

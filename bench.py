@@ -75,6 +75,44 @@ def reader_for_bytes(data):
     return PCMReader(io.BytesIO(data), SAMPLE_RATE, 2, 3, 16)
 
 
+def measure_weather():
+    """tunnel-weather probe: dispatch RTT and host->device bandwidth
+
+    Run immediately before/after the timed region so every captured
+    BENCH_r*.json is interpretable on its own (the tunnel's weather
+    swings throughput up to 5x between windows; see BASELINE.md).
+    Returns {"rtt_ms": median trivial-dispatch round trip,
+             "upload_MBps": median fixed-8MiB device_put bandwidth}.
+    """
+    try:
+        import jax
+        import jax.numpy as jnp
+
+        dev = jax.devices()[0]
+        one = jnp.ones((), jnp.int32)      # compile outside the probe
+        jax.jit(lambda x: x + 1)(one).block_until_ready()
+        rtts = []
+        for _ in range(5):
+            t0 = time.time()
+            jax.jit(lambda x: x + 1)(one).block_until_ready()
+            rtts.append(time.time() - t0)
+        # 8 MiB fixed transfer of incompressible bytes (zeros would
+        # measure the tunnel's compressor, not its bandwidth)
+        buf = np.random.default_rng(0).integers(
+            0, 256, 8 << 20, dtype=np.uint8)
+        bws = []
+        for _ in range(3):
+            t0 = time.time()
+            jax.device_put(buf, dev).block_until_ready()
+            bws.append(time.time() - t0)
+        return {"rtt_ms": round(sorted(rtts)[len(rtts) // 2] * 1e3, 2),
+                "upload_MBps": round(
+                    8.0 / sorted(bws)[len(bws) // 2], 1)}
+    except Exception as err:  # noqa: B902  (probe must never kill bench)
+        print("weather probe failed: %r" % (err,), file=sys.stderr)
+        return {"rtt_ms": -1.0, "upload_MBps": -1.0}
+
+
 class Timeout(Exception):
     pass
 
@@ -131,15 +169,19 @@ def main():
         signal.alarm(timeout)
         run_encode(warm_bytes, backend)         # jit compile + caches
         signal.alarm(0)
+        weather_pre = measure_weather()
         best = None
+        trial_secs = []
         # best-of-N: tunnel weather swings +-20% between trials (6
         # trials sample it better; each costs ~1 s warm)
         for _trial in range(int(os.environ.get("ATPU_BENCH_TRIALS",
                                                "6"))):
             (data, dt) = run_encode(arr_bytes, backend)
+            trial_secs.append(round(dt, 3))
             if best is None or dt < best[1]:
                 best = (data, dt)
         (data, dt) = best
+        weather_post = measure_weather()
     except (Timeout, Exception) as err:  # noqa: B902
         signal.alarm(0)
         print("backend %s failed: %r" % (backend, err),
@@ -166,6 +208,9 @@ def main():
         "unit": "Msamples/s",
         "vs_baseline": round((realtime / 500.0) if bit_exact else 0.0,
                              4),
+        "weather_pre": weather_pre,
+        "weather_post": weather_post,
+        "trial_secs": trial_secs,
     }))
     return 0
 
