@@ -99,6 +99,7 @@ def _build_and_load():
         ctypes.c_int32,                   # max_frames
         ctypes.c_int32,                   # max_parts
         ctypes.c_int32,                   # verify_crc
+        ctypes.c_int32,                   # chunk_codes
         ctypes.POINTER(ctypes.c_int32),   # frame_meta [max_frames, 4]
         ctypes.POINTER(ctypes.c_int32),   # sub_meta [max_frames*8, 8]
         ctypes.POINTER(ctypes.c_int32),   # warmup [max_frames*8, 32]
@@ -353,6 +354,17 @@ def _build_and_load():
         ctypes.c_int64,                   # len
         ctypes.c_int64,                   # max_frames
         ctypes.POINTER(ctypes.c_int32),   # out
+        ctypes.POINTER(ctypes.c_int64),   # info
+    ]
+
+    lib.atpu_shn_scan.restype = ctypes.c_int64
+    lib.atpu_shn_scan.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8),   # data
+        ctypes.c_int64,                   # len
+        ctypes.c_int64,                   # max_rows
+        ctypes.c_int64,                   # max_block
+        ctypes.POINTER(ctypes.c_int32),   # residuals [rows, max_block]
+        ctypes.POINTER(ctypes.c_int32),   # row_meta [rows, 4]
         ctypes.POINTER(ctypes.c_int64),   # info
     ]
 
@@ -951,13 +963,19 @@ def flac_decode(data, stream_bps, stream_channels, max_samples,
 
 
 def flac_scan(data, stream_bps, stream_channels, max_samples,
-              max_frames, max_parts, verify_crc=True):
+              max_frames, max_parts, verify_crc=True, chunk_codes=0):
     """structural scan of FLAC frame data for the DEVICE decode path
 
     Parses frames (validating CRC-8/16) and records predictor metadata
     and residual-partition bit spans WITHOUT extracting residuals —
     the device Rice-decodes and synthesizes them in batch
     (ops/rice_decode.py + ops/flac_synth.py).
+
+    chunk_codes > 0 splits every residual run into records of at most
+    chunk_codes codes with exact bit offsets (free checkpoints: the
+    scan walks each code anyway) — the device decoder's parallelism
+    lever (many short independent lanes instead of long sequential
+    partitions).
 
     returns a dict of numpy arrays:
       frame_meta [F, 4]  {block_size, assignment, bps, byte_len}
@@ -983,6 +1001,7 @@ def flac_scan(data, stream_bps, stream_channels, max_samples,
         _as_ptr(buf, ctypes.c_uint8), len(buf),
         stream_bps, stream_channels, max_samples,
         max_frames, max_parts, 1 if verify_crc else 0,
+        int(chunk_codes),
         _as_ptr(frame_meta, ctypes.c_int32),
         _as_ptr(sub_meta, ctypes.c_int32),
         _as_ptr(warmup, ctypes.c_int32),
@@ -1116,6 +1135,69 @@ def shn_decode(data, max_frames, channels):
     channels = int(info[0])
     return (out[:frames * channels].reshape(-1, channels),
             int(info[1]), int(info[3]))
+
+
+class ShnDeviceUnsupported(ValueError):
+    """the Shorten stream uses features (QLPC, DIFF0-with-means,
+    energy > 30) the device decode path does not cover; callers
+    decode on the host path instead"""
+
+
+def shn_scan(data, max_rows=None, max_block=None):
+    """residual-only entropy scan for the SHN device decode path
+
+    returns (residuals int32 [rows, max_block],
+             row_meta int32 [rows, 4] {cmd, block_len, shift, chan},
+             info dict) or raises ShnDeviceUnsupported"""
+    import numpy as np
+    lib = get_lib()
+    buf = np.frombuffer(bytes(data), dtype=np.uint8)
+    if max_block is None or max_rows is None:
+        # peek the header's block_size to size the row planes (a
+        # mid-stream FN_BLOCKSIZE beyond it returns -81 -> host path)
+        from ..bitstream import BitstreamReader
+        r = BitstreamReader(bytes(data[:4096]), False)
+        if r.read_bytes(4) != b"ajkg" or r.read(8) != 2:
+            raise ValueError("invalid Shorten magic")
+
+        def _uns(c):
+            return (r.unary(1) << c) | r.read(c)
+
+        def _long():
+            return _uns(_uns(2))
+
+        _long()                                  # file_type
+        _long()                                  # channels
+        hdr_block = max(int(_long()), 1)
+        if max_block is None:
+            max_block = hdr_block
+        if max_rows is None:
+            # every residual costs >= 1 bit, so the stream length
+            # bounds rows at 8*len/block (+ slack for short blocks)
+            max_rows = (len(buf) * 8) // hdr_block + 256
+    residuals = np.empty((max_rows, max_block), dtype=np.int32)
+    row_meta = np.empty((max_rows, 4), dtype=np.int32)
+    info = np.zeros(5, dtype=np.int64)
+    rows = lib.atpu_shn_scan(
+        _as_ptr(buf, ctypes.c_uint8), len(buf),
+        max_rows, max_block,
+        _as_ptr(residuals, ctypes.c_int32),
+        _as_ptr(row_meta, ctypes.c_int32),
+        _as_ptr(info, ctypes.c_int64))
+    if rows == -80 or rows == -81:
+        raise ShnDeviceUnsupported(
+            "stream outside device decode coverage (code %d)"
+            % (rows,))
+    if rows < 0:
+        raise ValueError("truncated or corrupt Shorten stream "
+                         "(native code %d)" % (rows,))
+    return (residuals[:rows], row_meta[:rows], {
+        "channels": int(info[0]),
+        "file_type": int(info[1]),
+        "bps": int(info[2]),
+        "sign_adjustment": int(info[3]),
+        "total_frames": int(info[4]),
+    })
 
 
 def tta_encode_frames(samples, frame_sizes, channels, bps):

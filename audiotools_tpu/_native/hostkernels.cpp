@@ -1370,8 +1370,13 @@ static int64_t flac_emit_frames_impl(
                         acc += (uint64_t)(r < 0 ? -r : r);
                     }
                 }
-                const uint64_t m =
-                    acc / (uint64_t)(block_size - order);
+                // divisor guarded as the scalar spec does
+                // (ref/flac_analysis: divide by max(n - o, 1)) —
+                // flac_emit_frames2 is a general entry point and a
+                // decision row with order == block_size must not trap
+                const int64_t nres = block_size - order;
+                const uint64_t m = acc / (uint64_t)(nres > 0 ? nres
+                                                             : 1);
                 if (bit_length_u64(m) <= probe_thr[f])
                     probe_out[f] = 1;
             }
@@ -1685,9 +1690,15 @@ static inline int qplan_t_for(const int32_t* xb, int64_t n,
     const uint64_t m = sum2 / (uint64_t)(n - 2);
     int extra = 0;
     int margin = cap_margin;
-    // products stay < 2^58 for bps <= 30, n <= 2^16 (sums < 2^43)
+    // pre-shift (spec: ops/qpack.plan_t): sum2 < 2^(bps+18), so the
+    // 5/8 cross-multiply would wrap uint64 above bps 29 at n = 65535;
+    // shifting both sums by max(0, bps-26) keeps 5*(sum2>>s)*(n-1)
+    // provably < 2^63 for every admitted bps (s == 0 for bps <= 26,
+    // i.e. all real 16/24-bit content incl. side channels)
+    const int pshift = bps > 26 ? bps - 26 : 0;
     if (noise_extra > 0 && m > 0 &&
-        5 * sum2 * (uint64_t)(n - 1) >= 8 * sum1 * (uint64_t)(n - 2)) {
+        5 * (sum2 >> pshift) * (uint64_t)(n - 1) >=
+            8 * (sum1 >> pshift) * (uint64_t)(n - 2)) {
         extra = noise_extra;
         margin = cap_margin > 2 ? cap_margin - 2 : 0;
     }
@@ -3253,6 +3264,7 @@ extern "C" int64_t atpu_flac_scan(const uint8_t* data,
                                   int32_t max_frames,
                                   int32_t max_parts,
                                   int32_t verify_crc,
+                                  int32_t chunk_codes,
                                   int32_t* frame_meta,
                                   int32_t* sub_meta,
                                   int32_t* warmup,
@@ -3369,20 +3381,35 @@ extern "C" int64_t atpu_flac_scan(const uint8_t* data,
                 continue;
             } else if (type_code == 1) {                // VERBATIM
                 sm[1] = 1;
-                if (n_parts >= max_parts) { capacity = false; break; }
-                int32_t* pm = part_meta + n_parts * 8;
-                pm[0] = (int32_t)n_subs;
-                pm[1] = 0;
-                pm[2] = block_size;
-                pm[3] = -1;
-                pm[4] = ebps;
-                const int64_t off = consumed * 8 + r.bit_pos();
-                pm[5] = (int32_t)off;
-                r.skip_bits((int64_t)block_size * ebps);
-                pm[6] = (int32_t)(consumed * 8 + r.bit_pos() - off);
-                pm[7] = 0;
-                if (r.error) return -1;
-                n_parts++;
+                // chunk_codes > 0 splits the run into <= chunk_codes
+                // sample records (see the residual loop note)
+                const int64_t vstep =
+                    (chunk_codes > 0 && block_size > chunk_codes)
+                        ? chunk_codes : block_size;
+                int64_t vdone = 0;
+                do {
+                    const int64_t cn =
+                        std::min(vstep, (int64_t)block_size - vdone);
+                    if (n_parts >= max_parts) {
+                        capacity = false; break;
+                    }
+                    int32_t* pm = part_meta + n_parts * 8;
+                    pm[0] = (int32_t)n_subs;
+                    pm[1] = (int32_t)vdone;
+                    pm[2] = (int32_t)cn;
+                    pm[3] = -1;
+                    pm[4] = ebps;
+                    const int64_t off = consumed * 8 + r.bit_pos();
+                    pm[5] = (int32_t)off;
+                    r.skip_bits(cn * ebps);
+                    pm[6] = (int32_t)(consumed * 8 + r.bit_pos() -
+                                      off);
+                    pm[7] = 0;
+                    if (r.error) return -1;
+                    vdone += cn;
+                    n_parts++;
+                } while (vdone < block_size);
+                if (!capacity) break;
                 n_subs++;
                 continue;
             } else if (type_code >= 8 && type_code <= 12) {  // FIXED
@@ -3423,33 +3450,58 @@ extern "C" int64_t atpu_flac_scan(const uint8_t* data,
                 int64_t psize = (block_size >> porder) -
                                 (p == 0 ? order : 0);
                 if (psize < 0) return -5;
-                if (n_parts >= max_parts) { capacity = false; break; }
                 const int param = (int)r.get(param_bits);
-                int32_t* pm = part_meta + n_parts * 8;
-                pm[0] = (int32_t)n_subs;
-                pm[1] = (int32_t)dest;
-                pm[2] = (int32_t)psize;
-                pm[7] = 0;
-                const int64_t off0 = consumed * 8 + r.bit_pos();
-                pm[5] = (int32_t)off0;
+                int rice_k = -1, raw_w = -1;
                 if (param == escape) {
-                    const int raw = (int)r.get(5);
-                    pm[3] = -1;
-                    pm[4] = raw;
-                    pm[5] = (int32_t)(consumed * 8 + r.bit_pos());
-                    if (raw > 0)
-                        r.skip_bits(psize * raw);
+                    raw_w = (int)r.get(5);
                 } else {
-                    pm[3] = param;
-                    pm[4] = -1;
-                    if ((int64_t)skip_buf.size() < psize)
+                    rice_k = param;
+                    if (psize > 0 &&
+                        (int64_t)skip_buf.size() < psize)
                         skip_buf.resize(psize);
-                    rice_run32(r, skip_buf.data(), psize, param);
                 }
-                pm[6] = (int32_t)(consumed * 8 + r.bit_pos() - pm[5]);
-                if (r.error) return -1;
+                // chunk_codes > 0 splits the partition into records
+                // of <= chunk_codes codes each, with exact bit
+                // offsets: the walk below visits every code anyway
+                // (unary lengths are data-dependent), so these
+                // checkpoints are free — and they turn the device
+                // decoder's C-long sequential problem into C/chunk
+                // INDEPENDENT lanes (the lock-step scan then runs
+                // chunk_codes steps over many-thousand-lane vectors
+                // instead of 4096 steps over a few hundred)
+                const int64_t step =
+                    (chunk_codes > 0 && psize > chunk_codes)
+                        ? chunk_codes : (psize > 0 ? psize : 1);
+                int64_t done = 0;
+                do {
+                    const int64_t cn = std::min(step, psize - done);
+                    if (n_parts >= max_parts) {
+                        capacity = false; break;
+                    }
+                    int32_t* pm = part_meta + n_parts * 8;
+                    pm[0] = (int32_t)n_subs;
+                    pm[1] = (int32_t)(dest + done);
+                    pm[2] = (int32_t)cn;
+                    pm[3] = rice_k;
+                    pm[4] = raw_w;
+                    pm[7] = 0;
+                    const int64_t coff = consumed * 8 + r.bit_pos();
+                    pm[5] = (int32_t)coff;
+                    if (rice_k >= 0) {
+                        if (cn > 0)
+                            rice_run32(r, skip_buf.data(), cn,
+                                       rice_k);
+                    } else if (raw_w > 0) {
+                        r.skip_bits(cn * raw_w);
+                    }
+                    pm[6] = (int32_t)(consumed * 8 + r.bit_pos() -
+                                      coff);
+                    if (r.error) return -1;
+                    done += cn;
+                    n_parts++;
+                } while (done < psize);
+                if (!capacity) break;
                 dest += psize;
-                n_parts++;
             }
             if (!capacity) break;
             n_subs++;
@@ -5570,6 +5622,114 @@ int64_t atpu_shn_decode(const uint8_t* data,
         info[3] = bps;
     }
     return frames;
+}
+
+/* Residual-only entropy scan of a Shorten stream for the DEVICE
+ * decode path (ATPU_SHN_DEC_BACKEND=jax): walks the command stream
+ * and entropy-decodes each (block, channel) row's residuals WITHOUT
+ * applying predictors — the device inverts DIFF1-3 as k-fold cumsums
+ * plus affine warm-up terms (ops/shn_synth.py), the TPU-native
+ * re-expression of reference src/decoders/shn.c's per-sample loops.
+ *
+ * row_meta per row: {cmd, block_len, left_shift, chan}
+ * residuals: [max_rows, max_block] int32, zero-padded per row
+ * info: {channels, file_type, bps, sign_adjustment, total_frames}
+ * Returns row count, or <0: -80 = the stream uses features the
+ * device path does not cover (QLPC, DIFF0-with-means, energy > 30)
+ * and the caller must decode on host; -81 = capacity. */
+int64_t atpu_shn_scan(const uint8_t* data,
+                      int64_t len,
+                      int64_t max_rows,
+                      int64_t max_block,
+                      int32_t* residuals,
+                      int32_t* row_meta,
+                      int64_t* info) {
+    using namespace shn;
+    BitReader r(data, len);
+    if (r.get(32) != 0x616A6B67 || r.get(8) != 2) return -62;
+    const int file_type = (int)get_long(r);
+    const int channels = (int)get_long(r);
+    int64_t block_size = (int64_t)get_long(r);
+    (void)get_long(r);                        /* max LPC */
+    const int n_means = (int)get_long(r);
+    const int64_t skip = (int64_t)get_long(r);
+    if (channels < 1 || channels > 64) return -63;
+    if (r.error) return -64;
+    for (int64_t i = 0; i < skip; i++) get_unsigned(r, 8);
+
+    int bps;
+    int32_t sign_adjustment = 0;
+    switch (file_type) {
+    case 1: bps = 8; break;
+    case 2: bps = 8; sign_adjustment = 1 << 7; break;
+    case 3: case 5: bps = 16; break;
+    case 4: case 6: bps = 16; sign_adjustment = 1 << 15; break;
+    default: return -65;
+    }
+
+    int left_shift = 0;
+    int64_t rows = 0, frames = 0;
+    int chan = 0;
+
+    while (!r.error) {
+        const int command = (int)get_unsigned(r, 2);
+        if (r.error) return -66;
+        if (command == FN_QUIT) break;
+        switch (command) {
+        case FN_BLOCKSIZE:
+            block_size = (int64_t)get_long(r);
+            if (block_size < 0) return -67;
+            break;
+        case FN_BITSHIFT:
+            left_shift = (int)get_unsigned(r, 2);
+            break;
+        case FN_VERBATIM: {
+            const int64_t count = (int64_t)get_unsigned(r, 5);
+            for (int64_t i = 0; i < count; i++) get_unsigned(r, 8);
+            break;
+        }
+        case FN_QLPC:
+            return -80;
+        case FN_DIFF0: case FN_DIFF1: case FN_DIFF2: case FN_DIFF3:
+        case FN_ZERO: {
+            if (command == FN_DIFF0 && n_means > 0)
+                return -80;   /* offset needs decoded means: host */
+            if (rows >= max_rows || block_size > max_block)
+                return -81;
+            int32_t* res = residuals + rows * max_block;
+            for (int64_t i = 0; i < max_block; i++) res[i] = 0;
+            if (command != FN_ZERO) {
+                const int energy = (int)get_unsigned(r, 3);
+                if (energy > 30) return -80;
+                for (int64_t i = 0; i < block_size; i++)
+                    res[i] = (int32_t)get_signed(r, energy);
+            }
+            if (r.error) return -69;
+            int32_t* rm = row_meta + rows * 4;
+            rm[0] = command;
+            rm[1] = (int32_t)block_size;
+            rm[2] = left_shift;
+            rm[3] = chan;
+            rows++;
+            chan += 1;
+            if (chan == channels) {
+                chan = 0;
+                frames += block_size;
+            }
+            break;
+        }
+        default:
+            return -70;
+        }
+    }
+    if (info != nullptr) {
+        info[0] = channels;
+        info[1] = file_type;
+        info[2] = bps;
+        info[3] = sign_adjustment;
+        info[4] = frames;
+    }
+    return rows;
 }
 
 /* parse-only walk of a Shorten stream collecting the VERBATIM

@@ -37,11 +37,24 @@ from .flac_dec_fast import FastFlacDecoder
 # partition/subframe lanes per step amortize it (word-level tables
 # keep the footprint linear in W, not N)
 MAX_BATCH_FRAMES = 1024
-# partition capacity per scan call (worst sane case: 8 ch x 64 parts)
+# residual-run chunking: the host scan walks every Rice code anyway
+# (unary lengths are data-dependent), so it checkpoints each run
+# every CHUNK codes for free — the device then decodes C/CHUNK
+# INDEPENDENT lanes of CHUNK codes instead of one C-long sequential
+# partition (a -8 porder-0 stereo batch becomes ~128k lanes x 64
+# steps instead of ~2k lanes x 4096 steps; the lock-step scan's
+# per-step cost is lane-width-independent, so wall drops ~CHUNK/C)
+import os as _os
+CHUNK_CODES = int(_os.environ.get("ATPU_FLAC_DEC_CHUNK", "64"))
+# partition capacity per scan call (worst sane case: 8 ch x
+# 4096/CHUNK records per subframe at the standard -8 block size)
 MAX_PARTS = MAX_BATCH_FRAMES * 8 * 64
 # partition buckets: (window words, max codes). A partition lands in
 # the smallest bucket holding both its bit span and its code count.
-BUCKETS = ((8, 64), (64, 64), (256, 512), (2048, 4096))
+# With chunking, spans concentrate at CHUNK * (k + 2) bits — the
+# graded 64-code buckets keep padding tight across k; the monster
+# bucket remains the catch-all (pathological unary runs, CHUNK=0)
+BUCKETS = ((8, 64), (16, 64), (32, 64), (64, 64), (2048, 4096))
 
 _jit_cache = {}
 
@@ -136,7 +149,8 @@ class JaxFlacDecoder(FastFlacDecoder):
                 view, self.bits_per_sample, self.channels,
                 max_samples=max_batch,
                 max_frames=MAX_BATCH_FRAMES,
-                max_parts=MAX_PARTS)
+                max_parts=MAX_PARTS,
+                chunk_codes=CHUNK_CODES)
         except _native.CapacityError:
             # pathological partition layout: host path for this chunk
             return super().read(pcm_frames)

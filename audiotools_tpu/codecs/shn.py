@@ -21,6 +21,12 @@ def _backend():
     return os.environ.get("ATPU_SHN_BACKEND", "native")
 
 
+def _dec_backend():
+    """"jax" = host entropy scan + device cumsum synthesis
+    (ops/shn_synth.py); "native" (default) = all-host C++"""
+    return os.environ.get("ATPU_SHN_DEC_BACKEND", "native")
+
+
 _jit_cache = {}
 
 
@@ -117,6 +123,68 @@ def encode_shn(file_or_path, pcmreader, is_big_endian,
         file_or_path.write(data)
 
 
+_dec_jit_cache = {}
+
+
+def _decode_jax(data):
+    """decodes a whole SHN stream via the device path: host
+    entropy scan (_native.shn_scan) + cumsum synthesis on device
+    (ops/shn_synth.py); returns int32 [frames, ch], or None when the
+    stream uses features outside device coverage (QLPC,
+    DIFF0-with-means) and the host decoder must run"""
+    from ..ops import shn_synth
+
+    try:
+        (res, row_meta, info) = _native.shn_scan(data)
+    except _native.ShnDeviceUnsupported:
+        return None
+    channels = info["channels"]
+    total = info["total_frames"]
+    R = res.shape[0]
+    if R == 0:
+        return np.zeros((0, channels), dtype=np.int32)
+    warm = shn_synth.warmup_chain(res, row_meta, channels)
+
+    R_pad = 1
+    while R_pad < R:
+        R_pad <<= 1
+    n = res.shape[1]
+    res_p = np.zeros((R_pad, n), dtype=np.int32)
+    res_p[:R] = res
+    cmd_p = np.full(R_pad, shn_synth.CMD_ZERO, dtype=np.int32)
+    cmd_p[:R] = row_meta[:, 0]
+    warm_p = np.zeros((R_pad, 3), dtype=np.int64)
+    warm_p[:R] = warm
+    shift_p = np.zeros(R_pad, dtype=np.int32)
+    shift_p[:R] = row_meta[:, 2]
+
+    import jax
+    jax.config.update("jax_enable_x64", True)
+    key = (R_pad, n, info["sign_adjustment"])
+    if key not in _dec_jit_cache:
+        import jax.numpy as jnp
+        sa = info["sign_adjustment"]
+        _dec_jit_cache[key] = jax.jit(
+            lambda r, c, w, s: shn_synth.synthesize(
+                jnp, r, c, w, s, sa))
+    planes = np.asarray(
+        _dec_jit_cache[key](res_p, cmd_p, warm_p, shift_p))
+
+    # rows -> interleaved [frames, ch] (native decoder semantics:
+    # only complete channel sets count toward the frame total)
+    out = np.zeros((total, channels), dtype=np.int32)
+    pos = np.zeros(channels, dtype=np.int64)
+    for row in range(R):
+        n_b = int(row_meta[row, 1])
+        chan = int(row_meta[row, 3])
+        take = min(n_b, total - int(pos[chan]))
+        if take > 0:
+            out[pos[chan]:pos[chan] + take, chan] = \
+                planes[row, :take]
+        pos[chan] += n_b
+    return out
+
+
 class FastSHNDecoder(oracle.SHNDecoder):
     """SHNDecoder decoding the whole stream via the native kernel
 
@@ -139,11 +207,15 @@ class FastSHNDecoder(oracle.SHNDecoder):
                 self.__path__.seek(0, 0)
                 data = self.__path__.read()
                 self.__path__.seek(pos, 0)
-            # residuals cost >= ~2 bits each, so the frame count
-            # is bounded by the stream size
-            max_frames = ((len(data) * 4) // self.channels) + 1024
-            (samples, _ftype, _bps) = _native.shn_decode(
-                data, max_frames, self.channels)
+            samples = None
+            if _dec_backend() == "jax":
+                samples = _decode_jax(data)     # None: host fallback
+            if samples is None:
+                # residuals cost >= ~2 bits each, so the frame count
+                # is bounded by the stream size
+                max_frames = ((len(data) * 4) // self.channels) + 1024
+                (samples, _ftype, _bps) = _native.shn_decode(
+                    data, max_frames, self.channels)
             if not self.signed_samples:
                 samples = samples  # kernel already sign-adjusts
             self.__decoded__ = samples

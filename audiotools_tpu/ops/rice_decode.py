@@ -277,7 +277,7 @@ def decode_partitions_scan(xp, words, word_base, base_bits, k,
 
         # U codes per scan step (identical arithmetic; C/U step
         # boundaries instead of C — step overhead is the wall)
-        U = 4
+        U = SCAN_UNROLL
         while C % U:
             U //= 2
 
@@ -298,12 +298,26 @@ def decode_partitions_scan(xp, words, word_base, base_bits, k,
 # code-count threshold above which the lock-step scan path decodes a
 # bucket (below it, pointer doubling's log C gathers win)
 SCAN_MIN_CODES = 256
+# pointer doubling issues P * 32W * ceil(log2 C) general gathers —
+# the TPU's weakest op; above this budget the lock-step scan (whose
+# cost is per-STEP, nearly lane-width-independent) wins even for
+# short partitions.  Chunked decode batches put ~128k lanes in a
+# (16..64, 64) bucket: pointer doubling there would issue ~400M
+# gathers vs the scan's 16 wide steps.
+PD_GATHER_BUDGET = int(
+    __import__("os").environ.get("ATPU_RICE_PD_BUDGET", str(1 << 24)))
+# codes per lock-step scan step (see decode_partitions_scan)
+SCAN_UNROLL = int(
+    __import__("os").environ.get("ATPU_RICE_SCAN_U", "4"))
 
 
 def decode_partitions_auto(xp, words, word_base, base_bits, k,
                            raw_bits, count, W, C):
-    """dispatches a bucket to pointer doubling or the lock-step scan"""
-    if C >= SCAN_MIN_CODES:
+    """dispatches a bucket to pointer doubling or the lock-step scan
+    by estimated gather work (static shapes, so jit-safe)"""
+    P = word_base.shape[0]
+    logc = max(1, (C - 1).bit_length())
+    if C >= SCAN_MIN_CODES or P * W * 32 * logc > PD_GATHER_BUDGET:
         return decode_partitions_scan(xp, words, word_base, base_bits,
                                       k, raw_bits, count, W, C)
     return decode_partitions(xp, words, word_base, base_bits, k,
