@@ -400,6 +400,18 @@ def _build_and_load():
         ctypes.c_int32,                   # verify_crc
     ]
 
+    lib.atpu_tta_scan_residuals.restype = ctypes.c_int64
+    lib.atpu_tta_scan_residuals.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8),   # data (concatenated frames)
+        ctypes.c_int64,                   # len
+        ctypes.POINTER(ctypes.c_int64),   # frame_lens
+        ctypes.POINTER(ctypes.c_int32),   # frame_sizes
+        ctypes.c_int64,                   # n_tta_frames
+        ctypes.c_int32,                   # channels
+        ctypes.POINTER(ctypes.c_int32),   # out [total, ch]
+        ctypes.c_int32,                   # verify_crc
+    ]
+
     lib.atpu_verify_mpeg.restype = ctypes.c_int64
     lib.atpu_verify_mpeg.argtypes = [ctypes.POINTER(ctypes.c_uint8),
                                      ctypes.c_int64,
@@ -1198,6 +1210,33 @@ def shn_scan(data, max_rows=None, max_block=None):
         "sign_adjustment": int(info[3]),
         "total_frames": int(info[4]),
     })
+
+
+def tta_scan_residuals(data, frame_lens, frame_sizes, channels,
+                       verify_crc=True):
+    """entropy-unpacks concatenated TTA frames (adaptive Rice +
+    CRC-32) WITHOUT the filter chain — the device decode path's host
+    half (ops/tta_synth.py inverts the filters)
+
+    returns int32 [total, channels] residuals"""
+    import numpy as np
+    lib = get_lib()
+    buf = np.frombuffer(bytes(data), dtype=np.uint8)
+    frame_lens = np.ascontiguousarray(frame_lens, dtype=np.int64)
+    frame_sizes = np.ascontiguousarray(frame_sizes, dtype=np.int32)
+    total = int(frame_sizes.sum())
+    out = np.empty((total, channels), dtype=np.int32)
+    rc = lib.atpu_tta_scan_residuals(
+        _as_ptr(buf, ctypes.c_uint8), len(buf),
+        _as_ptr(frame_lens, ctypes.c_int64),
+        _as_ptr(frame_sizes, ctypes.c_int32),
+        len(frame_sizes), channels,
+        _as_ptr(out, ctypes.c_int32),
+        1 if verify_crc else 0)
+    if rc < 0:
+        raise ValueError("truncated or corrupt TTA stream "
+                         "(native code %d)" % (rc,))
+    return out
 
 
 def tta_encode_frames(samples, frame_sizes, channels, bps):

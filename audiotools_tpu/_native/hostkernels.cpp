@@ -5139,6 +5139,85 @@ int64_t atpu_tta_decode_frame(const uint8_t* data,
     return payload + 4;
 }
 
+// Residual-only entropy unpack of concatenated TTA frames for the
+// DEVICE decode path (ATPU_TTA_DEC_BACKEND=jax): runs the two-level
+// adaptive Rice decoder (whose k0/k1 adaptation depends only on the
+// unsigned values, never on the filter) and the per-frame CRC-32,
+// WITHOUT the hybrid filter / fixed predictor / decorrelation — the
+// device inverts those as one fused scan (ops/tta_synth.py).
+// Reference per-sample loop: src/decoders/tta.c:849.
+//
+// data: concatenated frame bytes; frame_lens: bytes per frame;
+// frame_sizes: PCM frames per frame; out: int32 [total, channels].
+int64_t atpu_tta_scan_residuals(const uint8_t* data,
+                                int64_t len,
+                                const int64_t* frame_lens,
+                                const int32_t* frame_sizes,
+                                int64_t n_tta_frames,
+                                int32_t channels,
+                                int32_t* out,
+                                int32_t verify_crc) {
+    using namespace tta;
+    if (channels > 8) return -50;
+    int64_t byte_pos = 0;
+    int64_t sample_pos = 0;
+    for (int64_t f = 0; f < n_tta_frames; f++) {
+        const int64_t n = frame_sizes[f];
+        const int64_t flen = frame_lens[f];
+        if (byte_pos + flen > len) return -52;
+        LEReader r(data + byte_pos, flen);
+        Rice rice[8];
+        int32_t* res_out = out + sample_pos * channels;
+        for (int64_t i = 0; i < n; i++) {
+            for (int c = 0; c < channels; c++) {
+                Rice& rc = rice[c];
+                const uint32_t msb = r.unary1();
+                uint32_t unsigned_v;
+                if (msb == 0) {
+                    unsigned_v = (uint32_t)r.get(rc.k0);
+                } else {
+                    const uint32_t lsb = (uint32_t)r.get(rc.k1);
+                    const uint32_t shifted =
+                        ((msb - 1) << rc.k1) | lsb;
+                    unsigned_v = shifted + (1u << rc.k0);
+                    rc.sum1 += shifted - (rc.sum1 >> 4);
+                    if (rc.sum1 < (1LL << (rc.k1 + 4))) {
+                        if (rc.k1 > 0) rc.k1 -= 1;
+                    } else if (rc.sum1 > (1LL << (rc.k1 + 5))) {
+                        rc.k1 += 1;
+                    }
+                }
+                res_out[i * channels + c] = (unsigned_v & 1)
+                    ? (int32_t)((unsigned_v + 1) >> 1)
+                    : -(int32_t)(unsigned_v >> 1);
+                rc.sum0 += unsigned_v - (rc.sum0 >> 4);
+                if (rc.sum0 < (1LL << (rc.k0 + 4))) {
+                    if (rc.k0 > 0) rc.k0 -= 1;
+                } else if (rc.sum0 > (1LL << (rc.k0 + 5))) {
+                    rc.k0 += 1;
+                }
+                if (r.error) return -51;
+            }
+        }
+        r.byte_align();
+        const int64_t payload = r.byte_pos();
+        if (payload + 4 > flen) return -52;
+        if (verify_crc) {
+            const uint32_t expected = crc32_buf(data + byte_pos,
+                                                payload);
+            const uint32_t stored =
+                (uint32_t)data[byte_pos + payload] |
+                ((uint32_t)data[byte_pos + payload + 1] << 8) |
+                ((uint32_t)data[byte_pos + payload + 2] << 16) |
+                ((uint32_t)data[byte_pos + payload + 3] << 24);
+            if (expected != stored) return -53;
+        }
+        byte_pos += flen;
+        sample_pos += n;
+    }
+    return sample_pos;
+}
+
 }  // extern "C"
 
 // ======================================================================

@@ -144,10 +144,84 @@ class FastTTADecoder(oracle.TTADecoder):
         return position
 
 
+def _dec_backend():
+    """"jax" = host adaptive-Rice unpack + device filter inversion
+    (ops/tta_synth.py); "native" (default) = all-host C++"""
+    return os.environ.get("ATPU_TTA_DEC_BACKEND", "native")
+
+
+_dec_jit_cache = {}
+
+
+class JaxTTADecoder(FastTTADecoder):
+    """TTADecoder on the device decode path: all frames entropy-
+    unpack on host in one pass (_native.tta_scan_residuals), then ONE
+    jitted program inverts the hybrid filter + fixed predictor as a
+    fused scan and undoes decorrelation (ops/tta_synth.py) — frames
+    are independent lanes (filter state resets per frame, reference
+    src/decoders/tta.c:849), so the whole stream decodes in batch."""
+
+    def _decode_all(self):
+        """decodes every TTA frame once; caches [total, ch] int32"""
+        from ..ops import tta_synth
+
+        lens = np.asarray(self.frame_lengths, dtype=np.int64)
+        self.reader.source.seek(self.__frames_start__)
+        self.reader.byte_align()
+        data = self.reader.source.read(int(lens.sum()))
+        sizes = np.full(self.total_tta_frames, self.block_size,
+                        dtype=np.int32)
+        if self.total_tta_frames:
+            tail = (self.total_pcm_frames -
+                    (self.total_tta_frames - 1) * self.block_size)
+            sizes[-1] = tail
+        res = _native.tta_scan_residuals(
+            data, lens, sizes, self.channels)
+
+        F = self.total_tta_frames
+        n = self.block_size
+        ch = self.channels
+        F_pad = 1
+        while F_pad < F:
+            F_pad <<= 1
+        planes = np.zeros((F_pad, n, ch), dtype=np.int32)
+        pos = 0
+        for f in range(F):
+            planes[f, :sizes[f]] = res[pos:pos + sizes[f]]
+            pos += sizes[f]
+
+        import jax
+        key = (F_pad, n, ch, self.bits_per_sample)
+        if key not in _dec_jit_cache:
+            import jax.numpy as jnp
+            bps = self.bits_per_sample
+            _dec_jit_cache[key] = jax.jit(
+                lambda r: tta_synth.synthesize(jnp, r, bps))
+        out = np.asarray(_dec_jit_cache[key](planes))
+        pieces = [out[f, :sizes[f]] for f in range(F)]
+        return (np.concatenate(pieces, axis=0) if pieces else
+                np.zeros((0, ch), dtype=np.int32))
+
+    def decode_frame(self, n):
+        if getattr(self, "__jax_decoded__", None) is None:
+            self.__jax_decoded__ = self._decode_all()
+        frame_index = self.total_tta_frames - oracle.div_ceil(
+            self.remaining, self.block_size)
+        start = frame_index * self.block_size
+        return self.__jax_decoded__[start:start + n].astype(np.int64)
+
+    def seek(self, pcm_frame):
+        """seek needs no reader repositioning once decoded, but keep
+        the parent semantics (reader offset) for pre-decode seeks"""
+        position = FastTTADecoder.seek(self, pcm_frame)
+        return position
+
+
 def decoder_for_file(file):
     """returns a PCMReader decoding the given TTA stream"""
     if _use_oracle():
         return oracle.TTADecoder(file)
-    dec = FastTTADecoder(file)
+    cls = JaxTTADecoder if _dec_backend() == "jax" else FastTTADecoder
+    dec = cls(file)
     dec.__frames_start__ = dec.reader.source.tell()
     return dec

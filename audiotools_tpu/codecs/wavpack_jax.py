@@ -26,12 +26,17 @@ def enabled():
     return os.environ.get("ATPU_WV_BACKEND", "native") == "jax"
 
 
+def dec_enabled():
+    return os.environ.get("ATPU_WV_DEC_BACKEND", "native") == "jax"
+
+
 def install():
-    """points ref/wavpack's override hook at the device backend
-    (the hook checks ``enabled()`` per call, so installing is
-    unconditional and the env var stays live)"""
+    """points ref/wavpack's override hooks at the device backends
+    (each hook checks its ``enabled()`` per call, so installing is
+    unconditional and the env vars stay live)"""
     from ..ref import wavpack as ref_wv
     ref_wv.correlate_channels_override = _correlate_jax
+    ref_wv.decorrelate_channels_override = _decorrelate_jax
 
 
 def _get_jit(chain, cc, n, sample_shapes):
@@ -88,3 +93,57 @@ def _correlate_jax(uncorrelated, params, channel_count):
         p.update_samples([[int(v) for v in np.asarray(s_out[p_i])[c]]
                           for c in range(cc)])
     return [latest[c] for c in range(cc)]
+
+
+def _get_dec_jit(chain, cc, n, sample_shapes):
+    key = ("dec", chain, cc, n, sample_shapes)
+    if key in _jit_cache:
+        return _jit_cache[key]
+    import jax
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+    from ..ops import wv_scan
+
+    def run(x, weights, samples):
+        return wv_scan.run_dec_chain(jnp, x, chain, weights, samples)
+
+    fn = jax.jit(run)
+    _jit_cache[key] = fn
+    return fn
+
+
+def _decorrelate_jax(residuals, terms, deltas, weights,
+                     samples_list):
+    """the _decorrelate_channels override (DECODE direction: one
+    fused device program inverting a block's whole pass chain);
+    returns None to fall back to the host path"""
+    if not dec_enabled():
+        return None
+    cc = len(residuals)
+    if cc not in (1, 2):
+        return None
+    x = np.stack([np.asarray(c, dtype=np.int64)
+                  for c in residuals[:cc]], axis=0)
+    n = x.shape[1]
+    chain = tuple(zip(terms, deltas))
+    if not chain or n == 0:
+        return None
+
+    w = np.zeros((len(chain), cc), dtype=np.int64)
+    samples = []
+    for (p_i, (term, _delta)) in enumerate(chain):
+        w[p_i, :] = [int(v) for v in weights[p_i][:cc]]
+        span = len(samples_list[p_i][0]) if samples_list[p_i] else 0
+        want = (2 if term in (17, 18)
+                else term if 1 <= term <= 8 else 1)
+        if span < want:
+            return None         # degenerate warm-up: host path
+        s = np.zeros((cc, span), dtype=np.int64)
+        for c in range(min(cc, len(samples_list[p_i]))):
+            s[c, :] = [int(v) for v in samples_list[p_i][c]]
+        samples.append(s)
+    samples = tuple(samples)
+
+    fn = _get_dec_jit(chain, cc, n, tuple(s.shape for s in samples))
+    out = np.asarray(fn(x, w, samples))
+    return [out[c] for c in range(cc)]

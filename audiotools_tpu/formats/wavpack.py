@@ -110,6 +110,8 @@ class WavPackAudio(ApeTaggedAudio, WaveContainer):
 
     def to_pcm(self):
         from ..ref.wavpack import WavPackDecoder
+        from ..codecs import wavpack_jax
+        wavpack_jax.install()   # live ATPU_WV_DEC_BACKEND dispatch
         try:
             return WavPackDecoder(open(self.filename, "rb"))
         except (IOError, ValueError) as err:

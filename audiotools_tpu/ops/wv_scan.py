@@ -126,6 +126,109 @@ def pass_negative(xp, x, term, delta, weights, samples):
     return (out, xp.stack([w_out[0], w_out[1]]))
 
 
+def dec_pass_positive(xp, x, term, delta, weights, samples):
+    """DECODE direction for terms 17/18 and 1-8: the source series
+    is the pass *output* (reference src/decoders/wavpack.c:2024,
+    oracle ref/wavpack._decorrelation_pass_1ch), so the scan carries
+    a ring of the last ``term`` (or 2) outputs alongside the weight.
+
+    x: int64 [cc, n] correlated input; samples: int64 [cc, S] stored
+    warm-up (terms 1-8: S=term, oldest first; 17/18: [s0, s1] with
+    the chain seeded [s1, s0]); returns out [cc, n]"""
+    n = x.shape[1]
+    cc = x.shape[0]
+    if term in (17, 18):
+        # ring = [d[i], d[i+1]] (two most recent outputs)
+        ring0 = xp.concatenate([samples[:, 1:2], samples[:, 0:1]],
+                               axis=1)
+
+        def step(state, xs):
+            (w, ring) = state
+            (x_i,) = xs
+            if term == 18:
+                temp = (3 * ring[:, 1] - ring[:, 0]) >> 1
+            else:
+                temp = 2 * ring[:, 1] - ring[:, 0]
+            out = _apply_weight(w, temp) + x_i
+            w = w + _update_weight(xp, temp, x_i, delta)
+            ring = xp.stack([ring[:, 1], out], axis=1)
+            return ((w, ring), out)
+
+        state0 = (weights, ring0)
+    else:
+        def step(state, xs):
+            (w, ring) = state
+            (x_i,) = xs
+            src = ring[:, 0]
+            out = _apply_weight(w, src) + x_i
+            w = w + _update_weight(xp, src, x_i, delta)
+            ring = xp.concatenate([ring[:, 1:], out[:, None]],
+                                  axis=1)
+            return ((w, ring), out)
+
+        state0 = (weights, samples)
+
+    (_state, ys) = _scan(xp, step, state0,
+                         (xp.swapaxes(x, 0, 1),), n)
+    return xp.swapaxes(ys, 0, 1)
+
+
+def dec_pass_negative(xp, x, term, delta, weights, samples):
+    """DECODE direction for terms -1/-2/-3: cross-channel recurrences
+    on the *outputs* with clamped weights (oracle
+    ref/wavpack._decorrelation_pass_2ch)
+
+    x: int64 [2, n]; samples: int64 [2, 1]; returns out [2, n]"""
+    n = x.shape[1]
+
+    def step(state, xs):
+        (w0, w1, prev0, prev1) = state
+        (x0_i, x1_i) = xs
+        if term == -1:
+            out0 = _apply_weight(w0, prev1) + x0_i
+            out1 = _apply_weight(w1, out0) + x1_i
+            w0 = w0 + _update_weight(xp, prev1, x0_i, delta)
+            w1 = w1 + _update_weight(xp, out0, x1_i, delta)
+        elif term == -2:
+            out1 = _apply_weight(w1, prev0) + x1_i
+            out0 = _apply_weight(w0, out1) + x0_i
+            w1 = w1 + _update_weight(xp, prev0, x1_i, delta)
+            w0 = w0 + _update_weight(xp, out1, x0_i, delta)
+        else:                                   # term == -3
+            out0 = _apply_weight(w0, prev1) + x0_i
+            out1 = _apply_weight(w1, prev0) + x1_i
+            w0 = w0 + _update_weight(xp, prev1, x0_i, delta)
+            w1 = w1 + _update_weight(xp, prev0, x1_i, delta)
+        w0 = xp.clip(w0, -1024, 1024)
+        w1 = xp.clip(w1, -1024, 1024)
+        return ((w0, w1, out0, out1), xp.stack([out0, out1]))
+
+    # seeding swap per the oracle: channel 0's chain starts from
+    # dec_samples[1][0], channel 1's from dec_samples[0][0]
+    state0 = (weights[0], weights[1], samples[1, 0], samples[0, 0])
+    (_state, ys) = _scan(xp, step, state0, (x[0], x[1]), n)
+    return xp.swapaxes(ys, 0, 1)
+
+
+def run_dec_chain(xp, x, chain, weights, samples_list):
+    """runs a block's full DECODE decorrelation chain (one jitted
+    program per (chain, cc, n) — the decode mirror of
+    run_pass_chain)
+
+    x: int64 [cc, n] residuals; chain: static tuple of (term,
+    delta); weights: int64 [P, cc]; samples_list: tuple of int64
+    [cc, S_p]; returns decorrelated [cc, n]"""
+    latest = x
+    for (p, (term, delta)) in enumerate(chain):
+        if term > 0:
+            latest = dec_pass_positive(
+                xp, latest, term, delta, weights[p], samples_list[p])
+        else:
+            latest = dec_pass_negative(
+                xp, latest, term, delta, weights[p], samples_list[p])
+    return latest
+
+
 def run_pass_chain(xp, x, chain, weights, samples_list):
     """runs a block's full decorrelation chain
 

@@ -707,8 +707,20 @@ def _decorrelation_pass_1ch(correlated, term, delta, weight,
         raise ValueError("unsupported term")
 
 
+# device-decode hook: codecs/wavpack_jax.py installs a fused
+# decode-chain device program here (the oracle itself never imports
+# ops/ — the override is injected from the codecs layer, mirroring
+# correlate_channels_override on the encode side)
+decorrelate_channels_override = None
+
+
 def _decorrelate_channels(residuals, terms, deltas, weights,
                           samples_list):
+    if decorrelate_channels_override is not None:
+        result = decorrelate_channels_override(
+            residuals, terms, deltas, weights, samples_list)
+        if result is not None:
+            return result
     if len(residuals) == 2:
         latest = [r for r in residuals]
         for (term, delta, weight_pair, dec_samples) in zip(
