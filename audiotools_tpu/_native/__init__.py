@@ -1212,6 +1212,41 @@ def shn_scan(data, max_rows=None, max_block=None):
     })
 
 
+def flac_qplan_t(blocks, bps, guard=None, cap_margin=None,
+                 noise_extra=0):
+    """per-(block, channel) quantization shift t ONLY (no bit
+    packing): the C++ first/second-difference scan behind the qpack
+    wire (spec ops/qpack.plan_t).  The floor-retry stage-1 check
+    needs the BASE plan (noise_extra=0) next to the wire's adaptive
+    plan — in C++ this is ~4 ms per 512-block batch where the numpy
+    spec costs ~175 ms (it was the encode pipeline's largest single
+    CPU sink when the adaptive default landed)."""
+    import numpy as np
+
+    from ..ops import qpack as _qpack
+    if guard is None:
+        guard = _qpack.guard_bits()
+    if cap_margin is None:
+        cap_margin = _qpack.cap_margin()
+
+    lib = get_lib()
+    blocks = np.ascontiguousarray(blocks, dtype=np.int32)
+    (B, n, ch) = blocks.shape
+    t = np.empty((B, ch), dtype=np.int32)
+    x0 = np.empty((B, ch), dtype=np.int32)
+    or_vals = np.empty((B, ch), dtype=np.int32)
+    const_flags = np.empty((B, ch), dtype=np.uint8)
+    lib.atpu_flac_qplan(
+        _as_ptr(blocks, ctypes.c_int32), B, n, ch,
+        int(bps), int(guard), int(cap_margin), int(noise_extra),
+        0,
+        _as_ptr(t, ctypes.c_int32), _as_ptr(x0, ctypes.c_int32),
+        _as_ptr(or_vals, ctypes.c_int32),
+        _as_ptr(const_flags, ctypes.c_uint8),
+        None)
+    return t
+
+
 def tta_scan_residuals(data, frame_lens, frame_sizes, channels,
                        verify_crc=True):
     """entropy-unpacks concatenated TTA frames (adaptive Rice +

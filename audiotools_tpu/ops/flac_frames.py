@@ -381,9 +381,6 @@ def analyze_subframes(xp, X, bps, n, max_lpc_order, qlp_precision,
     if rice_mode != "exact":
         with _scope(xp, "flac.rice_search"):
             abs_res = xp.abs(cand_res)                     # [S, C, n]
-            u = xp.where(cand_res >= 0,
-                         cand_res << 1,
-                         ((-cand_res - 1) << 1) | 1)       # [S, C, n]
             orders_f = cand_orders.astype(xp.float64)
             pmax = porders[-1]
             parts_max = 1 << pmax
@@ -414,13 +411,25 @@ def analyze_subframes(xp, X, bps, n, max_lpc_order, qlp_precision,
                 for rr in range(max_rice):
                     r = r + ((counts * float(1 << rr)) <
                              seg_abs).astype(xp.int32)
-                # sum(u >> r) per partition (int32 shifts, exact f64
-                # totals); u <= 2^(max_bps + 6)
-                msb = (xp.reshape(u, (S, C, parts, psize)) >>
-                       r[:, :, :, None])
-                msb_sum = exact_i32_sum(
-                    xp, msb, chunk=sum_chunk_for(res_bits + 1))
-                part_bits = 4.0 + msb_sum + counts * (
+                # estimated msb bits floor(2 * seg_abs / 2^r): the
+                # classic abs-sum Rice size model (sum(u) ~= 2 *
+                # sum|res|, sum(u >> r) ~= sum(u) / 2^r).  Closed
+                # form over the TINY [S, C, parts] arrays — the
+                # per-porder sum(u >> r) passes this replaces
+                # re-read the full [S, C, n] zigzag plane seven
+                # times (~35 ms of the 512-block batch's wall; the
+                # whole program is ~15 ms without them).  Model
+                # ranking and stereo assignment tolerate the
+                # estimate because the FINAL (porder, params) are
+                # re-searched exactly on exact residuals at emit
+                # time (hostkernels emit_rice_research).  Exact
+                # power-of-two scaling keeps the floor
+                # backend-deterministic (float-float scales
+                # exponents exactly).
+                est_msb = xp.floor(
+                    seg_abs * 2.0 *
+                    lpc_ops.exact_exp2(xp, -r))
+                part_bits = 4.0 + est_msb + counts * (
                     1.0 + r.astype(xp.float64))
                 rice_totals.append(xp.sum(part_bits, axis=2))
                 rice_params_by_p.append(r)

@@ -172,11 +172,13 @@ def _rice_search_estimate(res_aligned, order, n, porders, max_rice):
 
     res_aligned: int64 [n] with warm-up positions (< order) zero.
     returns (porder, params list, bits); first-minimum over the
-    contiguous porder list (strict <)."""
+    contiguous porder list (strict <).
+
+    msb bits are ESTIMATED as floor(2 * seg / 2^r) from the partition
+    |residual| sums alone (mirrors ops/flac_frames' estimate branch:
+    no pass over the residual plane at all — emit re-searches the
+    final parameters exactly)."""
     absr = np.abs(res_aligned)
-    u = np.where(res_aligned >= 0,
-                 res_aligned << 1,
-                 ((-res_aligned - 1) << 1) | 1).astype(np.int64)
     best = None
     for porder in porders:
         parts = 1 << porder
@@ -188,8 +190,9 @@ def _rice_search_estimate(res_aligned, order, n, porders, max_rice):
         r = np.zeros(parts, dtype=np.int64)
         for rr in range(max_rice):
             r += (counts * float(1 << rr) < seg)
-        msb = u.reshape(parts, psize) >> r[:, None]
-        part_bits = 4.0 + msb.sum(axis=1) + counts * (1.0 + r)
+        est_msb = np.floor(seg.astype(np.float64) * 2.0 *
+                           np.exp2(-r.astype(np.float64)))
+        part_bits = 4.0 + est_msb + counts * (1.0 + r)
         total = float(part_bits.sum())
         if best is None or total < best[2]:
             best = (porder, [int(v) for v in r], total)
