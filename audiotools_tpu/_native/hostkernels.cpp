@@ -899,6 +899,36 @@ static void emit_rice_research(const T* zz, int n, int order,
     const int R = max_rice + 1;
     const int parts_f = 1 << pmax;
     const int psize_f = n >> pmax;
+    // WINDOWED exact search (spec shared with the oracle mirror
+    // ref/flac_enc.emit_rice_search): a first pass takes each finest
+    // partition's total S0 = sum(u) and its abs-sum threshold
+    // parameter rt (smallest r with count * 2^r >= S0, the classic
+    // Rice estimate); the exhaustive (partition, parameter) scan
+    // then restricts r to the subframe-global window
+    // [min_p(rt_p) - 3, max_p(rt_p) + 3] — the exact optimum sits
+    // within +-1 of rt in all but adversarial cases, and coarser
+    // partition unions' thresholds stay between their children's.
+    // First-minimum semantics WITHIN the window on both axes.  This
+    // cuts the finest-level sum(u >> r) passes (the research's wall)
+    // roughly in half on typical material.
+    int rt_min = R, rt_max = 0;
+    {
+        for (int p = 0; p < parts_f; p++) {
+            const T* seg = zz + (size_t)p * psize_f;
+            int64_t s0 = 0;
+            for (int i = 0; i < psize_f; i++)
+                s0 += (int64_t)seg[i];
+            const int64_t count = psize_f - (p == 0 ? order : 0);
+            int rt = 0;
+            for (int r = 0; r < max_rice; r++)
+                if ((count << r) < s0) rt++;
+            if (rt < rt_min) rt_min = rt;
+            if (rt > rt_max) rt_max = rt;
+        }
+    }
+    const int rlo = rt_min > 3 ? rt_min - 3 : 0;
+    const int rhi0 = rt_max + 3;
+    const int rhi = rhi0 < max_rice ? rhi0 : max_rice;
     // exact per-level sums S[l][p][r] = sum(u >> r) over partition p
     // at level l (2^l partitions), stored flat at ((1<<l)-1 + p)*R;
     // finest level computed directly, coarser levels by pair-sum
@@ -911,14 +941,14 @@ static void emit_rice_research(const T* zz, int n, int order,
         uint64_t mx = 0;
         for (int i = 0; i < psize_f; i++) mx |= (uint64_t)seg[i];
         const int maxbit = mx ? 64 - __builtin_clzll(mx) : 0;
-        const int rlim = maxbit < R ? maxbit : R;
-        for (int r = 0; r < rlim; r++) {
+        const int rlim = maxbit < (rhi + 1) ? maxbit : (rhi + 1);
+        for (int r = rlo; r < rlim; r++) {
             int64_t acc = 0;
             for (int i = 0; i < psize_f; i++)
                 acc += (int64_t)(seg[i] >> r);
             S[r] = acc;
         }
-        for (int r = rlim; r < R; r++) S[r] = 0;
+        for (int r = rlim; r <= rhi; r++) S[r] = 0;
     }
     for (int l = pmax - 1; l >= 0; l--) {
         const int off = (1 << l) - 1;
@@ -927,7 +957,7 @@ static void emit_rice_research(const T* zz, int n, int order,
             int64_t* D = &sums[(size_t)(off + p) * R];
             const int64_t* A = &sums[(size_t)(offc + 2 * p) * R];
             const int64_t* B = A + R;
-            for (int r = 0; r < R; r++) D[r] = A[r] + B[r];
+            for (int r = rlo; r <= rhi; r++) D[r] = A[r] + B[r];
         }
     }
     static thread_local std::vector<int32_t> rtmp;
@@ -944,8 +974,8 @@ static void emit_rice_research(const T* zz, int n, int order,
             const int64_t* S = &sums[(size_t)(off + p) * R];
             const int64_t count = psz - (p == 0 ? order : 0);
             int64_t bc = INT64_MAX;
-            int br = 0;
-            for (int r = 0; r < R; r++) {
+            int br = rlo;
+            for (int r = rlo; r <= rhi; r++) {
                 const int64_t c = S[r] + count * (int64_t)(1 + r);
                 if (c < bc) { bc = c; br = r; }
             }

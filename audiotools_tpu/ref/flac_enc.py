@@ -433,6 +433,15 @@ def emit_rice_search(res_aligned, order, n, porders, max_rice):
     coding method 1.  First minimum wins on both axes (strict <,
     ascending porder / ascending r).  Returns (porder, params list).
 
+    The parameter axis is WINDOWED (spec shared with the C++
+    emit_rice_research): each finest partition's abs-sum threshold
+    rt (smallest r with count * 2^r >= sum(u), capped at max_rice)
+    bounds the scan to the subframe-global window
+    [min_p(rt_p) - 3, max_p(rt_p) + 3] — the exact optimum sits
+    within +-1 of rt in all but adversarial cases, and coarser
+    partition unions' thresholds stay between their children's.
+    First minimum WITHIN the window wins on both axes.
+
     This is the stage the C++ emitter mirrors bit-exactly; unlike the
     analysis-stage ``ref/flac_analysis._rice_search`` it runs on
     exact residuals and in pure integer arithmetic, so byte-identity
@@ -440,6 +449,17 @@ def emit_rice_search(res_aligned, order, n, porders, max_rice):
     u = np.where(res_aligned >= 0,
                  res_aligned << 1,
                  ((-res_aligned - 1) << 1) | 1).astype(np.int64)
+    pmax = porders[-1]
+    parts_f = 1 << pmax
+    psize_f = n >> pmax
+    seg0 = u.reshape(parts_f, psize_f).sum(axis=1)
+    counts_f = np.full(parts_f, psize_f, dtype=np.int64)
+    counts_f[0] = psize_f - order
+    rt = np.zeros(parts_f, dtype=np.int64)
+    for rr in range(max_rice):
+        rt += (counts_f << rr) < seg0
+    rlo = max(int(rt.min()) - 3, 0)
+    rhi = min(int(rt.max()) + 3, max_rice)
     best = None
     for porder in porders:
         parts = 1 << porder
@@ -449,9 +469,10 @@ def emit_rice_search(res_aligned, order, n, porders, max_rice):
         counts[0] = psize - order
         cand = np.stack(
             [(useg >> rr).sum(axis=1) + counts * (1 + rr)
-             for rr in range(max_rice + 1)], axis=1)     # [parts, R]
-        r = np.argmin(cand, axis=1)                      # first min
-        total = int(cand[np.arange(parts), r].sum()) + 4 * parts
+             for rr in range(rlo, rhi + 1)], axis=1)   # [parts, R']
+        ridx = np.argmin(cand, axis=1)                 # first min
+        r = ridx + rlo
+        total = int(cand[np.arange(parts), ridx].sum()) + 4 * parts
         if int(r.max()) > 14:
             total += parts
         if best is None or total < best[2]:

@@ -33,10 +33,12 @@ from audiotools_tpu import _native
 
 SAMPLE_RATE = 44100
 BLOCK = 4096
-# 512-block batches halve the tunnel's per-dispatch round-trip count
-# vs 256 (the dispatch RTT, not bandwidth, is the serialized cost);
-# A/B: 36 -> 41 Msamples/s at equal weather
-BATCH = int(os.environ.get("ATPU_BENCH_BATCH", "512"))
+# 1024-block batches amortize per-dispatch round trips and per-batch
+# host overheads; round-5 same-window A/B: 1024 -> 45.7 Msamples/s vs
+# 512's 40.3 and 2048's 42.4 (NOTE: this default changed from 512 in
+# round 5 — the driver's measured quantity doubles its audio length
+# at equal N_BATCHES; per-sample throughput is the metric)
+BATCH = int(os.environ.get("ATPU_BENCH_BATCH", "1024"))
 # steady-state matters: the tunnel pipeline takes ~4 batches to fill
 # and drains ~4 at EOF (measured ~0.55 s of the 8-batch run's 1.4 s
 # wall was ramp-down) — 16 batches (12.7 min of audio) amortize the
