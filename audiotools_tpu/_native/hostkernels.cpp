@@ -3379,8 +3379,14 @@ extern "C" int64_t atpu_flac_scan(const uint8_t* data,
         const int64_t frame_subs_base = n_subs;
         const int64_t frame_parts_base = n_parts;
         bool capacity = true;
+        // set when the frame's bits run past the buffered data: the
+        // frame rolls back and the scan stops cleanly at the last
+        // complete frame (callers refill the buffer and rescan) —
+        // decode-ahead batches legitimately end mid-frame
+        bool frame_error = false;
 
-        for (int c = 0; c < channels && capacity; c++) {
+        for (int c = 0; c < channels && capacity && !frame_error;
+             c++) {
             int sub_bps = bps;
             if (assignment == 8 && c == 1) sub_bps = bps + 1;
             else if (assignment == 9 && c == 0) sub_bps = bps + 1;
@@ -3406,7 +3412,7 @@ extern "C" int64_t atpu_flac_scan(const uint8_t* data,
             if (type_code == 0) {                       // CONSTANT
                 sm[1] = 0;
                 sm[6] = (int32_t)r.get_signed(ebps);
-                if (r.error) return -1;
+                if (r.error) { frame_error = true; break; }
                 n_subs++;
                 continue;
             } else if (type_code == 1) {                // VERBATIM
@@ -3435,11 +3441,11 @@ extern "C" int64_t atpu_flac_scan(const uint8_t* data,
                     pm[6] = (int32_t)(consumed * 8 + r.bit_pos() -
                                       off);
                     pm[7] = 0;
-                    if (r.error) return -1;
+                    if (r.error) { frame_error = true; break; }
                     vdone += cn;
                     n_parts++;
                 } while (vdone < block_size);
-                if (!capacity) break;
+                if (!capacity || frame_error) break;
                 n_subs++;
                 continue;
             } else if (type_code >= 8 && type_code <= 12) {  // FIXED
@@ -3465,7 +3471,7 @@ extern "C" int64_t atpu_flac_scan(const uint8_t* data,
                 for (int i = 0; i < order; i++)
                     ql[i] = (int32_t)r.get_signed(precision);
             }
-            if (r.error) return -1;
+            if (r.error) { frame_error = true; break; }
 
             // ---- residual partitions ----
             const int coding_method = (int)r.get(2);
@@ -3526,17 +3532,24 @@ extern "C" int64_t atpu_flac_scan(const uint8_t* data,
                     }
                     pm[6] = (int32_t)(consumed * 8 + r.bit_pos() -
                                       coff);
-                    if (r.error) return -1;
+                    if (r.error) { frame_error = true; break; }
                     done += cn;
                     n_parts++;
                 } while (done < psize);
-                if (!capacity) break;
+                if (!capacity || frame_error) break;
                 dest += psize;
             }
-            if (!capacity) break;
+            if (!capacity || frame_error) break;
             n_subs++;
         }
 
+        if (frame_error) {
+            // incomplete frame at the end of the buffered bytes:
+            // roll back; consumed stays at the last complete frame
+            n_subs = frame_subs_base;
+            n_parts = frame_parts_base;
+            break;
+        }
         if (!capacity) {
             // frame didn't fit the caller's buffers: roll back and
             // stop (an over-capacity FIRST frame is an error — the

@@ -78,7 +78,7 @@ def _get_decode_jit(key):
     from .flac_enc_fast import _enable_compilation_cache
     _enable_compilation_cache(jax)   # shape signatures persist
 
-    (n, ch, S_pad, F_pad, buckets) = key
+    (n, ch, S_pad, F_pad, buckets, Kw, narrow) = key
 
     def run(words, sub_args, frame_assignment, bucket_args):
         (warmup, qlp, shift, order, wasted, const_val,
@@ -98,36 +98,85 @@ def _get_decode_jit(key):
         # stereo decorrelation, so this happens before reconstruct)
         samples = jnp.where(is_const[:, None], const_val[:, None],
                             samples)
-        return flac_synth.reconstruct_frames(
+        out = flac_synth.reconstruct_frames(
             jnp, samples, wasted, frame_assignment, ch)
+        if narrow:
+            # bps <= 16 streams fit int16: HALVES the device->host
+            # PCM downlink, the decode path's largest single cost on
+            # the tunneled chip (~485 ms of an 835 ms batch at int32)
+            out = out.astype(jnp.int16)
+        return out
 
     fn = jax.jit(run)
     _jit_cache[key] = fn
     return fn
 
 
+# compressed bytes buffered per device decode batch: enough to feed
+# full MAX_BATCH_FRAMES batches (a -8 stereo 4096-block frame is
+# ~4-12 KB) — the device path's throughput lever is batch width, so
+# it decodes AHEAD of the caller's read size and serves from a PCM
+# buffer (the per-read 64-block batches a 262144-frame FRAMELIST_SIZE
+# request would otherwise impose cost one tunnel round trip each)
+DEVICE_CHUNK_BYTES = 0x800000
+
+
 class JaxFlacDecoder(FastFlacDecoder):
     """a PCMReader decoding FLAC on the device path
 
     Inherits STREAMINFO/seektable parsing, buffering, seek() and the
-    EOF MD5 check from the host decoder; read() routes frame decoding
-    through the scan + device pipeline."""
+    EOF MD5 check from the host decoder; read() decodes
+    MAX_BATCH_FRAMES-deep batches through the scan + device pipeline
+    and serves the caller from the decoded-PCM buffer (never more
+    than requested, so seek()'s discard loop keeps its contract)."""
+
+    _pcm_buf = None
+    _pcm_off = 0
 
     def read(self, pcm_frames):
         if self.closed:
             raise ValueError("stream is closed")
-        if self.eof:
-            return pcm.empty_framelist(self.channels,
-                                       self.bits_per_sample)
+        if (self._pcm_buf is None or
+                self._pcm_off >= self._pcm_buf.shape[0]):
+            if self.eof:
+                return pcm.empty_framelist(self.channels,
+                                           self.bits_per_sample)
+            fallback = self._fill_pcm_buffer(pcm_frames)
+            if fallback is not None:
+                return fallback     # host-path / EOF framelist
+            if (self._pcm_buf is None or
+                    self._pcm_off >= self._pcm_buf.shape[0]):
+                return pcm.empty_framelist(self.channels,
+                                           self.bits_per_sample)
+        buf = self._pcm_buf
+        take = min(buf.shape[0] - self._pcm_off,
+                   max(int(pcm_frames), 1))
+        chunk = np.ascontiguousarray(
+            buf[self._pcm_off:self._pcm_off + take])
+        self._pcm_off += take
+        framelist = pcm.FrameList._wrap(chunk, self.bits_per_sample)
+        self.decoded_frames += take
+        if (self._pcm_off >= buf.shape[0] and self.total_frames and
+                self.decoded_frames >= self.total_frames):
+            self._finish()
+        return framelist
 
-        from .flac_dec_fast import CHUNK_BYTES
+    def seek(self, pcm_frame):
+        self._pcm_buf = None
+        self._pcm_off = 0
+        return FastFlacDecoder.seek(self, pcm_frame)
+
+    def _fill_pcm_buffer(self, pcm_frames):
+        """decodes one device batch into the PCM buffer; returns None
+        on success, or a framelist when the host path must serve the
+        request (pathological layouts) / the stream finished"""
         file_exhausted = False
-        if len(self.buffer) - self.buf_off < CHUNK_BYTES:
+        if len(self.buffer) - self.buf_off < DEVICE_CHUNK_BYTES:
             if self.buf_off:
                 del self.buffer[:self.buf_off]
                 self.buf_off = 0
-            while len(self.buffer) < CHUNK_BYTES:
-                chunk = self.file.read(CHUNK_BYTES)
+            while len(self.buffer) < DEVICE_CHUNK_BYTES:
+                chunk = self.file.read(DEVICE_CHUNK_BYTES)
                 if not chunk:
                     file_exhausted = True
                     break
@@ -139,11 +188,8 @@ class JaxFlacDecoder(FastFlacDecoder):
                                        self.bits_per_sample)
 
         view = memoryview(self.buffer)[self.buf_off:]
-        # like the host path, a batch never exceeds the caller's
-        # request (rounded up to one block) — seek()'s discard loop
-        # relies on read(block) not overshooting
-        max_batch = max(pcm_frames,
-                        self.maximum_block_size or 65536)
+        max_batch = MAX_BATCH_FRAMES * max(
+            self.maximum_block_size or 65536, 4096)
         try:
             scan = _native.flac_scan(
                 view, self.bits_per_sample, self.channels,
@@ -157,10 +203,10 @@ class JaxFlacDecoder(FastFlacDecoder):
 
         if scan["consumed_bytes"] == 0:
             if not file_exhausted:
-                chunk = self.file.read(CHUNK_BYTES)
+                chunk = self.file.read(DEVICE_CHUNK_BYTES)
                 if chunk:
                     self.buffer += chunk
-                    return self.read(pcm_frames)
+                    return self._fill_pcm_buffer(pcm_frames)
             if (len(self.buffer) - self.buf_off > 0 and
                     (not self.total_frames or
                      self.decoded_frames < self.total_frames)):
@@ -178,12 +224,9 @@ class JaxFlacDecoder(FastFlacDecoder):
 
         self.buf_off += scan["consumed_bytes"]
         self.current_md5.update_pcm(samples, self.bits_per_sample)
-        framelist = pcm.FrameList._wrap(samples, self.bits_per_sample)
-        self.decoded_frames += framelist.frames
-        if (self.total_frames and
-                self.decoded_frames >= self.total_frames):
-            self._finish()
-        return framelist
+        self._pcm_buf = samples
+        self._pcm_off = 0
+        return None
 
     def _decode_batch(self, scan, data):
         """runs one scanned batch through the device pipeline,
@@ -199,15 +242,24 @@ class JaxFlacDecoder(FastFlacDecoder):
 
         # ---- subframe arrays (host prep, numpy) ----
         S = sub_meta.shape[0]
-        warmup = np.zeros((S_pad, flac_synth.K), dtype=np.int32)
-        qlp = np.zeros((S_pad, flac_synth.K), dtype=np.int32)
+        # static coefficient width on the {8, 16, 32} grid: the
+        # synthesis scan's per-step MAC width (order <= 12 at -8, so
+        # most batches run at 16 instead of 32)
+        max_order = int(sub_meta[:, 2].max()) if S else 0
+        Kw = 8
+        while Kw < max_order:
+            Kw <<= 1
+        Kw = min(Kw, flac_synth.K)
+        warmup = np.zeros((S_pad, Kw), dtype=np.int32)
+        qlp = np.zeros((S_pad, Kw), dtype=np.int32)
         shift = np.zeros(S_pad, dtype=np.int32)
         order = np.zeros(S_pad, dtype=np.int32)
         wasted = np.zeros(S_pad, dtype=np.int32)
         const_val = np.zeros(S_pad, dtype=np.int32)
         is_const = np.zeros(S_pad, dtype=bool)
-        warmup[:S] = scan["warmup"]
-        qlp[:S] = flac_synth.fill_fixed_qlp(sub_meta, scan["qlp"])
+        warmup[:S] = scan["warmup"][:, :Kw]
+        qlp[:S] = flac_synth.fill_fixed_qlp(sub_meta,
+                                            scan["qlp"])[:, :Kw]
         shift[:S] = sub_meta[:, 4]
         order[:S] = sub_meta[:, 2]
         wasted[:S] = sub_meta[:, 3]
@@ -215,6 +267,11 @@ class JaxFlacDecoder(FastFlacDecoder):
         is_const[:S] = sub_meta[:, 1] == 0
         assignment = np.zeros(F_pad, dtype=np.int32)
         assignment[:F] = frame_meta[:, 1]
+        # int16 downlink when every decoded sample provably fits
+        # (bps + wasted <= 16 on every subframe of a <= 16-bit
+        # stream)
+        narrow = bool(self.bits_per_sample <= 16 and
+                      int(frame_meta[:, 2].max()) <= 16)
 
         # ---- partition bucketing ----
         bit_off = part_meta[:, 5]
@@ -260,12 +317,14 @@ class JaxFlacDecoder(FastFlacDecoder):
                 padded(pm[:, 1]),
             ))
 
-        key = (n, ch, S_pad, F_pad, tuple(bucket_shapes))
+        key = (n, ch, S_pad, F_pad, tuple(bucket_shapes), Kw, narrow)
         fn = _get_decode_jit(key)
         out = np.asarray(fn(words,
                             (warmup, qlp, shift, order, wasted,
                              const_val, is_const),
                             assignment, tuple(bucket_args)))
+        if narrow:
+            out = out.astype(np.int32)
 
         # ---- per-frame trim + concat ----
         block_sizes = frame_meta[:, 0]

@@ -59,8 +59,11 @@ def synthesize(xp, residuals, warmup, qlp, shift, order, n):
 
     residuals: int32 [S, n] (CONSTANT rows zero, VERBATIM rows carry
                the raw samples; positions < order are ignored)
-    warmup:    int32 [S, K] stored warm-up samples
-    qlp:       int32 [S, K] predictor coefficients (FIXED rows carry
+    warmup:    int32 [S, Kw] stored warm-up samples (Kw <= K static;
+               callers may slice to the batch's max order — the
+               per-step multiply-accumulate width is the scan's
+               dominant arithmetic, and -8 streams use order <= 12)
+    qlp:       int32 [S, Kw] predictor coefficients (FIXED rows carry
                the fixed-difference coefficients, see fill_fixed_qlp)
     shift:     int32 [S] quantization shift (0 for FIXED)
     order:     int32 [S] predictor order (0 = pass-through)
@@ -69,20 +72,21 @@ def synthesize(xp, residuals, warmup, qlp, shift, order, n):
     returns samples int32 [S, n]
     """
     S = residuals.shape[0]
-    qf = qlp.astype(xp.float64)                        # [S, K]
+    qf = qlp.astype(xp.float64)                        # [S, Kw]
     scale = lpc_ops.exact_exp2(xp, -shift.astype(xp.int64))  # [S]
     ordv = order.astype(xp.int32)
 
+    Kw = qlp.shape[1]
     # warm-up plane: column i (< order) holds the stored sample
     warm_full = xp.zeros((S, n), dtype=xp.int32)
-    kk = min(K, n)
+    kk = min(Kw, n)
     if xp is np:
         warm_full[:, :kk] = warmup[:, :kk]
     else:
         warm_full = warm_full.at[:, :kk].set(warmup[:, :kk])
 
     if xp is np:
-        hist = np.zeros((S, K), dtype=np.float64)
+        hist = np.zeros((S, Kw), dtype=np.float64)
         out = np.empty((S, n), dtype=np.int32)
         res_f = residuals.astype(np.float64)
         idx = np.arange(S)
@@ -114,7 +118,8 @@ def synthesize(xp, residuals, warmup, qlp, shift, order, n):
     # INSIDE the step body (identical arithmetic order), so the scan
     # pays n/U step boundaries instead of n — scan-step overhead was
     # the measured wall of the device decode path
-    U = 4
+    import os as _os
+    U = int(_os.environ.get("ATPU_SYNTH_UNROLL", "16"))
     while n % U:
         U //= 2
 
@@ -126,7 +131,7 @@ def synthesize(xp, residuals, warmup, qlp, shift, order, n):
             outs.append(v32)
         return (hist, jnp.stack(outs))
 
-    hist0 = jnp.zeros((S, K), dtype=jnp.float64)
+    hist0 = jnp.zeros((S, Kw), dtype=jnp.float64)
     xs = (residuals.T.reshape(n // U, U, S),
           warm_full.T.reshape(n // U, U, S),
           jnp.arange(n, dtype=jnp.int32).reshape(n // U, U))
