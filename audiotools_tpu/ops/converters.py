@@ -81,12 +81,16 @@ def _resample_jit(M, taps, ch, L, D):
         import jax.numpy as jnp
 
         def run(hist, starts, q, bank):
-            # windows: [M, taps, ch] gather (dynamic row starts over a
-            # static-length history)
+            # CHANNEL-MAJOR windows: hist transposes to [ch, L] so the
+            # gathered window tensor is [ch, M, taps] with taps minor
+            # (tile-aligned; the [M, taps, ch] form put ch = 2 in the
+            # minor dim and XLA padded each (8, 128) tile 64x — a
+            # 16 GB HBM blowup at M = 65536)
             idx = starts[:, None] + jnp.arange(taps)[None, :]  # [M, t]
-            win = hist[idx]                       # [M, taps, ch] f64
+            hist_t = hist.T                       # [ch, L] f64
+            win = hist_t[:, idx]                  # [ch, M, taps]
             coef = bank[q]                        # [M, taps] f64
-            return jnp.sum(win * coef[:, :, None], axis=1)  # [M, ch]
+            return jnp.sum(win * coef[None, :, :], axis=2).T  # [M, ch]
 
         _jit_cache[key] = jax.jit(run)
     return _jit_cache[key]
@@ -105,17 +109,28 @@ def resample_fir_device(hist, starts, q, bank):
     (L, ch) = hist.shape
     (D, taps) = bank.shape
     M = len(starts)
-    Mp = _pad_pow2(M)
+    # slab the output rows: the [ch, M_slab, taps] window tensor is
+    # the program's footprint (float-float f64), so 16384-row slabs
+    # keep it ~128 MB regardless of the caller's chunk size
+    SLAB = 16384
     Lp = _pad_pow2(L + taps)
     hist_p = np.zeros((Lp, ch), dtype=np.float64)
     hist_p[:L] = hist
-    starts_p = np.zeros(Mp, dtype=np.int32)
-    starts_p[:M] = starts
-    q_p = np.zeros(Mp, dtype=np.int32)
-    q_p[:M] = q
-    fn = _resample_jit(Mp, taps, ch, Lp, D)
-    out = np.asarray(jax.device_get(fn(hist_p, starts_p, q_p, bank)))
-    return out[:M]
+    pieces = []
+    for s0 in range(0, M, SLAB):
+        sl = slice(s0, min(s0 + SLAB, M))
+        m = sl.stop - sl.start
+        Mp = _pad_pow2(m)
+        starts_p = np.zeros(Mp, dtype=np.int32)
+        starts_p[:m] = starts[sl]
+        q_p = np.zeros(Mp, dtype=np.int32)
+        q_p[:m] = q[sl]
+        fn = _resample_jit(Mp, taps, ch, Lp, D)
+        out = np.asarray(jax.device_get(
+            fn(hist_p, starts_p, q_p, bank)))
+        pieces.append(out[:m])
+    return (np.concatenate(pieces, axis=0) if len(pieces) > 1
+            else pieces[0])
 
 
 # ---------------------------------------------------------------------------

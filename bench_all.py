@@ -417,7 +417,7 @@ def _config5_budget():
 
         t0 = time.perf_counter()
         for out in outs:
-            farm.verify_flac(out)
+            farm.verify_flac(FlacAudio(out))
         rows["verify_decode"] = time.perf_counter() - t0
 
         t0 = time.perf_counter()
