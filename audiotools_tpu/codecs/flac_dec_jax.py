@@ -78,7 +78,7 @@ def _get_decode_jit(key):
     from .flac_enc_fast import _enable_compilation_cache
     _enable_compilation_cache(jax)   # shape signatures persist
 
-    (n, ch, S_pad, F_pad, buckets, Kw, narrow) = key
+    (n, ch, S_pad, F_pad, buckets, Kw, narrow, use_i32) = key
 
     def run(words, sub_args, frame_assignment, bucket_args):
         (warmup, qlp, shift, order, wasted, const_val,
@@ -93,7 +93,8 @@ def _get_decode_jit(key):
             planes = planes + rice_decode.scatter_residuals(
                 jnp, vals, sub_idx, dest_off, count, S_pad, n, C)
         samples = flac_synth.synthesize(
-            jnp, planes, warmup, qlp, shift, order, n)
+            jnp, planes, warmup, qlp, shift, order, n,
+            use_i32=use_i32)
         # CONSTANT subframes fill directly (they participate in
         # stereo decorrelation, so this happens before reconstruct)
         samples = jnp.where(is_const[:, None], const_val[:, None],
@@ -272,6 +273,12 @@ class JaxFlacDecoder(FastFlacDecoder):
         # stream)
         narrow = bool(self.bits_per_sample <= 16 and
                       int(frame_meta[:, 2].max()) <= 16)
+        # native-int32 synthesis whenever no intermediate can wrap
+        # for this batch's coefficients/shifts (the float-float f64
+        # scan was the decode program's wall)
+        vbits = np.zeros(S_pad, dtype=np.int32)
+        vbits[:S] = sub_meta[:, 5] + 1          # ebps value bound
+        use_i32 = flac_synth.i32_synthesis_safe(qlp, shift, vbits)
 
         # ---- partition bucketing ----
         bit_off = part_meta[:, 5]
@@ -317,7 +324,8 @@ class JaxFlacDecoder(FastFlacDecoder):
                 padded(pm[:, 1]),
             ))
 
-        key = (n, ch, S_pad, F_pad, tuple(bucket_shapes), Kw, narrow)
+        key = (n, ch, S_pad, F_pad, tuple(bucket_shapes), Kw, narrow,
+               use_i32)
         fn = _get_decode_jit(key)
         out = np.asarray(fn(words,
                             (warmup, qlp, shift, order, wasted,

@@ -54,7 +54,34 @@ def fill_fixed_qlp(sub_meta, qlp):
     return qlp
 
 
-def synthesize(xp, residuals, warmup, qlp, shift, order, n):
+def i32_synthesis_safe(qlp, shift, value_bits):
+    """host-side guard for the int32 synthesis fast path
+
+    qlp: int32 [S, Kw]; shift: int32 [S]; value_bits: int [S] bound
+    on bits of |decoded value| per row (ebps; padded rows zero).
+
+    The int32 recombination pred = (A << (11-s)) + (B >> s) /
+    (A + (B >> 11)) >> (s-11) with A = sum q*(v >> 11),
+    B = sum q*(v & 2047) is EXACT (not saturating) whenever no
+    intermediate can wrap:  per row, with Q = sum|q|,
+    * B bound: Q * 2^11 < 2^31
+    * A bound: Q * 2^max(vb-11, 0) < 2^30
+    * s <= 11 rows additionally: A_bound << (11 - s) < 2^30
+    Valid streams keep decoded values within value_bits, so the
+    int32 result equals the exact-f64 floor form bit for bit."""
+    Q = np.abs(qlp.astype(np.int64)).sum(axis=1).astype(np.float64)
+    vb = np.asarray(value_bits, dtype=np.float64)
+    a_bound = Q * np.exp2(np.maximum(vb - 11.0, 0.0))
+    s = np.asarray(shift, dtype=np.int64)
+    lo_ok = a_bound * np.exp2(11.0 - np.minimum(s, 11)) < 2.0 ** 30
+    ok = ((Q * 2048.0 < 2.0 ** 31) &
+          (a_bound < 2.0 ** 30) &
+          np.where(s <= 11, lo_ok, True))
+    return bool(np.all(ok))
+
+
+def synthesize(xp, residuals, warmup, qlp, shift, order, n,
+               use_i32=False):
     """inverts the predictors for a batch of subframes
 
     residuals: int32 [S, n] (CONSTANT rows zero, VERBATIM rows carry
@@ -104,15 +131,50 @@ def synthesize(xp, residuals, warmup, qlp, shift, order, n):
     import jax
     import jax.numpy as jnp
 
-    def one(hist, res_i, warm_i, i):
-        pred = jnp.floor(jnp.sum(qf * hist, axis=1) * scale)
-        val = jnp.where(i < ordv,
-                        warm_i.astype(jnp.float64),
-                        res_i.astype(jnp.float64) + pred)
-        v32 = val.astype(jnp.int64).astype(jnp.int32)
-        hist = jnp.concatenate(
-            [v32[:, None].astype(jnp.float64), hist[:, :-1]], axis=1)
-        return (hist, v32)
+    if use_i32:
+        # native-int32 fast path (caller guarantees no intermediate
+        # wraps via i32_synthesis_safe): the float-float f64 multiply
+        # chains were the scan's per-op wall on the emulated backend.
+        # The value splits v = (v >> 11) * 2^11 + (v & 2047), A/B
+        # accumulate the two planes, and the exact shift-split
+        # recombination mirrors ops/lpc.lpc_residuals_i32's algebra
+        # — identical integers to the f64 floor form by construction.
+        qi = qlp.astype(jnp.int32)
+        sh = shift.astype(jnp.int32)
+        s_le = jnp.minimum(sh, 11)
+        sh_hi = jnp.maximum(sh, 11) - 11
+        is_lo = sh <= 11
+
+        def one(state, res_i, warm_i, i):
+            (hh, hl) = state
+            A = jnp.sum(qi * hh, axis=1, dtype=jnp.int32)
+            B = jnp.sum(qi * hl, axis=1, dtype=jnp.int32)
+            pred_lo = (A << (11 - s_le)) + (B >> s_le)
+            pred_hi = (A + (B >> 11)) >> sh_hi
+            pred = jnp.where(is_lo, pred_lo, pred_hi)
+            val = jnp.where(i < ordv, warm_i, res_i + pred)
+            hh = jnp.concatenate([(val >> 11)[:, None],
+                                  hh[:, :-1]], axis=1)
+            hl = jnp.concatenate([(val & 2047)[:, None],
+                                  hl[:, :-1]], axis=1)
+            return ((hh, hl), val)
+
+        state0 = (jnp.zeros((S, Kw), dtype=jnp.int32),
+                  jnp.zeros((S, Kw), dtype=jnp.int32))
+    else:
+        def one(state, res_i, warm_i, i):
+            hist = state
+            pred = jnp.floor(jnp.sum(qf * hist, axis=1) * scale)
+            val = jnp.where(i < ordv,
+                            warm_i.astype(jnp.float64),
+                            res_i.astype(jnp.float64) + pred)
+            v32 = val.astype(jnp.int64).astype(jnp.int32)
+            hist = jnp.concatenate(
+                [v32[:, None].astype(jnp.float64), hist[:, :-1]],
+                axis=1)
+            return (hist, v32)
+
+        state0 = jnp.zeros((S, Kw), dtype=jnp.float64)
 
     # U samples per scan step: the recurrence advances sequentially
     # INSIDE the step body (identical arithmetic order), so the scan
@@ -123,19 +185,18 @@ def synthesize(xp, residuals, warmup, qlp, shift, order, n):
     while n % U:
         U //= 2
 
-    def step(hist, xs):
+    def step(state, xs):
         (res_u, warm_u, i_u) = xs          # [U, S], [U, S], [U]
         outs = []
         for u in range(U):
-            (hist, v32) = one(hist, res_u[u], warm_u[u], i_u[u])
+            (state, v32) = one(state, res_u[u], warm_u[u], i_u[u])
             outs.append(v32)
-        return (hist, jnp.stack(outs))
+        return (state, jnp.stack(outs))
 
-    hist0 = jnp.zeros((S, Kw), dtype=jnp.float64)
     xs = (residuals.T.reshape(n // U, U, S),
           warm_full.T.reshape(n // U, U, S),
           jnp.arange(n, dtype=jnp.int32).reshape(n // U, U))
-    (_, ys) = jax.lax.scan(step, hist0, xs)
+    (_, ys) = jax.lax.scan(step, state0, xs)
     return ys.reshape(n, S).T                           # [S, n]
 
 
