@@ -488,6 +488,18 @@ def encode_flac_fast(file_or_path,
             st["since"] = 0
         try_patched = (use_qpatch and n_rows > 1 and
                        (not st.get("plain") or probe))
+        # stream MD5 folds into the FIRST C++ scan over this batch
+        # (the scan walks every sample cache-hot anyway; a separate
+        # md5 pass re-reads ~17 MB per 1024-block batch) — retries
+        # and probe re-scans pass None so each sample folds once
+        folded = {"done": False}
+
+        def _md5_arg():
+            if folded["done"]:
+                return None
+            folded["done"] = True
+            return stream_md5
+
         if try_patched:
             def attempt(kb_req, E):
                 """one patched-base attempt with overflow retries;
@@ -498,7 +510,8 @@ def encode_flac_fast(file_or_path,
                 for _attempt in range(4):
                     (qwords, k_full, t, x0, orv, cflags, epos, evals,
                      mexc, kb) = _native.flac_qpack_patched(
-                        blocks, bps, qguard, stereo_trial, kb_req, E)
+                        blocks, bps, qguard, stereo_trial, kb_req, E,
+                        md5=_md5_arg())
                     if mexc <= E:
                         break
                     # overflow: grow E, then widen the base
@@ -554,7 +567,7 @@ def encode_flac_fast(file_or_path,
             st["E"] = qpack.E_GRID[0]
             st["plain"] = True
         (qwords, k, t, x0, orv, cflags) = _native.flac_qpack(
-            blocks, bps, qguard, stereo_trial)
+            blocks, bps, qguard, stereo_trial, md5=_md5_arg())
         meta = np.concatenate(
             [t, x0, orv, cflags.astype(np.int32)],
             axis=1).astype(np.int32)
@@ -566,10 +579,11 @@ def encode_flac_fast(file_or_path,
         """host half of a batch submission: the qpack scan and wire
         assembly.  Returns the payload the submit thread turns into a
         device dispatch — the main thread never blocks on the tunnel.
-        The stream MD5 is NOT folded in here: it runs on its own
-        ordered worker thread (see md5_loop) so its ~17 ms/batch of
-        serial-by-spec hashing rides under tunnel waits instead of
-        lengthening the read->qpack->submit critical chain."""
+        The stream MD5 folds into the first C++ scan over the batch
+        (cache-hot samples; a dedicated md5 pass re-read ~17 MB per
+        1024-block batch on this one-core host) — order is preserved
+        because prepare runs on the main thread in read order; paths
+        without a native scan hash explicitly here."""
         if backend == "jax":
             if use_qpack:
                 with prof("qpack"):
@@ -578,6 +592,9 @@ def encode_flac_fast(file_or_path,
                     (wire,) = _pad_rows([wire])
                     return (("q", wire, k, W, E, orv.shape[1]), t)
             else:
+                with prof("md5"):
+                    stream_md5.update_pcm(
+                        blocks.reshape(-1, channels), bps)
                 upload = (blocks.astype(np.int16) if bps <= 16
                           else blocks)
                 (upload,) = _pad_rows([upload])
@@ -586,9 +603,11 @@ def encode_flac_fast(file_or_path,
             # same spec, no wire format: analysis sees (x >> t) << t
             # plus the exact sideband
             (_qw, _k, t, _x0, orv, cflags) = _native.flac_qpack(
-                blocks, bps, qguard, stereo_trial)
+                blocks, bps, qguard, stereo_trial, md5=stream_md5)
             return (("np_q", qpack.quantize(np, blocks, t), orv,
                      cflags), t)
+        with prof("md5"):
+            stream_md5.update_pcm(blocks.reshape(-1, channels), bps)
         return (("np", blocks), None)
 
     def dispatch(payload):
@@ -952,28 +971,13 @@ def encode_flac_fast(file_or_path,
                 writer_error.append(err)
                 done.set()
 
-    # stream MD5 worker: hashing is serial BY SPEC (STREAMINFO hashes
-    # the PCM in stream order), but it needn't run on the main
-    # thread's critical chain — a single worker consuming an ordered
-    # queue preserves the order while the ~17 ms/batch of MD5 CPU
-    # overlaps tunnel waits.  The native kernel releases the GIL.
-    md5_queue = queue_mod.Queue(maxsize=max(pipeline_depth, 2))
-
-    def md5_loop():
-        while True:
-            item = md5_queue.get()
-            if item is None:
-                return
-            if writer_error:
-                continue                  # drain after a failure
-            try:
-                with prof("md5"):
-                    stream_md5.update_pcm(item, bps)
-            except BaseException as err:  # noqa: B902
-                writer_error.append(err)
-
-    md5_worker = threading.Thread(target=md5_loop, daemon=True)
-    md5_worker.start()
+    # stream MD5: hashing is serial BY SPEC (STREAMINFO hashes the
+    # PCM in stream order).  Full batches fold into prepare's C++
+    # scan while the samples are cache-hot (see prepare); tails hash
+    # synchronously on the main thread right after, so stream order
+    # is preserved without a worker thread (on this one-core host
+    # the dedicated md5 worker cost a full extra ~17 MB read per
+    # batch, not overlap).
 
     writer = threading.Thread(target=writer_loop, daemon=True)
     writer.start()
@@ -1022,9 +1026,9 @@ def encode_flac_fast(file_or_path,
                          submitted_frames, t_batch))
                     submit_queue.put((payload, slot, done))
                 submitted_frames += n_full
-                md5_queue.put(full)
-            if tail.shape[0] or not n_full:
-                md5_queue.put(tail)
+            if tail.shape[0]:
+                with prof("md5"):
+                    stream_md5.update_pcm(tail, bps)
 
             if tail.shape[0]:
                 # final short block: independent scalar oracle path
@@ -1048,8 +1052,6 @@ def encode_flac_fast(file_or_path,
                 worker.join()
             writer_queue.put(None)
             writer.join()
-            md5_queue.put(None)
-            md5_worker.join()
     check_writer()
     prof.report(extra="(%d frames)" % frame_number)
 
