@@ -395,3 +395,51 @@ def test_jax_backend_dispatch(tmp_path, monkeypatch):
     dec = flac_codec.decoder_for_file(path)
     assert isinstance(dec, JaxFlacDecoder)
     drain_bytes(dec)
+
+
+def test_scan_tolerates_any_truncation_point():
+    """a buffer boundary may land ANYWHERE inside a frame — header
+    fields, CRC-8 byte, subframe data: the scan must stop cleanly at
+    the last complete frame (callers refill and rescan), never
+    hard-fail a valid stream (the decode-ahead path cuts mid-frame
+    routinely)"""
+    import io as _io
+
+    from audiotools_tpu import _native
+    from audiotools_tpu.codecs.flac_dec_fast import FastFlacDecoder
+    from audiotools_tpu.codecs.flac_enc_fast import encode_flac_fast
+    from audiotools_tpu.pcmstream import PCMReader
+    from audiotools_tpu import pcm as _pcm
+
+    rng = np.random.default_rng(17)
+    arr = np.cumsum(rng.integers(-300, 301, (4096 * 4, 2)),
+                    axis=0).astype(np.int32)
+    arr = np.clip(arr, -32768, 32767).astype(np.int32)
+    buf = _io.BytesIO()
+    encode_flac_fast(
+        buf,
+        PCMReader(_io.BytesIO(_pcm.FrameList._wrap(arr, 16)
+                              .to_bytes(False, True)),
+                  44100, 2, 3, 16),
+        backend="numpy", block_size=4096, max_lpc_order=8,
+        mid_side=True, exhaustive_model_search=False,
+        max_residual_partition_order=4)
+    data = buf.getvalue()
+    dec = FastFlacDecoder(_io.BytesIO(data))
+    frames = data[dec.frames_offset:]
+
+    full = _native.flac_scan(frames, 16, 2, max_samples=1 << 30,
+                             max_frames=64, max_parts=8192,
+                             chunk_codes=64)
+    assert full["total_pcm_frames"] == arr.shape[0]
+
+    # sweep cut points across the second frame (its header included)
+    first_len = int(full["frame_meta"][0, 3])
+    for cut in range(first_len - 3, first_len + 40):
+        scan = _native.flac_scan(
+            frames[:cut], 16, 2, max_samples=1 << 30,
+            max_frames=64, max_parts=8192, chunk_codes=64)
+        assert scan["consumed_bytes"] <= cut
+        # every complete frame before the cut must still parse
+        expect = 1 if cut >= first_len else 0
+        assert scan["frame_meta"].shape[0] == expect, (cut,)
