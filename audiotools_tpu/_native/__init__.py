@@ -1185,17 +1185,27 @@ def shn_scan(data, max_rows=None, max_block=None):
             max_block = hdr_block
         if max_rows is None:
             # every residual costs >= 1 bit, so the stream length
-            # bounds rows at 8*len/block (+ slack for short blocks)
+            # bounds rows at 8*len/block (+ slack for short blocks);
+            # FN_ZERO blocks cost only ~3 bits though, so -81
+            # capacity overflows retry below with 8x more rows (up
+            # to a ~512 MB residual-plane cap) before giving up
             max_rows = (len(buf) * 8) // hdr_block + 256
-    residuals = np.empty((max_rows, max_block), dtype=np.int32)
-    row_meta = np.empty((max_rows, 4), dtype=np.int32)
-    info = np.zeros(5, dtype=np.int64)
-    rows = lib.atpu_shn_scan(
-        _as_ptr(buf, ctypes.c_uint8), len(buf),
-        max_rows, max_block,
-        _as_ptr(residuals, ctypes.c_int32),
-        _as_ptr(row_meta, ctypes.c_int32),
-        _as_ptr(info, ctypes.c_int64))
+    row_cap = max((1 << 27) // max(max_block, 1), 1024)
+    rows = -81
+    while True:
+        residuals = np.empty((max_rows, max_block), dtype=np.int32)
+        row_meta = np.empty((max_rows, 4), dtype=np.int32)
+        info = np.zeros(5, dtype=np.int64)
+        rows = lib.atpu_shn_scan(
+            _as_ptr(buf, ctypes.c_uint8), len(buf),
+            max_rows, max_block,
+            _as_ptr(residuals, ctypes.c_int32),
+            _as_ptr(row_meta, ctypes.c_int32),
+            _as_ptr(info, ctypes.c_int64))
+        if rows == -81 and max_rows < row_cap:
+            max_rows = min(max_rows * 8, row_cap)
+            continue
+        break
     if rows == -80 or rows == -81:
         raise ShnDeviceUnsupported(
             "stream outside device decode coverage (code %d)"

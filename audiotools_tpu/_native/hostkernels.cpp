@@ -3140,11 +3140,20 @@ int64_t atpu_flac_decode(const uint8_t* data,
         default: return -12;
         }
 
+        // a buffer boundary can land INSIDE the frame header (UTF-8
+        // number / blocksize / samplerate fields read after the
+        // first r.error check): truncated reads return zeros with
+        // r.error set, and comparing a CRC-8 against that garbage
+        // must stop cleanly at the previous frame (the caller
+        // refills and rescans), not hard-fail a valid stream
+        if (r.error) break;
         if (verify_crc) {
             const int64_t header_len = r.byte_pos();
             const uint8_t expected = crc8_buf(data + consumed,
                                               header_len, 0);
-            if ((uint8_t)r.get(8) != expected) return -13;
+            const uint8_t got = (uint8_t)r.get(8);
+            if (r.error) break;   // CRC byte itself truncated
+            if (got != expected) return -13;
         } else {
             r.get(8);
         }
@@ -3221,7 +3230,8 @@ int64_t atpu_flac_decode(const uint8_t* data,
             const int64_t body_len = r.byte_pos();
             const uint16_t expected = crc16_buf(data + consumed,
                                                 body_len, 0);
-            if ((uint16_t)r.get(16) != expected) return -16;
+            const uint16_t got16 = (uint16_t)r.get(16);
+            if (!r.error && got16 != expected) return -16;
         } else {
             r.get(16);
         }
@@ -3358,11 +3368,20 @@ extern "C" int64_t atpu_flac_scan(const uint8_t* data,
         default: return -12;
         }
 
+        // a buffer boundary can land INSIDE the frame header (UTF-8
+        // number / blocksize / samplerate fields read after the
+        // first r.error check): truncated reads return zeros with
+        // r.error set, and comparing a CRC-8 against that garbage
+        // must stop cleanly at the previous frame (the caller
+        // refills and rescans), not hard-fail a valid stream
+        if (r.error) break;
         if (verify_crc) {
             const int64_t header_len = r.byte_pos();
             const uint8_t expected = crc8_buf(data + consumed,
                                               header_len, 0);
-            if ((uint8_t)r.get(8) != expected) return -13;
+            const uint8_t got = (uint8_t)r.get(8);
+            if (r.error) break;   // CRC byte itself truncated
+            if (got != expected) return -13;
         } else {
             r.get(8);
         }
@@ -3565,7 +3584,8 @@ extern "C" int64_t atpu_flac_scan(const uint8_t* data,
             const int64_t body_len = r.byte_pos();
             const uint16_t expected = crc16_buf(data + consumed,
                                                 body_len, 0);
-            if ((uint16_t)r.get(16) != expected) return -16;
+            const uint16_t got16 = (uint16_t)r.get(16);
+            if (!r.error && got16 != expected) return -16;
         } else {
             r.get(16);
         }

@@ -152,69 +152,68 @@ def _dec_backend():
 
 _dec_jit_cache = {}
 
+# TTA frames per device decode batch: frames are independent lanes
+# (filter state resets per frame, reference src/decoders/tta.c:849),
+# so the decoder windows the stream in fixed groups — bounded memory
+# for arbitrarily long files (~12 MB of residual planes at 44.1 kHz
+# stereo) and ONE jit signature per (n, ch, bps)
+DEC_GROUP_FRAMES = 32
+
 
 class JaxTTADecoder(FastTTADecoder):
-    """TTADecoder on the device decode path: all frames entropy-
-    unpack on host in one pass (_native.tta_scan_residuals), then ONE
-    jitted program inverts the hybrid filter + fixed predictor as a
-    fused scan and undoes decorrelation (ops/tta_synth.py) — frames
-    are independent lanes (filter state resets per frame, reference
-    src/decoders/tta.c:849), so the whole stream decodes in batch."""
+    """TTADecoder on the device decode path: a group of frames
+    entropy-unpacks on host in one pass (_native.tta_scan_residuals),
+    then one jitted program inverts the hybrid filter + fixed
+    predictor as a fused scan and undoes decorrelation
+    (ops/tta_synth.py); decode_frame serves from the cached group
+    (random access via the seektable's frame lengths)."""
 
-    def _decode_all(self):
-        """decodes every TTA frame once; caches [total, ch] int32"""
+    def _decode_group(self, g0):
+        """decodes TTA frames [g0, g0 + DEC_GROUP_FRAMES) and caches
+        their PCM"""
         from ..ops import tta_synth
 
         lens = np.asarray(self.frame_lengths, dtype=np.int64)
-        self.reader.source.seek(self.__frames_start__)
-        self.reader.byte_align()
-        data = self.reader.source.read(int(lens.sum()))
-        sizes = np.full(self.total_tta_frames, self.block_size,
-                        dtype=np.int32)
-        if self.total_tta_frames:
-            tail = (self.total_pcm_frames -
-                    (self.total_tta_frames - 1) * self.block_size)
-            sizes[-1] = tail
-        res = _native.tta_scan_residuals(
-            data, lens, sizes, self.channels)
-
         F = self.total_tta_frames
+        g1 = min(g0 + DEC_GROUP_FRAMES, F)
+        offset = self.__frames_start__ + int(lens[:g0].sum())
+        self.reader.source.seek(offset)
+        self.reader.byte_align()
+        data = self.reader.source.read(int(lens[g0:g1].sum()))
         n = self.block_size
         ch = self.channels
-        F_pad = 1
-        while F_pad < F:
-            F_pad <<= 1
-        planes = np.zeros((F_pad, n, ch), dtype=np.int32)
+        sizes = np.full(g1 - g0, n, dtype=np.int32)
+        if g1 == F:
+            sizes[-1] = self.total_pcm_frames - (F - 1) * n
+        res = _native.tta_scan_residuals(
+            data, lens[g0:g1], sizes, ch)
+
+        planes = np.zeros((DEC_GROUP_FRAMES, n, ch), dtype=np.int32)
         pos = 0
-        for f in range(F):
-            planes[f, :sizes[f]] = res[pos:pos + sizes[f]]
-            pos += sizes[f]
+        for i in range(g1 - g0):
+            planes[i, :sizes[i]] = res[pos:pos + sizes[i]]
+            pos += sizes[i]
 
         import jax
-        key = (F_pad, n, ch, self.bits_per_sample)
+        key = (n, ch, self.bits_per_sample)
         if key not in _dec_jit_cache:
             import jax.numpy as jnp
             bps = self.bits_per_sample
             _dec_jit_cache[key] = jax.jit(
                 lambda r: tta_synth.synthesize(jnp, r, bps))
         out = np.asarray(_dec_jit_cache[key](planes))
-        pieces = [out[f, :sizes[f]] for f in range(F)]
-        return (np.concatenate(pieces, axis=0) if pieces else
-                np.zeros((0, ch), dtype=np.int32))
+        pieces = [out[i, :sizes[i]] for i in range(g1 - g0)]
+        self.__group_base__ = g0
+        self.__group_pcm__ = np.concatenate(pieces, axis=0)
 
     def decode_frame(self, n):
-        if getattr(self, "__jax_decoded__", None) is None:
-            self.__jax_decoded__ = self._decode_all()
         frame_index = self.total_tta_frames - oracle.div_ceil(
             self.remaining, self.block_size)
-        start = frame_index * self.block_size
-        return self.__jax_decoded__[start:start + n].astype(np.int64)
-
-    def seek(self, pcm_frame):
-        """seek needs no reader repositioning once decoded, but keep
-        the parent semantics (reader offset) for pre-decode seeks"""
-        position = FastTTADecoder.seek(self, pcm_frame)
-        return position
+        g0 = (frame_index // DEC_GROUP_FRAMES) * DEC_GROUP_FRAMES
+        if getattr(self, "__group_base__", None) != g0:
+            self._decode_group(g0)
+        start = (frame_index - g0) * self.block_size
+        return self.__group_pcm__[start:start + n].astype(np.int64)
 
 
 def decoder_for_file(file):

@@ -128,6 +128,13 @@ def _decorrelate_jax(residuals, terms, deltas, weights,
     chain = tuple(zip(terms, deltas))
     if not chain or n == 0:
         return None
+    for (term, _delta) in chain:
+        # the oracle raises 'unsupported term' for anything outside
+        # this set — fall back so the error surface stays identical
+        # (and negative terms are 2-channel-only)
+        if not (1 <= term <= 8 or term in (17, 18) or
+                (-3 <= term <= -1 and cc == 2)):
+            return None
 
     w = np.zeros((len(chain), cc), dtype=np.int64)
     samples = []

@@ -109,6 +109,8 @@ def resample_fir_device(hist, starts, q, bank):
     (L, ch) = hist.shape
     (D, taps) = bank.shape
     M = len(starts)
+    if M == 0:
+        return np.zeros((0, ch), dtype=np.float64)
     # slab the output rows: the [ch, M_slab, taps] window tensor is
     # the program's footprint (float-float f64), so 16384-row slabs
     # keep it ~128 MB regardless of the caller's chunk size

@@ -80,6 +80,139 @@ def i32_synthesis_safe(qlp, shift, value_bits):
     return bool(np.all(ok))
 
 
+def _synth_pallas_enabled():
+    """whether the Pallas synthesis kernel backs the int32 path
+    (ATPU_SYNTH_PALLAS=0 restores the lax.scan form)"""
+    import os
+    return os.environ.get("ATPU_SYNTH_PALLAS", "1") != "0"
+
+
+# samples advanced per sequential grid step (static unroll inside the
+# kernel body); lanes per grid row (int32 tile lane width x2)
+_PL_U = 64
+_PL_S_TILE = 256
+
+
+def _synthesize_i32_pallas(residuals, warmup, qlp, shift, order, n):
+    """the int32 synthesis recurrence as ONE Pallas TPU kernel
+
+    The lax.scan form costs ~90 us PER SAMPLE STEP on the tunneled
+    backend — pure per-op dispatch overhead for tiny [S]-wide work
+    (measured: [1024, 4096] synthesis = ~365 ms, arithmetic-dtype
+    independent).  Here the whole recurrence runs INSIDE one kernel:
+    the sequential axis is the innermost (sequential-on-TPU) grid
+    dimension with the history planes carried in VMEM scratch, and
+    each grid step unrolls _PL_U samples of pure VPU work — no
+    per-op dispatch at all.  Same integers as the scan form by
+    construction (identical int32 algebra in identical order).
+
+    Follows ops/pallas_bitpack.py's x64-era rules: int32 everywhere,
+    no bare Python literals in index maps (s - s instead of 0)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    S = residuals.shape[0]
+    Kw = qlp.shape[1]
+    U = _PL_U
+    while n % U:
+        U //= 2
+    n_steps = n // U
+    S2 = -(-S // _PL_S_TILE) * _PL_S_TILE
+
+    def pad_lanes(a, width=None):
+        pad = S2 - a.shape[0]
+        if pad:
+            a = jnp.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1))
+        return a
+
+    res_p = pad_lanes(residuals.astype(jnp.int32))
+    warm_p = pad_lanes(warmup.astype(jnp.int32))
+    qlp_p = pad_lanes(qlp.astype(jnp.int32))
+    sh_p = pad_lanes(shift.astype(jnp.int32))
+    ord_p = pad_lanes(order.astype(jnp.int32))
+
+    # merged input: warm value at positions < order, residual after;
+    # pmask selects whether the prediction contributes
+    pos = jax.lax.broadcasted_iota(jnp.int32, (S2, n), 1)
+    warm_full = jnp.zeros((S2, n), dtype=jnp.int32)
+    kk = min(Kw, n)
+    warm_full = warm_full.at[:, :kk].set(warm_p[:, :kk])
+    z = jnp.where(pos < ord_p[:, None], warm_full, res_p)
+    pm = (pos >= ord_p[:, None]).astype(jnp.int32)
+
+    z_t = z.T.reshape(n_steps, U, S2)
+    pm_t = pm.T.reshape(n_steps, U, S2)
+    q_t = qlp_p.T                                   # [Kw, S2]
+    sle = jnp.minimum(sh_p, 11)[None, :]            # [1, S2]
+    shi = (jnp.maximum(sh_p, 11) - 11)[None, :]
+    islo = (sh_p <= 11).astype(jnp.int32)[None, :]
+
+    def kernel(z_ref, pm_ref, q_ref, sle_ref, shi_ref, islo_ref,
+               out_ref, hh_ref, hl_ref):
+        t = pl.program_id(1)
+
+        @pl.when(t == t - t)
+        def _init():
+            hh_ref[:] = jnp.zeros_like(hh_ref)
+            hl_ref[:] = jnp.zeros_like(hl_ref)
+
+        q = q_ref[:]
+        sle_v = sle_ref[0, :]
+        shi_v = shi_ref[0, :]
+        islo_v = islo_ref[0, :]
+        hh = hh_ref[:]
+        hl = hl_ref[:]
+        for u in range(U):
+            zv = z_ref[0, u, :]
+            pmv = pm_ref[0, u, :]
+            # dtype pinned: under the global x64 flag an int32 sum
+            # would promote to i64, which Mosaic rejects
+            A = jnp.sum(q * hh, axis=0, dtype=jnp.int32)
+            B = jnp.sum(q * hl, axis=0, dtype=jnp.int32)
+            pred_lo = (A << (11 - sle_v)) + (B >> sle_v)
+            pred_hi = (A + (B >> 11)) >> shi_v
+            pred = jnp.where(islo_v == 1, pred_lo, pred_hi)
+            val = zv + pred * pmv
+            out_ref[0, u, :] = val
+            hh = jnp.concatenate([(val >> 11)[None, :], hh[:-1]],
+                                 axis=0)
+            hl = jnp.concatenate([(val & 2047)[None, :], hl[:-1]],
+                                 axis=0)
+        hh_ref[:] = hh
+        hl_ref[:] = hl
+
+    interpret = jax.default_backend() != "tpu"
+    out = pl.pallas_call(
+        kernel,
+        grid=(S2 // _PL_S_TILE, n_steps),
+        in_specs=[
+            pl.BlockSpec((1, U, _PL_S_TILE),
+                         lambda s, t: (t, t - t, s)),
+            pl.BlockSpec((1, U, _PL_S_TILE),
+                         lambda s, t: (t, t - t, s)),
+            pl.BlockSpec((Kw, _PL_S_TILE),
+                         lambda s, t: (t - t, s)),
+            pl.BlockSpec((1, _PL_S_TILE),
+                         lambda s, t: (t - t, s)),
+            pl.BlockSpec((1, _PL_S_TILE),
+                         lambda s, t: (t - t, s)),
+            pl.BlockSpec((1, _PL_S_TILE),
+                         lambda s, t: (t - t, s)),
+        ],
+        out_specs=pl.BlockSpec((1, U, _PL_S_TILE),
+                               lambda s, t: (t, t - t, s)),
+        out_shape=jax.ShapeDtypeStruct((n_steps, U, S2), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((Kw, _PL_S_TILE), jnp.int32),
+            pltpu.VMEM((Kw, _PL_S_TILE), jnp.int32),
+        ],
+        interpret=interpret,
+    )(z_t, pm_t, q_t, sle, shi, islo)
+    return out.reshape(n, S2).T[:S]
+
+
 def synthesize(xp, residuals, warmup, qlp, shift, order, n,
                use_i32=False):
     """inverts the predictors for a batch of subframes
@@ -130,6 +263,10 @@ def synthesize(xp, residuals, warmup, qlp, shift, order, n,
 
     import jax
     import jax.numpy as jnp
+
+    if use_i32 and _synth_pallas_enabled():
+        return _synthesize_i32_pallas(residuals, warmup, qlp, shift,
+                                      order, n)
 
     if use_i32:
         # native-int32 fast path (caller guarantees no intermediate
