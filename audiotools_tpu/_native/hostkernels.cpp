@@ -3523,13 +3523,25 @@ extern "C" int64_t atpu_flac_scan(const uint8_t* data,
                 // decoder's C-long sequential problem into C/chunk
                 // INDEPENDENT lanes (the lock-step scan then runs
                 // chunk_codes steps over many-thousand-lane vectors
-                // instead of 4096 steps over a few hundred)
-                const int64_t step =
-                    (chunk_codes > 0 && psize > chunk_codes)
-                        ? chunk_codes : (psize > 0 ? psize : 1);
+                // instead of 4096 steps over a few hundred).
+                // Records additionally break at DESTINATION
+                // positions that are multiples of chunk_codes, so
+                // every record fits one aligned chunk_codes-wide
+                // output slot — the device then assembles the
+                // residual plane with a single-contributor ROW
+                // scatter instead of a per-element general scatter
+                // (the element scatter measured ~370 ms per decode
+                // batch on v5e)
                 int64_t done = 0;
                 do {
-                    const int64_t cn = std::min(step, psize - done);
+                    int64_t cn;
+                    if (chunk_codes > 0 && psize > 0) {
+                        const int64_t room = chunk_codes -
+                            ((dest + done) % chunk_codes);
+                        cn = std::min(room, psize - done);
+                    } else {
+                        cn = psize > 0 ? psize : 0;
+                    }
                     if (n_parts >= max_parts) {
                         capacity = false; break;
                     }

@@ -295,6 +295,223 @@ def decode_partitions_scan(xp, words, word_base, base_bits, k,
     return xp.where(valid, out, 0).astype(xp.int32)
 
 
+def _pallas_rice_enabled():
+    """whether the Pallas kernel backs small-C chunk buckets
+    (ATPU_RICE_PALLAS=0 restores the lax.scan form)"""
+    import os
+    return os.environ.get("ATPU_RICE_PALLAS", "1") != "0"
+
+
+# partition lanes per Pallas grid cell (vector lane width)
+_PL_LANES = 128
+
+
+def decode_partitions_pallas(words, word_base, base_bits, k,
+                             raw_bits, count, W, C):
+    """``decode_partitions_scan`` as ONE Pallas TPU kernel per bucket
+
+    The lax.scan form issues ~30 XLA ops per decoded code on
+    [P]-wide vectors — on the tunneled backend that per-op dispatch
+    is the decode program's wall (total op count, not step count,
+    bound it: unrolling the scan was flat).  Here the whole C-step
+    walk runs inside one kernel: windows and next-nonzero-word
+    tables live in VMEM with partitions on the LANE axis and window
+    words on sublanes (dynamic per-lane word reads become one-hot
+    multiply-reduces over the sublane axis — TPUs have no per-lane
+    gather), CLZ is bit-smear + SWAR popcount in pure int32, and the
+    bit-position state stays in registers across the unrolled code
+    loop.  Same integers as the scan form by construction.
+
+    int32 everywhere (the x64-era pallas rules, see
+    ops/pallas_bitpack.py); logical shifts via
+    ``jax.lax.shift_right_logical`` on int32 bit patterns."""
+    import sys
+
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    # Mosaic's lowering walks the kernel jaxpr recursively; the
+    # unrolled code loop's chain depth exceeds CPython's default
+    # 1000-frame limit (deep but finite — the interpret path and the
+    # sibling synthesis kernel lower fine)
+    if sys.getrecursionlimit() < 100000:
+        sys.setrecursionlimit(100000)
+
+    def srl(v, amt):
+        amt_arr = jnp.broadcast_to(jnp.asarray(amt, jnp.int32),
+                                   jnp.shape(v))
+        return jax.lax.shift_right_logical(v, amt_arr)
+
+    P = word_base.shape[0]
+    N = W * 32
+    Wtot = words.shape[0]
+    P2 = -(-P // _PL_LANES) * _PL_LANES
+    # sublane tiling: window rows pad to a multiple of 8
+    Wp = -(-(W + 1) // 8) * 8
+
+    def pad_lanes(a):
+        pad = P2 - a.shape[0]
+        return jnp.pad(a, [(0, pad)]) if pad else a
+
+    wb = pad_lanes(word_base.astype(jnp.int32))
+    bb = pad_lanes(base_bits.astype(jnp.int32))
+    kv = pad_lanes(k.astype(jnp.int32))
+    rv = pad_lanes(raw_bits.astype(jnp.int32))
+
+    # window + next-nonzero-word tables (XLA prep: one gather + one
+    # reverse cummin — cheap next to the per-code work)
+    widx = wb[:, None] + jnp.arange(W + 1, dtype=jnp.int32)[None, :]
+    widx = jnp.clip(widx, 0, Wtot - 1)
+    win = jax.lax.bitcast_convert_type(
+        words.astype(jnp.uint32), jnp.int32)[widx]      # [P2, W+1]
+    pos_w = jnp.arange(W, dtype=jnp.int32)[None, :]
+    masked_w = jnp.where(win[:, :W] != 0, pos_w, W)
+    nzw = jax.lax.cummin(masked_w, axis=1, reverse=True)
+
+    # sublane-major layout [Wp, P2]
+    win_t = jnp.pad(win.T, [(0, Wp - (W + 1)), (0, 0)])
+    nzw_t = jnp.pad(nzw.T, [(0, Wp - W), (0, 0)])
+
+    # codes per sequential grid step: a fully unrolled C-code body
+    # exceeded Mosaic's lowering recursion depth, so the code axis
+    # rides the (sequential-on-TPU) second grid dimension with the
+    # bit cursor carried in VMEM scratch — the established pattern
+    # (ops/pallas_bitpack.py's token axis)
+    Uc = 16
+    while C % Uc:
+        Uc //= 2
+
+    def kernel(win_ref, nzw_ref, bb_ref, k_ref, r_ref, out_ref,
+               cur_ref):
+        t = pl.program_id(1)
+        win_v = win_ref[:]                       # [Wp, L]
+        nzw_v = nzw_ref[:]
+        siota = jax.lax.broadcasted_iota(jnp.int32, (Wp, _PL_LANES),
+                                         0)
+        # ALL in-kernel scalars are explicit int32 constants created
+        # INSIDE the kernel (pallas rejects captured outside-trace
+        # constants, and under the global x64 flag a weak Python int
+        # in the body trips jax 0.9.0's infinite trace recursion —
+        # the pitfall ops/pallas_bitpack.py documents for index maps
+        # applies to the kernel body too)
+        I32 = jnp.int32
+        c0 = I32(0)
+        c1 = I32(1)
+        c2 = I32(2)
+        c4 = I32(4)
+        c5 = I32(5)
+        c8 = I32(8)
+        c16 = I32(16)
+        c24 = I32(24)
+        c31 = I32(31)
+        c32 = I32(32)
+        cN1 = I32(N - 1)
+        cW = I32(W)
+        cW1 = I32(W - 1)
+        m55 = I32(0x55555555)
+        m33 = I32(0x33333333)
+        m0F = I32(0x0F0F0F0F)
+        m01 = I32(0x01010101)
+
+        def popcount(v):
+            v = v - (srl(v, c1) & m55)
+            v = (v & m33) + (srl(v, c2) & m33)
+            v = (v + srl(v, c4)) & m0F
+            return srl(v * m01, c24)
+
+        def clz32(v):
+            y = v | srl(v, c1)
+            y = y | srl(y, c2)
+            y = y | srl(y, c4)
+            y = y | srl(y, c8)
+            y = y | srl(y, c16)
+            return c32 - popcount(y)
+
+        @pl.when(t == t - t)
+        def _init():
+            cur_ref[:] = bb_ref[:]
+
+        def sel(tab, idx):
+            """tab[idx[lane], lane] via one-hot reduce (no per-lane
+            gather on TPU vector units)"""
+            oh = (siota == idx).astype(jnp.int32)
+            return jnp.sum(tab * oh, axis=0,
+                           dtype=jnp.int32)[None, :]
+
+        kc = jnp.maximum(k_ref[0, :], c0)[None, :]
+        rc = jnp.maximum(r_ref[0, :], c0)[None, :]
+        is_raw = (r_ref[0, :] >= c0)[None, :]
+        nbits = jnp.where(is_raw, rc, kc)
+        nb_safe = jnp.clip(nbits, c1, c32)
+        sbit = jnp.where(nbits > c0,
+                         jnp.left_shift(c1, nb_safe - c1), c0)
+        cur = cur_ref[:]
+
+        for u in range(Uc):
+            st = jnp.minimum(cur, cN1)
+            wi = srl(st, c5)
+            bi = st & c31
+            w_cur = sel(win_v, wi)
+            rem = jnp.left_shift(w_cur, bi)
+            wnext = jnp.where(wi + c1 >= cW, cW,
+                              sel(nzw_v, jnp.minimum(wi + c1, cW1)))
+            w_far = sel(win_v, jnp.minimum(wnext, cW))
+            t_in = st + clz32(rem)
+            t_far = jnp.where(wnext >= cW, cN1,
+                              jnp.left_shift(wnext, c5) +
+                              clz32(w_far))
+            qpos = jnp.minimum(jnp.where(rem != c0, t_in, t_far),
+                               cN1)
+            q = qpos - st
+            off = jnp.where(is_raw, st, qpos + c1)
+            wi2 = jnp.minimum(srl(off, c5), cW1)
+            w0 = sel(win_v, wi2)
+            w1 = sel(win_v, wi2 + c1)
+            sh = off & c31
+            sh_safe = jnp.maximum(sh, c1)
+            hi = jnp.where(sh == c0, w0,
+                           jnp.left_shift(w0, sh) |
+                           srl(w1, c32 - sh_safe))
+            lsb = jnp.where(nbits <= c0, c0, srl(hi, c32 - nb_safe))
+            u_val = jnp.left_shift(q, kc) | lsb
+            res_rice = srl(u_val, c1) ^ (c0 - (u_val & c1))
+            res_raw = (lsb ^ sbit) - sbit
+            res = jnp.where(is_raw, res_raw, res_rice)
+            out_ref[0, u, :] = res[0, :]
+            nxt = jnp.where(is_raw, st + rc, qpos + c1 + kc)
+            cur = jnp.minimum(nxt, cN1)
+        cur_ref[:] = cur
+
+    interpret = jax.default_backend() != "tpu"
+    out = pl.pallas_call(
+        kernel,
+        grid=(P2 // _PL_LANES, C // Uc),
+        in_specs=[
+            pl.BlockSpec((Wp, _PL_LANES), lambda p, t: (t - t, p)),
+            pl.BlockSpec((Wp, _PL_LANES), lambda p, t: (t - t, p)),
+            pl.BlockSpec((1, _PL_LANES), lambda p, t: (t - t, p)),
+            pl.BlockSpec((1, _PL_LANES), lambda p, t: (t - t, p)),
+            pl.BlockSpec((1, _PL_LANES), lambda p, t: (t - t, p)),
+        ],
+        out_specs=pl.BlockSpec((1, Uc, _PL_LANES),
+                               lambda p, t: (p, t, t - t)),
+        out_shape=jax.ShapeDtypeStruct(
+            (P2 // _PL_LANES, C, _PL_LANES), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((1, _PL_LANES), jnp.int32),
+        ],
+        interpret=interpret,
+    )(win_t, nzw_t, bb[None, :], kv[None, :], rv[None, :])
+
+    # [tiles, C, LANES] -> [P, C]
+    vals = jnp.transpose(out, (0, 2, 1)).reshape(P2, C)[:P]
+    valid = (jnp.arange(C, dtype=jnp.int32)[None, :] <
+             count.astype(jnp.int32)[:, None])
+    return jnp.where(valid, vals, 0).astype(jnp.int32)
+
+
 # code-count threshold above which the lock-step scan path decodes a
 # bucket (below it, pointer doubling's log C gathers win)
 SCAN_MIN_CODES = 256
@@ -316,9 +533,20 @@ SCAN_UNROLL = int(
 
 def decode_partitions_auto(xp, words, word_base, base_bits, k,
                            raw_bits, count, W, C):
-    """dispatches a bucket to pointer doubling or the lock-step scan
-    by estimated gather work (static shapes, so jit-safe)"""
+    """dispatches a bucket to the Pallas kernel, pointer doubling or
+    the lock-step scan (static shapes, so jit-safe)"""
     P = word_base.shape[0]
+    if xp is not np and C <= 128 and W <= 256 and \
+            _pallas_rice_enabled():
+        # real-TPU only: Mosaic executes the kernel natively; the
+        # CPU interpreter would evaluate its ~1500 unrolled ops per
+        # bucket op-by-op (tests validate the kernel against the
+        # scan form in interpret mode on SMALL shapes instead —
+        # tests/test_pallas_rice.py)
+        import jax
+        if jax.default_backend() == "tpu":
+            return decode_partitions_pallas(
+                words, word_base, base_bits, k, raw_bits, count, W, C)
     logc = max(1, (C - 1).bit_length())
     if C >= SCAN_MIN_CODES or P * W * 32 * logc > PD_GATHER_BUDGET:
         return decode_partitions_scan(xp, words, word_base, base_bits,
