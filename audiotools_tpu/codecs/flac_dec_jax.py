@@ -87,10 +87,14 @@ def _get_decode_jit(key):
          is_const) = sub_args
         if aligned:
             # aligned-slot assembly: the chunker breaks every record
-            # at destination multiples of CHUNK_CODES, so each
-            # CHUNK-wide output slot has at most ONE contributing
-            # record — a leading-axis row scatter replaces the
-            # per-element general scatter (~370 ms/batch on v5e)
+            # at destination multiples of CHUNK_CODES, so no record
+            # CROSSES a slot boundary — a leading-axis row scatter
+            # replaces the per-element general scatter (~370 ms/batch
+            # on v5e).  Several records may still SHARE one slot
+            # (partition boundaries land mid-slot when psize is not
+            # a slot multiple, e.g. block 192 porder 1), each
+            # covering a disjoint sub-range and zero elsewhere, so
+            # rows scatter-ADD rather than set
             CH = CHUNK_CODES
             slots = n // CH
             plane2 = jnp.zeros((S_pad * slots, CH), dtype=jnp.int32)
@@ -108,7 +112,7 @@ def _get_decode_jit(key):
                     jnp.take_along_axis(vals, src, axis=1), 0)
                 slot = sub_idx * slots + dest_off // CH
                 slot = jnp.where(count > 0, slot, S_pad * slots)
-                plane2 = plane2.at[slot].set(row, mode="drop")
+                plane2 = plane2.at[slot].add(row, mode="drop")
             planes = plane2.reshape(S_pad, n)
         else:
             planes = jnp.zeros((S_pad, n), dtype=jnp.int32)
