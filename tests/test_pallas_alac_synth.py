@@ -63,3 +63,19 @@ def test_pallas_diff_chain_rows():
         jnp.asarray(order), jnp.asarray(shift),
         jnp.asarray(sample_size), n, 8))
     assert np.array_equal(ref, got)
+
+
+def test_tta_inverse_pallas_matches_scan():
+    """the TTA inverse-filter Pallas kernel vs the lax.scan form
+    (interpret mode, small shapes)"""
+    import jax.numpy as jnp
+
+    from audiotools_tpu.ops import tta_synth
+
+    rng = np.random.default_rng(4)
+    for bps in (8, 16, 24):
+        res = rng.integers(-400, 400, (8, 64)).astype(np.int32)
+        ref = tta_synth.inverse_filter_predict(np, res, bps)
+        got = np.asarray(tta_synth._inverse_pallas(
+            jnp.asarray(res), bps))
+        assert np.array_equal(ref, got), bps
