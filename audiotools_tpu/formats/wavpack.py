@@ -113,6 +113,12 @@ class WavPackAudio(ApeTaggedAudio, WaveContainer):
         from ..codecs import wavpack_jax
         wavpack_jax.install()   # live ATPU_WV_DEC_BACKEND dispatch
         try:
+            if wavpack_jax.dec_enabled():
+                # batched device decode: blocks sharing a signature
+                # decorrelate in one vmapped dispatch (amortizes the
+                # tunnel round trip the per-block hook pays)
+                return wavpack_jax.BatchedWavPackDecoder(
+                    open(self.filename, "rb"))
             return WavPackDecoder(open(self.filename, "rb"))
         except (IOError, ValueError) as err:
             return PCMReaderError(str(err),

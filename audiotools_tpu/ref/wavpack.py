@@ -362,6 +362,23 @@ def _walk_sub_blocks(data):
 
 def _read_block(header, sub_blocks):
     """returns a list of 1 or 2 sample lists from one WavPack block"""
+    parsed = _parse_block(header, sub_blocks)
+    if parsed["terms"]:
+        decorrelated = _decorrelate_channels(
+            parsed["residuals"], parsed["terms"], parsed["deltas"],
+            parsed["weights"], parsed["samples"])
+    else:
+        decorrelated = parsed["residuals"]
+    return _finish_block(header, parsed, decorrelated)
+
+
+def _parse_block(header, sub_blocks):
+    """phase 1 of one-block decode: the sub-block walk + host entropy
+    decode, NO decorrelation.  Split out so batched decode paths
+    (codecs/wavpack_jax.BatchedWavPackDecoder) can parse many blocks
+    ahead and decorrelate them in one device dispatch — WavPack
+    blocks decode independently (each carries its own weights/samples
+    sub-blocks; reference src/decoders/wavpack.c)."""
     if header.hybrid_mode:
         raise ValueError("hybrid mode not supported")
     if header.floating_point_data:
@@ -426,12 +443,16 @@ def _read_block(header, sub_blocks):
     if residuals is None:
         raise ValueError("bitstream sub block not found")
 
-    if terms is not None and len(terms) > 0:
-        decorrelated = _decorrelate_channels(
-            residuals, terms, deltas, weights, samples)
-    else:
-        decorrelated = residuals
+    return {"residuals": residuals, "terms": terms, "deltas": deltas,
+            "weights": weights, "samples": samples, "two_ch": two_ch,
+            "zero_bits": zero_bits, "one_bits": one_bits,
+            "duplicate_bits": duplicate_bits}
 
+
+def _finish_block(header, parsed, decorrelated):
+    """phase 2 of one-block decode: joint-stereo undo, CRC check,
+    extended-integer restore, false-stereo expansion"""
+    two_ch = parsed["two_ch"]
     if two_ch and header.joint_stereo:
         decorrelated = _undo_joint_stereo(decorrelated)
 
@@ -440,7 +461,8 @@ def _read_block(header, sub_blocks):
 
     if header.extended_size_integers:
         decorrelated = _undo_extended_integers(
-            zero_bits, one_bits, duplicate_bits, decorrelated)
+            parsed["zero_bits"], parsed["one_bits"],
+            parsed["duplicate_bits"], decorrelated)
 
     if (not two_ch) and (header.false_stereo == 0):
         return list(decorrelated)
