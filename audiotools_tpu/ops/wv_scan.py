@@ -126,6 +126,15 @@ def pass_negative(xp, x, term, delta, weights, samples):
     return (out, xp.stack([w_out[0], w_out[1]]))
 
 
+# samples advanced per decode-scan step: the decode passes return no
+# carry state, so the tail can zero-pad to a step multiple and the
+# padded outputs simply drop — 16x fewer sequential scan steps (the
+# per-step dispatch overhead is the decode wall, as with the FLAC
+# synthesis scan's 16-sample unroll)
+import os
+_DEC_UNROLL = int(os.environ.get("ATPU_WV_DEC_UNROLL", "16"))
+
+
 def dec_pass_positive(xp, x, term, delta, weights, samples):
     """DECODE direction for terms 17/18 and 1-8: the source series
     is the pass *output* (reference src/decoders/wavpack.c:2024,
@@ -137,14 +146,18 @@ def dec_pass_positive(xp, x, term, delta, weights, samples):
     the chain seeded [s1, s0]); returns out [cc, n]"""
     n = x.shape[1]
     cc = x.shape[0]
+    U = _DEC_UNROLL
+    n_pad = -(-n // U) * U
+    if n_pad != n:
+        x = xp.concatenate(
+            [x, xp.zeros((cc, n_pad - n), dtype=x.dtype)], axis=1)
     if term in (17, 18):
         # ring = [d[i], d[i+1]] (two most recent outputs)
         ring0 = xp.concatenate([samples[:, 1:2], samples[:, 0:1]],
                                axis=1)
 
-        def step(state, xs):
+        def substep(state, x_i):
             (w, ring) = state
-            (x_i,) = xs
             if term == 18:
                 temp = (3 * ring[:, 1] - ring[:, 0]) >> 1
             else:
@@ -156,9 +169,8 @@ def dec_pass_positive(xp, x, term, delta, weights, samples):
 
         state0 = (weights, ring0)
     else:
-        def step(state, xs):
+        def substep(state, x_i):
             (w, ring) = state
-            (x_i,) = xs
             src = ring[:, 0]
             out = _apply_weight(w, src) + x_i
             w = w + _update_weight(xp, src, x_i, delta)
@@ -168,9 +180,18 @@ def dec_pass_positive(xp, x, term, delta, weights, samples):
 
         state0 = (weights, samples)
 
-    (_state, ys) = _scan(xp, step, state0,
-                         (xp.swapaxes(x, 0, 1),), n)
-    return xp.swapaxes(ys, 0, 1)
+    def step(state, xs):
+        (xt,) = xs                       # [U, cc]
+        outs = []
+        for u in range(U):
+            (state, out) = substep(state, xt[u])
+            outs.append(out)
+        return (state, xp.stack(outs, axis=0))
+
+    xs = xp.swapaxes(x, 0, 1).reshape(n_pad // U, U, cc)
+    (_state, ys) = _scan(xp, step, state0, (xs,), n_pad // U)
+    out = ys.reshape(n_pad, cc)
+    return xp.swapaxes(out, 0, 1)[:, :n]
 
 
 def dec_pass_negative(xp, x, term, delta, weights, samples):
@@ -180,10 +201,14 @@ def dec_pass_negative(xp, x, term, delta, weights, samples):
 
     x: int64 [2, n]; samples: int64 [2, 1]; returns out [2, n]"""
     n = x.shape[1]
+    U = _DEC_UNROLL
+    n_pad = -(-n // U) * U
+    if n_pad != n:
+        x = xp.concatenate(
+            [x, xp.zeros((2, n_pad - n), dtype=x.dtype)], axis=1)
 
-    def step(state, xs):
+    def substep(state, x0_i, x1_i):
         (w0, w1, prev0, prev1) = state
-        (x0_i, x1_i) = xs
         if term == -1:
             out0 = _apply_weight(w0, prev1) + x0_i
             out1 = _apply_weight(w1, out0) + x1_i
@@ -203,11 +228,22 @@ def dec_pass_negative(xp, x, term, delta, weights, samples):
         w1 = xp.clip(w1, -1024, 1024)
         return ((w0, w1, out0, out1), xp.stack([out0, out1]))
 
+    def step(state, xs):
+        (x0t, x1t) = xs                  # [U], [U]
+        outs = []
+        for u in range(U):
+            (state, o) = substep(state, x0t[u], x1t[u])
+            outs.append(o)
+        return (state, xp.stack(outs, axis=0))   # [U, 2]
+
     # seeding swap per the oracle: channel 0's chain starts from
     # dec_samples[1][0], channel 1's from dec_samples[0][0]
     state0 = (weights[0], weights[1], samples[1, 0], samples[0, 0])
-    (_state, ys) = _scan(xp, step, state0, (x[0], x[1]), n)
-    return xp.swapaxes(ys, 0, 1)
+    (_state, ys) = _scan(xp, step, state0,
+                         (x[0].reshape(n_pad // U, U),
+                          x[1].reshape(n_pad // U, U)), n_pad // U)
+    out = ys.reshape(n_pad, 2)
+    return xp.swapaxes(out, 0, 1)[:, :n]
 
 
 def run_dec_chain(xp, x, chain, weights, samples_list):
